@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's star-schema fixtures (TESTDATA.md).
+  *
+  * All tables are Parquet with schemas baked into the files; we read them
+  * as-is (columnar scan, predicate/column pushdown handled by the Parquet
+  * data source). At cluster scale these reads parallelize per row-group —
+  * no per-table tuning is needed here; queries control partitioning.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a nanos long (legacy conf) and truncate
+    * to microseconds with integer division — `ts div 1000`, NOT `/1000`
+    * (double division loses precision on 1.7e18-scale nanos) — matching
+    * DuckDB's ns→us truncation so oracle timestamps compare equal. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
