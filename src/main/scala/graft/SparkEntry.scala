@@ -42,6 +42,16 @@ object SparkEntry {
     "u1_union_distinct"       -> ((s, d) => Relational.unionDistinct(s, d)),
     "u2_keep_last_dedup"      -> ((s, d) => Relational.keepLastDedup(s, d)),
     "u3_dedup_derived_key"    -> ((s, d) => Relational.dedupDerivedKey(s, d)),
+    "j7_fuzzy_link"           -> ((s, d) => FuzzyLink.linkSuppliersToCustomers(s, d)),
+    "s10_merge_upsert"        -> ((s, d) => MergeOps.mergeUpsert(s, d)),
+    "s11_insert_ignore"       -> ((s, d) => MergeOps.insertIgnore(s, d)),
+    "i1_update_log"           -> ((s, d) => Incremental.updateLogEntry(s, d)),
+    "i2_watermark_filter"     -> ((s, d) => Incremental.watermarkFilter(s, d)),
+    "f1_name_parse"           -> ((s, d) => Scalars.nameParse(s, d)),
+    "f2_normalize_names"      -> ((s, d) => Scalars.normalizeNames(s, d)),
+    "f11_date_coerce"         -> ((s, d) => Scalars.dateCoerce(s, d)),
+    "f10_truncate_preview"    -> ((s, d) => Scalars.truncateAndFormat(s, d)),
+    "f14_daily_counts"        -> ((s, d) => Scalars.dailyCounts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -159,5 +169,86 @@ object SparkEntry {
       """SELECT CONCAT_WS('|', COALESCE(p_brand, ''), COALESCE(p_type, ''), CAST(p_size AS VARCHAR)) AS uid,
          MIN(p_partkey) AS first_partkey, COUNT(*) AS n_members
          FROM part GROUP BY 1 ORDER BY uid""",
+    "j7_fuzzy_link" ->
+      """WITH cn AS (
+           SELECT c_custkey, c_name, c_nationkey,
+             array_to_string(list_sort(regexp_split_to_array(trim(upper(trim(translate(c_name, '.,', '')))), '\s+')), ' ') AS norm_c
+           FROM customer),
+         sn AS (
+           SELECT s_suppkey, s_name, s_nationkey,
+             array_to_string(list_sort(regexp_split_to_array(trim(upper(trim(translate(replace(s_name, 'Supplier', 'Customer'), '.,', '')))), '\s+')), ' ') AS norm_s
+           FROM supplier),
+         scored AS (
+           SELECT sn.s_suppkey, sn.s_name, cn.c_custkey, cn.c_name,
+             CASE WHEN greatest(length(norm_c), length(norm_s)) = 0 THEN 100
+                  ELSE CAST(floor(100 * (1 - CAST(levenshtein(norm_c, norm_s) AS DOUBLE)
+                       / greatest(length(norm_c), length(norm_s)))) AS INTEGER) END AS score
+           FROM sn JOIN cn ON sn.s_nationkey = cn.c_nationkey),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+             ORDER BY score DESC, c_custkey) AS rn
+           FROM scored)
+         SELECT s_suppkey, s_name, c_custkey, c_name, score
+         FROM ranked WHERE rn = 1 AND score > 85 ORDER BY s_suppkey""",
+    "s10_merge_upsert" ->
+      """WITH existing AS (
+           SELECT user_id AS e_user, event_type AS e_type, COUNT(*) AS e_n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS e_total
+           FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY 1, 2),
+         incoming AS (
+           SELECT user_id AS i_user, event_type AS i_type, COUNT(*) AS i_n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS i_total
+           FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2)
+         SELECT COALESCE(i_user, e_user) AS user_id,
+           COALESCE(i_type, e_type) AS event_type,
+           COALESCE(i_n, e_n) AS n_events,
+           COALESCE(i_total, e_total) AS total_value,
+           CASE WHEN e_user IS NOT NULL AND i_user IS NOT NULL THEN 'updated'
+                WHEN e_user IS NULL THEN 'inserted' ELSE 'unchanged' END AS merge_action
+         FROM existing FULL OUTER JOIN incoming
+           ON e_user = i_user AND e_type = i_type
+         ORDER BY user_id, event_type""",
+    "s11_insert_ignore" ->
+      """SELECT user_id, event_type, MIN(ts) AS first_seen, COUNT(*) AS n_events
+         FROM events e
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+           AND NOT EXISTS (
+             SELECT 1 FROM events x
+             WHERE x.ts < TIMESTAMP '2024-01-03 00:00:00'
+               AND x.user_id = e.user_id AND x.event_type = e.event_type)
+         GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "i1_update_log" ->
+      """SELECT 'events' AS table_name, MAX(ts) AS last_update,
+         COUNT(*) AS records_updated FROM events""",
+    "i2_watermark_filter" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(ts) AS min_ts
+         FROM events
+         WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+         GROUP BY event_type ORDER BY event_type""",
+    "f1_name_parse" ->
+      """SELECT c_custkey,
+           split_part(c_name || ', ' || c_mktsegment, ', ', 1) AS last_name,
+           split_part(c_name || ', ' || c_mktsegment, ', ', 2) AS first_name,
+           split_part(c_name || ', ' || c_mktsegment, ', ', 2) || ' ' ||
+             split_part(c_name || ', ' || c_mktsegment, ', ', 1) AS display_name
+         FROM customer ORDER BY c_custkey""",
+    "f2_normalize_names" ->
+      """SELECT s_suppkey, '  ' || lower(s_name) || ' .,' AS noisy,
+           upper(trim(translate('  ' || lower(s_name) || ' .,', '.,', ''))) AS normalized
+         FROM supplier ORDER BY s_suppkey""",
+    "f11_date_coerce" ->
+      """WITH coerced AS (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                       ELSE CAST(o_orderdate AS DATE) END AS parsed
+           FROM orders)
+         SELECT year(parsed) AS yr, COUNT(*) AS n FROM coerced
+         WHERE parsed IS NOT NULL GROUP BY 1 ORDER BY yr""",
+    "f10_truncate_preview" ->
+      """SELECT doc_id, substring(text, 1, 100) AS preview, length(text) AS text_len
+         FROM documents ORDER BY doc_id""",
+    "f14_daily_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+         FROM events GROUP BY 1 ORDER BY day""",
   )
 }

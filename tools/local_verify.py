@@ -23,9 +23,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize types for comparison
+    import decimal
     for c in df.columns:
         if str(df[c].dtype) == "object":
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            if df[c].map(lambda v: isinstance(v, decimal.Decimal) or v is None).all() and df[c].notna().any():
+                df[c] = df[c].astype(float)
+            else:
+                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
         if "datetime" in str(df[c].dtype):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
