@@ -52,7 +52,24 @@ object SparkEntry {
     "f11_date_coerce"         -> ((s, d) => Scalars.dateCoerce(s, d)),
     "f10_truncate_preview"    -> ((s, d) => Scalars.truncateAndFormat(s, d)),
     "f14_daily_counts"        -> ((s, d) => Scalars.dailyCounts(s, d)),
+    "t1_token_count"          -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "t2_quality_score"        -> ((s, d) => TextOps.qualityScores(s, d)),
+    "t3_lang_id"              -> ((s, d) => TextOps.langId(s, d)),
+    "t4_fingerprint"          -> ((s, d) => TextOps.fingerprints(s, d)),
+    "d1_exact_dedup"          -> ((s, d) => Dedup.exactDedup(s, d)),
+    "d2_ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "d3_minhash_lsh"          -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "d4_simhash"              -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "v1_cosine_topk"          -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "v2_neardup_top_pairs"    -> ((s, d) => Similarity.nearDupTopPairs(s, d)),
+    "v3_lsh_topk"             -> ((s, d) => Similarity.lshTopK(s, d)),
+    "m1_decode_features"      -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+    "m2_format_stats"         -> ((s, d) => Multimodal.formatStats(s, d)),
   )
+
+  /** Shared oracle-SQL fragments (DuckDB dialect). */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
   def oracleSql: Map[String, String] = Map(
     "w1_topk_by_scope" ->
@@ -246,6 +263,188 @@ object SparkEntry {
     "f10_truncate_preview" ->
       """SELECT doc_id, substring(text, 1, 100) AS preview, length(text) AS text_len
          FROM documents ORDER BY doc_id""",
+    "t1_token_count" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         SUM(len($toksSql)) AS total_tokens,
+         MAX(len($toksSql)) AS max_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "t2_quality_score" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             len($toksSql) AS n_tokens,
+             len(list_filter($toksSql,
+               x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+           FROM documents)
+         SELECT doc_id, n_tokens, n_stopwords, n_punct,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(floor(n_stopwords * 1000000.0 / n_tokens) AS BIGINT) END AS stopword_ppm,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
+                     + n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END AS quality_ppm
+         FROM f ORDER BY doc_id""",
+    "t3_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         hits AS (
+           SELECT doc_id, lang,
+             len(list_filter(w, x -> x IN ('the','and','of','is','to'))) AS en_h,
+             len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS fr_h,
+             len(list_filter(w, x -> x IN ('el','los','las','una','por'))) AS es_h,
+             len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS de_h
+           FROM toks),
+         pred AS (
+           SELECT lang,
+             CASE WHEN greatest(en_h, fr_h, es_h, de_h) = 0 THEN 'und'
+                  WHEN en_h >= fr_h AND en_h >= es_h AND en_h >= de_h THEN 'en'
+                  WHEN fr_h >= es_h AND fr_h >= de_h THEN 'fr'
+                  WHEN es_h >= de_h THEN 'es'
+                  ELSE 'de' END AS predicted
+           FROM hits)
+         SELECT lang, predicted, COUNT(*) AS n FROM pred
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "t4_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+         FROM documents GROUP BY source ORDER BY source""",
+    "d1_exact_dedup" ->
+      """WITH g AS (
+           SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+           FROM documents GROUP BY 1)
+         SELECT n_copies, COUNT(*) AS n_groups FROM g
+         GROUP BY n_copies ORDER BY n_copies""",
+    "d2_ngram_jaccard" ->
+      s"""WITH t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, n_common,
+           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN cnt ca ON a_id = ca.doc_id
+         JOIN cnt cb ON b_id = cb.doc_id
+         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
+         ORDER BY a_id, b_id""",
+    "d3_minhash_lsh" ->
+      s"""WITH t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         gr AS (
+           SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE list_distinct(list_transform(range(len(w) - 2),
+                         i -> array_to_string(w[i+1:i+3], ' '))) END AS grams
+           FROM t),
+         sig AS (
+           SELECT doc_id, grams,
+             list_transform(range(16), i ->
+               list_min(list_transform(grams,
+                 g -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15) AS BIGINT)))) AS s
+           FROM gr WHERE len(grams) > 0),
+         bands AS (
+           SELECT doc_id, grams, b.i AS band,
+             md5(array_to_string(s[b.i*4+1:b.i*4+4], ',')) AS bucket
+           FROM sig, unnest(range(4)) AS b(i)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.grams AS a_grams, b.grams AS b_grams
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT a_id, b_id,
+             len(list_intersect(a_grams, b_grams))
+               / CAST(len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams)) AS DOUBLE) AS jaccard
+           FROM cand)
+         SELECT a_id, b_id, jaccard FROM scored
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+    "d4_simhash" ->
+      s"""WITH h AS (
+           SELECT doc_id,
+             list_transform($toksSql,
+               t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(60), j ->
+             CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         FROM h ORDER BY doc_id""",
+    "v1_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(64),
+               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "v2_neardup_top_pairs" ->
+      """WITH scored AS (
+           SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+             list_reduce(list_transform(range(64),
+               j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(a.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(b.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, a_id, b_id, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, a_id, b_id LIMIT 20""",
+    "v3_lsh_topk" ->
+      """WITH buckets AS (
+           SELECT vec_id, label, first(embedding) AS embedding,
+             SUM(CASE WHEN proj >= 0 THEN (1 << i) ELSE 0 END) AS bucket
+           FROM (
+             SELECT e.vec_id, e.label, e.embedding, p.i,
+               list_reduce(list_transform(range(64), j ->
+                 CAST(e.embedding[j+1] AS DOUBLE) *
+                 (CAST('0x' || substr(md5(CAST(p.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                   / 4294967296.0 - 0.5)),
+                 (x, y) -> x + y) AS proj
+             FROM embeddings e, unnest(range(4)) AS p(i))
+           GROUP BY vec_id, label),
+         q AS (SELECT bucket, embedding AS qe FROM buckets WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(64),
+               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM buckets e JOIN q ON e.bucket = q.bucket
+           WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "m1_decode_features" ->
+      """SELECT doc_id AS asset_id, source,
+           strlen(text) AS n_bytes,
+           CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
+           CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
+           (['jpeg','png','webp','tiff'])[(CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 4) + 1] AS format
+         FROM documents ORDER BY asset_id""",
+    "m2_format_stats" ->
+      """WITH f AS (
+           SELECT doc_id, source, strlen(text) AS n_bytes,
+             CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
+             (['jpeg','png','webp','tiff'])[(CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 4) + 1] AS format
+           FROM documents)
+         SELECT source, format, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+           MAX(width) AS max_width
+         FROM f GROUP BY source, format ORDER BY source, format""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS total_value

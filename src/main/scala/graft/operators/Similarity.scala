@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * float[64], label).
+  *
+  * Reference: Pinecone cosine top-k, k=5-10 (app.py:338-367); here as
+  * native Spark over an embedding column — brute force as the exact
+  * baseline, plus the two scale paths: random-hyperplane LSH bucketing
+  * and label-partitioned (IVF-style) blocking.
+  */
+object Similarity {
+
+  /** W6/X6: brute-force cosine top-k against one query vector.
+    *
+    * The query embedding joins in as a 1-row broadcast (no collect to
+    * the driver); scoring is a map-stage; top-k plans as
+    * TakeOrderedAndProject. Exact, O(N) per query — the baseline every
+    * ANN variant is measured against. Similarity is rounded to 6 dp for
+    * cross-engine hash stability; ordering uses the full-precision value.
+    */
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** Embedding near-dup detection, IVF-style: compare only within a
+    * coarse partition (label plays the centroid-assignment role), rank
+    * pairs by cosine, keep the global top-k. At 100 TB the all-pairs
+    * comparison is gated entirely by partition sizes — skew in a
+    * partition is handled by sub-bucketing (LSH below) or AQE skew
+    * splits. Top-k (not threshold) keeps the output stable across SFs. */
+  def nearDupTopPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("label"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", Vectors.cosine(col("a_emb"), col("b_emb")))
+      .orderBy(desc("sim"), col("a_id"), col("b_id"))
+      .limit(k)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  // 4 planes → 16 buckets: at 500-5000 vectors this keeps ~30-300
+  // candidates per bucket, enough for a top-10 re-rank. Scale the plane
+  // count with corpus size (buckets ≈ N / desired-candidates).
+  val LshPlanes = 4
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from md5(p:j), mapped into [-0.5, 0.5). Engine-portable
+    * (same md5-derived construction as Dedup.md5Long). */
+  private def planeComponent(p: Int, j: Column): Column =
+    (conv(substring(md5(concat(lit(p.toString), lit(":"), j.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) - 0.5
+
+  /** LSH bucket signature: sign bit per hyperplane, packed to an int.
+    * Pure expressions; the per-plane dot product reuses the double
+    * accumulation from Vectors.dot. */
+  def lshBucket(emb: Column, dim: Int): Column = {
+    (0 until LshPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via random-hyperplane LSH: candidates share the query's
+    * bucket; exact cosine re-ranks within the bucket. Approximate —
+    * recall vs the brute-force baseline is asserted in the test suite.
+    * At scale the bucket id becomes the shuffle/partition key, so each
+    * query touches 1/2^planes of the corpus. */
+  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val dim = 64
+    val e = embeddings(spark, dir)
+      .withColumn("bucket", lshBucket(col("embedding"), dim))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"), col("bucket"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for a training-data pipeline over `documents`.
+  *
+  * All pure column expressions (codegen'd): tokenization, quality
+  * scoring, language ID, fingerprinting. These run as a single
+  * map-stage over the corpus — no shuffle until the final per-group
+  * aggregate — so they stream at scan speed on a 100 TB corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= lit(""))
+
+  /** Token count: whitespace tokenization (the reference counts words
+    * nowhere, but embedding truncation hydrate_vectors.py:80-106 is the
+    * length-budget analog). Per-language rollup. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Quality scoring: length, punctuation density, stopword ratio —
+    * the standard cheap filters applied before LLM training ingestion.
+    * Score is a deterministic decimal so the oracle hash-matches. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    // Ratios as floor'd parts-per-million ints: floor over identical
+    // double math is engine-portable, unlike decimal-division or
+    // round-half rounding whose tie behavior differs across engines.
+    documents(spark, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("n_punct", nPunct)
+      .withColumn("stopword_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(col("n_stopwords") * lit(1000000.0) / col("n_tokens"))))
+      .withColumn("quality_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(
+            (least(col("n_tokens"), lit(100)) / lit(100.0) * 0.5
+              + col("n_stopwords") / col("n_tokens").cast("double") * 0.5) * lit(1000000.0))))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("n_punct"),
+        col("stopword_ppm"), col("quality_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose — broadcast as literals into codegen. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  /** Language ID: argmax of per-language marker-token hits, 'und' when
+    * nothing matches. Emitted as a predicted×actual confusion matrix so
+    * the heuristic's behavior is itself inspectable. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val hitCols: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = hitCols.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (lang, hits)) =>
+      // strictly-greater keeps the first language on ties → deterministic
+      (when(hits > bh, lit(lang)).otherwise(bl), greatest(hits, bh))
+    }
+    documents(spark, dir)
+      .withColumn("predicted", best._1)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text
+    * — the cheap exact-dup key (rolling-hash shingle fingerprints live in
+    * Dedup). Rolled up per source to show corpus-level uniqueness. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("fingerprint", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fingerprint")).as("n_unique"))
+      .orderBy(col("source"))
+  }
+}
