@@ -65,6 +65,7 @@ object SparkEntry {
     "v3_lsh_topk"             -> ((s, d) => Similarity.lshTopK(s, d)),
     "m1_decode_features"      -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "m2_format_stats"         -> ((s, d) => Multimodal.formatStats(s, d)),
+    "st1_windowed_agg"        -> ((s, d) => graft.streaming.EventsStream.windowedCountsBatch(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -445,6 +446,10 @@ object SparkEntry {
          SELECT source, format, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
            MAX(width) AS max_width
          FROM f GROUP BY source, format ORDER BY source, format""",
+    "st1_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS total_value

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("shingles of short or empty text are empty, no crash") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("one"), Tuple1("one two"), Tuple1("one two three")))
+      .toDF("text")
+      .select(Dedup.shingles(col("text")).as("g"))
+    val sizes = df.collect().map(_.getSeq[String](0).size)
+    assert(sizes.toSeq === Seq(0, 0, 0, 1))
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact n-gram jaccard") {
+    val exact = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // LSH candidates are verified with exact jaccard → no false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // recall on the planted dups should be high (16 hashes / 4 bands at j>=0.8
+    // gives pair-catch probability >0.99)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low: missed ${exact.diff(lsh)}")
+  }
+
+  test("near-dup pairs have closer simhashes than random pairs") {
+    val sims = Dedup.simhashSignatures(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupPairs = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupDist = dupPairs.map { case (a, b) => hamming(sims(a), sims(b)) }
+    val ids = sims.keys.toArray.sorted
+    val randDist = ids.take(40).flatMap(a => ids.slice(100, 140).map(b => hamming(sims(a), sims(b))))
+    val avgDup = dupDist.sum.toDouble / dupDist.length
+    val avgRand = randDist.sum.toDouble / randDist.length
+    assert(avgDup < avgRand / 2,
+      s"simhash not discriminating: dup avg $avgDup vs random avg $avgRand")
+  }
+
+  test("exact dedup histogram accounts for every document") {
+    val hist = Dedup.exactDedup(spark, sfDir).collect()
+    val totalDocs = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(totalDocs === Tables.documents(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Relational
+
+/** Physical-plan assertions — the scale contract (SURVEY §4): dimension
+  * joins must broadcast, predicates and projections must reach the
+  * Parquet scan. These lock in the plans we chose, so a refactor that
+  * silently de-optimizes fails CI. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship top-k broadcasts region+nation and plans TakeOrderedAndProject") {
+    val p = plan(Relational.topkCustomersByRegion(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed into take-ordered:\n$p")
+  }
+
+  test("region filter is pushed down to the parquet scan") {
+    val p = plan(Relational.topkCustomersByRegion(spark, sfDir))
+    assert(p.contains("EqualTo(r_name,EUROPE)") && p.contains("PushedFilters"),
+      s"region predicate not pushed to scan:\n$p")
+  }
+
+  test("join-then-filter pushes the order-status predicate below the join") {
+    val p = plan(Relational.joinThenFilter(spark, sfDir))
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed into orders scan:\n$p")
+  }
+
+  test("column pruning reaches the scan (no full-width lineitem read)") {
+    val p = plan(Relational.countDistinctPerGroup(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      s"lineitem scan not pruned to 2 columns:\n$p")
+  }
+
+  test("scope semi-join broadcasts the scope side") {
+    val p = plan(Relational.scopeSemiJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"semi join not broadcast:\n$p")
+  }
+}
