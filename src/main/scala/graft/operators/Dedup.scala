@@ -26,16 +26,10 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
-  /** Distinct word 3-gram shingles per document. Docs shorter than n
-    * tokens shingle to empty (sequence() would flip descending on a
-    * negative span, so guard explicitly). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-  }
+  /** Distinct word 3-gram shingles per document (single Catalyst
+    * expression — see TextShingles for why not higher-order functions). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextShingles(text, n)
 
   /** D1: exact dedup via content digest — groupBy(md5) keeping the
     * minimum id (deterministic survivor, unlike dropDuplicates). */
@@ -62,13 +56,20 @@ object Dedup {
     * gets structurally.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    // Join on a 60-bit gram hash, not the gram string: same candidate
+    // pairs and counts (collision odds ~n²/2⁶¹), half the shuffle bytes.
+    // The posting list feeds three plan branches (counts + both join
+    // sides) — persist it so the shingle construction runs once, not 3×.
     val docs = documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
+      .repartition(col("doc_id"))
+      .persist()
     val counts = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
-    val a = docs.select(col("doc_id").as("a_id"), col("gram"))
-    val b = docs.select(col("doc_id").as("b_id"), col("gram"))
-    val common = a.join(b, Seq("gram"))
+    val a = docs.select(col("doc_id").as("a_id"), col("gram_h"))
+    val b = docs.select(col("doc_id").as("b_id"), col("gram_h"))
+    val common = a.join(b, Seq("gram_h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -118,8 +119,15 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val rows = MinHashK / LshBands
+    // persist: the posting list feeds the seed cross-join, the counts,
+    // and both verification join sides. Repartition first — the source
+    // parquet is a single split, and without the explicit exchange the
+    // whole K×|grams| hash computation runs on one task (measured 11 s
+    // single-task vs 2 s spread across the cluster).
     val grams = documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .repartition(col("doc_id"))
+      .persist()
     val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
     val seeds = (0 until MinHashK).map(i => (i, i / rows))
@@ -145,9 +153,11 @@ object Dedup {
       .distinct()
 
     // verify candidates with exact Jaccard through the posting list
+    // (hashed grams — same counts, narrower shuffle)
+    val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
     val common = candidates
-      .join(grams.select(col("doc_id").as("a_id"), col("gram")), Seq("a_id"))
-      .join(grams.select(col("doc_id").as("b_id"), col("gram").as("gram")), Seq("b_id", "gram"))
+      .join(hashed.select(col("doc_id").as("a_id"), col("gram_h")), Seq("a_id"))
+      .join(hashed.select(col("doc_id").as("b_id"), col("gram_h")), Seq("b_id", "gram_h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
 

@@ -59,22 +59,24 @@ object Similarity {
   // count with corpus size (buckets ≈ N / desired-candidates).
   val LshPlanes = 4
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * derived from md5(p:j), mapped into [-0.5, 0.5). Engine-portable
-    * (same md5-derived construction as Dedup.md5Long). */
-  private def planeComponent(p: Int, j: Column): Column =
-    (conv(substring(md5(concat(lit(p.toString), lit(":"), j.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)) - 0.5
+  /** Deterministic pseudo-random hyperplane matrix, computed once on the
+    * driver: component j of plane p = first 8 md5 hex chars of "p:j",
+    * parsed unsigned, mapped into [-0.5, 0.5). Identical to the oracle's
+    * in-SQL derivation; shipping it as a literal array turns each plane
+    * projection into one codegen'd VecDot instead of per-row md5 calls. */
+  private[operators] def planeVector(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
 
-  /** LSH bucket signature: sign bit per hyperplane, packed to an int.
-    * Pure expressions; the per-plane dot product reuses the double
-    * accumulation from Vectors.dot. */
+  /** LSH bucket signature: sign bit per hyperplane, packed to an int. */
   def lshBucket(emb: Column, dim: Int): Column = {
     (0 until LshPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = Vectors.dot(emb, typedLit(planeVector(p, dim)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }
