@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers for the reference's raw input formats (SURVEY §2.1 S1-S6,
+  * FIXTURES.md §A). The driver fixtures are Parquet, so these readers
+  * are exercised by SourcesSpec against generated files; the semantics
+  * (permissive bad-line handling, coercion, explode shapes) mirror the
+  * reference ETL exactly.
+  */
+object ReferenceSources {
+
+  /** A1/S1: FEC individual-contribution file — 21 pipe-delimited string
+    * columns, no header (ingest_bulk_donations.py:28-33). All-string
+    * schema: coercion happens downstream (F11/F13), like the reference's
+    * dtype=str. PERMISSIVE + columnNameOfCorruptRecord mirrors
+    * on_bad_lines='warn'; chunked reading (500k rows/chunk) is replaced
+    * by input-split partitioning. */
+  val ContribColumns: Seq[String] = Seq(
+    "CMTE_ID", "AMNDT_IND", "RPT_TP", "TRANSACTION_PGI", "IMAGE_NUM",
+    "TRANSACTION_TP", "ENTITY_TP", "NAME", "CITY", "STATE", "ZIP_CODE",
+    "EMPLOYER", "OCCUPATION", "TRANSACTION_DT", "TRANSACTION_AMT",
+    "OTHER_ID", "TRAN_ID", "FILE_NUM", "MEMO_CD", "MEMO_TEXT", "SUB_ID")
+
+  def fecContributionsSchema: StructType =
+    StructType(ContribColumns.map(StructField(_, StringType, nullable = true)))
+
+  def readFecContributions(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "|")
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .schema(fecContributionsSchema)
+      .csv(path)
+
+  /** §3.4: the bulk-donation chunk pipeline as one composed lineage —
+    * filter amended (P3) → semi-join tracked committees (P2) → donor uid
+    * (U3/F6) → project+rename (P1) → coerce date/amount (F11/F13) →
+    * drop nulls (P8). targetCommittees joins broadcast, replacing the
+    * reference's in-memory committee dict (J6). */
+  def donationPipeline(contribs: DataFrame, targetCommittees: DataFrame): DataFrame = {
+    contribs
+      .filter(col("AMNDT_IND") === "N")
+      .join(broadcast(targetCommittees), Seq("CMTE_ID"), "left_semi")
+      .withColumn("donor_uid", concat_ws("|",
+        coalesce(col("NAME"), lit("")),
+        coalesce(col("ZIP_CODE"), lit("")),
+        coalesce(col("EMPLOYER"), lit(""))))
+      .select(
+        col("CMTE_ID").as("committee_id"),
+        col("donor_uid"),
+        col("NAME").as("name"),
+        try_to_date(col("TRANSACTION_DT"), "MMddyyyy").as("date"),
+        col("TRANSACTION_AMT").cast("decimal(12,2)").as("amount"),
+        col("SUB_ID").as("fec_filing_id"))
+      .na.drop(Seq("donor_uid", "date", "amount"))
+  }
+
+  /** A4/S4: recursive vote-file scan — data.json per roll call with a
+    * votes map position → voter list (ingest_votes.py:82-147). The
+    * explode of the map is the reference's only UDTF-shaped transform
+    * (X8); non-object entries like "VP" parse to null voter ids and are
+    * dropped (ingest_votes.py:134). */
+  /** Voter entries are declared StringType, not a struct: the vote
+    * arrays mix objects with scalars like "VP", and a struct-typed
+    * schema nulls the ENTIRE map for such records in PERMISSIVE mode.
+    * As strings, objects keep their JSON text (id extracted with
+    * get_json_object) and scalars extract to null → dropped, matching
+    * the reference's per-entry isinstance check (ingest_votes.py:134). */
+  def voteSchema: StructType = StructType(Seq(
+    StructField("category", StringType),
+    StructField("date", StringType),
+    StructField("bill", StructType(Seq(
+      StructField("type", StringType),
+      StructField("number", LongType),
+      StructField("congress", LongType)))),
+    StructField("votes", MapType(StringType, ArrayType(StringType)))))
+
+  def readVoteFiles(spark: SparkSession, root: String): DataFrame = {
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json")
+      .schema(voteSchema)
+      .json(root)
+    raw
+      .filter(col("category") =!= "nomination" && col("bill").isNotNull)
+      .withColumn("bill_key", concat(
+        upper(col("bill.type")), col("bill.number"),
+        lit("-"), col("bill.congress")))
+      .select(col("bill_key"), col("date"),
+        explode(col("votes")).as(Seq("vote_position", "voters")))
+      .select(col("bill_key"), col("date"), col("vote_position"),
+        explode(col("voters")).as("voter"))
+      .select(col("bill_key"), col("date"), col("vote_position"),
+        get_json_object(col("voter"), "$.id").as("bioguide"))
+      .filter(col("bioguide").isNotNull) // "VP"-style scalar entries
+  }
+
+  /** A5/S5: bill-status XML → typed struct via Spark 4 native from_xml
+    * (update_bills.py:155-256 field set). */
+  def billStatusSchema: StructType = StructType(Seq(
+    StructField("congress", LongType),
+    StructField("type", StringType),
+    StructField("number", LongType),
+    StructField("title", StringType),
+    StructField("introducedDate", StringType),
+    StructField("sponsors", StructType(Seq(
+      StructField("item", StructType(Seq(
+        StructField("bioguideId", StringType))))))),
+    StructField("cosponsors", StructType(Seq(
+      StructField("item", ArrayType(StructType(Seq(
+        StructField("bioguideId", StringType),
+        StructField("sponsorshipDate", StringType),
+        StructField("isOriginalCosponsor", StringType))))))))))
+
+  def parseBillStatus(xmlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_xml(xmlCol, billStatusSchema)
+
+  def readBillStatusXml(spark: SparkSession, path: String): DataFrame = {
+    spark.read.option("wholetext", "true").text(path)
+      .select(parseBillStatus(col("value")).as("bill"))
+      .select(
+        col("bill.congress").as("congress"),
+        concat(upper(col("bill.type")), col("bill.number")).as("official_bill_number"),
+        col("bill.title").as("title"),
+        to_date(col("bill.introducedDate")).as("date_introduced"),
+        col("bill.sponsors.item.bioguideId").as("sponsor_bioguide"),
+        explode_outer(col("bill.cosponsors.item")).as("cs"))
+      .select(col("congress"), col("official_bill_number"), col("title"),
+        col("date_introduced"), col("sponsor_bioguide"),
+        col("cs.bioguideId").as("cosponsor_bioguide"),
+        to_date(col("cs.sponsorshipDate")).as("sponsorship_date"),
+        (lower(col("cs.isOriginalCosponsor")) === "true").as("is_original_cosponsor"))
+  }
+
+  /** A6/S6: committees list (YAML ingested as JSON — same tree) with
+    * nested subcommittee explode; subcommittee id = parent + sub
+    * thomas_id, and the upstream type/chamber field swap is corrected
+    * here (ingest_committees.py:48-95, swap at :64-65). */
+  def committeeSchema: StructType = StructType(Seq(
+    StructField("thomas_id", StringType),
+    StructField("name", StringType),
+    StructField("type", StringType),    // source calls this 'type' but it holds the chamber
+    StructField("chamber", StringType), // and this holds the committee type
+    StructField("url", StringType),
+    StructField("subcommittees", ArrayType(StructType(Seq(
+      StructField("thomas_id", StringType),
+      StructField("name", StringType),
+      StructField("url", StringType)))))))
+
+  def readCommittees(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.schema(committeeSchema).json(path)
+    val parents = raw.select(
+      col("thomas_id").as("committee_id"),
+      col("name"),
+      col("type").as("chamber"),
+      col("chamber").as("committee_type"),
+      col("url"),
+      lit(null).cast("string").as("parent_committee_id"))
+    val subs = raw
+      .select(col("thomas_id").as("parent_id"), col("type").as("parent_chamber"),
+        explode(col("subcommittees")).as("sc"))
+      .select(
+        concat(col("parent_id"), col("sc.thomas_id")).as("committee_id"),
+        col("sc.name").as("name"),
+        col("parent_chamber").as("chamber"),
+        lit("subcommittee").as("committee_type"),
+        col("sc.url").as("url"),
+        col("parent_id").as("parent_committee_id"))
+    parents.unionByName(subs)
+  }
+}

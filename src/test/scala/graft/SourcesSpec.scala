@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.ReferenceSources
+
+/** Source-semantics suite: fixtures are generated in the reference's
+  * raw shapes (FIXTURES.md §A) and read through ReferenceSources —
+  * asserting the ETL semantics the reference encodes (amended-filing
+  * filter, donor-uid derivation, coercion drops, vote-map explode with
+  * scalar skip, XML field extraction, subcommittee flattening). */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(name: String, content: String): String = {
+    val d = Files.createTempDirectory("graft_src")
+    val p = d.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("S1/§3.4: FEC csv scan + donation pipeline semantics") {
+    // 21 pipe-separated fields; row semantics:
+    //   r1 good (kept), r2 amended A (dropped), r3 untracked cmte
+    //   (dropped), r4 bad date (coerced null → dropped), r5 good dup uid
+    val rows = Seq(
+      "C1|N|Q1||||IND|ALICE|SPRINGFIELD|IL|62704|ACME|ENG|01152024|250.00||T1|1||M|S1",
+      "C1|A|Q1||||IND|BOB|SPRINGFIELD|IL|62704|ACME|ENG|01152024|100.00||T2|1||M|S2",
+      "C9|N|Q1||||IND|CARL|SPRINGFIELD|IL|62704|ACME|ENG|01152024|100.00||T3|1||M|S3",
+      "C1|N|Q1||||IND|DAVE|SPRINGFIELD|IL|62704|ACME|ENG|99152024|100.00||T4|1||M|S4",
+      "C1|N|Q1||||IND|ALICE|SPRINGFIELD|IL|62704|ACME|ENG|01162024|50.00||T5|1||M|S5")
+    val path = tmp("itcont.txt", rows.mkString("\n"))
+    val contribs = ReferenceSources.readFecContributions(spark, path)
+    assert(contribs.count() === 5)
+
+    import spark.implicits._
+    val targets = Seq("C1").toDF("CMTE_ID")
+    val out = ReferenceSources.donationPipeline(contribs, targets)
+    val kept = out.collect()
+    assert(kept.length === 2, s"expected 2 surviving rows, got ${kept.mkString(";")}")
+    assert(kept.map(_.getAs[String]("donor_uid")).toSet === Set("ALICE|62704|ACME"))
+    assert(kept.map(_.getAs[java.math.BigDecimal]("amount").doubleValue()).sum === 300.0)
+  }
+
+  test("S4: recursive vote json scan explodes the position map, skips scalars") {
+    val d = Files.createTempDirectory("graft_votes")
+    Files.createDirectories(Paths.get(s"$d/2024/h1"))
+    Files.createDirectories(Paths.get(s"$d/2024/h2"))
+    Files.writeString(Paths.get(s"$d/2024/h1/data.json"),
+      """{"category":"passage","date":"2024-01-10",
+        |"bill":{"type":"hr","number":1,"congress":119},
+        |"votes":{"Yea":[{"id":"B001"},{"id":"B002"},"VP"],"Nay":[{"id":"B003"}]}}"""
+        .stripMargin.replace("\n", ""))
+    Files.writeString(Paths.get(s"$d/2024/h2/data.json"),
+      """{"category":"nomination","date":"2024-01-11",
+        |"votes":{"Yea":[{"id":"B009"}]}}""".stripMargin.replace("\n", ""))
+    val out = ReferenceSources.readVoteFiles(spark, d.toString)
+    val rows = out.collect()
+    // nomination file skipped; "VP" scalar skipped; 3 voter rows remain
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("bill_key")).toSet === Set("HR1-119"))
+    assert(rows.map(_.getAs[String]("bioguide")).toSet === Set("B001", "B002", "B003"))
+    val positions = rows.groupBy(_.getAs[String]("vote_position")).view.mapValues(_.length).toMap
+    assert(positions === Map("Yea" -> 2, "Nay" -> 1))
+  }
+
+  test("S5: bill-status XML parses fields, sponsor, cosponsors") {
+    val xml =
+      """<billStatus><congress>119</congress><type>hr</type><number>42</number>
+        |<title>A Test Act</title><introducedDate>2024-02-01</introducedDate>
+        |<sponsors><item><bioguideId>S100</bioguideId></item></sponsors>
+        |<cosponsors>
+        |  <item><bioguideId>C200</bioguideId><sponsorshipDate>2024-02-02</sponsorshipDate><isOriginalCosponsor>true</isOriginalCosponsor></item>
+        |  <item><bioguideId>C201</bioguideId><sponsorshipDate>2024-02-05</sponsorshipDate><isOriginalCosponsor>false</isOriginalCosponsor></item>
+        |</cosponsors></billStatus>""".stripMargin
+    val path = tmp("fdsys_billstatus.xml", xml)
+    val out = ReferenceSources.readBillStatusXml(spark, path).collect()
+    assert(out.length === 2)
+    val r = out.head
+    assert(r.getAs[Long]("congress") === 119L)
+    assert(r.getAs[String]("official_bill_number") === "HR42")
+    assert(r.getAs[String]("sponsor_bioguide") === "S100")
+    assert(out.map(_.getAs[String]("cosponsor_bioguide")).toSet === Set("C200", "C201"))
+    assert(out.count(_.getAs[Boolean]("is_original_cosponsor")) === 1)
+  }
+
+  test("S6: committees flatten with subcommittee ids and field unswap") {
+    val json =
+      """{"thomas_id":"HSAG","name":"Agriculture","type":"house","chamber":"standing",
+        |"url":"http://x","subcommittees":[
+        |{"thomas_id":"01","name":"Livestock","url":"http://y"},
+        |{"thomas_id":"02","name":"Forestry","url":"http://z"}]}"""
+        .stripMargin.replace("\n", "")
+    val path = tmp("committees.json", json)
+    val out = ReferenceSources.readCommittees(spark, path).collect()
+    assert(out.length === 3)
+    val byId = out.map(r => r.getAs[String]("committee_id") -> r).toMap
+    assert(byId.keySet === Set("HSAG", "HSAG01", "HSAG02"))
+    assert(byId("HSAG").getAs[String]("chamber") === "house")       // unswapped
+    assert(byId("HSAG").getAs[String]("committee_type") === "standing")
+    assert(byId("HSAG01").getAs[String]("parent_committee_id") === "HSAG")
+    assert(byId("HSAG01").getAs[String]("chamber") === "house")
+  }
+}
