@@ -66,6 +66,10 @@ object SparkEntry {
     "m1_decode_features"      -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "m2_format_stats"         -> ((s, d) => Multimodal.formatStats(s, d)),
     "st1_windowed_agg"        -> ((s, d) => graft.streaming.EventsStream.windowedCountsBatch(s, d)),
+    "f3_map_lookup"           -> ((s, d) => Scalars.mapLookup(s, d)),
+    "f16_term_fold"           -> ((s, d) => Scalars.termFold(s, d)),
+    "w4_multikey_nulls"       -> ((s, d) => Scalars.multiKeySortNulls(s, d)),
+    "s14_column_update"       -> ((s, d) => MergeOps.columnUpdate(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -450,6 +454,39 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
          COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "f3_map_lookup" ->
+      """SELECT n.n_nationkey, n.n_name,
+           CASE r.r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                WHEN 'MIDDLE EAST' THEN 'ME' END AS region_code
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY n.n_nationkey""",
+    "f16_term_fold" ->
+      """SELECT user_id,
+           MIN(strftime(ts, '%Y-%m-%d')) AS first_day,
+           MAX(strftime(ts, '%Y-%m-%d')) AS last_day,
+           COUNT(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "w4_multikey_nulls" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+           COALESCE(NULLIF(s_suppkey % 7, 0), 999) AS rank_eff
+         FROM supplier
+         ORDER BY rank_eff, s_nationkey, s_suppkey""",
+    "s14_column_update" ->
+      """WITH base AS (
+           SELECT user_id, event_type, COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY 1, 2),
+         incoming AS (
+           SELECT user_id, event_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS new_total
+           FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2)
+         SELECT b.user_id, b.event_type, b.n_events,
+           COALESCE(i.new_total, b.total_value) AS total_value,
+           CASE WHEN i.new_total IS NOT NULL THEN 'updated' ELSE 'kept' END AS update_status
+         FROM base b LEFT JOIN incoming i
+           ON b.user_id = i.user_id AND b.event_type = i.event_type
+         ORDER BY b.user_id, b.event_type""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS total_value

@@ -59,6 +59,28 @@ object MergeOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** S14: column UPDATE sink — `UPDATE t SET col=… WHERE key=…`
+    * (ingest_bill_summaries.py:153-171 fills missing summaries). The
+    * narrow-merge form: left join incoming, coalesce ONLY the updated
+    * column, every other column carried through unchanged. Updated here:
+    * each user/type's total re-priced from the incoming window; rows
+    * with no incoming match keep their old total and update_status
+    * marks which path each row took. */
+  def columnUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val base = perKey(ev.filter(col("ts") < lit(SnapshotEnd).cast("timestamp")))
+    val incoming = perKey(ev.filter(col("ts") >= lit(IncomingStart).cast("timestamp")))
+      .select(col("user_id"), col("event_type"), col("total_value").as("new_total"))
+    base.join(incoming, Seq("user_id", "event_type"), "left")
+      .select(
+        col("user_id"), col("event_type"),
+        col("n_events"), // untouched column carries over
+        coalesce(col("new_total"), col("total_value")).as("total_value"),
+        when(col("new_total").isNotNull, lit("updated")).otherwise(lit("kept"))
+          .as("update_status"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** S11: insert-ignore — first-writer-wins; only keys absent from the
     * existing table land (on_conflict_do_nothing,
     * ingest_bulk_donations.py:112-117). Anti join against existing keys. */

@@ -66,6 +66,49 @@ object Scalars {
       .orderBy(col("doc_id"))
   }
 
+  /** F3: literal-map lookup — the reference's 56-entry state-name→code
+    * dict (ingest_politicians.py:31-51) as element_at over a map
+    * literal; unknown keys null out and are kept visible (the reference
+    * skips them). */
+  def mapLookup(spark: SparkSession, dir: String): DataFrame = {
+    val regionCode = typedLit(Map(
+      "AFRICA" -> "AF", "AMERICA" -> "AM", "ASIA" -> "AS",
+      "EUROPE" -> "EU", "MIDDLE EAST" -> "ME"))
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"),
+        element_at(regionCode, col("r_name")).as("region_code"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** F16/X4: term-list folding — min start / max end over a collected
+    * array per entity (ingest_politicians.py:147-188 folds member terms;
+    * here: each user's event days fold to first/last seen). */
+  def termFold(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(date_format(col("ts"), "yyyy-MM-dd")).as("days"))
+      .select(col("user_id"),
+        array_min(col("days")).as("first_day"),
+        array_max(col("days")).as("last_day"),
+        size(col("days")).cast("bigint").as("n_events")) // bigint like the oracle's COUNT
+      .orderBy(col("user_id"))
+  }
+
+  /** W4: multi-key sort with null-defaulting rank (metrics.py:635 sorts
+    * members by (party!='majority', rank??999)). Nulls are manufactured
+    * with nullif and defaulted with coalesce — nulls sort last via the
+    * 999 sentinel, exactly the reference's ?? 999. */
+  def multiKeySortNulls(spark: SparkSession, dir: String): DataFrame = {
+    supplier(spark, dir)
+      .withColumn("rank_raw", nullif(col("s_suppkey") % 7, lit(0)))
+      .withColumn("rank_eff", coalesce(col("rank_raw"), lit(999)))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("rank_eff"))
+      .orderBy(col("rank_eff"), col("s_nationkey"), col("s_suppkey"))
+  }
+
   /** F14+F15: day bucketing serialized as ISO strings (app.py:176 +
     * isoformat). */
   def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
