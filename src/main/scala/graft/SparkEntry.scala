@@ -70,6 +70,9 @@ object SparkEntry {
     "f16_term_fold"           -> ((s, d) => Scalars.termFold(s, d)),
     "w4_multikey_nulls"       -> ((s, d) => Scalars.multiKeySortNulls(s, d)),
     "s14_column_update"       -> ((s, d) => MergeOps.columnUpdate(s, d)),
+    "e1_entity_profile"       -> ((s, d) => Profile.customerProfile(s, d)),
+    // stub-embedder retrieval: not SQL-expressible → rows-only check
+    "v4_semantic_search"      -> ((s, d) => Similarity.semanticSearch(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -487,6 +490,25 @@ object SparkEntry {
          FROM base b LEFT JOIN incoming i
            ON b.user_id = i.user_id AND b.event_type = i.event_type
          ORDER BY b.user_id, b.event_type""",
+    "e1_entity_profile" ->
+      """WITH fin AS (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+             COUNT(*) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         act AS (
+           SELECT o.o_custkey AS a_custkey, COUNT(*) AS n_items
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_custkey)
+         SELECT c.c_custkey, c.c_name, n.n_name,
+           COALESCE(fin.total_spend, CAST(0 AS DECIMAL(18,2))) AS total_spend,
+           COALESCE(fin.n_orders, 0) AS n_orders,
+           COALESCE(act.n_items, 0) AS n_items
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         LEFT JOIN fin ON c.c_custkey = fin.o_custkey
+         LEFT JOIN act ON c.c_custkey = act.a_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         ORDER BY c.c_custkey""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS total_value

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The REST/dashboard entry point re-shaped for Spark (SURVEY §3.2).
+  *
+  * The reference's per-politician metrics endpoint issues 6-8
+  * independent SQL round-trips (existence check, sum, by-type, top-10,
+  * counts — metrics.py:17-129) plus N+1 lazy joins. Here the whole
+  * profile is ONE plan: each metric is a grouped aggregate over a
+  * shared scan, joined back on the entity key — Catalyst reuses the
+  * scans, and the round-trips become shared shuffle stages.
+  */
+object Profile {
+
+  /** E1: full entity profile for a scope — per customer: financial
+    * (total/count/avg over orders), activity (line items through
+    * orders), dimension attributes (nation/region). */
+  def customerProfile(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_mktsegment") === segment)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val n = nation(spark, dir)
+
+    val financial = o.groupBy(col("o_custkey")).agg(
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spend"),
+      count(lit(1)).as("n_orders"))
+
+    val oKeys = o.select(col("o_orderkey"), col("o_custkey"))
+    val activity = l.join(oKeys, l("l_orderkey") === oKeys("o_orderkey"))
+      .groupBy(oKeys("o_custkey").as("a_custkey"))
+      .agg(count(lit(1)).as("n_items"))
+
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(financial, c("c_custkey") === financial("o_custkey"), "left")
+      .join(activity, c("c_custkey") === activity("a_custkey"), "left")
+      .select(
+        c("c_custkey"), c("c_name"), n("n_name"),
+        coalesce(col("total_spend"), lit(0).cast("decimal(18,2)")).as("total_spend"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"))
+      .orderBy(col("c_custkey"))
+  }
+}

@@ -81,6 +81,26 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** X5/§3.3: the RAG retrieval core — semantic document search with the
+    * deterministic stub embedder. Documents embed in the scan stage (one
+    * StubEmbed expression per row); the query string embeds into a 1-row
+    * broadcast; cosine top-k re-ranks. Swapping StubEmbed for a real
+    * model keeps this plan identical. Not SQL-expressible → rows-only
+    * driver check + SimilaritySpec assertions. */
+  def semanticSearch(spark: SparkSession, dir: String,
+      query: String = "customer order filter join", k: Int = 10): DataFrame = {
+    val docs = documents(spark, dir)
+      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
+    val q = spark.range(1)
+      .select(graft.functions.StubEmbed(lit(query)).as("q_embedding"))
+    docs.crossJoin(broadcast(q))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim_r"),
+        substring(col("text"), 1, 60).as("preview"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: candidates share the query's
     * bucket; exact cosine re-ranks within the bucket. Approximate —
     * recall vs the brute-force baseline is asserted in the test suite.

@@ -43,6 +43,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall@10 = $recall")
   }
 
+  test("stub embedder is deterministic, unit-norm, bag-of-words") {
+    import graft.functions.StubEmbed
+    val df = spark.createDataFrame(Seq(
+      Tuple1("spark query engine"), Tuple1("spark query engine"),
+      Tuple1("engine query spark"), Tuple1("completely different words here")))
+      .toDF("text")
+      .select(StubEmbed(col("text")).as("e"))
+    val vecs = df.collect().map(_.getSeq[Float](0).toArray)
+    assert(vecs(0).toSeq === vecs(1).toSeq, "not deterministic")
+    assert(vecs(0).toSeq === vecs(2).toSeq, "not order-invariant (bag of words)")
+    val norm = math.sqrt(vecs(0).map(v => v.toDouble * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"not unit norm: $norm")
+    val dot03 = vecs(0).zip(vecs(3)).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(dot03) < 0.5, s"unrelated texts too similar: $dot03")
+  }
+
+  test("semantic search retrieves docs sharing the query vocabulary") {
+    val rows = Similarity.semanticSearch(spark, sfDir,
+      query = "customer order filter join", k = 10).collect()
+    assert(rows.length === 10)
+    val sims = rows.map(r => r.getDouble(r.fieldIndex("sim_r")))
+    assert(sims.toSeq === sims.sorted.reverse.toSeq)
+    assert(sims.head > 0.3, s"top hit weak: ${sims.head}")
+    // every top hit should actually contain at least one query token
+    val qToks = Set("customer", "order", "filter", "join")
+    rows.take(3).foreach { r =>
+      val preview = r.getAs[String]("preview").toLowerCase
+      assert(qToks.exists(preview.contains), s"top hit shares no vocab: $preview")
+    }
+  }
+
   test("near-dup top pairs are within-label, deduped, sorted desc") {
     val rows = Similarity.nearDupTopPairs(spark, sfDir, k = 20).collect()
     assert(rows.length === 20)
