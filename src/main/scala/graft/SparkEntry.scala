@@ -73,6 +73,10 @@ object SparkEntry {
     "e1_entity_profile"       -> ((s, d) => Profile.customerProfile(s, d)),
     // stub-embedder retrieval: not SQL-expressible → rows-only check
     "v4_semantic_search"      -> ((s, d) => Similarity.semanticSearch(s, d)),
+    "w5b_keyset_pagination"   -> ((s, d) => Relational.keysetPagination(s, d)),
+    // HLL/quantile sketches are engine-specific → rows-only check;
+    // accuracy vs exact asserted in ScaleOpsSpec
+    "a5b_approx_distinct"     -> ((s, d) => Relational.approxDistinctPerGroup(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -176,6 +180,9 @@ object SparkEntry {
     "w5_pagination" ->
       """SELECT c_custkey, c_name FROM customer
          ORDER BY c_custkey LIMIT 50 OFFSET 100""",
+    "w5b_keyset_pagination" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey > 100 ORDER BY c_custkey LIMIT 50""",
     "u1_union_distinct" ->
       """WITH u AS (
            SELECT * FROM orders WHERE o_orderstatus = 'F'

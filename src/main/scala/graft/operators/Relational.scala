@@ -284,6 +284,32 @@ object Relational {
       .limit(pageSize)
   }
 
+  /** W5b: keyset pagination — the scale-correct form of W5. OFFSET
+    * pagination sorts globally and discards `skip` rows per page; the
+    * keyset form (`WHERE key > last_seen ORDER BY key LIMIT n`) pushes
+    * a range predicate to the scan and reads only the page. At 100 TB
+    * deep OFFSET is unusable; keyset stays O(page). */
+  def keysetPagination(spark: SparkSession, dir: String, afterKey: Long = 100L, pageSize: Int = 50): DataFrame = {
+    customer(spark, dir)
+      .filter(col("c_custkey") > afterKey)
+      .orderBy(col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .limit(pageSize)
+  }
+
+  /** A5b: approximate distinct — the 100 TB form of A5. Exact
+    * COUNT(DISTINCT) needs a full dedup shuffle per group; HLL sketches
+    * merge in constant space. Not oracle-hashable (sketch internals are
+    * engine-specific) — accuracy vs exact is asserted in RelationalSpec. */
+  def approxDistinctPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** U1: union + distinct (ingest_bulk_donations.py:61-63 — two cycle
     * files concatenated then deduped). */
   def unionDistinct(spark: SparkSession, dir: String): DataFrame = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.Tables
 
 /** Structured Streaming variant of the incremental pipeline (SURVEY §2.8).
@@ -58,5 +58,53 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName).orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** S11 in streaming form: stateful first-writer-wins dedup with
+    * mapGroupsWithState — each (user_id, event_type) key keeps a
+    * first-seen flag in state; only the first arrival is emitted. This
+    * is the custom-state analog of the batch insert-ignore anti-join
+    * (MergeOps.insertIgnore). State is per-key-constant (one boolean +
+    * timestamp), so a 100 TB stream holds |keys| state, not |events|. */
+  def streamingInsertIgnore(spark: SparkSession, dir: String, queryName: String = "events_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // event times travel as epoch MICROS longs through the stateful map
+    // (java.sql.Timestamp.getTime is millis — it silently drops the
+    // microsecond component and breaks parity with the batch min(ts))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, String, Long)]
+
+    val deduped = stream
+      .groupByKey { case (uid, etype, _) => (uid, etype) }
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) =>
+          val firstTs = rows.map(_._3).min
+          if (state.exists) {
+            (key._1, key._2, math.min(state.get, firstTs), false)
+          } else {
+            state.update(firstTs)
+            (key._1, key._2, firstTs, true)
+          }
+      }
+      .toDF("user_id", "event_type", "first_us", "newly_inserted")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("first_us")).as("first_seen"), col("newly_inserted"))
+
+    val q = deduped.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).orderBy(col("user_id"), col("event_type"))
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, SkewJoin}
+import graft.streaming.EventsStream
+
+/** Scale-technique suite: salting, keyset pagination, approximate
+  * aggregates, stateful streaming dedup. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted join returns exactly the rows of the plain join") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = o.join(c, Seq("o_custkey"))
+    val salted = SkewJoin.saltedJoin(o, c, "o_custkey", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select("o_orderkey").exceptAll(plain.select("o_orderkey")).count() === 0)
+  }
+
+  test("salted sum equals plain sum") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val plain = o.groupBy("o_custkey").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val salted = SkewJoin.saltedSum(o, "o_custkey", "v", salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("keyset pagination matches the offset page and pushes a range filter") {
+    val keyset = Relational.keysetPagination(spark, sfDir, afterKey = 100L, pageSize = 50)
+    val viaOffset = Tables.customer(spark, sfDir)
+      .orderBy(col("c_custkey")).select(col("c_custkey"), col("c_name"))
+      .filter(col("c_custkey") > 100).limit(50)
+    assert(keyset.collect().toSeq === viaOffset.collect().toSeq)
+    val plan = keyset.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(c_custkey,100)"), s"range not pushed:\n$plan")
+  }
+
+  test("approx distinct within 5% of exact") {
+    val approx = Relational.approxDistinctPerGroup(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.countDistinctPerGroup(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("streaming insert-ignore emits each key once with the true first-seen ts") {
+    val out = EventsStream.streamingInsertIgnore(spark, sfDir, "events_dedup_spec")
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.groupBy("user_id", "event_type")
+      .agg(min("ts").as("first_seen"))
+    assert(out.select("user_id", "event_type").distinct().count() === out.count(),
+      "duplicate keys emitted")
+    assert(out.count() === expected.count())
+    val mismatches = out.select("user_id", "event_type", "first_seen")
+      .exceptAll(expected).count()
+    assert(mismatches === 0, "first_seen timestamps wrong")
+  }
+}
