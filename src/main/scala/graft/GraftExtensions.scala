@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{StubEmbed, TextShingles, VecDot}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so a SQL-first user can call
+  * them without touching the Scala API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * ...
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * spark.sql("SELECT text_shingles(text, 3) FROM documents")
+  * spark.sql("SELECT stub_embed(text, 64) FROM documents")
+  * }}}
+  *
+  * This is SURVEY §7.3's extension tier (c) surface — injected via the
+  * sanctioned extensions hook, no session internals touched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
+      require(args.length == n, s"$name requires exactly $n arguments, got ${args.length}")
+
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),
+      (args: Seq[Expression]) => {
+        arity("vec_dot", 2)(args)
+        VecDot(args(0), args(1))
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("text_shingles"),
+      info("text_shingles", "text_shingles(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => {
+        arity("text_shingles", 2)(args)
+        TextShingles(args(0), args(1).eval(null).asInstanceOf[Int])
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("stub_embed"),
+      info("stub_embed", "stub_embed(text, dim) - deterministic unit-norm hash embedding"),
+      (args: Seq[Expression]) => {
+        arity("stub_embed", 2)(args)
+        StubEmbed(args(0), args(1).eval(null).asInstanceOf[Int])
+      }))
+  }
+}

@@ -77,6 +77,7 @@ object SparkEntry {
     // HLL/quantile sketches are engine-specific → rows-only check;
     // accuracy vs exact asserted in ScaleOpsSpec
     "a5b_approx_distinct"     -> ((s, d) => Relational.approxDistinctPerGroup(s, d)),
+    "v5_ivf_topk"             -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -441,6 +442,36 @@ object SparkEntry {
                 * sqrt(list_reduce(list_transform(range(64),
                   j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
            FROM buckets e JOIN q ON e.bucket = q.bucket
+           WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "v5_ivf_topk" ->
+      """WITH cents AS (
+           SELECT vec_id AS cent_id, embedding AS cent_emb
+           FROM embeddings WHERE vec_id < 8),
+         assigned AS (
+           SELECT vec_id, label, embedding, cent_id FROM (
+             SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_reduce(list_transform(range(64),
+                   j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(range(64),
+                      j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(64),
+                      j -> CAST(c.cent_emb[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)))
+                 DESC, c.cent_id) AS rn
+             FROM embeddings e CROSS JOIN cents c) t
+           WHERE rn = 1),
+         q AS (SELECT embedding AS qe, cent_id FROM assigned WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(64),
+               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM assigned e JOIN q ON e.cent_id = q.cent_id
            WHERE e.vec_id <> 0)
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10""",

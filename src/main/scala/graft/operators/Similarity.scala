@@ -81,6 +81,40 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  val IvfCentroids = 8
+
+  /** V5: IVF-style ANN with computed coarse centroids.
+    *
+    * Centroid selection is deterministic and engine-portable: the first
+    * IvfCentroids vectors by vec_id act as coarse centroids (a real
+    * deployment trains k-means offline; selection is orthogonal to the
+    * search plan). Every vector is assigned to its max-cosine centroid
+    * (IvfCentroids VecDots per row, all in the scan stage); search
+    * probes only the query's cell — nprobe=1 of k cells ≈ 1/k of the
+    * corpus touched per query, the inverted-file trade. Fully
+    * oracle-checkable since assignment is plain argmax.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"), col("cent_id"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("cent_id"))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** X5/§3.3: the RAG retrieval core — semantic document search with the
     * deterministic stub embedder. Documents embed in the scan stage (one
     * StubEmbed expression per row); the query string embeds into a 1-row

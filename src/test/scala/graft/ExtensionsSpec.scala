@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface suite: the custom expressions must be callable from
+  * plain Spark SQL through the sanctioned extensions hook. Uses its own
+  * session (extensions bind at session build time). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate returns any existing default session and silently
+    // ignores withExtensions — clear it so the extensions bind (the
+    // underlying SparkContext is still reused).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("vec_dot callable from SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("text_shingles callable from SQL") {
+    val r = spark.sql("SELECT text_shingles('a b c d', 3) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(r === Seq("a b c", "b c d"))
+  }
+
+  test("stub_embed callable from SQL, unit norm") {
+    val v = spark.sql("SELECT stub_embed('hello world', 16) AS e")
+      .collect()(0).getSeq[Float](0)
+    assert(v.length === 16)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("end-to-end SQL retrieval over a registered view") {
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs")
+    val top = spark.sql(
+      """SELECT doc_id,
+           vec_dot(stub_embed(text, 32), stub_embed('customer order filter join', 32)) AS sim
+         FROM docs ORDER BY sim DESC, doc_id LIMIT 3""").collect()
+    assert(top.length === 3)
+    assert(top(0).getDouble(1) > 0.2)
+  }
+}
