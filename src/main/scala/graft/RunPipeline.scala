@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Incremental, MergeOps}
+
+/** I5: sequential pipeline orchestration — the engine-side analog of
+  * the reference's run_all_updates.py (stages in dependency order,
+  * per-stage status + counts, non-zero exit on failure,
+  * run_all_updates.py:14-19, 54-94).
+  *
+  * Each stage is a named DataFrame producer; the runner materializes it,
+  * appends an update_log row (I1 watermark bookkeeping,
+  * update_donations.py:37-49), and continues or aborts. Usage:
+  *
+  * {{{ sbt "runMain graft.RunPipeline /root/testdata/sf0.001 /tmp/graft_state" }}}
+  */
+object RunPipeline {
+
+  case class StageResult(name: String, rows: Long, seconds: Double, status: String)
+
+  def stages(spark: SparkSession, sfDir: String): Seq[(String, () => DataFrame)] = Seq(
+    "merge_upsert"   -> (() => MergeOps.mergeUpsert(spark, sfDir)),
+    "insert_ignore"  -> (() => MergeOps.insertIgnore(spark, sfDir)),
+    "column_update"  -> (() => MergeOps.columnUpdate(spark, sfDir)),
+    "watermark_scan" -> (() => Incremental.watermarkFilter(spark, sfDir)))
+
+  def run(spark: SparkSession, sfDir: String, stateDir: String): Seq[StageResult] = {
+    stages(spark, sfDir).map { case (name, mk) =>
+      val t0 = System.nanoTime()
+      try {
+        val df = mk()
+        df.write.mode("overwrite").parquet(s"$stateDir/$name")
+        val rows = spark.read.parquet(s"$stateDir/$name").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        logUpdate(spark, stateDir, name, rows, "success")
+        StageResult(name, rows, secs, "success")
+      } catch {
+        case e: Exception =>
+          logUpdate(spark, stateDir, name, 0, s"failed: ${e.getMessage.take(100)}")
+          StageResult(name, 0, (System.nanoTime() - t0) / 1e9, "failed")
+      }
+    }
+  }
+
+  /** Append one update_log row (table_name, last_update, records_updated,
+    * status) — the reference's watermark table, as Parquet. */
+  private def logUpdate(spark: SparkSession, stateDir: String,
+      table: String, rows: Long, status: String): Unit = {
+    import spark.implicits._
+    Seq((table, new java.sql.Timestamp(System.currentTimeMillis()), rows, status))
+      .toDF("table_name", "last_update", "records_updated", "status")
+      .write.mode("append").parquet(s"$stateDir/update_log")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val stateDir = if (args.length > 1) args(1) else "/tmp/graft_state"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = run(spark, sfDir, stateDir)
+    println(f"${"stage"}%-16s ${"rows"}%8s ${"secs"}%8s  status")
+    results.foreach(r => println(f"${r.name}%-16s ${r.rows}%8d ${r.seconds}%8.2f  ${r.status}"))
+    val failed = results.count(_.status != "success")
+    println(s"${results.size - failed}/${results.size} stages succeeded")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -78,6 +78,11 @@ object SparkEntry {
     // accuracy vs exact asserted in ScaleOpsSpec
     "a5b_approx_distinct"     -> ((s, d) => Relational.approxDistinctPerGroup(s, d)),
     "v5_ivf_topk"             -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // winnowing fingerprints + batched decode: not SQL-expressible →
+    // rows-only checks; spec-asserted against exact jaccard / the
+    // expression decode path
+    "d6_rolling_fingerprint"  -> ((s, d) => Dedup.rollingFingerprintPairs(s, d)),
+    "m1b_decode_batched"      -> ((s, d) => Multimodal.decodeFeaturesBatched(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */

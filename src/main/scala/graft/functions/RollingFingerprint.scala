@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprint via Rabin-Karp rolling hash.
+  *
+  * The standard near-dup fingerprint for code/text corpora
+  * (Schleimer/Wilkerson/Aiken "Winnowing", SIGMOD'03 — public
+  * literature): polynomial rolling hash over k-char windows of the
+  * normalized text, then the minimum hash of each w-window of
+  * consecutive hashes (rightmost on ties) is kept; documents sharing
+  * substrings ≥ w+k-1 chars are guaranteed to share a fingerprint.
+  *
+  * One O(n) pass per document: the rolling update
+  * h' = (h - c·B^(k-1))·B + c_new evaluates each char once, unlike
+  * re-hashing every window. Output is the distinct, sorted fingerprint
+  * set — a compact signature for inverted-index joins (same posting
+  * shape as Dedup's shingle pipeline, but sub-token granularity and
+  * robust to word-boundary edits).
+  */
+case class RollingFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val B = 1000003L
+  private val M = (1L << 61) - 1 // Mersenne prime, keeps products in range via careful mulmod
+
+  // 128-bit multiply then Mersenne fold: since 2^61 ≡ 1 (mod M),
+  // hi·2^64 + lo ≡ 8·hi + (lo >>> 61) + (lo & M). The sum can reach
+  // ~2^62, so up to two conditional subtractions are needed.
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var f = ((hi << 3) | (lo >>> 61)) + (lo & M)
+    if (f >= M) f -= M
+    if (f >= M) f -= M
+    f
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase.replaceAll("\\s+", " ").trim
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+
+    // B^(k-1) mod M
+    var bk = 1L
+    for (_ <- 1 until k) bk = mulmod(bk, B)
+
+    val nWin = n - k + 1
+    val hashes = new Array[Long](nWin)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (mulmod(h, B) + text.charAt(i)) % M; i += 1 }
+    hashes(0) = h
+    while (i < n) {
+      h = (h + M - mulmod(text.charAt(i - k), bk) % M) % M
+      h = (mulmod(h, B) + text.charAt(i)) % M
+      hashes(i - k + 1) = h
+      i += 1
+    }
+
+    // winnow: min of each w-window of hashes, rightmost wins ties
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nWin <= w) {
+      var mi = 0
+      var j = 1
+      while (j < nWin) { if (hashes(j) <= hashes(mi)) mi = j; j += 1 }
+      out.add(hashes(mi))
+    } else {
+      var start = 0
+      while (start + w <= nWin) {
+        var mi = start
+        var j = start + 1
+        while (j < start + w) { if (hashes(j) <= hashes(mi)) mi = j; j += 1 }
+        out.add(hashes(mi))
+        start += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var idx = 0
+    while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+object RollingFingerprint {
+  /** k: char-window size; w: winnowing window (guarantee threshold
+    * t = w + k - 1 chars). */
+  def apply(text: Column, k: Int = 12, w: Int = 8): Column =
+    GraftShims.toCol(RollingFingerprint(GraftShims.toExpr(text), k, w))
+}

@@ -152,8 +152,16 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
 
-    // verify candidates with exact Jaccard through the posting list
-    // (hashed grams — same counts, narrower shuffle)
+    verifyCandidates(candidates, grams, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs through a shingle
+    * posting list — the shared second phase of every
+    * candidate-generation tier (MinHash bands, winnowing fingerprints).
+    * Joins on hashed grams (narrower shuffle, same counts). */
+  private def verifyCandidates(candidates: DataFrame, grams: DataFrame,
+      threshold: Double): DataFrame = {
+    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
     val common = candidates
       .join(hashed.select(col("doc_id").as("a_id"), col("gram_h")), Seq("a_id"))
@@ -169,6 +177,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D6: winnowing near-dup pairs via the Rabin-Karp rolling-hash
+    * fingerprint (see functions.RollingFingerprint) — sub-token
+    * granularity, robust to word-boundary edits, guaranteed to flag any
+    * shared substring ≥ w+k-1 chars. Same inverted-index join shape as
+    * D2, but the posting list is the compact winnowed set instead of
+    * every shingle. Not SQL-expressible → rows-only driver check;
+    * DedupSpec asserts agreement with the exact-Jaccard pairs. */
+  def rollingFingerprintPairs(spark: SparkSession, dir: String,
+      minShared: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val fps = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.RollingFingerprint(col("text"))).as("fp"))
+      .repartition(col("doc_id"))
+      .persist()
+    val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+    val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+    val candidates = a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a_id"), col("b_id"))
+    // fingerprint matches are candidates; exact Jaccard confirms (same
+    // two-phase shape as the MinHash tier)
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .repartition(col("doc_id"))
+    verifyCandidates(candidates, grams, threshold)
   }
 
   /** Tiny typed helper: build a 2-col int DataFrame without requiring

@@ -50,6 +50,52 @@ object Multimodal {
       .orderBy(col("asset_id"))
   }
 
+  /** Decoded-asset record produced by the batch decoder. */
+  case class AssetFeatures(
+      asset_id: Long, source: String, n_bytes: Int,
+      width: Int, height: Int, format: String,
+      frame_offsets: Seq[Int])
+
+  /** M1b: the mapPartitions batch-decode path — the Scala analog of
+    * mapInPandas for real decoder libraries.
+    *
+    * Column expressions (decodeFeatures) work for hash-derived stubs,
+    * but a real image/audio decoder is a native library call that wants
+    * batches: amortized init (one decoder per partition, not per row)
+    * and vectorized input. This operator keeps that shape: per
+    * partition, the "decoder" initializes once, rows are pulled through
+    * it in groups of `batchSize`, and each batch produces typed records
+    * (including a frame-sample list, the video-shaped output). The stub
+    * decode is the same md5 derivation as decodeFeatures, so the two
+    * paths are asserted equal in MultimodalSpec — swapping in PIL/ffmpeg
+    * changes only the function body.
+    */
+  def decodeFeaturesBatched(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val in = assets(spark, dir).select(
+      col("asset_id"), col("payload"), col("meta.source").as("source"))
+      .as[(Long, Array[Byte], String)]
+
+    val decoded = in.mapPartitions { rows =>
+      // per-partition decoder init (a real decoder opens its context here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { case (id, payload, source) =>
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          def nib(from: Int, len: Int): Int =
+            java.lang.Long.parseLong(hex.substring(from, from + len), 16).toInt
+          val width = nib(0, 4) % 1920
+          val height = nib(4, 4) % 1080
+          val format = Seq("jpeg", "png", "webp", "tiff")(nib(8, 2) % 4)
+          // frame sampling stub: 4 deterministic offsets into the payload
+          val frames = (0 until 4).map(i => nib(10 + i, 4) % math.max(payload.length, 1))
+          AssetFeatures(id, source, payload.length, width, height, format, frames)
+        }
+      }
+    }
+    decoded.toDF().orderBy(col("asset_id"))
+  }
+
   /** M2: corpus statistics per (source, format) — the sanity rollup a
     * multimodal ingestion pipeline runs before training. */
   def formatStats(spark: SparkSession, dir: String): DataFrame = {
