@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/scheduler paths so the first measured query
+    // doesn't absorb ~5 s of one-time startup cost
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

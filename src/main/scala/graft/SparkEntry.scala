@@ -83,6 +83,7 @@ object SparkEntry {
     // expression decode path
     "d6_rolling_fingerprint"  -> ((s, d) => Dedup.rollingFingerprintPairs(s, d)),
     "m1b_decode_batched"      -> ((s, d) => Multimodal.decodeFeaturesBatched(s, d)),
+    "d4b_simhash_pairs"       -> ((s, d) => Dedup.simhashPairs(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -305,17 +306,13 @@ object SparkEntry {
                      + n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END AS quality_ppm
          FROM f ORDER BY doc_id""",
     "t3_lang_id" ->
-      """WITH toks AS (
+      """WITH hits AS (
            SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+             len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS en_h,
+             len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr_h,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|una|por)\b')) AS es_h,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS de_h
            FROM documents),
-         hits AS (
-           SELECT doc_id, lang,
-             len(list_filter(w, x -> x IN ('the','and','of','is','to'))) AS en_h,
-             len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS fr_h,
-             len(list_filter(w, x -> x IN ('el','los','las','una','por'))) AS es_h,
-             len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS de_h
-           FROM toks),
          pred AS (
            SELECT lang,
              CASE WHEN greatest(en_h, fr_h, es_h, de_h) = 0 THEN 'und'
@@ -387,6 +384,25 @@ object SparkEntry {
            FROM cand)
          SELECT a_id, b_id, jaccard FROM scored
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+    "d4b_simhash_pairs" ->
+      s"""WITH h AS (
+           SELECT doc_id,
+             list_transform($toksSql,
+               t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
+           FROM documents),
+         sigs AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(60), j ->
+               CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+           FROM h),
+         bucketed AS (SELECT doc_id, simhash, simhash >> 40 AS bucket FROM sigs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM bucketed a JOIN bucketed b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         ORDER BY a_id, b_id""",
     "d4_simhash" ->
       s"""WITH h AS (
            SELECT doc_id,
