@@ -90,6 +90,13 @@ object SparkEntry {
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
+  /** Minhash seed constants shared with operators.Dedup — interpolated
+    * into the d3 oracle so both engines use the identical hash family. */
+  private val minhashSeedsSql: String =
+    (0 until operators.Dedup.MinHashK)
+      .map(i => s"(${i}, ${i / (operators.Dedup.MinHashK / operators.Dedup.LshBands)}, ${operators.Dedup.seedA(i)}, ${operators.Dedup.seedB(i)})")
+      .mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
     "w1_topk_by_scope" ->
       """SELECT c.c_custkey, c.c_name,
@@ -357,33 +364,38 @@ object SparkEntry {
       s"""WITH t AS (
            SELECT doc_id, $toksSql AS w FROM documents),
          gr AS (
-           SELECT doc_id,
-             CASE WHEN len(w) < 3 THEN []
-                  ELSE list_distinct(list_transform(range(len(w) - 2),
-                         i -> array_to_string(w[i+1:i+3], ' '))) END AS grams
-           FROM t),
-         sig AS (
-           SELECT doc_id, grams,
-             list_transform(range(16), i ->
-               list_min(list_transform(grams,
-                 g -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15) AS BIGINT)))) AS s
-           FROM gr WHERE len(grams) > 0),
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         seeds(seed, band, a, b) AS (VALUES $minhashSeedsSql),
+         mh AS (
+           SELECT g.doc_id, s.seed, s.band,
+             MIN((s.a * CAST('0x' || substr(md5(g.gram), 1, 7) AS BIGINT) + s.b) % 2147483647) AS mhv
+           FROM gr g CROSS JOIN seeds s
+           GROUP BY g.doc_id, s.seed, s.band),
          bands AS (
-           SELECT doc_id, grams, b.i AS band,
-             md5(array_to_string(s[b.i*4+1:b.i*4+4], ',')) AS bucket
-           FROM sig, unnest(range(4)) AS b(i)),
+           SELECT doc_id, band,
+             md5(array_to_string(list(mhv ORDER BY seed), ',')) AS bucket
+           FROM mh GROUP BY doc_id, band),
          cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-             a.grams AS a_grams, b.grams AS b_grams
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         scored AS (
-           SELECT a_id, b_id,
-             len(list_intersect(a_grams, b_grams))
-               / CAST(len(a_grams) + len(b_grams) - len(list_intersect(a_grams, b_grams)) AS DOUBLE) AS jaccard
-           FROM cand)
-         SELECT a_id, b_id, jaccard FROM scored
-         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY doc_id),
+         common AS (
+           SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+           FROM cand c
+           JOIN gr ga ON ga.doc_id = c.a_id
+           JOIN gr gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+           GROUP BY c.a_id, c.b_id)
+         SELECT a_id, b_id,
+           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN cnt ca ON a_id = ca.doc_id
+         JOIN cnt cb ON b_id = cb.doc_id
+         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
+         ORDER BY a_id, b_id""",
     "d4b_simhash_pairs" ->
       s"""WITH h AS (
            SELECT doc_id,

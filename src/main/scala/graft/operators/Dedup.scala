@@ -87,15 +87,21 @@ object Dedup {
   val MinHashK = 16 // hash functions
   val LshBands = 4  // bands of rows = K/bands
 
-  /** MinHash signature: for each of K seeded hash functions, the min
-    * md5-derived hash over the document's shingles. Pure expression —
-    * K×|shingles| hashes computed in the scan stage, no explode. */
-  def minhashSignature(text: Column): Column = {
-    val grams = shingles(text)
-    transform(sequence(lit(0), lit(MinHashK - 1)),
-      i => array_min(transform(grams,
-        g => md5Long(concat(i.cast("string"), lit(":"), g)))))
-  }
+  /** Parametric minhash family h_i(g) = (A_i·base(g) + B_i) mod P over a
+    * 28-bit md5-derived base hash. One md5 per gram instead of K — the
+    * multiply-mod is free next to a digest. 28-bit base keeps A_i·base
+    * < 2^59 (no ANSI overflow); P = 2^31-1. Constants are deterministic
+    * functions of the seed index and are interpolated into the oracle
+    * SQL so both engines share them. */
+  val MinHashP = 2147483647L
+  def seedA(i: Int): Long = 1L + (i.toLong * 2654435761L % (MinHashP - 1))
+  def seedB(i: Int): Long = i.toLong * 40503L % MinHashP
+
+  /** 28-bit base hash: first 7 md5 hex nibbles. Base-hash collisions
+    * (~n²/2^29) only perturb the minhash estimate; candidate pairs are
+    * re-verified with exact Jaccard regardless. */
+  def md5Base28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("bigint")
 
   /** D3: MinHash + LSH near-dup candidates, verified with exact Jaccard.
     *
@@ -130,12 +136,16 @@ object Dedup {
       .persist()
     val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
-    val seeds = (0 until MinHashK).map(i => (i, i / rows))
-    val seedDf = seeds.toSeq.toDF_(grams.sparkSession, "seed", "band")
+    val spark2 = grams.sparkSession
+    import spark2.implicits._
+    val seedDf = (0 until MinHashK)
+      .map(i => (i, i / rows, seedA(i), seedB(i)))
+      .toDF("seed", "band", "a", "b")
     val minhashes = grams
+      .withColumn("gh", md5Base28(col("gram")))
       .crossJoin(broadcast(seedDf))
       .select(col("doc_id"), col("seed"), col("band"),
-        md5Long(concat(col("seed").cast("string"), lit(":"), col("gram"))).as("h"))
+        ((col("a") * col("gh") + col("b")) % MinHashP).as("h"))
       .groupBy(col("doc_id"), col("seed"), col("band"))
       .agg(min(col("h")).as("mh"))
 
@@ -238,14 +248,6 @@ object Dedup {
     verifyCandidates(candidates, grams, threshold)
   }
 
-  /** Tiny typed helper: build a 2-col int DataFrame without requiring
-    * the caller to hold a SparkSession import of implicits. */
-  private implicit class SeqToDf(val s: Seq[(Int, Int)]) {
-    def toDF_(spark: org.apache.spark.sql.SparkSession, c1: String, c2: String): DataFrame = {
-      import spark.implicits._
-      s.toDF(c1, c2)
-    }
-  }
 
   val SimHashBits = 60
 
