@@ -20,7 +20,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // per-query persisted frames must not skew later measurements
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,6 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
       require(args.length == n, s"$name requires exactly $n arguments, got ${args.length}")
 
+    // second args of text_shingles/stub_embed must be int literals —
+    // a non-foldable column would throw an opaque unbound-attribute
+    // error from eval(null), and a BIGINT literal would CCE on the cast
+    def intLiteral(name: String, e: Expression): Int = {
+      require(e.foldable, s"$name: the second argument must be an integer literal")
+      e.eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: the second argument must be an integer literal, got $other")
+      }
+    }
+
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),
@@ -45,7 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("text_shingles", "text_shingles(text, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => {
         arity("text_shingles", 2)(args)
-        TextShingles(args(0), args(1).eval(null).asInstanceOf[Int])
+        TextShingles(args(0), intLiteral("text_shingles", args(1)))
       }))
 
     e.injectFunction((
@@ -53,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("stub_embed", "stub_embed(text, dim) - deterministic unit-norm hash embedding"),
       (args: Seq[Expression]) => {
         arity("stub_embed", 2)(args)
-        StubEmbed(args(0), args(1).eval(null).asInstanceOf[Int])
+        StubEmbed(args(0), intLiteral("stub_embed", args(1)))
       }))
   }
 }

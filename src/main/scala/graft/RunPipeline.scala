@@ -37,7 +37,10 @@ object RunPipeline {
         StageResult(name, rows, secs, "success")
       } catch {
         case e: Exception =>
-          logUpdate(spark, stateDir, name, 0, s"failed: ${e.getMessage.take(100)}")
+          // String.valueOf: exceptions with null messages must not NPE
+          // inside the failure handler itself
+          val msg = String.valueOf(e.getMessage).take(100)
+          logUpdate(spark, stateDir, name, 0, s"failed: $msg")
           StageResult(name, 0, (System.nanoTime() - t0) / 1e9, "failed")
       }
     }

@@ -404,9 +404,10 @@ object SparkEntry {
            FROM documents),
          sigs AS (
            SELECT doc_id,
-             CAST(list_sum(list_transform(range(60), j ->
-               CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
-                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+             CASE WHEN len(hashes) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(list_sum(list_transform(range(60), j ->
+                    CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
+                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS simhash
            FROM h),
          bucketed AS (SELECT doc_id, simhash, simhash >> 40 AS bucket FROM sigs)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -422,9 +423,10 @@ object SparkEntry {
                t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
            FROM documents)
          SELECT doc_id,
-           CAST(list_sum(list_transform(range(60), j ->
-             CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
-                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+           CASE WHEN len(hashes) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(list_sum(list_transform(range(60), j ->
+                  CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
+                       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS simhash
          FROM h ORDER BY doc_id""",
     "v1_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

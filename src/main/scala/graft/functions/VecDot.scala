@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   * Semantics (kept identical to the HOF version and the DuckDB oracle):
   * each element is promoted to double BEFORE multiplying; products are
   * accumulated strictly left-to-right; result length = min(|a|,|b|);
-  * null input → null.
+  * null ARRAY → null. Null ELEMENTS read as 0.0 (dense vectors are
+  * assumed; parquet float lists are nullable-typed even when dense, so
+  * rejecting containsNull would reject every real embedding column).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -245,6 +245,7 @@ object Dedup {
     val grams = documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .repartition(col("doc_id"))
+      .persist() // feeds counts + both verification join sides
     verifyCandidates(candidates, grams, threshold)
   }
 

@@ -88,9 +88,9 @@ object MergeOps {
     val ev = events(spark, dir)
     // Natural key is (user_id, event_type); the snapshot/incoming windows
     // are disjoint so every SF yields both ignored and inserted keys.
-    val existingKeys = ev.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val existingKeys = ev.filter(col("ts") < lit(SnapshotEnd).cast("timestamp"))
       .select(col("user_id"), col("event_type")).distinct()
-    ev.filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+    ev.filter(col("ts") >= lit(IncomingStart).cast("timestamp"))
       .join(existingKeys, Seq("user_id", "event_type"), "left_anti")
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("ts")).as("first_seen"), count(lit(1)).as("n_events"))

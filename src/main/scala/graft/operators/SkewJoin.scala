@@ -37,8 +37,12 @@ object SkewJoin {
     * evaluate (e.g. exact distinct via sets). For built-in sums/counts
     * Spark already does this; the utility exists for custom buffers. */
   def saltedSum(facts: DataFrame, key: String, valueCol: String, salts: Int): DataFrame = {
+    // salt must spread INDEPENDENTLY of the aggregated value: a hot key
+    // whose values are constant would otherwise land on one salt and
+    // keep the straggler. Round-robin over a per-row id is fine for
+    // associative aggregates (the phase-2 combine is order-free).
     facts
-      .withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

@@ -80,17 +80,22 @@ object EventsStream {
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
       .as[(Long, String, Long)]
 
+    // flatMapGroupsWithState + Append: a key is EMITTED exactly once —
+    // on its first batch — and later batches emit nothing (first-writer-
+    // wins, like on_conflict_do_nothing). mapGroupsWithState in update
+    // mode would re-emit the key every micro-batch the key appears in,
+    // so multi-batch input (multiple files / maxFilesPerTrigger) would
+    // duplicate keys in the sink.
     val deduped = stream
       .groupByKey { case (uid, etype, _) => (uid, etype) }
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (Long, String), rows: Iterator[(Long, String, Long)],
          state: GroupState[Long]) =>
-          val firstTs = rows.map(_._3).min
-          if (state.exists) {
-            (key._1, key._2, math.min(state.get, firstTs), false)
-          } else {
+          if (state.exists) Iterator.empty
+          else {
+            val firstTs = rows.map(_._3).min
             state.update(firstTs)
-            (key._1, key._2, firstTs, true)
+            Iterator.single((key._1, key._2, firstTs, true))
           }
       }
       .toDF("user_id", "event_type", "first_us", "newly_inserted")
@@ -98,7 +103,7 @@ object EventsStream {
         timestamp_micros(col("first_us")).as("first_seen"), col("newly_inserted"))
 
     val q = deduped.writeStream
-      .outputMode("update")
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -46,6 +46,22 @@ class StringSimSpec extends SparkSpec {
     }
   }
 
+  test("capped ratio agrees with exact ratio for scores above the floor") {
+    val pairs = Seq(
+      ("customer#000000042", "customer#000000042"), // 100
+      ("customer#000000042", "customer#000000043"), // high
+      ("customer#000000042", "customer#000099999"), // below floor → 0
+      ("abc", "xyz"))                               // 0
+    val df = spark.createDataFrame(pairs).toDF("a", "b").select(
+      StringSim.ratioOfSorted(StringSim.tokenSort(col("a")), StringSim.tokenSort(col("b"))).as("exact"),
+      StringSim.ratioOfSortedCapped(StringSim.tokenSort(col("a")), StringSim.tokenSort(col("b")), 85).as("capped"))
+    df.collect().foreach { r =>
+      val (exact, capped) = (r.getInt(0), r.getInt(1))
+      if (exact > 85) assert(capped === exact, "capped must be exact above the floor")
+      else assert(capped <= 85, s"capped $capped must not exceed the floor when exact=$exact")
+    }
+  }
+
   test("normalizeName is idempotent and strips punctuation/case/space") {
     val df = spark.createDataFrame(Seq(
       Tuple1("  Smith, John Jr.  "),
