@@ -66,17 +66,21 @@ object EventsStream {
     * is the custom-state analog of the batch insert-ignore anti-join
     * (MergeOps.insertIgnore). State is per-key-constant (one boolean +
     * timestamp), so a 100 TB stream holds |keys| state, not |events|. */
-  def streamingInsertIgnore(spark: SparkSession, dir: String, queryName: String = "events_dedup"): DataFrame = {
+  def streamingInsertIgnore(spark: SparkSession, dir: String, queryName: String = "events_dedup",
+      globFilter: String = "events.parquet", maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", globFilter).parquet(dir).schema
     // event times travel as epoch MICROS longs through the stateful map
     // (java.sql.Timestamp.getTime is millis — it silently drops the
-    // microsecond component and breaks parity with the batch min(ts))
-    val stream = spark.readStream
+    // microsecond component and breaks parity with the batch min(ts)).
+    // maxFilesPerTrigger paces the source into multiple micro-batches —
+    // the path that distinguishes emit-once from emit-per-batch.
+    val reader = spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", globFilter)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir)
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
       .as[(Long, String, Long)]
 

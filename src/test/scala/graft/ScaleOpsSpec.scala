@@ -49,6 +49,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming insert-ignore emits once per key ACROSS micro-batches") {
+    // two copies of the events file, paced one file per trigger → every
+    // key arrives again in batch 2; emit-once must hold across batches
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("dup_events")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), d.resolve("ev_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), d.resolve("ev_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val out = EventsStream.streamingInsertIgnore(spark, d.toString,
+      "events_dedup_multibatch", globFilter = "ev_*.parquet", maxFilesPerTrigger = Some(1))
+    val expectedKeys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === expectedKeys,
+      s"expected one row per key ($expectedKeys), got ${out.count()}")
+    assert(out.filter(org.apache.spark.sql.functions.col("newly_inserted") === false).count() === 0)
+  }
+
   test("streaming insert-ignore emits each key once with the true first-seen ts") {
     val out = EventsStream.streamingInsertIgnore(spark, sfDir, "events_dedup_spec")
     val ev = Tables.events(spark, sfDir)
