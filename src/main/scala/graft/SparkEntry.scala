@@ -84,6 +84,7 @@ object SparkEntry {
     "d6_rolling_fingerprint"  -> ((s, d) => Dedup.rollingFingerprintPairs(s, d)),
     "m1b_decode_batched"      -> ((s, d) => Multimodal.decodeFeaturesBatched(s, d)),
     "d4b_simhash_pairs"       -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "t1b_bpe_token_count"     -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -296,6 +297,11 @@ object SparkEntry {
       s"""SELECT lang, COUNT(*) AS n_docs,
          SUM(len($toksSql)) AS total_tokens,
          MAX(len($toksSql)) AS max_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "t1b_bpe_token_count" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         SUM(len($toksSql)) AS ws_tokens,
+         SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS bpe_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "t2_quality_score" ->
       s"""WITH f AS (

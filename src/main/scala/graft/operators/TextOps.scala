@@ -31,6 +31,28 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
+    * intersection of Java and RE2 regex — no lookahead): a token is an
+    * optionally space-prefixed letter run, digit run, or punctuation
+    * run. Counting these approximates LLM token budgets far better than
+    * whitespace splitting on punctuation-dense text. */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** T1b: token counting under the BPE-ish regex vs whitespace — the
+    * two token-budget estimators a training pipeline runs side by side. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("n_ws_tokens", size(tokens(col("text"))))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Quality scoring: length, punctuation density, stopword ratio —
