@@ -38,7 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def intLiteral(name: String, e: Expression): Int = {
       require(e.foldable, s"$name: the second argument must be an integer literal")
       e.eval(null) match {
-        case n: Number => n.intValue()
+        case n: Number =>
+          val v = n.longValue()
+          require(v > 0 && v <= Int.MaxValue,
+            s"$name: the second argument must be a positive int, got $v")
+          v.toInt
         case other => throw new IllegalArgumentException(
           s"$name: the second argument must be an integer literal, got $other")
       }

@@ -301,7 +301,7 @@ object SparkEntry {
     "t1b_bpe_token_count" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          SUM(len($toksSql)) AS ws_tokens,
-         SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS bpe_tokens
+         SUM(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}'))) AS bpe_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "t2_quality_score" ->
       s"""WITH f AS (

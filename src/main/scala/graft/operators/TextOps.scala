@@ -34,9 +34,12 @@ object TextOps {
   /** BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
     * intersection of Java and RE2 regex — no lookahead): a token is an
     * optionally space-prefixed letter run, digit run, or punctuation
-    * run. Counting these approximates LLM token budgets far better than
-    * whitespace splitting on punctuation-dense text. */
-  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    * run. Whitespace is an EXPLICIT char class, not \s: Java's \s
+    * includes U+000B where RE2's does not, which would skew the DuckDB
+    * oracle counts on vertical-tab input. Counting these approximates
+    * LLM token budgets far better than whitespace splitting on
+    * punctuation-dense text. */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\r\\f]+"
 
   /** T1b: token counting under the BPE-ish regex vs whitespace — the
     * two token-budget estimators a training pipeline runs side by side. */

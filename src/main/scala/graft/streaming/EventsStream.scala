@@ -60,12 +60,17 @@ object EventsStream {
     spark.table(queryName).orderBy(col("hour_start"), col("event_type"))
   }
 
-  /** S11 in streaming form: stateful first-writer-wins dedup with
-    * mapGroupsWithState — each (user_id, event_type) key keeps a
-    * first-seen flag in state; only the first arrival is emitted. This
-    * is the custom-state analog of the batch insert-ignore anti-join
-    * (MergeOps.insertIgnore). State is per-key-constant (one boolean +
-    * timestamp), so a 100 TB stream holds |keys| state, not |events|. */
+  /** S11 in streaming form: stateful first-WRITER-wins dedup — each
+    * (user_id, event_type) key is emitted exactly once, on the first
+    * micro-batch it appears in, with that batch's min event time. This
+    * matches the reference's on_conflict_do_nothing (arrival order
+    * decides, update_donations.py:267-271), NOT min-event-time: append
+    * mode cannot retract an emitted row, so if a later batch delivers an
+    * earlier-timestamped event for an already-emitted key it is ignored
+    * by design. first_seen equals the batch insert-ignore's min(ts)
+    * exactly when arrival order is event-time-ordered (as with a
+    * time-partitioned file source). State is per-key-constant, so a
+    * 100 TB stream holds |keys| state, not |events|. */
   def streamingInsertIgnore(spark: SparkSession, dir: String, queryName: String = "events_dedup",
       globFilter: String = "events.parquet", maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
