@@ -225,13 +225,25 @@ object Dedup {
     * D2, but the posting list is the compact winnowed set instead of
     * every shingle. Not SQL-expressible → rows-only driver check;
     * DedupSpec asserts agreement with the exact-Jaccard pairs. */
+  val FingerprintDfCap = 50
+
   def rollingFingerprintPairs(spark: SparkSession, dir: String,
       minShared: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val fps = documents(spark, dir)
+    val raw = documents(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.RollingFingerprint(col("text"))).as("fp"))
       .repartition(col("doc_id"))
       .persist()
+    // doc-frequency cap: fingerprints shared corpus-wide (boilerplate /
+    // common-vocab substrings) only fan out the candidate join without
+    // identifying near-dup PAIRS; dropping them is standard winnowing
+    // practice. Final output is unchanged — candidates are verified
+    // with exact Jaccard — as long as true dups still share >= minShared
+    // rare fingerprints (they do: near-identical docs share their long,
+    // pair-specific substrings).
+    val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FingerprintDfCap).select(col("fp"))
+    val fps = raw.join(broadcast(hot), Seq("fp"), "left_anti")
     val a = fps.select(col("doc_id").as("a_id"), col("fp"))
     val b = fps.select(col("doc_id").as("b_id"), col("fp"))
     val candidates = a.join(b, Seq("fp"))

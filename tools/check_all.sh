@@ -1,0 +1,18 @@
+#!/bin/bash
+# Full local gate: compile → tests → verify+oracle (sf0.01) → bench (sf0.1).
+# Mirrors the driver's per-round checks; exits non-zero on any failure.
+set -e
+cd "$(dirname "$0")/.."
+echo "=== compile + test ==="
+sbt -batch test | grep -E 'Tests:|error' | tail -2
+echo "=== verify @ sf0.01 ==="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/check_verify" \
+  2>&1 | grep -E '\[verify\]' || true
+python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/check_verify | tail -3
+echo "=== bench @ sf0.1 ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+  2>&1 | grep -oE '\{"metric".*\}$' | python3 -c "
+import sys, json
+d = json.loads(sys.stdin.read())
+print('total %.1fs over %d queries' % (d['value'], len(d['queries'])))"
+echo "ALL GREEN"
