@@ -85,6 +85,7 @@ object SparkEntry {
     "m1b_decode_batched"      -> ((s, d) => Multimodal.decodeFeaturesBatched(s, d)),
     "d4b_simhash_pairs"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "t1b_bpe_token_count"     -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
+    "a12_pivot_counts"        -> ((s, d) => Relational.pivotCounts(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -140,6 +141,14 @@ object SparkEntry {
          SELECT o_orderstatus, total_amount,
            CAST(total_amount * 100 / SUM(total_amount) OVER () AS DECIMAL(18,6)) AS pct
          FROM per_status ORDER BY o_orderstatus""",
+    "a12_pivot_counts" ->
+      """SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "j2_threeway_revenue" ->
       """SELECT c.c_mktsegment, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
          FROM lineitem l

@@ -284,6 +284,24 @@ object Relational {
       .limit(pageSize)
   }
 
+  /** A12/§3.1: pivot — the reference pivots is_original_cosponsor
+    * counts client-side (app.py:230-236, 427-452); in-plan it is
+    * groupBy().pivot() with an EXPLICIT value list (never let pivot
+    * scan for distinct values at 100 TB — that is an extra job over the
+    * full table). Pivot count yields null for absent combinations;
+    * coalesce to 0 to match the oracle's FILTER counts. */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+    EventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy(col("user_id"))
+  }
+
   /** W5b: keyset pagination — the scale-correct form of W5. OFFSET
     * pagination sorts globally and discards `skip` rows per page; the
     * keyset form (`WHERE key > last_seen ORDER BY key LIMIT n`) pushes
