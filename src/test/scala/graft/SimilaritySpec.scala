@@ -19,6 +19,20 @@ class SimilaritySpec extends SparkSpec {
     assert(sims(2) === 0.0)
   }
 
+  test("VecDot: null array → null; null ELEMENTS read as 0.0 (documented dense-vector semantics)") {
+    import graft.functions.VecDot
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = spark.createDataFrame(Seq(
+      (Array[java.lang.Double](null, 2.0), Array[java.lang.Double](3.0, 4.0))))
+      .toDF("a", "b")
+      .selectExpr("cast(a as array<double>) a", "cast(b as array<double>) b")
+    val row = df.select(
+      VecDot(col("a"), col("b")).as("d"),
+      VecDot(expr("CAST(NULL AS ARRAY<DOUBLE>)"), col("b")).as("n")).collect()(0)
+    assert(row.getDouble(0) === 8.0, "null element must read as 0.0 (dense-vector contract)")
+    assert(row.isNullAt(1), "null array must yield null")
+  }
+
   test("brute-force top-k is sorted desc and k-sized") {
     val rows = Similarity.cosineTopK(spark, sfDir, queryId = 0L, k = 10).collect()
     assert(rows.length === 10)
