@@ -86,6 +86,8 @@ object SparkEntry {
     "d4b_simhash_pairs"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "t1b_bpe_token_count"     -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "a12_pivot_counts"        -> ((s, d) => Relational.pivotCounts(s, d)),
+    "a13_rollup_timeline"     -> ((s, d) => Relational.rollupTimeline(s, d)),
+    "st2_session_windows"     -> ((s, d) => graft.streaming.EventsStream.sessionWindows(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -149,6 +151,39 @@ object SparkEntry {
            COUNT(*) FILTER (event_type = 'signup') AS signup,
            COUNT(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "a13_rollup_timeline" ->
+      """WITH r AS (
+           SELECT strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_raw,
+             o_orderstatus AS status_raw,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount,
+             COUNT(*) AS n_orders
+           FROM orders
+           GROUP BY ROLLUP (month_raw, status_raw))
+         SELECT COALESCE(month_raw, 'ALL') AS month,
+           COALESCE(status_raw, 'ALL') AS o_orderstatus,
+           total_amount, n_orders
+         FROM r ORDER BY month, o_orderstatus""",
+    "st2_session_windows" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_event,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+         FROM numbered
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
     "j2_threeway_revenue" ->
       """SELECT c.c_mktsegment, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
          FROM lineitem l

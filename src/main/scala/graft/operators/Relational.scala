@@ -302,6 +302,30 @@ object Relational {
     }.orderBy(col("user_id"))
   }
 
+  /** A13: ROLLUP — month × status totals with subtotal and grand-total
+    * rows in one pass (the super-aggregate the reference approximates
+    * with its "Both congresses" re-query, app.py:110-113). Spark plans
+    * rollup as Expand + one hash aggregate — one shuffle regardless of
+    * how many grouping levels. Null group keys mark subtotals; ordering
+    * puts them last deterministically. */
+  def rollupTimeline(spark: SparkSession, dir: String): DataFrame = {
+    // subtotal rows carry null group keys; serialize month to a string
+    // with an 'ALL' sentinel so the output has no null-typed date
+    // column (null-date representation differs across arrow/pandas
+    // consumers and would make value-identical frames compare unequal)
+    orders(spark, dir)
+      .rollup(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_raw"),
+        col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_amount"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("month_raw"), lit("ALL")).as("month"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("total_amount"), col("n_orders"))
+      .orderBy(col("month"), col("o_orderstatus"))
+  }
+
   /** W5b: keyset pagination — the scale-correct form of W5. OFFSET
     * pagination sorts globally and discards `skip` rows per page; the
     * keyset form (`WHERE key > last_seen ORDER BY key LIMIT n`) pushes

@@ -60,6 +60,26 @@ object EventsStream {
     spark.table(queryName).orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Session windows in batch form: per-user activity sessions with a
+    * 5-minute inactivity gap (`session_window` — the event-time
+    * sessionization Structured Streaming shares with batch). Emits the
+    * gaps-and-islands shape: session start = first event, plus count
+    * and value sum. The oracle reproduces it with lag + cumulative sum,
+    * which pins down the exact semantics: a new session starts when
+    * ts - previous ts > gap — STRICTLY greater; an event at exactly
+    * last+gap merges into the session (probed empirically: two events
+    * exactly 5:00 apart yield one session of 2). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("last_event"))
+      .select(col("user_id"), col("session_start"), col("last_event"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** S11 in streaming form: stateful first-WRITER-wins dedup — each
     * (user_id, event_type) key is emitted exactly once, on the first
     * micro-batch it appears in, with that batch's min event time. This
