@@ -80,6 +80,38 @@ object EventsStream {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
+    * keeps per-key state only until the watermark passes it, so state
+    * size is bounded by the watermark horizon — the production form
+    * when duplicates arrive close together (retries, at-least-once
+    * sources) rather than arbitrarily late. Contrast with
+    * streamingInsertIgnore, whose NoTimeout state grows with |keys|
+    * forever but deduplicates across any distance. */
+  def streamingDedupWithinWatermark(spark: SparkSession, dir: String,
+      queryName: String = "events_wm_dedup",
+      globFilter: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", globFilter).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", globFilter)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val deduped = reader.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts"))
+
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).orderBy(col("user_id"), col("event_type"), col("ts"))
+  }
+
   /** S11 in streaming form: stateful first-WRITER-wins dedup — each
     * (user_id, event_type) key is emitted exactly once, on the first
     * micro-batch it appears in, with that batch's min event time. This

@@ -67,6 +67,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.filter(org.apache.spark.sql.functions.col("newly_inserted") === false).count() === 0)
   }
 
+  test("watermark-bounded dedup removes same-batch duplicates, state stays bounded") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("wm_events")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), d.resolve("ev_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), d.resolve("ev_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val out = EventsStream.streamingDedupWithinWatermark(spark, d.toString,
+      "events_wm_dedup_spec", globFilter = "ev_*.parquet")
+    val keys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    // duplicated corpus in one batch → exactly one event per key survives
+    assert(out.count() === keys, s"expected $keys deduped rows, got ${out.count()}")
+    assert(out.select("user_id", "event_type").distinct().count() === keys)
+  }
+
   test("streaming insert-ignore emits each key once with the true first-seen ts") {
     val out = EventsStream.streamingInsertIgnore(spark, sfDir, "events_dedup_spec")
     val ev = Tables.events(spark, sfDir)
