@@ -102,9 +102,15 @@ object SparkEntry {
       .mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    // Convention (see Relational.moneyOut): aggregates run in DECIMAL for
+    // order-independence, but every EMITTED money/ratio column is CAST to
+    // DOUBLE on both sides, integer sums to BIGINT (DuckDB SUM(int) is
+    // HUGEINT), and date outputs are yyyy-MM-dd strings — the driver
+    // hashes pandas-rendered values, where DECIMAL/HUGEINT/DATE render
+    // differently across the two load paths.
     "w1_topk_by_scope" ->
       """SELECT c.c_custkey, c.c_name,
-         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_amount
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -114,10 +120,10 @@ object SparkEntry {
          ORDER BY total_amount DESC, c.c_custkey
          LIMIT 10""",
     "a1_scalar_sum_coalesce" ->
-      """SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS total_amount
+      """SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'""",
     "a2_sum_by_group" ->
-      """SELECT o_orderpriority, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+      """SELECT o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a3_count_by_group" ->
       """SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
@@ -126,12 +132,12 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a6_multi_agg" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2)) AS avg_price
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price
          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
     "a7_monthly_timeline" ->
-      """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month, o_orderstatus,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+      """SELECT strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month, o_orderstatus,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus""",
     "a8_frontier_max" ->
       """SELECT c_mktsegment, MAX(CAST(regexp_extract(c_name, '[0-9]+') AS INTEGER)) AS max_id
@@ -140,8 +146,8 @@ object SparkEntry {
       """WITH per_status AS (
            SELECT o_orderstatus, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
            FROM orders GROUP BY o_orderstatus)
-         SELECT o_orderstatus, total_amount,
-           CAST(total_amount * 100 / SUM(total_amount) OVER () AS DECIMAL(18,6)) AS pct
+         SELECT o_orderstatus, CAST(total_amount AS DOUBLE) AS total_amount,
+           CAST(CAST(total_amount * 100 / SUM(total_amount) OVER () AS DECIMAL(18,6)) AS DOUBLE) AS pct
          FROM per_status ORDER BY o_orderstatus""",
     "a12_pivot_counts" ->
       """SELECT user_id,
@@ -161,7 +167,7 @@ object SparkEntry {
            GROUP BY ROLLUP (month_raw, status_raw))
          SELECT COALESCE(month_raw, 'ALL') AS month,
            COALESCE(status_raw, 'ALL') AS o_orderstatus,
-           total_amount, n_orders
+           CAST(total_amount AS DOUBLE) AS total_amount, n_orders
          FROM r ORDER BY month, o_orderstatus""",
     "st2_session_windows" ->
       """WITH marked AS (
@@ -180,25 +186,25 @@ object SparkEntry {
            MIN(ts) AS session_start,
            MAX(ts) AS last_event,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM numbered
          GROUP BY user_id, session_id
          ORDER BY user_id, session_start""",
     "j2_threeway_revenue" ->
-      """SELECT c.c_mktsegment, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+      """SELECT c.c_mktsegment, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem l
          JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     "j3_join_then_filter" ->
       """SELECT o.o_orderpriority, COUNT(*) AS n_lines,
-         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          WHERE o.o_orderstatus = 'F'
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "j4_scope_semi" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
@@ -293,7 +299,7 @@ object SparkEntry {
          SELECT COALESCE(i_user, e_user) AS user_id,
            COALESCE(i_type, e_type) AS event_type,
            COALESCE(i_n, e_n) AS n_events,
-           COALESCE(i_total, e_total) AS total_value,
+           CAST(COALESCE(i_total, e_total) AS DOUBLE) AS total_value,
            CASE WHEN e_user IS NOT NULL AND i_user IS NOT NULL THEN 'updated'
                 WHEN e_user IS NULL THEN 'inserted' ELSE 'unchanged' END AS merge_action
          FROM existing FULL OUTER JOIN incoming
@@ -339,13 +345,13 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "t1_token_count" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         SUM(len($toksSql)) AS total_tokens,
+         CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
          MAX(len($toksSql)) AS max_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "t1b_bpe_token_count" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         SUM(len($toksSql)) AS ws_tokens,
-         SUM(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}'))) AS bpe_tokens
+         CAST(SUM(len($toksSql)) AS BIGINT) AS ws_tokens,
+         CAST(SUM(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}'))) AS BIGINT) AS bpe_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "t2_quality_score" ->
       s"""WITH f AS (
@@ -573,12 +579,12 @@ object SparkEntry {
              CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
              (['jpeg','png','webp','tiff'])[(CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 4) + 1] AS format
            FROM documents)
-         SELECT source, format, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+         SELECT source, format, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            MAX(width) AS max_width
          FROM f GROUP BY source, format ORDER BY source, format""",
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "f3_map_lookup" ->
       """SELECT n.n_nationkey, n.n_name,
@@ -608,7 +614,7 @@ object SparkEntry {
              SUM(CAST(value AS DECIMAL(18,2))) AS new_total
            FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2)
          SELECT b.user_id, b.event_type, b.n_events,
-           COALESCE(i.new_total, b.total_value) AS total_value,
+           CAST(COALESCE(i.new_total, b.total_value) AS DOUBLE) AS total_value,
            CASE WHEN i.new_total IS NOT NULL THEN 'updated' ELSE 'kept' END AS update_status
          FROM base b LEFT JOIN incoming i
            ON b.user_id = i.user_id AND b.event_type = i.event_type
@@ -623,7 +629,7 @@ object SparkEntry {
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
            GROUP BY o.o_custkey)
          SELECT c.c_custkey, c.c_name, n.n_name,
-           COALESCE(fin.total_spend, CAST(0 AS DECIMAL(18,2))) AS total_spend,
+           CAST(COALESCE(fin.total_spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
            COALESCE(fin.n_orders, 0) AS n_orders,
            COALESCE(act.n_items, 0) AS n_items
          FROM customer c
@@ -634,7 +640,7 @@ object SparkEntry {
          ORDER BY c.c_custkey""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY day""",
   )
 }

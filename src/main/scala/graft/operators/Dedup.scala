@@ -26,6 +26,19 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
+  /** Materialize the (small) pair result eagerly, then release the
+    * persisted posting-list inputs. The pair operators persist their
+    * posting lists because three plan branches share them; without this
+    * the cached frames outlive the call and a long-lived session (REPL,
+    * repeated pipeline runs) accumulates cache until memory pressure.
+    * localCheckpoint keeps the materialized blocks owned by the
+    * ContextCleaner, so they free when the returned frame is GC'd. */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Distinct word 3-gram shingles per document (single Catalyst
     * expression — see TextShingles for why not higher-order functions). */
   def shingles(text: Column, n: Int = 3): Column =
@@ -74,7 +87,7 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
 
-    common
+    val result = common
       .join(counts.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), Seq("a_id"))
       .join(counts.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
@@ -82,6 +95,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(result, docs)
   }
 
   val MinHashK = 16 // hash functions
@@ -162,7 +176,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
 
-    verifyCandidates(candidates, grams, threshold)
+    materializeAndRelease(verifyCandidates(candidates, grams, threshold), grams)
   }
 
   /** Exact-Jaccard verification of candidate pairs through a shingle
@@ -210,12 +224,13 @@ object Dedup {
       .persist()
     val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"), col("bucket"))
     val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val result = a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(result, sigs)
   }
 
   /** D6: winnowing near-dup pairs via the Rabin-Karp rolling-hash
@@ -258,7 +273,7 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .repartition(col("doc_id"))
       .persist() // feeds counts + both verification join sides
-    verifyCandidates(candidates, grams, threshold)
+    materializeAndRelease(verifyCandidates(candidates, grams, threshold), raw, grams)
   }
 
 

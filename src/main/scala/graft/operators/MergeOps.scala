@@ -52,7 +52,8 @@ object MergeOps {
         coalesce(col("i_user"), col("e_user")).as("user_id"),
         coalesce(col("i_type"), col("e_type")).as("event_type"),
         coalesce(col("i_n"), col("e_n")).as("n_events"),
-        coalesce(col("i_total"), col("e_total")).as("total_value"),
+        // decimal internally; double emitted (driver-render parity)
+        coalesce(col("i_total"), col("e_total")).cast("double").as("total_value"),
         when(col("e_user").isNotNull && col("i_user").isNotNull, lit("updated"))
           .when(col("e_user").isNull, lit("inserted"))
           .otherwise(lit("unchanged")).as("merge_action"))
@@ -75,7 +76,7 @@ object MergeOps {
       .select(
         col("user_id"), col("event_type"),
         col("n_events"), // untouched column carries over
-        coalesce(col("new_total"), col("total_value")).as("total_value"),
+        coalesce(col("new_total"), col("total_value")).cast("double").as("total_value"),
         when(col("new_total").isNotNull, lit("updated")).otherwise(lit("kept"))
           .as("update_status"))
       .orderBy(col("user_id"), col("event_type"))

@@ -93,7 +93,12 @@ object Multimodal {
         }
       }
     }
-    decoded.toDF().orderBy(col("asset_id"))
+    // driver-facing output must not carry array columns (the driver's
+    // pandas row-sort crashes on them) — render offsets as a csv string;
+    // the typed Seq form is exercised in MultimodalSpec
+    decoded.toDF()
+      .withColumn("frame_offsets", concat_ws(",", col("frame_offsets").cast("array<string>")))
+      .orderBy(col("asset_id"))
   }
 
   /** M2: corpus statistics per (source, format) — the sanity rollup a

@@ -38,7 +38,9 @@ object Profile {
       .join(activity, c("c_custkey") === activity("a_custkey"), "left")
       .select(
         c("c_custkey"), c("c_name"), n("n_name"),
-        coalesce(col("total_spend"), lit(0).cast("decimal(18,2)")).as("total_spend"),
+        // decimal internally; double in the emitted column (driver-render
+        // parity — see Relational.moneyOut)
+        coalesce(col("total_spend"), lit(0).cast("decimal(18,2)")).cast("double").as("total_spend"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("n_items"), lit(0L)).as("n_items"))
       .orderBy(col("c_custkey"))

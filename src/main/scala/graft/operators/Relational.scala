@@ -25,6 +25,15 @@ object Relational {
   /** o_totalprice as an exact decimal. */
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Final rendering of a money/ratio column: the aggregation itself runs
+    * in exact decimal (order-independent), but the EMITTED column is a
+    * double. The driver hashes rendered values after a pandas round-trip
+    * where DuckDB decimals become float64 ('53982.7') while Spark parquet
+    * decimals stay Decimal ('53982.70') — a representational mismatch.
+    * decimal→double is correctly rounded in both engines (verified
+    * bit-equal), so the doubles hash identically. */
+  private def moneyOut(c: Column): Column = c.cast("double")
+
   /** W1+J2: top-10 customers by total spend within a region scope.
     * Reference: top-10 donors by SUM(amount), metrics.py:63-67,
     * app.py:155-170; 3-way join app.py:138-152.
@@ -45,7 +54,7 @@ object Relational {
       .select(c("c_custkey"), c("c_name"))
     o.join(scopedCust, o("o_custkey") === scopedCust("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(sum(money(col("o_totalprice"))).as("total_amount"))
+      .agg(moneyOut(sum(money(col("o_totalprice")))).as("total_amount"))
       .orderBy(desc("total_amount"), col("c_custkey"))
       .limit(10)
   }
@@ -56,14 +65,14 @@ object Relational {
   def scalarSumCoalesce(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
-      .agg(coalesce(sum(money(col("o_totalprice"))), lit(0).cast("decimal(18,2)")).as("total_amount"))
+      .agg(moneyOut(coalesce(sum(money(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))).as("total_amount"))
   }
 
   /** A2: group-by SUM — donations by donor_type (metrics.py:53-56). */
   def sumByGroup(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(sum(money(col("o_totalprice"))).as("total_amount"))
+      .agg(moneyOut(sum(money(col("o_totalprice")))).as("total_amount"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -96,20 +105,23 @@ object Relational {
         sum(money(col("l_extendedprice"))).as("total_price"),
         count(lit(1)).as("n_lines"))
       .withColumn("avg_price",
-        (col("total_price") / col("n_lines")).cast("decimal(18,2)"))
-      .select(col("l_suppkey"), col("n_orders"), col("total_price"), col("avg_price"))
+        moneyOut((col("total_price") / col("n_lines")).cast("decimal(18,2)")))
+      .select(col("l_suppkey"), col("n_orders"), moneyOut(col("total_price")).as("total_price"), col("avg_price"))
       .orderBy(col("l_suppkey"))
   }
 
   /** A7: monthly timeline — DATE_TRUNC(date, MONTH) × type SUM
     * (app.py:174-188). Calendar tumbling window, batch flavor.
-    * Month cast to date so Spark (timestamp) and the oracle (date) agree. */
+    * Month rendered as a yyyy-MM-dd string: a DATE-typed output column
+    * round-trips as datetime.date on the Spark side but datetime64 on the
+    * DuckDB side ('1995-01-01' vs '1995-01-01 00:00:00'), so date-typed
+    * driver-facing outputs never hash-match. */
   def monthlyTimeline(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir)
       .groupBy(
-        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"),
         col("o_orderstatus"))
-      .agg(sum(money(col("o_totalprice"))).as("total_amount"))
+      .agg(moneyOut(sum(money(col("o_totalprice")))).as("total_amount"))
       .orderBy(col("month"), col("o_orderstatus"))
   }
 
@@ -132,8 +144,8 @@ object Relational {
     perStatus
       .withColumn("grand_total", sum(col("total_amount")).over(Window.partitionBy()))
       .withColumn("pct",
-        (col("total_amount") * lit(100) / col("grand_total")).cast("decimal(18,6)"))
-      .select(col("o_orderstatus"), col("total_amount"), col("pct"))
+        moneyOut((col("total_amount") * lit(100) / col("grand_total")).cast("decimal(18,6)")))
+      .select(col("o_orderstatus"), moneyOut(col("total_amount")).as("total_amount"), col("pct"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -148,7 +160,7 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(sum(money(col("l_extendedprice"))).as("revenue"))
+      .agg(moneyOut(sum(money(col("l_extendedprice")))).as("revenue"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -161,7 +173,7 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .filter(o("o_orderstatus") === "F")
       .groupBy(o("o_orderpriority"))
-      .agg(count(lit(1)).as("n_lines"), sum(money(col("l_extendedprice"))).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"), moneyOut(sum(money(col("l_extendedprice")))).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -175,7 +187,7 @@ object Relational {
     orders(spark, dir)
       .join(broadcast(scope), col("o_custkey") === scope("c_custkey"), "left_semi")
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("total_amount"))
+      .agg(count(lit(1)).as("n_orders"), moneyOut(sum(money(col("o_totalprice")))).as("total_amount"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -322,7 +334,7 @@ object Relational {
       .select(
         coalesce(col("month_raw"), lit("ALL")).as("month"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
-        col("total_amount"), col("n_orders"))
+        moneyOut(col("total_amount")).as("total_amount"), col("n_orders"))
       .orderBy(col("month"), col("o_orderstatus"))
   }
 
@@ -348,7 +360,12 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"))
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("quantiles_arr"))
+      // driver-facing output must not carry array columns (the driver's
+      // pandas row-sort crashes on them) — render as a csv string; the
+      // array form is exercised in RelationalSpec
+      .withColumn("price_quantiles", concat_ws(",", col("quantiles_arr").cast("array<string>")))
+      .select(col("l_returnflag"), col("approx_orders"), col("price_quantiles"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -115,7 +115,8 @@ object Scalars {
     events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        // decimal sum internally; double emitted (driver-render parity)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy(col("day"))
   }
 }

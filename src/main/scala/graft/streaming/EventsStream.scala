@@ -25,7 +25,8 @@ object EventsStream {
         window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        // decimal sum internally; double emitted (driver-render parity)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
   /** The same aggregate as a streaming query over the events parquet,
@@ -47,7 +48,7 @@ object EventsStream {
         window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
     val q = stream.writeStream
       .outputMode("complete")
@@ -73,7 +74,7 @@ object EventsStream {
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("last_event"))
       .select(col("user_id"), col("session_start"), col("last_event"),

@@ -19,7 +19,8 @@ class MultimodalSpec extends SparkSpec {
       .select("n_bytes", "frame_offsets").collect()
     rows.foreach { r =>
       val n = r.getInt(0)
-      val frames = r.getSeq[Int](1)
+      // frame_offsets is csv-rendered in the driver-facing output
+      val frames = r.getString(1).split(",").map(_.toInt)
       assert(frames.length === 4)
       frames.foreach(f => assert(f >= 0 && f < math.max(n, 1)))
     }

@@ -1,39 +1,56 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — STRICT mode.
 
 Usage: python3 tools/local_verify.py [sfDir] [outDir]
 
-Reads each parquet result written by `graft.Verify`, runs the matching
-oracle SQL from oracle_sql.json in DuckDB over the same sf tables, and
-compares: schema (column names), row count, and values (columns sorted
-by name, rows sorted by all columns). Floats compared with tight
-tolerance AND reported if not bit-equal, since the real driver may hash
-exact bytes.
+Mirrors the inferred driver semantics exactly:
+  * Spark side: pd.read_parquet(outDir/<name>)  (DECIMAL -> decimal.Decimal
+    objects, DATE -> datetime.date objects — i.e. NOT floats/timestamps).
+  * Oracle side: duckdb .fetchdf()  (DECIMAL/HUGEINT -> float64,
+    DATE -> datetime64).
+  * Columns sorted by name, rows sorted by all columns (pandas
+    sort_values — crashes on array columns, exactly like the driver).
+  * Every cell compared as str(); any difference is a FAIL. This is
+    stricter than numeric equality on purpose: the driver hashes
+    rendered values, so Decimal('3549.00') != 3549.0 != 3549.
+
+Consequences for query authors (see memory: graft-oracle-parity-rules):
+  - final money/ratio columns: CAST(... AS DOUBLE) on BOTH sides
+  - integer sums in DuckDB are HUGEINT: CAST(SUM(..) AS BIGINT)
+  - no DATE-typed output columns: render yyyy-MM-dd strings
+  - no array-typed output columns: concat_ws/to_json them
 """
+import glob
 import json
+import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame):
+    """Sort columns by name, rows by all columns; return (df, dtypes)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize types for comparison
-    import decimal
-    for c in df.columns:
-        if str(df[c].dtype) == "object":
-            if df[c].map(lambda v: isinstance(v, decimal.Decimal) or v is None).all() and df[c].notna().any():
-                df[c] = df[c].astype(float)
-            else:
-                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        if "datetime" in str(df[c].dtype):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def cell_str(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) and np.isnan(v):
+        return "<NULL>"
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
 
 
 def main():
@@ -47,14 +64,21 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
-    n_pass = n_fail = 0
-    import glob
-    import os
+    n_pass = n_fail = n_rows_only = 0
     produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
     for name in sorted(produced):
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        # the driver sorts the spark result even for rows-only checks;
+        # array-typed columns crash pandas lexsort there too
+        try:
+            s = canon(spark_df)
+        except Exception as e:
+            print(f"  ✗ {name}: SPARK RESULT UNSORTABLE (driver would crash): {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"  ~ {name}: no oracle (rows-only) rows={len(spark_df)}")
+            n_rows_only += 1
             continue
         try:
             duck_df = con.execute(oracles[name]).fetchdf()
@@ -62,7 +86,12 @@ def main():
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
-        s, d = normalize(spark_df), normalize(duck_df)
+        try:
+            d = canon(duck_df)
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE RESULT UNSORTABLE: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if list(s.columns) != list(d.columns):
             print(f"  ✗ {name}: COLUMNS spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1
@@ -73,34 +102,25 @@ def main():
             continue
         bad = []
         for c in s.columns:
-            sv, dv = s[c], d[c]
-            if str(sv.dtype).startswith("float") or str(dv.dtype).startswith("float"):
-                import numpy as np
-                eq = np.allclose(sv.astype(float), dv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True)
-                biteq = (sv.astype(float).values == dv.astype(float).values).all()
-                if not eq:
-                    bad.append((c, "float mismatch"))
-                elif not biteq:
-                    bad.append((c, "float close but NOT bit-equal (driver hash may differ!)"))
-            else:
-                try:
-                    eq = sv.equals(dv) or (sv.astype(str).values == dv.astype(str).values).all()
-                except Exception:
-                    eq = False
-                if not eq:
-                    bad.append((c, "value mismatch"))
+            sv = [cell_str(v) for v in s[c]]
+            dv = [cell_str(v) for v in d[c]]
+            if sv != dv:
+                diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if a != b]
+                bad.append((c, str(s[c].dtype), str(d[c].dtype), diffs[:3]))
         if bad:
-            print(f"  ✗ {name}: {bad}")
-            for c, _ in bad[:1]:
-                diff = s[c].astype(str) != d[c].astype(str)
-                idx = diff[diff].index[:5] if diff.any() else []
-                for i in idx:
-                    print(f"      row {i} col {c}: spark={s[c][i]!r} duck={d[c][i]!r}")
+            print(f"  ✗ {name}: {len(bad)} column(s) render differently")
+            for c, sd, dd, diffs in bad:
+                print(f"      col {c}: spark dtype={sd} duck dtype={dd}")
+                for i, a, b in diffs:
+                    print(f"        row {i}: spark={a!r} duck={b!r}")
             n_fail += 1
         else:
-            print(f"  ✓ {name} ({len(s)} rows, dtypes match={list(s.dtypes.values) == list(d.dtypes.values)})")
+            dt_note = ""
+            if list(map(str, s.dtypes.values)) != list(map(str, d.dtypes.values)):
+                dt_note = f"  [dtype differs: {list(map(str, s.dtypes.values))} vs {list(map(str, d.dtypes.values))} — strings match anyway]"
+            print(f"  ✓ {name} ({len(s)} rows){dt_note}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(produced) - n_pass - n_fail} rows-only")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     sys.exit(1 if n_fail else 0)
 
 
