@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap scales with the task-slot count: local[N] runs N
+// concurrent tasks in ONE jvm, and 32 slots in an 8 GB heap spends more
+// time in GC than in queries (round-2 bench attributed those pauses to
+// whichever query was running). 1 GiB/slot, floor 8 GiB; SPARK_DRIVER_MEM
+// still overrides explicitly.
+val defaultHeapGb: Int = scala.util.Try(
+  sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).toOption
+  .map(c => math.max(8, c)).getOrElse(8)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line per run for the driver's BENCH_r{N}.json.
+  *
+  * Measurement protocol (round 3, after round 2's harness was shown to
+  * attribute multi-second GC/scheduler noise to innocent queries):
+  *  - every query runs REPS times (default 3); the reported per-query
+  *    number and the total are MEDIANS, not single shots;
+  *  - the first (cold) run of each query is reported separately under
+  *    "cold" so JIT/cache warm-up is visible instead of folded in;
+  *  - queries run in sorted-name order (deterministic, not Map order);
+  *  - the cache is cleared between runs so persisted posting lists from
+  *    one query never skew the next.
+  * Heap is scaled with the cpu count in build.sbt (32 tasks in an 8 GB
+  * heap was the round-2 failure mode — constant GC billed to whichever
+  * query happened to be running).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,18 +34,26 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9
       // per-query persisted frames must not skew later measurements
       spark.catalog.clearCache()
-      name -> t
+      t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = Vector.fill(math.max(1, reps))(timeOnce(fn))
+      (name, times.sorted.apply(times.size / 2), times.head)
+    }
+    def json(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val coldTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${json(_._2)},"cold_total":$coldTotal,"cold":${json(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,6 +88,8 @@ object SparkEntry {
     "a12_pivot_counts"        -> ((s, d) => Relational.pivotCounts(s, d)),
     "a13_rollup_timeline"     -> ((s, d) => Relational.rollupTimeline(s, d)),
     "st2_session_windows"     -> ((s, d) => graft.streaming.EventsStream.sessionWindows(s, d)),
+    "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
+    "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -396,22 +398,39 @@ object SparkEntry {
            FROM documents GROUP BY 1)
          SELECT n_copies, COUNT(*) AS n_groups FROM g
          GROUP BY n_copies ORDER BY n_copies""",
+    // d2 mirrors the engine's two-phase shape: candidates from the
+    // df-capped posting list (hot grams excluded), verified with the
+    // FULL list so n_common/jaccard are the true values. Hashing (md5
+    // 60-bit prefix) and the cap constant are shared with Dedup.
     "d2_ngram_jaccard" ->
       s"""WITH t AS (
            SELECT doc_id, $toksSql AS w FROM documents),
-         g AS (
+         g0 AS (
            SELECT DISTINCT doc_id, gram FROM (
              SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
              FROM t, unnest(range(len(w) - 2)) AS x(i)
              WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+         rare AS (
+           SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id),
+         common AS (
+           SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+           FROM cand c
+           JOIN g ga ON ga.doc_id = c.a_id
+           JOIN g gb ON gb.doc_id = c.b_id AND gb.gram_h = ga.gram_h
            GROUP BY 1, 2)
          SELECT a_id, b_id, n_common,
            n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
-         FROM pairs
+         FROM common
          JOIN cnt ca ON a_id = ca.doc_id
          JOIN cnt cb ON b_id = cb.doc_id
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
@@ -452,6 +471,10 @@ object SparkEntry {
          JOIN cnt cb ON b_id = cb.doc_id
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
          ORDER BY a_id, b_id""",
+    // d4b oracle is deliberately NOT the banded formulation: brute-force
+    // all-pairs hamming at oracle scale, so a hash-match proves the
+    // engine's multi-band LSH has full recall (pigeonhole: radius r →
+    // r+1 disjoint bands, one must match exactly).
     "d4b_simhash_pairs" ->
       s"""WITH h AS (
            SELECT doc_id,
@@ -464,13 +487,11 @@ object SparkEntry {
                   ELSE CAST(list_sum(list_transform(range(60), j ->
                     CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) >= len(hashes)
                          THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS simhash
-           FROM h),
-         bucketed AS (SELECT doc_id, simhash, simhash >> 40 AS bucket FROM sigs)
+           FROM h)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-         FROM bucketed a JOIN bucketed b
-           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= ${operators.Dedup.SimHashMaxHamming}
          ORDER BY a_id, b_id""",
     "d4_simhash" ->
       s"""WITH h AS (
@@ -638,6 +659,52 @@ object SparkEntry {
          LEFT JOIN act ON c.c_custkey = act.a_custkey
          WHERE c.c_mktsegment = 'BUILDING'
          ORDER BY c.c_custkey""",
+    "j9b_self_hierarchy" ->
+      """WITH h AS (
+           SELECT p_partkey AS id,
+             CASE WHEN p_partkey % 10 = 0 THEN NULL
+                  ELSE p_partkey - (p_partkey % 10) END AS parent_id,
+             p_name AS name
+           FROM part)
+         SELECT p.id AS parent_id, p.name AS parent_name,
+           COUNT(*) AS n_children, MIN(c.id) AS first_child
+         FROM h c JOIN h p ON c.parent_id = p.id
+         GROUP BY p.id, p.name
+         ORDER BY parent_id""",
+    // mirrors donationPipelineOverOrders: synthesize FEC-shaped strings
+    // from orders (with planted bad dates / amounts), then the composed
+    // filter → semi-join → uid → coerce → drop lineage, rolled up.
+    "etl1_donation_pipeline" ->
+      """WITH contribs AS (
+           SELECT
+             'C' || CAST(o_custkey % 50 AS VARCHAR) AS cmte_id,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'A' ELSE 'N' END AS amndt_ind,
+             'DONOR, ' || CAST(o_custkey AS VARCHAR) AS name,
+             lpad(CAST(o_custkey % 1000 AS VARCHAR), 5, '0') AS zip_code,
+             o_orderpriority AS employer,
+             CASE WHEN o_orderkey % 13 = 0 THEN '99999999'
+                  ELSE strftime(o_orderdate, '%m%d%Y') END AS transaction_dt,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'n/a'
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS transaction_amt,
+             CAST(o_orderkey AS VARCHAR) AS sub_id
+           FROM orders),
+         targets AS (SELECT 'C' || CAST(n_nationkey AS VARCHAR) AS cmte_id FROM nation),
+         cleaned AS (
+           SELECT cmte_id AS committee_id,
+             name || '|' || zip_code || '|' || employer AS donor_uid,
+             CAST(try_strptime(transaction_dt, '%m%d%Y') AS DATE) AS date,
+             TRY_CAST(transaction_amt AS DECIMAL(12,2)) AS amount
+           FROM contribs
+           WHERE amndt_ind = 'N'
+             AND cmte_id IN (SELECT cmte_id FROM targets))
+         SELECT committee_id, COUNT(*) AS n_donations,
+           COUNT(DISTINCT donor_uid) AS n_donors,
+           CAST(SUM(amount) AS DOUBLE) AS total_amount,
+           MIN(strftime(date, '%Y-%m-%d')) AS first_date
+         FROM cleaned
+         WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
+         GROUP BY committee_id
+         ORDER BY committee_id""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

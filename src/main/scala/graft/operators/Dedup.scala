@@ -63,39 +63,39 @@ object Dedup {
     * keep pairs ≥ 0.8. Jaccard divides two ints derived identically on
     * both engines → bit-identical doubles.
     *
-    * Scale: candidate pairs are bounded by shingle doc-frequency; at
-    * 100 TB add a doc-frequency cap on hot shingles (drop grams appearing
-    * in >X% of docs) before the join — same pruning the MinHash tier
-    * gets structurally.
+    * Scale: the candidate join is bounded by shingle doc-frequency, so
+    * hot shingles (boilerplate, shared vocabulary) are dropped from
+    * CANDIDATE GENERATION by a doc-frequency cap — the quadratic fanout
+    * guard the winnowing tier already had. Candidates are then verified
+    * with the FULL posting list, so reported n_common/jaccard are the
+    * true values: the cap only loses a pair if ALL of its shared grams
+    * are corpus-hot, which a >=0.8-jaccard near-dup pair never is (its
+    * long pair-specific substrings produce rare grams). At 100 TB the
+    * constant cap becomes a fraction of |docs| (estimated from a sample
+    * or a sketch), but the plan shape is the same.
     */
+  val NgramDfCap = 50
+
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     // Join on a 60-bit gram hash, not the gram string: same candidate
     // pairs and counts (collision odds ~n²/2⁶¹), half the shuffle bytes.
-    // The posting list feeds three plan branches (counts + both join
-    // sides) — persist it so the shingle construction runs once, not 3×.
+    // The posting list feeds four plan branches (df counts, doc counts,
+    // both join sides) — persist it so shingling runs once, not 4×.
     val docs = documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
       .repartition(col("doc_id"))
       .persist()
-    val counts = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-
-    val a = docs.select(col("doc_id").as("a_id"), col("gram_h"))
-    val b = docs.select(col("doc_id").as("b_id"), col("gram_h"))
-    val common = a.join(b, Seq("gram_h"))
+    val hot = docs.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap).select(col("gram_h"))
+    val rare = docs.join(broadcast(hot), Seq("gram_h"), "left_anti")
+    val candidates = rare.select(col("doc_id").as("a_id"), col("gram_h"))
+      .join(rare.select(col("doc_id").as("b_id"), col("gram_h")), Seq("gram_h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_common"))
-
-    val result = common
-      .join(counts.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), Seq("a_id"))
-      .join(counts.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), Seq("b_id"))
-      .withColumn("jaccard",
-        col("n_common") / (col("a_n") + col("b_n") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
-    materializeAndRelease(result, docs)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    materializeAndRelease(
+      verifyCandidates(candidates, docs, threshold, includeCommon = true), docs)
   }
 
   val MinHashK = 16 // hash functions
@@ -148,7 +148,6 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .repartition(col("doc_id"))
       .persist()
-    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
     val spark2 = grams.sparkSession
     import spark2.implicits._
@@ -176,59 +175,104 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
 
-    materializeAndRelease(verifyCandidates(candidates, grams, threshold), grams)
+    val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
+    materializeAndRelease(verifyCandidates(candidates, hashed, threshold), grams)
   }
 
-  /** Exact-Jaccard verification of candidate pairs through a shingle
-    * posting list — the shared second phase of every
-    * candidate-generation tier (MinHash bands, winnowing fingerprints).
-    * Joins on hashed grams (narrower shuffle, same counts). */
-  private def verifyCandidates(candidates: DataFrame, grams: DataFrame,
-      threshold: Double): DataFrame = {
-    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
-    val common = candidates
-      .join(hashed.select(col("doc_id").as("a_id"), col("gram_h")), Seq("a_id"))
-      .join(hashed.select(col("doc_id").as("b_id"), col("gram_h")), Seq("b_id", "gram_h"))
+  /** Exact-Jaccard verification of candidate pairs through a HASHED
+    * shingle posting list (doc_id, gram_h) — the shared second phase of
+    * every candidate-generation tier (df-capped n-grams, MinHash bands,
+    * winnowing fingerprints). Joining on the 60-bit hash instead of the
+    * gram string keeps the shuffle narrow with identical counts on both
+    * engines (the oracle hashes the same md5 prefix). */
+  private def verifyCandidates(candidates: DataFrame, hashed: DataFrame,
+      threshold: Double, includeCommon: Boolean = false): DataFrame = {
+    // The candidate pair set is small (pairs sharing a rare gram / band /
+    // fingerprint), so materialize it once — it feeds the id semi-join
+    // and both verification joins — and restrict the posting list to
+    // candidate docs BEFORE it shuffles: verification cost then scales
+    // with |candidate docs|, not |corpus|. The id set broadcasts (ids
+    // only); per-doc gram counts stay exact because the semi-join keeps
+    // every gram of a kept doc.
+    val cand = candidates.localCheckpoint(true)
+    val ids = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val h = hashed.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val counts = h.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val common = cand
+      .join(h.select(col("doc_id").as("a_id"), col("gram_h")), Seq("a_id"))
+      .join(h.select(col("doc_id").as("b_id"), col("gram_h")), Seq("b_id", "gram_h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
 
+    val outCols =
+      if (includeCommon) Seq(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+      else Seq(col("a_id"), col("b_id"), col("jaccard"))
     common
       .join(counts.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), Seq("a_id"))
       .join(counts.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
         col("n_common") / (col("a_n") + col("b_n") - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .select(outCols: _*)
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** D4b: SimHash-bucketed near-dup pairs — bucket on the signature's
-    * top 20 bits (documents within small hamming distance usually agree
-    * on a prefix band; multiple rotated bands raise recall at scale),
-    * then verify candidates with bit_count(xor) ≤ maxHamming. Fully
-    * SQL-expressible, so unlike the other candidate tiers this one is
-    * oracle-checked end to end. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    // persist: without materialization the interpreted simhash
-    // expression re-evaluates inside both join branches (measured 140 s
-    // vs ~2 s at sf0.1). Note this synthetic corpus's shared vocabulary
-    // clusters signatures, so the prefix bucket degrades toward
-    // all-pairs here; on a real heterogeneous corpus the 2^20 buckets
-    // partition the join. The hamming filter is cheap either way.
+  /** Near-dup radius for D4b — 3 differing signature bits, the
+    * published operating point for 64-bit SimHash dedup (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07). On this fixture the hamming histogram is bimodal: planted
+    * near-dups sit at ≤3 while the shared-vocab background starts near
+    * 6-8, so radius 3 separates them cleanly (measured: 20 pairs at ≤3
+    * vs 781 at ≤8 over 500 docs — the larger radius is mostly corpus
+    * background, not duplication). */
+  val SimHashMaxHamming = 3
+
+  /** D4b: SimHash near-dup pairs via multi-band hamming LSH.
+    *
+    * The signature's 60 bits split into maxHamming+1 disjoint bands
+    * (radius 3 → 4 bands of 15 bits). A pair within the radius differs
+    * in at most maxHamming bands, so it agrees EXACTLY on at least one
+    * band (pigeonhole) — full recall by construction, not probabilistic.
+    * Candidates = union of per-band exact bucket matches, verified with
+    * bit_count(xor) ≤ radius and deduped across bands.
+    *
+    * Round 2 bucketed on the top 20 bits only: pairs whose differing
+    * bits straddled the prefix were lost (measured 3% recall on the
+    * fixture — 26 of 781 radius-8 pairs) AND the single wide bucket
+    * collapsed on clustered signatures (55 s at sf0.1, the worst query
+    * in the suite). 15-bit bands stay selective even on a shared-vocab
+    * corpus — 276k candidates over 5000 docs, measured — and at 100 TB
+    * the per-band join keys are uniform enough for AQE to split any
+    * residual hot bucket. The oracle is the INDEPENDENT brute-force
+    * all-pairs formulation, so the driver gate proves the banding loses
+    * nothing rather than mirroring it. */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = SimHashMaxHamming): DataFrame = {
+    val bands = maxHamming + 1
+    val width = SimHashBits / bands
+    val mask = (1L << width) - 1
+    // persist: without materialization the simhash expression
+    // re-evaluates inside every band branch (measured 140 s vs ~2 s).
     val sigs = documents(spark, dir)
       .withColumn("simhash", simhash(col("text")))
-      .select(col("doc_id"), col("simhash"),
-        shiftright(col("simhash"), SimHashBits - 20).as("bucket"))
+      .select(col("doc_id"), col("simhash"))
       .repartition(col("doc_id"))
       .persist()
-    val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"), col("bucket"))
-    val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"), col("bucket"))
-    val result = a.join(b, Seq("bucket"))
+    val bucketCols = (0 until bands).map(i =>
+      shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
+      col("band"), col("bucket"))
+    val result = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct() // a pair can match in several bands
       .orderBy(col("a_id"), col("b_id"))
     materializeAndRelease(result, sigs)
   }
@@ -261,16 +305,31 @@ object Dedup {
     val fps = raw.join(broadcast(hot), Seq("fp"), "left_anti")
     val a = fps.select(col("doc_id").as("a_id"), col("fp"))
     val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+    // Materialize the (small) candidate set eagerly: it feeds both the
+    // id-set semi-join and the verification join, and re-deriving it
+    // would re-run the posting-list self-join twice.
     val candidates = a.join(b, Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
     // fingerprint matches are candidates; exact Jaccard confirms (same
-    // two-phase shape as the MinHash tier)
+    // two-phase shape as the MinHash tier). Verify ONLY the candidate
+    // docs: semi-join `documents` to the candidate id set BEFORE the
+    // shingle explode, so the verification posting list is proportional
+    // to |candidate docs|, not |corpus| — re-exploding every document's
+    // shingles here would rebuild exactly the structure winnowing exists
+    // to avoid (round-2 finding: the full rebuild cost as much as the
+    // plain n-gram tier).
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id")))
+      .distinct()
     val grams = documents(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
       .repartition(col("doc_id"))
       .persist() // feeds counts + both verification join sides
     materializeAndRelease(verifyCandidates(candidates, grams, threshold), raw, grams)

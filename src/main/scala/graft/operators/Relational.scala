@@ -224,6 +224,35 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** J9b: TRUE self-join hierarchy — ONE relation joined to itself on a
+    * self-referencing parent key, the committees→parent shape
+    * (models.py:126-131; parent navigation metrics.py:553-556) that the
+    * two-table nation⋈region proxy above never exercises (self-join
+    * alias resolution, same scan on both sides). The hierarchy is
+    * derived in-plan over `part`: every p_partkey divisible by 10 is a
+    * root (parent NULL, like top-level committees); others point at
+    * their decade root. Output is the per-parent child rollup, i.e. the
+    * reference's subcommittee count per committee.
+    *
+    * Scale: a self equi-join on the parent key — both sides partition on
+    * the same key, and Spark reuses the one scan (ReusedExchange) for
+    * the two branches. */
+  def selfHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    val h = part(spark, dir).select(
+      col("p_partkey").as("id"),
+      when(col("p_partkey") % 10 === 0, lit(null).cast("bigint"))
+        .otherwise(col("p_partkey") - (col("p_partkey") % 10)).as("parent_id"),
+      col("p_name").as("name"))
+    val c = h.as("c")
+    val p = h.as("p")
+    c.join(p, col("c.parent_id") === col("p.id"))
+      .groupBy(col("p.id"), col("p.name"))
+      .agg(count(lit(1)).as("n_children"), min(col("c.id")).as("first_child"))
+      .select(col("id").as("parent_id"), col("name").as("parent_name"),
+        col("n_children"), col("first_child"))
+      .orderBy(col("parent_id"))
+  }
+
   /** P7: multi-term case-insensitive keyword LIKE filter
     * (app_old.py:130-155). */
   def keywordLike(spark: SparkSession, dir: String): DataFrame = {
@@ -387,12 +416,16 @@ object Relational {
   def keepLastDedup(spark: SparkSession, dir: String): DataFrame = {
     // (l_orderkey, l_linenumber) is not unique in the fixtures — the full
     // tie-break chain makes the kept row deterministic on both engines.
-    val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(desc("l_linenumber"), desc("l_partkey"), desc("l_suppkey"))
+    // max(struct(...)) picks the lexicographic-max row in one aggregate
+    // with map-side partial combine: only one surviving row per key
+    // crosses the exchange. (A struct buffer plans as SortAggregate, not
+    // HashAggregate — but the sort is per map task, pre-shuffle; the
+    // row_number() window formulation shuffles EVERY row and then sorts,
+    // which is the part that doesn't survive a 100× scale-up.)
     lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))).as("last"))
+      .select(col("l_orderkey"), col("last.l_linenumber"), col("last.l_partkey"))
       .orderBy(col("l_orderkey"))
   }
 

@@ -24,8 +24,13 @@ object Similarity {
     * ANN variant is measured against. Similarity is rounded to 6 dp for
     * cross-engine hash stability; ordering uses the full-precision value.
     */
-  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val e = embeddings(spark, dir)
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
+    cosineTopKOf(embeddings(spark, dir), queryId, k)
+
+  /** Frame-based form of [[cosineTopK]] — same plan over any
+    * (vec_id, label, embedding) frame; the spec suite runs it at the
+    * reference's 1536-dim width. */
+  private[graft] def cosineTopKOf(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     e.filter(col("vec_id") =!= queryId)
@@ -94,8 +99,10 @@ object Similarity {
     * corpus touched per query, the inverted-file trade. Fully
     * oracle-checkable since assignment is plain argmax.
     */
-  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val e = embeddings(spark, dir)
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
+    ivfTopKOf(embeddings(spark, dir), queryId, k)
+
+  private[graft] def ivfTopKOf(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val assigned = e
@@ -140,10 +147,11 @@ object Similarity {
     * recall vs the brute-force baseline is asserted in the test suite.
     * At scale the bucket id becomes the shuffle/partition key, so each
     * query touches 1/2^planes of the corpus. */
-  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val dim = 64
-    val e = embeddings(spark, dir)
-      .withColumn("bucket", lshBucket(col("embedding"), dim))
+  def lshTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
+    lshTopKOf(embeddings(spark, dir), dim = 64, queryId, k)
+
+  private[graft] def lshTopKOf(e0: DataFrame, dim: Int, queryId: Long, k: Int): DataFrame = {
+    val e = e0.withColumn("bucket", lshBucket(col("embedding"), dim))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"), col("bucket"))
     e.filter(col("vec_id") =!= queryId)

@@ -53,9 +53,46 @@ object ReferenceSources {
         col("donor_uid"),
         col("NAME").as("name"),
         try_to_date(col("TRANSACTION_DT"), "MMddyyyy").as("date"),
-        col("TRANSACTION_AMT").cast("decimal(12,2)").as("amount"),
+        // try_cast, not cast: ANSI mode (Spark 4 default) would throw on
+        // unparseable amounts, where the reference coerces them to null
+        // (pandas to_numeric errors='coerce') and drops them below
+        expr("try_cast(TRANSACTION_AMT AS decimal(12,2))").as("amount"),
         col("SUB_ID").as("fec_filing_id"))
       .na.drop(Seq("donor_uid", "date", "amount"))
+  }
+
+  /** §3.4 as a DRIVER-GATED query: the composed donation lineage
+    * (filter amended → semi-join tracked committees → donor uid →
+    * project/rename → coerce date+amount → drop nulls) run end-to-end
+    * through `donationPipeline` itself, over FEC-shaped rows synthesized
+    * deterministically from the `orders` fixture (the driver's oracle
+    * only sees the fixture parquet tables, so the synthesis is mirrored
+    * in SQL). Bad dates (every 13th key) and unparseable amounts (every
+    * 11th) are planted so the permissive-coercion path is actually
+    * exercised, not just the happy path. Output is the per-committee
+    * rollup — stable, small, hash-comparable. */
+  def donationPipelineOverOrders(spark: SparkSession, dir: String): DataFrame = {
+    val contribs = graft.Tables.orders(spark, dir).select(
+      concat(lit("C"), (col("o_custkey") % 50).cast("string")).as("CMTE_ID"),
+      when(col("o_orderkey") % 7 === 0, lit("A")).otherwise(lit("N")).as("AMNDT_IND"),
+      concat(lit("DONOR, "), col("o_custkey").cast("string")).as("NAME"),
+      lpad((col("o_custkey") % 1000).cast("string"), 5, "0").as("ZIP_CODE"),
+      col("o_orderpriority").as("EMPLOYER"),
+      when(col("o_orderkey") % 13 === 0, lit("99999999"))
+        .otherwise(date_format(col("o_orderdate"), "MMddyyyy")).as("TRANSACTION_DT"),
+      when(col("o_orderkey") % 11 === 0, lit("n/a"))
+        .otherwise(col("o_totalprice").cast("decimal(12,2)").cast("string")).as("TRANSACTION_AMT"),
+      col("o_orderkey").cast("string").as("SUB_ID"))
+    val targets = graft.Tables.nation(spark, dir)
+      .select(concat(lit("C"), col("n_nationkey").cast("string")).as("CMTE_ID"))
+    donationPipeline(contribs, targets)
+      .groupBy(col("committee_id"))
+      .agg(
+        count(lit(1)).as("n_donations"),
+        countDistinct(col("donor_uid")).as("n_donors"),
+        sum(col("amount")).cast("double").as("total_amount"),
+        min(date_format(col("date"), "yyyy-MM-dd")).as("first_date"))
+      .orderBy(col("committee_id"))
   }
 
   /** A4/S4: recursive vote-file scan — data.json per roll call with a

@@ -43,6 +43,41 @@ class DedupSpec extends SparkSpec {
       s"simhash not discriminating: dup avg $avgDup vs random avg $avgRand")
   }
 
+  test("multi-band simhash pairs equal brute-force all-pairs (full recall)") {
+    val banded = Dedup.simhashPairs(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhashSignatures(spark, sfDir)
+    val brute = sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+      .crossJoin(sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sig")))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= Dedup.SimHashMaxHamming)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain pairs within the hamming radius")
+    // pigeonhole guarantee: radius r, r+1 disjoint bands → no pair lost
+    assert(banded === brute,
+      s"missed: ${brute.diff(banded)}, spurious: ${banded.diff(brute)}")
+  }
+
+  test("df-capped jaccard candidates lose no >=0.8 pair (vs uncapped join)") {
+    // uncapped single-phase reference, built inline over the same fixtures
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram"))
+    val counts = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val uncapped = docs.select(col("doc_id").as("a_id"), col("gram"))
+      .join(docs.select(col("doc_id").as("b_id"), col("gram")), Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .filter(col("n_common") / (col("a_n") + col("b_n") - col("n_common")) >= 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty, "fixture should contain planted near-dups")
+    assert(capped === uncapped,
+      s"missed: ${uncapped.diff(capped)}, spurious: ${capped.diff(uncapped)}")
+  }
+
   test("exact dedup histogram accounts for every document") {
     val hist = Dedup.exactDedup(spark, sfDir).collect()
     val totalDocs = hist.map(r => r.getLong(0) * r.getLong(1)).sum

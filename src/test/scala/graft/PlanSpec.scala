@@ -35,6 +35,13 @@ class PlanSpec extends SparkSpec {
       s"lineitem scan not pruned to 2 columns:\n$p")
   }
 
+  test("keep-last dedup aggregates with partial combine, no window") {
+    val p = plan(Relational.keepLastDedup(spark, sfDir))
+    assert(!p.contains("Window"), s"row_number window survived the max(struct) rewrite:\n$p")
+    // partial_max before the exchange = one row per key shuffles
+    assert(p.contains("partial_max"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("scope semi-join broadcasts the scope side") {
     val p = plan(Relational.scopeSemiJoin(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

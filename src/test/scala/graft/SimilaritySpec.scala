@@ -88,6 +88,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN tiers agree at the reference's 1536-dim embedding width") {
+    // The fixtures carry 64-dim vectors; the reference embeds at 1536
+    // (hydrate_vectors.py:98-106). Codegen/boxing issues only visible at
+    // real width are exercised by running all three tiers over a
+    // 1536-dim corpus embedded from `documents`.
+    import graft.functions.StubEmbed
+    val dim = 1536
+    val sf01 = "/root/testdata/sf0.01"
+    // query a doc with a PLANTED near-dup (first exact-jaccard pair):
+    // its dup has cosine ≈ 1 at any width, so every tier must retrieve
+    // it — at 1536-dim unrelated vectors are near-orthogonal and a
+    // random query's top-10 scatters across LSH buckets by design.
+    val pair = operators.Dedup.ngramJaccardPairs(spark, sf01)
+      .select("a_id", "b_id").head()
+    val (qid, dupId) = (pair.getLong(0), pair.getLong(1))
+    val e = Tables.documents(spark, sf01)
+      .select(col("doc_id").as("vec_id"), col("lang").as("label"),
+        StubEmbed(col("text"), dim).as("embedding"))
+      .persist()
+    try {
+      val brute = Similarity.cosineTopKOf(e, qid, 10).collect()
+      assert(brute.length === 10)
+      val sims = brute.map(r => r.getDouble(r.fieldIndex("sim_r")))
+      assert(sims.toSeq === sims.sorted.reverse.toSeq)
+      val bruteMap = brute.map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("sim_r"))).toMap
+      assert(bruteMap.contains(dupId) && bruteMap(dupId) > 0.9,
+        s"planted near-dup $dupId not a strong brute-force hit: $bruteMap")
+      val lsh = Similarity.lshTopKOf(e, dim, qid, 10).collect()
+        .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("sim_r"))).toMap
+      val ivf = Similarity.ivfTopKOf(e, qid, 10).collect()
+        .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("sim_r"))).toMap
+      for ((m, nm) <- Seq((lsh, "lsh"), (ivf, "ivf"))) {
+        assert(m.contains(dupId), s"$nm@10 missed the near-dup at dim=$dim: $m")
+        // any id a tier shares with brute force must carry the identical
+        // exact similarity — the approximate part is WHICH ids, never
+        // the scores
+        m.keySet.intersect(bruteMap.keySet).foreach { id =>
+          assert(m(id) === bruteMap(id), s"$nm sim mismatch for $id at dim=$dim")
+        }
+      }
+    } finally e.unpersist()
+  }
+
   test("near-dup top pairs are within-label, deduped, sorted desc") {
     val rows = Similarity.nearDupTopPairs(spark, sfDir, k = 20).collect()
     assert(rows.length === 20)

@@ -100,4 +100,32 @@ class SourcesSpec extends SparkSpec {
     assert(byId("HSAG01").getAs[String]("parent_committee_id") === "HSAG")
     assert(byId("HSAG01").getAs[String]("chamber") === "house")
   }
+
+  test("S6/J9: committee→parent SELF-join resolves over one relation") {
+    // the committees table is self-referencing (models.py:126-131);
+    // navigate child → parent and count subcommittees per parent
+    // (metrics.py:553-556) via a true same-relation alias self-join
+    val line1 =
+      """{"thomas_id":"HSAG","name":"Agriculture","type":"house","chamber":"standing",
+        |"url":"http://x","subcommittees":[
+        |{"thomas_id":"01","name":"Livestock","url":"http://y"},
+        |{"thomas_id":"02","name":"Forestry","url":"http://z"}]}"""
+        .stripMargin.replace("\n", "")
+    val line2 =
+      """{"thomas_id":"SSFR","name":"Foreign Relations","type":"senate","chamber":"standing",
+        |"url":"http://w","subcommittees":[
+        |{"thomas_id":"09","name":"Africa","url":"http://v"}]}"""
+        .stripMargin.replace("\n", "")
+    val path = tmp("committees_tree.json", line1 + "\n" + line2)
+    val committees = ReferenceSources.readCommittees(spark, path)
+    val c = committees.as("c")
+    val p = committees.as("p")
+    val rolled = c.join(p, col("c.parent_committee_id") === col("p.committee_id"))
+      .groupBy(col("p.committee_id"), col("p.name"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_subcommittees"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rolled === Map("HSAG" -> 2L, "SSFR" -> 1L))
+  }
 }
