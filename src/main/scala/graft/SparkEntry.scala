@@ -398,10 +398,12 @@ object SparkEntry {
            FROM documents GROUP BY 1)
          SELECT n_copies, COUNT(*) AS n_groups FROM g
          GROUP BY n_copies ORDER BY n_copies""",
-    // d2 mirrors the engine's two-phase shape: candidates from the
-    // df-capped posting list (hot grams excluded), verified with the
-    // FULL list so n_common/jaccard are the true values. Hashing (md5
-    // 60-bit prefix) and the cap constant are shared with Dedup.
+    // d2 mirrors the engine's single-phase shape over the df-capped
+    // posting list: hot grams are removed from the similarity space
+    // (counts AND intersections), so jaccard is over the capped space —
+    // equal to plain jaccard whenever no gram exceeds the cap, as in
+    // the fixtures. Hashing (md5 60-bit prefix) and the cap constant
+    // are shared with Dedup.
     "d2_ngram_jaccard" ->
       s"""WITH t AS (
            SELECT doc_id, $toksSql AS w FROM documents),
@@ -413,20 +415,15 @@ object SparkEntry {
          g AS (
            SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
            FROM g0),
-         cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
          hot AS (
            SELECT gram_h FROM g GROUP BY gram_h
            HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
          rare AS (
            SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
          common AS (
-           SELECT c.a_id, c.b_id, COUNT(*) AS n_common
-           FROM cand c
-           JOIN g ga ON ga.doc_id = c.a_id
-           JOIN g gb ON gb.doc_id = c.b_id AND gb.gram_h = ga.gram_h
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT a_id, b_id, n_common,
            n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard

@@ -13,6 +13,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Preferred shuffle/spill scratch directory: tmpfs when available.
+    * Spark's local dirs belong on the fastest local storage (on real
+    * clusters, node-local SSDs); on this box the root virtio disk adds
+    * multi-second, high-variance stalls to shuffle-heavy queries
+    * (measured 0.8 s vs 11 s on the same query), while /dev/shm is RAM.
+    * The workloads here shuffle a few hundred MB at most. */
+  def scratchDir: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-scratch") else None
+  }
+
+  /** Apply the scratch-dir choice to a session builder. */
+  def withScratch(b: SparkSession.Builder): SparkSession.Builder =
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

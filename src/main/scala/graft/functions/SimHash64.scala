@@ -36,8 +36,12 @@ case class SimHash64(child: Expression, bits: Int)
     var n = 0
     for (tok <- toks if tok.nonEmpty) {
       n += 1
-      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      // first 15 hex nibbles of the digest == big-endian first 8 bytes
+      // >>> 4 — identical value to parsing the hex prefix, without the
+      // per-token hex formatting (String.format per byte dominated the
+      // signature computation and its garbage perturbed the whole JVM)
+      val d = md.digest(tok.getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d).getLong >>> 4
       var j = 0
       while (j < bits) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1

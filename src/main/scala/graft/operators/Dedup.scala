@@ -35,8 +35,24 @@ object Dedup {
     * ContextCleaner, so they free when the returned frame is GC'd. */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
-    cached.foreach(_.unpersist(false))
+    // blocking: async cleanup otherwise races the CALLER's next job and
+    // bills this query's cleanup to whatever runs next
+    cached.foreach(_.unpersist(true))
     out
+  }
+
+  /** Persist a shared frame and materialize it SYNCHRONOUSLY, before
+    * any dependent branch is built. When two consumer stages of one job
+    * race to fill the same un-materialized cache (e.g. both sides of a
+    * self-join), tasks convoy on the per-partition block locks — the
+    * same query measured 2.8 s or 16 s per JVM depending on which
+    * stage-submission order the scheduler picked. One up-front pass
+    * makes the cache warm and the plan deterministic; callers release
+    * through materializeAndRelease as before. */
+  private def shared(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
   }
 
   /** Distinct word 3-gram shingles per document (single Catalyst
@@ -63,39 +79,65 @@ object Dedup {
     * keep pairs ≥ 0.8. Jaccard divides two ints derived identically on
     * both engines → bit-identical doubles.
     *
-    * Scale: the candidate join is bounded by shingle doc-frequency, so
-    * hot shingles (boilerplate, shared vocabulary) are dropped from
-    * CANDIDATE GENERATION by a doc-frequency cap — the quadratic fanout
-    * guard the winnowing tier already had. Candidates are then verified
-    * with the FULL posting list, so reported n_common/jaccard are the
-    * true values: the cap only loses a pair if ALL of its shared grams
-    * are corpus-hot, which a >=0.8-jaccard near-dup pair never is (its
-    * long pair-specific substrings produce rare grams). At 100 TB the
+    * Scale: the join fanout is bounded by shingle doc-frequency, so
+    * corpus-hot shingles (boilerplate, shared vocabulary) are removed
+    * from the similarity space by a doc-frequency cap BEFORE the
+    * self-join — the quadratic-fanout guard the winnowing tier already
+    * had. Jaccard is computed over the capped gram space (counts and
+    * intersections both) — standard boilerplate removal, identical on
+    * both engines; whenever no gram exceeds the cap (true of the
+    * fixtures at every SF) the result equals plain jaccard, asserted
+    * against an uncapped reference join in DedupSpec. At 100 TB the
     * constant cap becomes a fraction of |docs| (estimated from a sample
-    * or a sketch), but the plan shape is the same.
+    * or a sketch), but the plan shape is unchanged.
+    *
+    * Deliberately SINGLE-phase (join → groupBy n_common → broadcast
+    * count join → jaccard filter), unlike the banded tiers: at a 0.8
+    * threshold nearly every pair sharing one gram is a "candidate"
+    * (measured 1.1M candidates → ~500 survivors at sf0.1), so a
+    * generate-then-verify split re-explodes millions of pairs against
+    * the posting list and costs ~3× the direct aggregation.
     */
   val NgramDfCap = 50
 
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // Join on a 60-bit gram hash, not the gram string: same candidate
-    // pairs and counts (collision odds ~n²/2⁶¹), half the shuffle bytes.
-    // The posting list feeds four plan branches (df counts, doc counts,
-    // both join sides) — persist it so shingling runs once, not 4×.
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-      .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
+    // Join on a 60-bit gram hash, not the gram string: same pairs and
+    // counts (collision odds ~n²/2⁶¹), half the shuffle bytes. The
+    // capped posting list feeds three plan branches (doc counts + both
+    // join sides) — persist both layers so shingling and the df cap run
+    // once; an UNPERSISTED frame under a self-join re-executes its
+    // whole subtree per branch (measured 21 s vs 1 s on the minhash
+    // bucket join).
+    // repartition BEFORE shingling: the fixture parquet is one split,
+    // so without the early exchange the whole shingle+hash computation
+    // runs on a single task (measured 4 s single-task vs <1 s spread).
+    // Shuffling the raw docs first is cheap (5k rows of text).
+    val docs = shared(documents(spark, dir)
       .repartition(col("doc_id"))
-      .persist()
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("gram_h")))
     val hot = docs.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > NgramDfCap).select(col("gram_h"))
-    val rare = docs.join(broadcast(hot), Seq("gram_h"), "left_anti")
-    val candidates = rare.select(col("doc_id").as("a_id"), col("gram_h"))
+    val rare = shared(docs.join(broadcast(hot), Seq("gram_h"), "left_anti"))
+    val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+
+    val common = rare.select(col("doc_id").as("a_id"), col("gram_h"))
       .join(rare.select(col("doc_id").as("b_id"), col("gram_h")), Seq("gram_h"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    materializeAndRelease(
-      verifyCandidates(candidates, docs, threshold, includeCommon = true), docs)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+
+    // no broadcast hint on counts: it is |docs|-sized, small here but
+    // not at 100 TB — AQE broadcasts it when it fits
+    val result = common
+      .join(counts.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("n_common") / (col("a_n") + col("b_n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(result, docs, rare)
   }
 
   val MinHashK = 16 // hash functions
@@ -144,10 +186,9 @@ object Dedup {
     // parquet is a single split, and without the explicit exchange the
     // whole K×|grams| hash computation runs on one task (measured 11 s
     // single-task vs 2 s spread across the cluster).
-    val grams = documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-      .repartition(col("doc_id"))
-      .persist()
+    val grams = shared(documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE shingling — see ngramJaccardPairs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram")))
 
     val spark2 = grams.sparkSession
     import spark2.implicits._
@@ -162,11 +203,15 @@ object Dedup {
       .groupBy(col("doc_id"), col("seed"), col("band"))
       .agg(min(col("h")).as("mh"))
 
-    val buckets = minhashes
+    // persist: a self-join over an UNPERSISTED aggregate re-executes the
+    // whole minhash subtree once per branch — and measurably worse than
+    // 2×: 21 s vs 1 s for this join at sf0.1. The bucket table is tiny
+    // (|docs| × bands rows), so the persist is cheap at any scale.
+    val buckets = shared(minhashes
       .groupBy(col("doc_id"), col("band"))
       .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("sm"))
       .select(col("doc_id"), col("band"),
-        md5(concat_ws(",", transform(col("sm"), s => s.getField("mh")))).as("bucket"))
+        md5(concat_ws(",", transform(col("sm"), s => s.getField("mh")))).as("bucket")))
 
     val candidates = buckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
       .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
@@ -176,7 +221,7 @@ object Dedup {
       .distinct()
 
     val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
-    materializeAndRelease(verifyCandidates(candidates, hashed, threshold), grams)
+    materializeAndRelease(verifyCandidates(candidates, hashed, threshold), grams, buckets)
   }
 
   /** Exact-Jaccard verification of candidate pairs through a HASHED
@@ -186,7 +231,7 @@ object Dedup {
     * gram string keeps the shuffle narrow with identical counts on both
     * engines (the oracle hashes the same md5 prefix). */
   private def verifyCandidates(candidates: DataFrame, hashed: DataFrame,
-      threshold: Double, includeCommon: Boolean = false): DataFrame = {
+      threshold: Double): DataFrame = {
     // The candidate pair set is small (pairs sharing a rare gram / band /
     // fingerprint), so materialize it once — it feeds the id semi-join
     // and both verification joins — and restrict the posting list to
@@ -205,16 +250,13 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
 
-    val outCols =
-      if (includeCommon) Seq(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
-      else Seq(col("a_id"), col("b_id"), col("jaccard"))
     common
       .join(counts.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), Seq("a_id"))
       .join(counts.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
         col("n_common") / (col("a_n") + col("b_n") - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select(outCols: _*)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -254,11 +296,10 @@ object Dedup {
     val mask = (1L << width) - 1
     // persist: without materialization the simhash expression
     // re-evaluates inside every band branch (measured 140 s vs ~2 s).
-    val sigs = documents(spark, dir)
+    val sigs = shared(documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
       .withColumn("simhash", simhash(col("text")))
-      .select(col("doc_id"), col("simhash"))
-      .repartition(col("doc_id"))
-      .persist()
+      .select(col("doc_id"), col("simhash")))
     val bucketCols = (0 until bands).map(i =>
       shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
     val banded = sigs.select(col("doc_id"), col("simhash"),
@@ -288,11 +329,10 @@ object Dedup {
 
   def rollingFingerprintPairs(spark: SparkSession, dir: String,
       minShared: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val raw = documents(spark, dir)
+    val raw = shared(documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE fingerprinting — see ngramJaccardPairs
       .select(col("doc_id"),
-        explode(graft.functions.RollingFingerprint(col("text"))).as("fp"))
-      .repartition(col("doc_id"))
-      .persist()
+        explode(graft.functions.RollingFingerprint(col("text"))).as("fp")))
     // doc-frequency cap: fingerprints shared corpus-wide (boilerplate /
     // common-vocab substrings) only fan out the candidate join without
     // identifying near-dup PAIRS; dropping them is standard winnowing
@@ -302,7 +342,11 @@ object Dedup {
     // pair-specific substrings).
     val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > FingerprintDfCap).select(col("fp"))
-    val fps = raw.join(broadcast(hot), Seq("fp"), "left_anti")
+    // persist: the capped posting list feeds both self-join branches,
+    // and an unpersisted frame re-executes the df-cap subtree (group,
+    // broadcast, anti-join) once per branch — same pathology measured
+    // on the minhash bucket join (21 s vs 1 s).
+    val fps = shared(raw.join(broadcast(hot), Seq("fp"), "left_anti"))
     val a = fps.select(col("doc_id").as("a_id"), col("fp"))
     val b = fps.select(col("doc_id").as("b_id"), col("fp"))
     // Materialize the (small) candidate set eagerly: it feeds both the
@@ -326,13 +370,12 @@ object Dedup {
     val candIds = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id")))
       .distinct()
-    val grams = documents(spark, dir)
+    val grams = shared(documents(spark, dir)
       .join(candIds, Seq("doc_id"), "left_semi")
+      .repartition(col("doc_id")) // BEFORE shingling — see ngramJaccardPairs
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-      .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
-      .repartition(col("doc_id"))
-      .persist() // feeds counts + both verification join sides
-    materializeAndRelease(verifyCandidates(candidates, grams, threshold), raw, grams)
+      .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))) // feeds counts + both verification join sides
+    materializeAndRelease(verifyCandidates(candidates, grams, threshold), raw, fps, grams)
   }
 
 
@@ -353,6 +396,7 @@ object Dedup {
     * operator coverage. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
       .withColumn("simhash", simhash(col("text")))
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))

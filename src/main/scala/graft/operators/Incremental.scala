@@ -27,6 +27,40 @@ object Incremental {
       .select(lit("events").as("table_name"), col("last_update"), col("records_updated"))
   }
 
+  /** I3: frontier probing loop — the reference discovers new roll-call /
+    * bill ids by probing sequentially past the stored frontier until K
+    * consecutive ids are absent (update_votes.py:59-92,
+    * update_bills.py:443-509). Engine-side analog: probe a BATCH of
+    * candidate keys per round with one range scan (not one driver
+    * round-trip per id — the N+1 anti-pattern), advance the frontier to
+    * the highest hit, and stop once `maxMisses` consecutive keys past
+    * the frontier came up empty. The per-round result is a 1-row scalar
+    * aggregate — the only driver-side value is the frontier itself,
+    * which is exactly the state the loop exists to maintain. `source`
+    * is the acquisition seam: production wraps the paginated REST
+    * probe; any keyed DataFrame works here.
+    *
+    * Returns the discovered frontier (highest existing key). Ids beyond
+    * a gap wider than `maxMisses` are not discovered — the reference
+    * makes the same trade to bound probing of a sparse id space. */
+  def probeFrontier(source: DataFrame, keyCol: String, startFrontier: Long,
+      batchSize: Int = 20, maxMisses: Int = 10): Long = {
+    var frontier = startFrontier
+    var misses = 0
+    while (misses < maxMisses) {
+      val lo = frontier + misses + 1
+      val hi = lo + batchSize - 1
+      val maxHit = source.filter(col(keyCol).between(lo, hi))
+        .agg(max(col(keyCol))).collect()(0)
+      if (maxHit.isNullAt(0)) misses += batchSize
+      else {
+        frontier = maxHit.getLong(0)
+        misses = (hi - frontier).toInt // trailing misses inside the batch
+      }
+    }
+    frontier
+  }
+
   /** I2: watermark filter — process only the trailing 7 days relative to
     * the frontier (reference default now-7d, update_donations.py:57-65).
     * The frontier is computed in-plan (scalar agg broadcast into the

@@ -8,6 +8,21 @@ import graft.streaming.EventsStream
   * aggregates, stateful streaming dedup. */
 class ScaleOpsSpec extends SparkSpec {
 
+  test("frontier probing advances over small gaps, stops at a wide one") {
+    import graft.operators.Incremental
+    val sess = spark
+    import sess.implicits._
+    // ids: dense 1..100, stragglers 103 and 107 (gaps < maxMisses),
+    // then 150 beyond a >maxMisses gap — like a sparse roll-call space
+    val ids = ((1L to 100L) ++ Seq(103L, 107L, 150L)).toDF("id")
+    val frontier = Incremental.probeFrontier(ids, "id",
+      startFrontier = 90L, batchSize = 20, maxMisses = 10)
+    assert(frontier === 107L,
+      "must discover stragglers past small gaps but stop at the wide gap")
+    // starting at the discovered frontier finds nothing new (idempotent)
+    assert(Incremental.probeFrontier(ids, "id", 107L, 20, 10) === 107L)
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sfDir).select(
