@@ -90,6 +90,7 @@ object SparkEntry {
     "st2_session_windows"     -> ((s, d) => graft.streaming.EventsStream.sessionWindows(s, d)),
     "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
     "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
+    "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -706,5 +707,14 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY day""",
+    // s16: the engine writes events time-partitioned and reads back the
+    // pruned incremental slice; the oracle computes the same rollup from
+    // the raw table — equality proves the partitioned round-trip + prune
+    // lose nothing.
+    "s16_partitioned_sink" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         GROUP BY 1, 2 ORDER BY day, event_type""",
   )
 }
