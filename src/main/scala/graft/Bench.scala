@@ -35,25 +35,41 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (seconds, error) — a failed query must surface in the
+    // output, not masquerade as the fastest query in the suite
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // per-query persisted frames must not skew later measurements
       spark.catalog.clearCache()
-      t
+      (t, err)
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = Vector.fill(math.max(1, reps))(timeOnce(fn))
-      (name, times.sorted.apply(times.size / 2), times.head)
+      val runs = Vector.fill(math.max(1, reps))(timeOnce(fn))
+      val times = runs.map(_._1)
+      // median over WARM runs only (cold first run reported separately);
+      // lower-middle for even counts. With reps=1 the single (cold) run
+      // is all there is.
+      val warm = if (times.size > 1) times.tail else times
+      val median = warm.sorted.apply((warm.size - 1) / 2)
+      val err = runs.flatMap(_._2).headOption
+      err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      (name, median, times.head, err)
     }
-    def json(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }
+    def jsonNum(f: ((String, Double, Double, Option[String])) => Double): String =
+      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val errJson = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${json(_._2)},"cold_total":$coldTotal,"cold":${json(_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":$coldTotal,"cold":${jsonNum(_._3)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

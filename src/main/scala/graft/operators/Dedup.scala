@@ -347,6 +347,10 @@ object Dedup {
     // broadcast, anti-join) once per branch — same pathology measured
     // on the minhash bucket join (21 s vs 1 s).
     val fps = shared(raw.join(broadcast(hot), Seq("fp"), "left_anti"))
+    // raw is dead once fps is materialized — release the largest cached
+    // frame before the self-join/verify phase rather than holding it
+    // through the whole function
+    raw.unpersist(true)
     val a = fps.select(col("doc_id").as("a_id"), col("fp"))
     val b = fps.select(col("doc_id").as("b_id"), col("fp"))
     // Materialize the (small) candidate set eagerly: it feeds both the
@@ -375,7 +379,7 @@ object Dedup {
       .repartition(col("doc_id")) // BEFORE shingling — see ngramJaccardPairs
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))) // feeds counts + both verification join sides
-    materializeAndRelease(verifyCandidates(candidates, grams, threshold), raw, fps, grams)
+    materializeAndRelease(verifyCandidates(candidates, grams, threshold), fps, grams)
   }
 
 

@@ -45,17 +45,23 @@ object Incremental {
     * makes the same trade to bound probing of a sparse id space. */
   def probeFrontier(source: DataFrame, keyCol: String, startFrontier: Long,
       batchSize: Int = 20, maxMisses: Int = 10): Long = {
+    require(batchSize > 0 && maxMisses > 0,
+      s"batchSize/maxMisses must be positive ($batchSize/$maxMisses)")
     var frontier = startFrontier
     var misses = 0
     while (misses < maxMisses) {
       val lo = frontier + misses + 1
       val hi = lo + batchSize - 1
-      val maxHit = source.filter(col(keyCol).between(lo, hi))
-        .agg(max(col(keyCol))).collect()(0)
-      if (maxHit.isNullAt(0)) misses += batchSize
-      else {
-        frontier = maxHit.getLong(0)
-        misses = (hi - frontier).toInt // trailing misses inside the batch
+      // fetch the batch's PRESENT keys (≤ batchSize ids — tiny), then
+      // replay them in sequential-probe order: a max()-only probe would
+      // accept a hit BEYOND an intra-batch gap wider than maxMisses,
+      // making the result depend on how batches happen to align.
+      val present = source.filter(col(keyCol).between(lo, hi))
+        .select(col(keyCol)).collect().map(_.getLong(0)).toSet
+      var id = lo
+      while (id <= hi && misses < maxMisses) {
+        if (present(id)) { frontier = id; misses = 0 } else misses += 1
+        id += 1
       }
     }
     frontier

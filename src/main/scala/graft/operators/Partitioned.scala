@@ -26,14 +26,23 @@ object Partitioned {
     * present in this batch — the idempotent incremental append
     * (re-running a day's load rewrites THAT day, not the table). */
   def writeEventsByDay(events: DataFrame, path: String): Unit = {
-    events.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    events
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("day")) // one output dir written by its own tasks, no tiny files
-      .write
-      .mode("overwrite")
-      .partitionBy("day")
-      .parquet(path)
+    // scope the dynamic-overwrite mode to THIS write: the conf is
+    // session-global, and leaving it flipped would silently change the
+    // semantics of every later overwrite-partitionBy write in the
+    // session (truncate-table → replace-matching-partitions)
+    val conf = events.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try {
+      events
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("day")) // one output dir written by its own tasks, no tiny files
+        .write
+        .mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    } finally prev.fold(conf.unset(key))(conf.set(key, _))
   }
 
   /** Incremental read: only partitions at/after `sinceDay` are listed.
@@ -67,8 +76,11 @@ object Partitioned {
     * in-range row. */
   def partitionedIncrementalCounts(spark: SparkSession, dir: String,
       sinceDay: String = "2024-01-15"): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_events_part")
-      .toString + "/events_by_day"
+    // FIXED scratch path per source dir, overwritten on every call:
+    // a fresh temp dir per call would leave a full copy of events
+    // behind each bench rep and grow without bound
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s16_$tag/events_by_day"
     writeEventsByDay(graft.Tables.events(spark, dir), path)
     incrementalDailyCounts(spark, path, sinceDay)
   }

@@ -21,6 +21,12 @@ class ScaleOpsSpec extends SparkSpec {
       "must discover stragglers past small gaps but stop at the wide gap")
     // starting at the discovered frontier finds nothing new (idempotent)
     assert(Incremental.probeFrontier(ids, "id", 107L, 20, 10) === 107L)
+    // batch alignment must not leak across a wide gap: 101..115 missing
+    // (15 > maxMisses) hides 116 even when one batch spans the gap
+    val gappy = (((1L to 100L) :+ 116L): Seq[Long]).toDF("id")
+    assert(Incremental.probeFrontier(gappy, "id", 99L, 20, 10) === 100L,
+      "sequential-probe semantics: a >maxMisses gap stops discovery " +
+        "regardless of batch alignment")
   }
 
   test("salted join returns exactly the rows of the plain join") {
