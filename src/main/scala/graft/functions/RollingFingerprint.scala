@@ -45,9 +45,12 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     f
   }
 
+  // compiled once: String.replaceAll would recompile the pattern per row
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.replaceAll("\\s+", " ").trim
+    val text = ws.matcher(input.asInstanceOf[UTF8String].toString.toLowerCase)
+      .replaceAll(" ").trim
     val n = text.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
 

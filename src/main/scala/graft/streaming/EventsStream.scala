@@ -113,6 +113,70 @@ object EventsStream {
     spark.table(queryName).orderBy(col("user_id"), col("event_type"), col("ts"))
   }
 
+  /** S10 in streaming form: continuous MERGE — every micro-batch
+    * upserts its per-key aggregate into a parquet state table through
+    * `foreachBatch`, the standard streaming-MERGE pattern (on
+    * Delta/Iceberg the body becomes a single transactional `MERGE INTO`
+    * — see ARCHITECTURE's table-format note). The merge itself is
+    * MergeOps' full-outer + coalesce shape, with additive combination
+    * (counts and decimal sums), so the final state equals the one-shot
+    * batch aggregate regardless of how the input was micro-batched
+    * (asserted in EventsStreamSpec).
+    *
+    * Exactly-once: foreachBatch is at-least-once — a failed batch can
+    * replay. A committed-batch marker makes the upsert idempotent (the
+    * local-FS stand-in for the batchId bookkeeping a transactional sink
+    * gets for free); replayed batch ids are skipped.
+    *
+    * Scale: state is one row per (user_id, event_type) key; each batch
+    * shuffles only its own delta plus a key-partitioned join against
+    * the state table. With a table format the rewrite is per-file, not
+    * per-table (ARCHITECTURE §MERGE). */
+  def streamingMergeUpsert(spark: SparkSession, srcDir: String, stateDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val statePath = s"$stateDir/agg_state"
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$stateDir/_committed_$batchId")
+        if (!marker.exists()) {
+          val delta = batch.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          val hasState = new java.io.File(statePath).exists()
+          val merged = if (!hasState) delta else {
+            val cur = spark.read.parquet(statePath)
+              .select(col("user_id"), col("event_type"),
+                col("n_events").as("cur_n"), col("total_value").as("cur_t"))
+            cur.join(delta
+                .select(col("user_id"), col("event_type"),
+                  col("n_events").as("new_n"), col("total_value").as("new_t")),
+                Seq("user_id", "event_type"), "full_outer")
+              .select(col("user_id"), col("event_type"),
+                (coalesce(col("cur_n"), lit(0L)) + coalesce(col("new_n"), lit(0L))).as("n_events"),
+                (coalesce(col("cur_t"), lit(0).cast("decimal(18,2)"))
+                  + coalesce(col("new_t"), lit(0).cast("decimal(18,2)"))).as("total_value"))
+          }
+          // materialize before overwrite: the merge reads the same path
+          // it is about to replace
+          merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+          marker.createNewFile()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(statePath)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** S11 in streaming form: stateful first-WRITER-wins dedup — each
     * (user_id, event_type) key is emitted exactly once, on the first
     * micro-batch it appears in, with that batch's min event time. This

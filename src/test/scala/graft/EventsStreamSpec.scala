@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.streaming.EventsStream
 
 class EventsStreamSpec extends SparkSpec {
@@ -10,5 +11,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.count() > 0)
     assert(stream.exceptAll(batch).count() === 0, "streaming rows not in batch")
     assert(batch.exceptAll(stream).count() === 0, "batch rows not in streaming")
+  }
+
+  test("streaming MERGE upsert converges to the batch aggregate across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_merge").toString
+    // split the events into 3 source files so maxFilesPerTrigger=1
+    // yields 3 genuine micro-batches, each merged into the state table
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    ev.repartition(3).write.parquet(s"$tmp/src")
+    assert(spark.read.parquet(s"$tmp/src").inputFiles.length >= 3)
+
+    val state = EventsStream.streamingMergeUpsert(spark, s"$tmp/src", s"$tmp/state")
+    val expected = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+    assert(state.count() === expected.count())
+    assert(state.exceptAll(expected).count() === 0, "state rows not in batch aggregate")
+    assert(expected.exceptAll(state).count() === 0, "batch rows missing from state")
+
+    // committed-batch markers exist, and a later identical batch replay
+    // is skipped: merging the whole source again under an already-seen
+    // batch id must leave the state unchanged
+    val markers = new java.io.File(s"$tmp/state").listFiles()
+      .count(_.getName.startsWith("_committed_"))
+    assert(markers >= 3, s"expected >=3 committed-batch markers, got $markers")
+    val replayed = EventsStream.streamingMergeUpsert(spark, s"$tmp/src", s"$tmp/state")
+    assert(replayed.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(replayed).count() === 0,
+      "replaying committed batches must not change the state")
   }
 }
