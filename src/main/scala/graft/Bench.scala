@@ -63,10 +63,9 @@ object Bench {
     def jsonNum(f: ((String, Double, Double, Option[String])) => Double): String =
       results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val errJson = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
+    val errJson = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + k + "\":" + Verify.jsonString(e)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":$coldTotal,"cold":${jsonNum(_._3)},"errors":$errJson,"sf":"$sfDir"}""")

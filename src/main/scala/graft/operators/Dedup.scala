@@ -26,34 +26,7 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
-  /** Materialize the (small) pair result eagerly, then release the
-    * persisted posting-list inputs. The pair operators persist their
-    * posting lists because three plan branches share them; without this
-    * the cached frames outlive the call and a long-lived session (REPL,
-    * repeated pipeline runs) accumulates cache until memory pressure.
-    * localCheckpoint keeps the materialized blocks owned by the
-    * ContextCleaner, so they free when the returned frame is GC'd. */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    // blocking: async cleanup otherwise races the CALLER's next job and
-    // bills this query's cleanup to whatever runs next
-    cached.foreach(_.unpersist(true))
-    out
-  }
-
-  /** Persist a shared frame and materialize it SYNCHRONOUSLY, before
-    * any dependent branch is built. When two consumer stages of one job
-    * race to fill the same un-materialized cache (e.g. both sides of a
-    * self-join), tasks convoy on the per-partition block locks — the
-    * same query measured 2.8 s or 16 s per JVM depending on which
-    * stage-submission order the scheduler picked. One up-front pass
-    * makes the cache warm and the plan deterministic; callers release
-    * through materializeAndRelease as before. */
-  private def shared(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    p.count()
-    p
-  }
+  import CacheOps.{materializeAndRelease, shared}
 
   /** Distinct word 3-gram shingles per document (single Catalyst
     * expression — see TextShingles for why not higher-order functions). */
@@ -181,11 +154,8 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val rows = MinHashK / LshBands
-    // persist: the posting list feeds the seed cross-join, the counts,
-    // and both verification join sides. Repartition first — the source
-    // parquet is a single split, and without the explicit exchange the
-    // whole K×|grams| hash computation runs on one task (measured 11 s
-    // single-task vs 2 s spread across the cluster).
+    // shared: the posting list feeds the seed cross-join, the counts,
+    // and both verification join sides
     val grams = shared(documents(spark, dir)
       .repartition(col("doc_id")) // BEFORE shingling — see ngramJaccardPairs
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram")))
