@@ -6,9 +6,15 @@ import org.apache.spark.sql.SparkSession
   * Measurement protocol (round 3, after round 2's harness was shown to
   * attribute multi-second GC/scheduler noise to innocent queries):
   *  - every query runs REPS times (default 3); the reported per-query
-  *    number and the total are MEDIANS, not single shots;
-  *  - the first (cold) run of each query is reported separately under
-  *    "cold" so JIT/cache warm-up is visible instead of folded in;
+  *    number and the total are MEDIANS over the warm runs;
+  *  - reps are INTERLEAVED (pass 1 over every query, then pass 2, ...):
+  *    the host VM shows multi-minute noisy-neighbor bursts (measured
+  *    2.5× single-core slowdown with matching /proc/stat steal), and
+  *    interleaving means a burst poisons at most one rep of each query
+  *    instead of every rep of whichever queries it overlapped — the
+  *    median survives;
+  *  - the first (cold) pass is reported separately under "cold" so
+  *    JIT/cache warm-up is visible instead of folded in;
   *  - queries run in sorted-name order (deterministic, not Map order);
   *  - the cache is cleared between runs so persisted posting lists from
   *    one query never skew the next.
@@ -48,15 +54,18 @@ object Bench {
       (t, err)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = Vector.fill(math.max(1, reps))(timeOnce(fn))
-      val times = runs.map(_._1)
-      // median over WARM runs only (cold first run reported separately);
-      // lower-middle for even counts. With reps=1 the single (cold) run
-      // is all there is.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes: Vector[Map[String, (Double, Option[String])]] =
+      Vector.fill(math.max(1, reps))(
+        named.map { case (name, fn) => name -> timeOnce(fn) }.toMap)
+    val results = named.map { case (name, _) =>
+      val times = passes.map(_(name)._1)
+      // median over WARM passes only (cold first pass reported
+      // separately); lower-middle for even counts. With reps=1 the
+      // single (cold) pass is all there is.
       val warm = if (times.size > 1) times.tail else times
       val median = warm.sorted.apply((warm.size - 1) / 2)
-      val err = runs.flatMap(_._2).headOption
+      val err = passes.flatMap(_(name)._2).headOption
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       (name, median, times.head, err)
     }

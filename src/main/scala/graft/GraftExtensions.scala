@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{StubEmbed, TextShingles, VecDot}
+import graft.functions.{RollingFingerprint, SimHash64, StubEmbed, TextShingles, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so a SQL-first user can call
@@ -70,6 +70,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("stub_embed", 2)(args)
         StubEmbed(args(0), intLiteral("stub_embed", args(1)))
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("sim_hash"),
+      info("sim_hash", "sim_hash(text, bits) - SimHash signature of whitespace tokens as a bigint"),
+      (args: Seq[Expression]) => {
+        arity("sim_hash", 2)(args)
+        val bits = intLiteral("sim_hash", args(1))
+        require(bits <= 60, s"sim_hash: bits must be <= 60 (unsigned-range bigint), got $bits")
+        SimHash64(args(0), bits)
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "rolling_fingerprint(text, k, w) - winnowing fingerprint set (k-char windows, w-window minima)"),
+      (args: Seq[Expression]) => {
+        arity("rolling_fingerprint", 3)(args)
+        RollingFingerprint(args(0),
+          intLiteral("rolling_fingerprint", args(1)),
+          intLiteral("rolling_fingerprint", args(2)))
       }))
   }
 }

@@ -44,6 +44,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("sim_hash callable from SQL, matches the Scala expression") {
+    val Array(sqlSig, apiSig) = spark.sql(
+      "SELECT sim_hash('the quick brown fox', 60) AS s")
+      .withColumn("a", graft.operators.Dedup.simhash(
+        org.apache.spark.sql.functions.lit("the quick brown fox")))
+      .collect()(0).toSeq.toArray.map(_.asInstanceOf[Long])
+    assert(sqlSig === apiSig)
+    intercept[Exception] { spark.sql("SELECT sim_hash('x', 64)").collect() }
+  }
+
+  test("rolling_fingerprint callable from SQL, deterministic and non-empty") {
+    val text = "some reasonably long text that exceeds the fingerprint window size"
+    val a = spark.sql(s"SELECT rolling_fingerprint('$text', 12, 8) AS f")
+      .collect()(0).getSeq[Long](0)
+    val b = spark.sql(s"SELECT rolling_fingerprint('$text', 12, 8) AS f")
+      .collect()(0).getSeq[Long](0)
+    assert(a.nonEmpty && a === b)
+    assert(a === a.sorted, "fingerprint set is emitted sorted")
+  }
+
   test("end-to-end SQL retrieval over a registered view") {
     Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs")
     val top = spark.sql(
