@@ -91,6 +91,8 @@ object SparkEntry {
     "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
     "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
+    "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
+    "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -707,6 +709,22 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY day""",
+    // j6b: the engine runs the rollup through the salted scatter/
+    // replicate join; the oracle is the PLAIN join — a hash match
+    // proves salting is semantics-preserving.
+    "j6b_salted_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    // j2b: the engine writes both fact tables bucketed on the join key
+    // and joins bucket-to-bucket (exchange-free, plan asserted in
+    // BucketingSpec); the oracle rolls up from the raw tables.
+    "j2b_bucketed_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
     // s16: the engine writes events time-partitioned and reads back the
     // pruned incremental slice; the oracle computes the same rollup from
     // the raw table — equality proves the partitioned round-trip + prune

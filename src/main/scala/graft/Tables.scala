@@ -24,9 +24,15 @@ object Tables {
     if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-scratch") else None
   }
 
-  /** Apply the scratch-dir choice to a session builder. */
-  def withScratch(b: SparkSession.Builder): SparkSession.Builder =
+  /** Apply the scratch-dir choice to a session builder, and point the
+    * SQL warehouse at a scratch location too — the bucketed-table
+    * operators save managed tables, which must never land in the
+    * default ./spark-warehouse under the repo. */
+  def withScratch(b: SparkSession.Builder): SparkSession.Builder = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+      .config("spark.sql.warehouse.dir", wh)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -32,4 +32,29 @@ object Bucketing {
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Driver-gated form (j2b): lineitem⋈orders revenue per priority run
+    * over BUCKETED tables — both fact sides written bucketed on the
+    * join key (the once-at-ingestion layout decision), then joined
+    * bucket-to-bucket with no Exchange on either side (plan asserted in
+    * BucketingSpec). The oracle computes the same rollup from the raw
+    * tables, so a hash match proves the bucketed round-trip is
+    * lossless. Table names are fixed and mode is overwrite — repeated
+    * runs replace, not accumulate. */
+  def bucketedPriorityRevenue(spark: SparkSession, dir: String,
+      buckets: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    writeBucketed(graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_orders_bucketed", "o_orderkey", buckets)
+    writeBucketed(graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_lineitem_bucketed", "l_orderkey", buckets)
+    colocatedJoin(spark, "graft_lineitem_bucketed", "graft_orders_bucketed",
+      "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -31,6 +31,25 @@ object SkewJoin {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Driver-gated form (j6b): the orders⋈customer revenue rollup run
+    * THROUGH the salted join. Salting is semantics-preserving, so the
+    * oracle is the plain SQL join — a hash match proves the scatter/
+    * replicate transform loses and duplicates nothing, which is exactly
+    * the property that matters before pointing it at a skewed 100 TB
+    * key distribution. */
+  def saltedSegmentRevenue(spark: org.apache.spark.sql.SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    val facts = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoin(facts, dim, "custkey", salts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_amount"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Salted aggregation: two-phase groupBy where phase 1 aggregates
     * (key, salt) partials and phase 2 combines per key — the manual
     * form of partial aggregation for aggregates Spark cannot partially

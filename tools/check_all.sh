@@ -24,5 +24,8 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '\{"metric".*\}$' | python3 -c "
 import sys, json
 d = json.loads(sys.stdin.read())
+errs = d.get('errors') or {}
+if errs:
+    print('BENCH FAILURES:', json.dumps(errs)); sys.exit(1)
 print('total %.1fs over %d queries' % (d['value'], len(d['queries'])))"
 echo "ALL GREEN"
