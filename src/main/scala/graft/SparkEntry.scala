@@ -93,6 +93,7 @@ object SparkEntry {
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
+    "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -529,6 +530,34 @@ object SparkEntry {
                   j -> CAST(b.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, a_id, b_id, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, a_id, b_id LIMIT 20""",
+    // v2b: near-dup pairs within (label, LSH bucket) cells — the skew
+    // escape hatch for oversized label blocks. Bucket derivation is
+    // identical to v3's (same md5 plane matrix), kept in lockstep.
+    "v2b_neardup_bucketed" ->
+      """WITH buckets AS (
+           SELECT vec_id, label, first(embedding) AS embedding,
+             SUM(CASE WHEN proj >= 0 THEN (1 << i) ELSE 0 END) AS bucket
+           FROM (
+             SELECT e.vec_id, e.label, e.embedding, p.i,
+               list_reduce(list_transform(range(64), j ->
+                 CAST(e.embedding[j+1] AS DOUBLE) *
+                 (CAST('0x' || substr(md5(CAST(p.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                   / 4294967296.0 - 0.5)),
+                 (x, y) -> x + y) AS proj
+             FROM embeddings e, unnest(range(4)) AS p(i))
+           GROUP BY vec_id, label),
+         scored AS (
+           SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+             list_reduce(list_transform(range(64),
+               j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(a.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(b.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM buckets a JOIN buckets b
+             ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          SELECT label, a_id, b_id, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, a_id, b_id LIMIT 20""",
     "v3_lsh_topk" ->

@@ -59,6 +59,30 @@ object Similarity {
       .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** V2b: the skew escape hatch v2's scaladoc promises — when one label
+    * block is disproportionately large, sub-bucket it by hyperplane LSH
+    * signature so the all-pairs comparison runs within (label, bucket)
+    * cells of ~1/2^planes the block size. Same sign-bucket derivation
+    * as v3 (oracle in lockstep); pairs whose members land in different
+    * buckets are sacrificed — the standard ANN recall-for-cost trade,
+    * taken only for blocks that overflow an executor. */
+  def nearDupTopPairsBucketed(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val dim = 64
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        lshBucket(col("embedding"), dim).as("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("label"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("label"), col("bucket"))
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", Vectors.cosine(col("a_emb"), col("b_emb")))
+      .orderBy(desc("sim"), col("a_id"), col("b_id"))
+      .limit(k)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
   // 4 planes → 16 buckets: at 500-5000 vectors this keeps ~30-300
   // candidates per bucket, enough for a top-10 re-rank. Scale the plane
   // count with corpus size (buckets ≈ N / desired-candidates).

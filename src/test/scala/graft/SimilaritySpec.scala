@@ -131,6 +131,24 @@ class SimilaritySpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("bucketed near-dup pairs carry exact sims and are a subset of within-label pairs") {
+    val full = Similarity.nearDupTopPairs(spark, sfDir, k = 500).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(r.fieldIndex("sim_r"))).toMap
+    val bucketed = Similarity.nearDupTopPairsBucketed(spark, sfDir, k = 20).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(r.fieldIndex("sim_r")))
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (pair, sim) =>
+      // sub-bucketing restricts WHICH pairs are compared, never the score
+      assert(full.get(pair).contains(sim), s"pair $pair sim mismatch vs unbucketed")
+    }
+    // near-identical vectors agree on every hyperplane sign, so the very
+    // top of the unbucketed ranking survives sub-bucketing
+    val topPair = Similarity.nearDupTopPairs(spark, sfDir, k = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(bucketed.map(_._1).contains(topPair),
+      "top near-dup pair lost by sub-bucketing")
+  }
+
   test("near-dup top pairs are within-label, deduped, sorted desc") {
     val rows = Similarity.nearDupTopPairs(spark, sfDir, k = 20).collect()
     assert(rows.length === 20)
