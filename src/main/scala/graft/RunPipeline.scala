@@ -20,10 +20,25 @@ object RunPipeline {
   case class StageResult(name: String, rows: Long, seconds: Double, status: String)
 
   def stages(spark: SparkSession, sfDir: String): Seq[(String, () => DataFrame)] = Seq(
-    "merge_upsert"   -> (() => MergeOps.mergeUpsert(spark, sfDir)),
-    "insert_ignore"  -> (() => MergeOps.insertIgnore(spark, sfDir)),
-    "column_update"  -> (() => MergeOps.columnUpdate(spark, sfDir)),
-    "watermark_scan" -> (() => Incremental.watermarkFilter(spark, sfDir)))
+    "merge_upsert"      -> (() => MergeOps.mergeUpsert(spark, sfDir)),
+    "insert_ignore"     -> (() => MergeOps.insertIgnore(spark, sfDir)),
+    "column_update"     -> (() => MergeOps.columnUpdate(spark, sfDir)),
+    "watermark_scan"    -> (() => Incremental.watermarkFilter(spark, sfDir)),
+    // time-partitioned reload + pruned incremental rollup (S16): the
+    // layout the watermark scan above reads at scale
+    "partitioned_reload" -> (() =>
+      graft.operators.Partitioned.partitionedIncrementalCounts(spark, sfDir)),
+    // frontier probe (I3): discover the highest event id past the stored
+    // frontier, stop after a gap — the reference's roll-call probing
+    // loop; emitted as a 1-row update_log-shaped frame
+    "frontier_probe"    -> (() => {
+      import org.apache.spark.sql.functions._
+      val events = graft.Tables.events(spark, sfDir).select(col("event_id"))
+      val start = events.agg(max(col("event_id"))).collect()(0).getLong(0) - 100
+      val frontier = Incremental.probeFrontier(events, "event_id", start)
+      import spark.implicits._
+      Seq(("events_frontier", frontier)).toDF("table_name", "frontier")
+    }))
 
   def run(spark: SparkSession, sfDir: String, stateDir: String): Seq[StageResult] = {
     stages(spark, sfDir).map { case (name, mk) =>

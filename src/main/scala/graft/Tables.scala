@@ -27,12 +27,14 @@ object Tables {
   /** Apply the scratch-dir choice to a session builder, and point the
     * SQL warehouse at a scratch location too — the bucketed-table
     * operators save managed tables, which must never land in the
-    * default ./spark-warehouse under the repo. */
-  def withScratch(b: SparkSession.Builder): SparkSession.Builder = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    * default ./spark-warehouse under the repo. The warehouse path is
+    * FIXED (not a fresh temp dir per call): managed tables are written
+    * with overwrite mode, so a fixed path stays bounded while fresh
+    * dirs would leak a full bucketed fact-table copy per run. */
+  def withScratch(b: SparkSession.Builder): SparkSession.Builder =
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
-      .config("spark.sql.warehouse.dir", wh)
-  }
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

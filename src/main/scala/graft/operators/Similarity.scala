@@ -67,20 +67,23 @@ object Similarity {
     * buckets are sacrificed — the standard ANN recall-for-cost trade,
     * taken only for blocks that overflow an executor. */
   def nearDupTopPairsBucketed(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
     val dim = 64
-    val e = embeddings(spark, dir)
+    // shared: the scan + 4-plane projection feeds both self-join sides
+    val e = shared(embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"),
-        lshBucket(col("embedding"), dim).as("bucket"))
+        lshBucket(col("embedding"), dim).as("bucket")))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("label"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       col("label"), col("bucket"))
-    a.join(b, Seq("label", "bucket"))
+    val result = a.join(b, Seq("label", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", Vectors.cosine(col("a_emb"), col("b_emb")))
       .orderBy(desc("sim"), col("a_id"), col("b_id"))
       .limit(k)
       .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+    materializeAndRelease(result, e)
   }
 
   // 4 planes → 16 buckets: at 500-5000 vectors this keeps ~30-300

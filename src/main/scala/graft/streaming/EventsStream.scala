@@ -123,10 +123,15 @@ object EventsStream {
     * batch aggregate regardless of how the input was micro-batched
     * (asserted in EventsStreamSpec).
     *
-    * Exactly-once: foreachBatch is at-least-once — a failed batch can
-    * replay. A committed-batch marker makes the upsert idempotent (the
-    * local-FS stand-in for the batchId bookkeeping a transactional sink
-    * gets for free); replayed batch ids are skipped.
+    * Exactly-once: the query keeps a persistent checkpointLocation
+    * (stable batch identity — restarts RESUME offsets rather than
+    * renumbering batches over a possibly-changed file listing), and the
+    * state table is versioned copy-on-write: batch N writes a fresh
+    * `v_N` directory derived from the last COMMITTED version, then
+    * drops a commit marker. A crash anywhere leaves either no `v_N`
+    * (replay rewrites it) or an unmarked `v_N` (ignored, rewritten) —
+    * never a half-overwritten or double-counted state. This is the
+    * local-FS analog of a table format's transactional MERGE commit.
     *
     * Scale: state is one row per (user_id, event_type) key; each batch
     * shuffles only its own delta plus a key-partitioned join against
@@ -134,7 +139,15 @@ object EventsStream {
     * per-table (ARCHITECTURE §MERGE). */
   def streamingMergeUpsert(spark: SparkSession, srcDir: String, stateDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val statePath = s"$stateDir/agg_state"
+    def committed(): Seq[Long] = {
+      val d = new java.io.File(stateDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).collect {
+          case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
+        }.toSeq.sorted
+    }
+    def versionPath(id: Long) = s"$stateDir/v_$id"
+
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream
       .schema(schema)
@@ -142,30 +155,31 @@ object EventsStream {
       .parquet(srcDir)
 
     val q = stream.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new java.io.File(s"$stateDir/_committed_$batchId")
-        if (!marker.exists()) {
+        if (!committed().contains(batchId)) {
           val delta = batch.groupBy(col("user_id"), col("event_type"))
             .agg(count(lit(1)).as("n_events"),
               sum(col("value").cast("decimal(18,2)")).as("total_value"))
-          val hasState = new java.io.File(statePath).exists()
-          val merged = if (!hasState) delta else {
-            val cur = spark.read.parquet(statePath)
-              .select(col("user_id"), col("event_type"),
-                col("n_events").as("cur_n"), col("total_value").as("cur_t"))
-            cur.join(delta
+          val merged = committed().lastOption match {
+            case None => delta
+            case Some(prev) =>
+              val cur = spark.read.parquet(versionPath(prev))
                 .select(col("user_id"), col("event_type"),
-                  col("n_events").as("new_n"), col("total_value").as("new_t")),
-                Seq("user_id", "event_type"), "full_outer")
-              .select(col("user_id"), col("event_type"),
-                (coalesce(col("cur_n"), lit(0L)) + coalesce(col("new_n"), lit(0L))).as("n_events"),
-                (coalesce(col("cur_t"), lit(0).cast("decimal(18,2)"))
-                  + coalesce(col("new_t"), lit(0).cast("decimal(18,2)"))).as("total_value"))
+                  col("n_events").as("cur_n"), col("total_value").as("cur_t"))
+              cur.join(delta
+                  .select(col("user_id"), col("event_type"),
+                    col("n_events").as("new_n"), col("total_value").as("new_t")),
+                  Seq("user_id", "event_type"), "full_outer")
+                .select(col("user_id"), col("event_type"),
+                  (coalesce(col("cur_n"), lit(0L)) + coalesce(col("new_n"), lit(0L))).as("n_events"),
+                  (coalesce(col("cur_t"), lit(0).cast("decimal(18,2)"))
+                    + coalesce(col("new_t"), lit(0).cast("decimal(18,2)"))).as("total_value"))
           }
-          // materialize before overwrite: the merge reads the same path
-          // it is about to replace
-          merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-          marker.createNewFile()
+          // copy-on-write: the new version is complete on disk BEFORE
+          // the commit marker appears
+          merged.write.mode("overwrite").parquet(versionPath(batchId))
+          new java.io.File(s"$stateDir/_committed_$batchId").createNewFile()
         }
         ()
       }
@@ -173,7 +187,7 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(statePath)
+    spark.read.parquet(versionPath(committed().last))
       .orderBy(col("user_id"), col("event_type"))
   }
 
