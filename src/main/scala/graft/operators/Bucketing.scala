@@ -15,8 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write df as a bucketed managed table (Parquet). */
+  /** Write df as a bucketed managed table (Parquet). Drops any existing
+    * table AND its leftover warehouse directory first: with a scratch
+    * warehouse that outlives the (in-memory) catalog, a fresh session
+    * has no entry for the table while its directory still exists, and
+    * saveAsTable refuses the location (LOCATION_ALREADY_EXISTS) even in
+    * overwrite mode. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write
       .format("parquet")
       .bucketBy(buckets, bucketCol)
