@@ -69,15 +69,24 @@ object Bench {
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       (name, median, times.head, err)
     }
+    // the driver keeps only a bounded TAIL of stdout: round-3's single
+    // line carried warm+cold per-query maps at full double precision
+    // (~4 KB), overflowed the buffer, and the driver recorded
+    // parsed:null. Keep stdout to ONE compact line (3-decimal values,
+    // no per-query cold map — ~1.8 KB at 67 queries); the full-detail
+    // line including the cold pass goes to stderr for the archive.
+    def r3(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     def jsonNum(f: ((String, Double, Double, Option[String])) => Double): String =
-      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + f(r) }
+      results.map { case r @ (k, _, _, _) => "\"" + k + "\":" + r3(f(r)) }
         .mkString("{", ",", "}")
     val errJson = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":" + Verify.jsonString(e)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":$coldTotal,"cold":${jsonNum(_._3)},"errors":$errJson,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench-detail] {"cold":${jsonNum(_._3)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":${r3(coldTotal)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

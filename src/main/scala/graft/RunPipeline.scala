@@ -34,7 +34,10 @@ object RunPipeline {
     "frontier_probe"    -> (() => {
       import org.apache.spark.sql.functions._
       val events = graft.Tables.events(spark, sfDir).select(col("event_id"))
-      val start = events.agg(max(col("event_id"))).collect()(0).getLong(0) - 100
+      // max() over an empty table is NULL — an empty fixture must probe
+      // from 0, not NPE inside the stage
+      val maxRow = events.agg(max(col("event_id")).cast("long")).collect()(0)
+      val start = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) - 100
       val frontier = Incremental.probeFrontier(events, "event_id", start)
       import spark.implicits._
       Seq(("events_frontier", frontier)).toDF("table_name", "frontier")

@@ -27,14 +27,33 @@ object Tables {
   /** Apply the scratch-dir choice to a session builder, and point the
     * SQL warehouse at a scratch location too — the bucketed-table
     * operators save managed tables, which must never land in the
-    * default ./spark-warehouse under the repo. The warehouse path is
-    * FIXED (not a fresh temp dir per call): managed tables are written
-    * with overwrite mode, so a fixed path stays bounded while fresh
-    * dirs would leak a full bucketed fact-table copy per run. */
-  def withScratch(b: SparkSession.Builder): SparkSession.Builder =
+    * default ./spark-warehouse under the repo.
+    *
+    * The warehouse is namespaced PER PROCESS (pid suffix): the bucketed
+    * operators use fixed table names, so two concurrent graft JVMs
+    * (e.g. Bench and Verify) sharing one warehouse could drop/delete a
+    * table the other is mid-read on. Disk stays bounded by GC'ing
+    * warehouses whose owning pid is no longer alive (overwrite mode
+    * bounds growth within a live process). */
+  def withScratch(b: SparkSession.Builder): SparkSession.Builder = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      val stale =
+        n == "graft_warehouse" || // pre-namespacing layout
+          (n.startsWith("graft_warehouse_") &&
+            !n.stripPrefix("graft_warehouse_").toLongOption
+              .exists(pid => ProcessHandle.of(pid).isPresent))
+      if (stale) deleteRec(f)
+    }
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        s"$tmp/graft_warehouse_${ProcessHandle.current().pid()}")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // k or w < 1 would make the window loops vacuous and return an empty
+  // fingerprint set for every document instead of erroring
+  require(k >= 1, s"rolling_fingerprint: k must be >= 1, got $k")
+  require(w >= 1, s"rolling_fingerprint: w must be >= 1, got $w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -22,6 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SimHash64(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // bits outside [1, 60] would silently return 0 for every row (0/neg)
+  // or overflow the signed-bigint range (>60)
+  require(bits >= 1 && bits <= 60, s"sim_hash: bits must be in [1, 60], got $bits")
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

@@ -180,6 +180,17 @@ object EventsStream {
           // the commit marker appears
           merged.write.mode("overwrite").parquet(versionPath(batchId))
           new java.io.File(s"$stateDir/_committed_$batchId").createNewFile()
+          // retention: a long-running stream must not keep v_0..v_N
+          // forever. Keep the two newest committed versions (current +
+          // one for crash recovery: a reader that resolved the previous
+          // version before this commit can still finish); GC the rest,
+          // marker last so a half-deleted version is never resolvable.
+          committed().dropRight(2).foreach { old =>
+            val fs = new org.apache.hadoop.fs.Path(versionPath(old))
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(versionPath(old)), true)
+            new java.io.File(s"$stateDir/_committed_$old").delete()
+          }
         }
         ()
       }
@@ -187,8 +198,18 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(versionPath(committed().last))
-      .orderBy(col("user_id"), col("event_type"))
+    committed().lastOption match {
+      case Some(v) => spark.read.parquet(versionPath(v))
+        .orderBy(col("user_id"), col("event_type"))
+      case None => // source produced zero batches (e.g. empty srcDir):
+        // an empty state table with the sink's schema, not a crash
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("total_value", org.apache.spark.sql.types.DecimalType(18, 2)))))
+    }
   }
 
   /** S11 in streaming form: stateful first-WRITER-wins dedup — each

@@ -30,12 +30,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(state.exceptAll(expected).count() === 0, "state rows not in batch aggregate")
     assert(expected.exceptAll(state).count() === 0, "batch rows missing from state")
 
-    // committed-batch markers exist, and a later identical batch replay
-    // is skipped: merging the whole source again under an already-seen
-    // batch id must leave the state unchanged
-    val markers = new java.io.File(s"$tmp/state").listFiles()
-      .count(_.getName.startsWith("_committed_"))
-    assert(markers >= 3, s"expected >=3 committed-batch markers, got $markers")
+    // ≥3 micro-batches actually ran (batch ids start at 0, so the
+    // newest marker id is ≥2), retention kept exactly the 2 newest
+    // versions (current + crash-recovery), and older versions are GC'd
+    // — an unbounded stream must not accumulate v_0..v_N forever
+    val stateFiles = new java.io.File(s"$tmp/state").listFiles().map(_.getName)
+    val markerIds = stateFiles.collect {
+      case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
+    }.sorted
+    assert(markerIds.nonEmpty && markerIds.last >= 2,
+      s"expected newest batch id >=2, got ${markerIds.mkString(",")}")
+    assert(markerIds.length <= 2,
+      s"retention must keep <=2 versions, got markers ${markerIds.mkString(",")}")
+    val versionDirs = stateFiles.filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong)
+    assert(versionDirs.sorted.toSeq === markerIds.toSeq,
+      s"on-disk versions ${versionDirs.sorted.mkString(",")} != markers ${markerIds.mkString(",")}")
     val replayed = EventsStream.streamingMergeUpsert(spark, s"$tmp/src", s"$tmp/state")
     assert(replayed.exceptAll(expected).count() === 0 &&
       expected.exceptAll(replayed).count() === 0,

@@ -65,7 +65,9 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("end-to-end SQL retrieval over a registered view") {
-    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs")
+    val root = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .map(d => new java.io.File(d).getParent).getOrElse("/root/testdata")
+    Tables.documents(spark, s"$root/sf0.001").createOrReplaceTempView("docs")
     val top = spark.sql(
       """SELECT doc_id,
            vec_dot(stub_embed(text, 32), stub_embed('customer order filter join', 32)) AS sim

@@ -95,7 +95,7 @@ class SimilaritySpec extends SparkSpec {
     // 1536-dim corpus embedded from `documents`.
     import graft.functions.StubEmbed
     val dim = 1536
-    val sf01 = "/root/testdata/sf0.01"
+    val sf01 = sfDir01
     // query a doc with a PLANTED near-dup (first exact-jaccard pair):
     // its dup has cosine ≈ 1 at any width, so every tier must retrieve
     // it — at 1536-dim unrelated vectors are near-orthogonal and a

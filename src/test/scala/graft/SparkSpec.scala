@@ -7,7 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate dedupes across suites run in the same forked JVM). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  val sfDir = "/root/testdata/sf0.001"
+  // one root for every fixture path — suites that need a different SF
+  // derive from here instead of hardcoding a machine layout. The env
+  // override mirrors Bench/Verify's SPARK_GRAFT_SF_DIR convention
+  // (which points at one SF dir; this is its parent).
+  val testDataRoot: String = sys.env.get("SPARK_GRAFT_SF_DIR")
+    .map(d => new java.io.File(d).getParent)
+    .getOrElse("/root/testdata")
+  val sfDir = s"$testDataRoot/sf0.001"
+  val sfDir01 = s"$testDataRoot/sf0.01"
 }
 
 object SparkSpec {
