@@ -44,6 +44,11 @@ object SparkEntry {
     "u3_dedup_derived_key"    -> ((s, d) => Relational.dedupDerivedKey(s, d)),
     "j7_fuzzy_link"           -> ((s, d) => FuzzyLink.linkSuppliersToCustomers(s, d)),
     "s10_merge_upsert"        -> ((s, d) => MergeOps.mergeUpsert(s, d)),
+    // partition-scoped MERGE: same semantics as s10, realized through
+    // the rewrite-only-affected-partitions write path (oracle = the
+    // plain full-outer formulation; equality proves the scoped path
+    // computes the identical MERGE)
+    "s10b_partitioned_merge"  -> ((s, d) => MergeOps.partitionedMergeUpsert(s, d)),
     "s11_insert_ignore"       -> ((s, d) => MergeOps.insertIgnore(s, d)),
     "i1_update_log"           -> ((s, d) => Incremental.updateLogEntry(s, d)),
     "i2_watermark_filter"     -> ((s, d) => Incremental.watermarkFilter(s, d)),
@@ -61,6 +66,10 @@ object SparkEntry {
     "d3_minhash_lsh"          -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "d4_simhash"              -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "v1_cosine_topk"          -> ((s, d) => Similarity.cosineTopK(s, d)),
+    // real-width (1536-dim) form over engine-portably derived vectors:
+    // the driver hash, not just the spec suite, proves correctness at
+    // the reference's embedding width
+    "v1w_cosine_topk_wide"    -> ((s, d) => Similarity.cosineTopKWide(s, d)),
     "v2_neardup_top_pairs"    -> ((s, d) => Similarity.nearDupTopPairs(s, d)),
     "v3_lsh_topk"             -> ((s, d) => Similarity.lshTopK(s, d)),
     "m1_decode_features"      -> ((s, d) => Multimodal.decodeFeatures(s, d)),
@@ -90,6 +99,7 @@ object SparkEntry {
     "st2_session_windows"     -> ((s, d) => graft.streaming.EventsStream.sessionWindows(s, d)),
     "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
     "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
+    "s4_vote_scan"            -> ((s, d) => graft.sources.ReferenceSources.voteScanOverEvents(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
@@ -286,7 +296,9 @@ object SparkEntry {
              CASE WHEN greatest(length(norm_c), length(norm_s)) = 0 THEN 100
                   ELSE CAST(floor(100 * (1 - CAST(levenshtein(norm_c, norm_s) AS DOUBLE)
                        / greatest(length(norm_c), length(norm_s)))) AS INTEGER) END AS score
-           FROM sn JOIN cn ON sn.s_nationkey = cn.c_nationkey),
+           FROM sn JOIN cn ON sn.s_nationkey = cn.c_nationkey
+           WHERE abs(length(norm_c) - length(norm_s))
+                 <= floor(0.15 * greatest(length(norm_c), length(norm_s)))),
          ranked AS (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
              ORDER BY score DESC, c_custkey) AS rn
@@ -294,6 +306,26 @@ object SparkEntry {
          SELECT s_suppkey, s_name, c_custkey, c_name, score
          FROM ranked WHERE rn = 1 AND score > 85 ORDER BY s_suppkey""",
     "s10_merge_upsert" ->
+      """WITH existing AS (
+           SELECT user_id AS e_user, event_type AS e_type, COUNT(*) AS e_n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS e_total
+           FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY 1, 2),
+         incoming AS (
+           SELECT user_id AS i_user, event_type AS i_type, COUNT(*) AS i_n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS i_total
+           FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2)
+         SELECT COALESCE(i_user, e_user) AS user_id,
+           COALESCE(i_type, e_type) AS event_type,
+           COALESCE(i_n, e_n) AS n_events,
+           CAST(COALESCE(i_total, e_total) AS DOUBLE) AS total_value,
+           CASE WHEN e_user IS NOT NULL AND i_user IS NOT NULL THEN 'updated'
+                WHEN e_user IS NULL THEN 'inserted' ELSE 'unchanged' END AS merge_action
+         FROM existing FULL OUTER JOIN incoming
+           ON e_user = i_user AND e_type = i_type
+         ORDER BY user_id, event_type""",
+    // identical SQL to s10 on purpose: the partition-scoped engine path
+    // must produce byte-identical MERGE output to the full-outer form
+    "s10b_partitioned_merge" ->
       """WITH existing AS (
            SELECT user_id AS e_user, event_type AS e_type, COUNT(*) AS e_n,
              SUM(CAST(value AS DECIMAL(18,2))) AS e_total
@@ -519,6 +551,31 @@ object SparkEntry {
            FROM embeddings e, q WHERE e.vec_id <> 0)
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10""",
+    // v1w: embeddings widened to 1536-dim via the cross-engine md5
+    // derivation (same trick as the LSH plane matrix; one md5 feeds 4
+    // components — window j%4 of md5("<vec_id>:<j//4>")); both engines
+    // compute identical doubles, so the cosine top-k hash-matches at
+    // the reference's real vector width.
+    "v1w_cosine_topk_wide" ->
+      """WITH wide AS (
+           SELECT vec_id, label,
+             list_transform(range(1536), j ->
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(j // 4 AS VARCHAR)),
+                      CAST(1 + 8 * (j % 4) AS INTEGER), 8) AS BIGINT)
+                 / 4294967296.0 - 0.5) AS embedding
+           FROM embeddings),
+         q AS (SELECT embedding AS qe FROM wide WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(1536),
+               j -> e.embedding[j+1] * q.qe[j+1]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1536),
+                  j -> e.embedding[j+1] * e.embedding[j+1]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1536),
+                  j -> q.qe[j+1] * q.qe[j+1]), (x, y) -> x + y))) AS sim
+           FROM wide e, q WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10""",
     "v2_neardup_top_pairs" ->
       """WITH scored AS (
            SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -734,6 +791,22 @@ object SparkEntry {
          WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
          GROUP BY committee_id
          ORDER BY committee_id""",
+    // s4: the engine writes the recursive vote-JSON tree from events and
+    // scans it back (readVoteFiles + double explode); the oracle computes
+    // the same rollup straight from the events table — equality proves
+    // the JSON round-trip and explode shapes are lossless.
+    "s4_vote_scan" ->
+      """WITH votes AS (
+           SELECT DISTINCT day(ts) AS dy, strftime(ts, '%Y-%m-%d') AS date,
+             event_type, user_id
+           FROM events),
+         filt AS (SELECT * FROM votes WHERE dy % 7 <> 0)
+         SELECT CASE WHEN dy % 2 = 0 THEN 'HR' ELSE 'S' END
+                  || CAST(dy AS VARCHAR) || '-118' AS bill_key,
+           date, event_type AS vote_position, COUNT(*) AS n_voters
+         FROM filt
+         GROUP BY dy, date, event_type
+         ORDER BY bill_key, date, vote_position""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

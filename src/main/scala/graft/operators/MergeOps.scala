@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -79,6 +79,122 @@ object MergeOps {
         coalesce(col("new_total"), col("total_value")).cast("double").as("total_value"),
         when(col("new_total").isNotNull, lit("updated")).otherwise(lit("kept"))
           .as("update_status"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Partition-scoped MERGE: the incremental-upsert form that does NOT
+  // rewrite the table (reference: update_donations.py:233-245 writes
+  // 5k-row delta batches; at 100 TB a full-output rewrite per batch is
+  // the difference between touching GBs and rewriting the table).
+  //
+  // Layout: the base table is directory-partitioned by a stable key hash
+  // `part = pmod(hash(key), numParts)`. A merge then:
+  //   1. computes the AFFECTED partitions from the delta's keys (bounded
+  //      by numParts — partition metadata, not data);
+  //   2. scans ONLY those partitions (static partition prune), joining
+  //      the broadcast delta twice — an anti join keeps unmatched base
+  //      rows, a semi join classifies delta keys updated-vs-inserted.
+  //      No shuffle of the base side, ever;
+  //   3. writes the merged affected partitions to a STAGING dir and
+  //      swaps them in with per-partition directory renames — the plain-
+  //      parquet analog of a metastore/Delta partition-level commit.
+  //      Untouched partition directories are never opened, rewritten, or
+  //      moved (PartitionedSpec asserts their files byte-identical).
+  // ---------------------------------------------------------------------
+
+  /** Stable partition assignment for a row's key columns. */
+  private def partCol(keys: Seq[String], numParts: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(numParts))
+
+  /** Initial load of a hash-partitioned base table. */
+  def writePartitionedBase(df: DataFrame, path: String, keys: Seq[String],
+      numParts: Int): Unit =
+    df.withColumn("part", partCol(keys, numParts))
+      .repartition(col("part")) // one dir written by its own tasks
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** MERGE `delta` into the hash-partitioned table at `path`, rewriting
+    * only partitions that contain delta keys. `delta` must carry the key
+    * columns plus the same payload columns as the base (minus
+    * `merge_action`/`part`, which this maintains). Matched keys take the
+    * delta payload (action 'updated'); unmatched delta keys insert
+    * ('inserted'); unmatched base rows carry over byte-for-byte in
+    * memory and FILE-for-file on disk for untouched partitions. */
+  def mergeIntoPartitioned(spark: SparkSession, path: String, delta: DataFrame,
+      keys: Seq[String], numParts: Int): Unit = {
+    import CacheOps.shared
+    val d = shared(delta.withColumn("part", partCol(keys, numParts)))
+    try {
+      // bounded driver-side collect: ≤ numParts ints of partition
+      // METADATA — the isin literal list is what guarantees a static
+      // partition prune in the base scan below
+      val affected = d.select(col("part")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val base = spark.read.parquet(path)
+        .filter(col("part").isin(affected.map(Integer.valueOf): _*))
+      val deltaKeys = d.select(keys.map(col): _*)
+      // survivors: base rows in affected partitions whose key is not in
+      // the delta — broadcast anti join, no base shuffle
+      val survivors = base.join(broadcast(deltaKeys), keys, "left_anti")
+      // updated-vs-inserted: keys present in base → 'updated'. The semi
+      // join's output is ≤ |delta| rows, so ITS broadcast into the
+      // delta-side left join is bounded by the delta too.
+      val updatedKeys = base.select(keys.map(col): _*)
+        .join(broadcast(deltaKeys), keys, "left_semi")
+        .withColumn("k_existed", lit(true))
+      val deltaRows = d
+        .join(broadcast(updatedKeys), keys, "left")
+        .withColumn("merge_action",
+          when(col("k_existed"), lit("updated")).otherwise(lit("inserted")))
+        .drop("k_existed")
+      val merged = survivors.unionByName(deltaRows.select(survivors.columns.map(col): _*))
+
+      // stage-then-swap: write affected partitions to a staging dir,
+      // then commit with one directory rename per affected partition —
+      // the plain-FS analog of a partition-level metastore commit.
+      // Writing staged output (instead of dynamic-overwriting `path`)
+      // also sidesteps Spark's overwrite-while-reading restriction.
+      val staging = s"${path}__staging"
+      merged.repartition(col("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(staging)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+      affected.foreach { p =>
+        val src = new org.apache.hadoop.fs.Path(staging, s"part=$p")
+        val dst = new org.apache.hadoop.fs.Path(path, s"part=$p")
+        if (fs.exists(src)) {
+          fs.delete(dst, true)
+          fs.rename(src, dst); ()
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      ()
+    } finally { d.unpersist(); () }
+  }
+
+  /** Driver-gated form (s10b): same inputs and output as [[mergeUpsert]],
+    * but realized through the partition-scoped write path — initial load
+    * of the snapshot window as a hash-partitioned table, partition-scoped
+    * merge of the incoming window, read-back of the whole table. The
+    * oracle is s10's plain full-outer formulation, so a hash match proves
+    * the partition-scoped path computes the identical MERGE. */
+  def partitionedMergeUpsert(spark: SparkSession, dir: String,
+      numParts: Int = 16): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    // fixed scratch path per source dir (same convention as s16):
+    // overwritten per call, never accumulates
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s10b_$tag/user_totals"
+    val ev = events(spark, dir)
+    val base = perKey(ev.filter(col("ts") < lit(SnapshotEnd).cast("timestamp")))
+      .withColumn("merge_action", lit("unchanged"))
+    writePartitionedBase(base, path, keys, numParts)
+    val delta = perKey(ev.filter(col("ts") >= lit(IncomingStart).cast("timestamp")))
+    mergeIntoPartitioned(spark, path, delta, keys, numParts)
+    spark.read.parquet(path)
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"), col("merge_action"))
       .orderBy(col("user_id"), col("event_type"))
   }
 

@@ -135,6 +135,54 @@ object ReferenceSources {
       .filter(col("bioguide").isNotNull) // "VP"-style scalar entries
   }
 
+  /** S4 as a DRIVER-GATED query: the recursive vote-JSON scan + map
+    * explode run END-TO-END — the reference's on-disk layout (one JSON
+    * document per roll call in nested directories, ingest_votes.py:82)
+    * is synthesized deterministically from the `events` fixture, written
+    * as REAL json files, then scanned back through [[readVoteFiles]]
+    * (recursive lookup, string-typed voter entries, category filter,
+    * map + array explode) and rolled up. The oracle recomputes the same
+    * rollup straight from the events table, so a hash match proves the
+    * JSON round-trip and double explode lose nothing.
+    *
+    * Synthesis (mirrored in SQL): one roll call per event day; voters of
+    * position P = distinct users with an event of type P that day;
+    * bill = (hr|s by day parity, number = day, congress = 118); days
+    * divisible by 7 are planted as category='nomination' so the
+    * reader's category filter is exercised, not just the happy path. */
+  def voteScanOverEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_s4_$tag/votes"
+    val votes = graft.Tables.events(spark, dir)
+      .select(dayofmonth(col("ts")).as("dy"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        col("event_type"), col("user_id"))
+      .distinct() // a voter votes once per roll call position
+    val rolls = votes
+      .groupBy(col("dy"), col("date"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("user_id").as("id")))).as("voters"))
+      .groupBy(col("dy"), col("date"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("voters"))))).as("votes"))
+      .select(
+        when(col("dy") % 7 === 0, lit("nomination")).otherwise(lit("passage")).as("category"),
+        col("date"),
+        struct(
+          when(col("dy") % 2 === 0, lit("hr")).otherwise(lit("s")).as("type"),
+          col("dy").cast("long").as("number"),
+          lit(118L).as("congress")).as("bill"),
+        col("votes"),
+        // one nested directory per roll call — the reference's
+        // <congress>/<chamber><roll>/data.json tree shape
+        concat(lit("roll_"), col("dy")).as("roll_dir"))
+    rolls.repartition(col("roll_dir"))
+      .write.mode("overwrite").partitionBy("roll_dir").json(root)
+    readVoteFiles(spark, root)
+      .groupBy(col("bill_key"), col("date"), col("vote_position"))
+      .agg(count(lit(1)).as("n_voters"))
+      .orderBy(col("bill_key"), col("date"), col("vote_position"))
+  }
+
   /** A5/S5: bill-status XML → typed struct via Spark 4 native from_xml
     * (update_bills.py:155-256 field set). */
   def billStatusSchema: StructType = StructType(Seq(

@@ -67,6 +67,82 @@ class PartitionedSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(poison)
   }
 
+  // --- partition-scoped MERGE (S10b) -------------------------------------
+
+  private def fileHashes(root: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val rootP = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(rootP).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filterNot(_.getFileName.toString.startsWith("_")) // _SUCCESS etc.
+      .map { p =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(p))
+        rootP.relativize(p).toString -> digest.map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("partition-scoped merge rewrites only affected partitions, byte-identically elsewhere") {
+    import spark.implicits._
+    import graft.operators.MergeOps
+    val keys = Seq("user_id", "event_type")
+    val numParts = 8
+    val path = java.nio.file.Files.createTempDirectory("graft_pmerge").toString + "/t"
+
+    val base = (1 to 40).map(i => (s"u$i", "click", i.toLong, i * 1.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+      .withColumn("merge_action", lit("unchanged"))
+    MergeOps.writePartitionedBase(base, path, keys, numParts)
+
+    // delta: one update (u7 exists) and one insert (u999 doesn't)
+    val delta = Seq(("u7", "click", 70L, 700.0), ("u999", "click", 1L, 9.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+    val affected = delta
+      .select(pmod(hash(col("user_id"), col("event_type")), lit(numParts)).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(affected.size < numParts, "delta must leave some partitions untouched")
+
+    val before = fileHashes(path)
+    MergeOps.mergeIntoPartitioned(spark, path, delta, keys, numParts)
+    val after = fileHashes(path)
+
+    // untouched partition directories: identical file names AND bytes
+    def untouched(m: Map[String, String]) =
+      m.filterNot { case (p, _) => affected.exists(a => p.startsWith(s"part=$a/")) }
+    assert(untouched(after) === untouched(before),
+      "files in untouched partitions must not be rewritten")
+    // affected partitions really were rewritten
+    assert(after.keySet.exists(p => affected.exists(a => p.startsWith(s"part=$a/"))))
+    assert(before !== after)
+
+    // value contract: classic full-outer MERGE result
+    val back = spark.read.parquet(path)
+    assert(back.count() === 41) // 40 base + 1 insert
+    val u7 = back.filter(col("user_id") === "u7").collect().head
+    assert(u7.getAs[Long]("n_events") === 70L &&
+      u7.getAs[String]("merge_action") === "updated")
+    val u999 = back.filter(col("user_id") === "u999").collect().head
+    assert(u999.getAs[String]("merge_action") === "inserted")
+    assert(back.filter(col("merge_action") === "unchanged").count() === 39)
+
+    // idempotence (I4): replaying the same delta leaves the same rows —
+    // the once-inserted u999 now exists, so it reclassifies as 'updated'
+    MergeOps.mergeIntoPartitioned(spark, path, delta, keys, numParts)
+    val replay = spark.read.parquet(path)
+    assert(replay.count() === 41)
+    assert(replay.filter(col("merge_action") === "updated").count() === 2)
+    assert(replay.filter(col("user_id") === "u7")
+      .collect().head.getAs[Long]("n_events") === 70L)
+  }
+
+  test("partitioned merge driver form matches the plain full-outer merge") {
+    import graft.operators.MergeOps
+    val scoped = MergeOps.partitionedMergeUpsert(spark, sfDir)
+    val plain = MergeOps.mergeUpsert(spark, sfDir)
+    assert(scoped.exceptAll(plain).isEmpty && plain.exceptAll(scoped).isEmpty,
+      "partition-scoped MERGE must equal the full-outer formulation")
+  }
+
   test("dynamic partition overwrite rewrites only the replayed day") {
     val ev = Tables.events(spark, sfDir)
     Partitioned.writeEventsByDay(ev, base)
