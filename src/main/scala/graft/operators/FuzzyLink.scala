@@ -24,26 +24,103 @@ import graft.functions.StringSim
   * a skewed block key, salt the block or let AQE skew-split the join.
   * The scorer is pure codegen'd expressions (no UDF), so it fuses into
   * the join's whole-stage pipeline.
+  *
+  * A fixed-cardinality block key grows quadratically per block at scale,
+  * so the O(len²) scorer is guarded by a provably lossless LENGTH
+  * prefilter (O(1) per pair, evaluated before levenshtein):
+  * score > 85 ⟺ floor(100·(1−d/L)) ≥ 86 ⟺ d ≤ 0.14·L  (L = max len,
+  * d = edit distance), and d ≥ |len_a − len_b| always, so every
+  * surviving pair has |Δlen| ≤ 0.14·L ≤ floor(0.15·L). Pruned pairs all
+  * score ≤ 85: they can neither pass the final threshold filter nor —
+  * because the output is argmax-THEN-threshold — promote a different
+  * winner (if the true argmax scores > 85 it survives the prune and
+  * stays argmax; if it scores ≤ 85, every pair does, and the supplier
+  * emits nothing either way). The oracle mirrors the same bound.
   */
 object FuzzyLink {
 
   val Threshold = 85
+
+  private def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** |Δlen| bound implied by `score > Threshold` (see scaladoc proof):
+    * pairs whose token-sorted lengths differ by more than 15% of the
+    * longer side cannot score above 85. */
+  private[operators] def lengthBound(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    abs(length(a) - length(b)) <= floor(lit(0.15) * greatest(length(a), length(b)))
+
+  /** Character-frequency bound, digits subset. Every edit operation
+    * changes the character multiset by at most 2 units (a substitution
+    * removes one char and adds another), so
+    * Σ_ch |cnt_a(ch) − cnt_b(ch)| ≤ 2·lev(a,b) — and restricting the sum
+    * to ANY character subset only lowers the left side, so the bound
+    * stays valid summed over digits alone. score > 85 ⟹ lev ≤
+    * floor(0.15·maxlen) (lengthBound proof), hence a digit-count
+    * difference above 2·floor(0.15·maxlen) is a provable reject.
+    *
+    * Why digits: the length bound is blind to fixed-width entity names
+    * ("...#000000123" vs "...#000000456" — identical lengths, distance
+    * 3), which is exactly where per-block pair counts explode; digit
+    * counts separate those in ~30 arithmetic ops per pair instead of an
+    * O(len²) levenshtein. Counts are precomputed once per INPUT row
+    * (`digitCounts`), so the per-pair work is 10 abs-diffs. */
+  private[operators] def digitCounts(c: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    ('0' to '9').map(d => length(c) - length(translate(c, d.toString, "")))
+
+  private[operators] def digitBound(aCnt: Seq[org.apache.spark.sql.Column],
+      bCnt: Seq[org.apache.spark.sql.Column],
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aCnt.zip(bCnt).map { case (x, y) => abs(x - y) }.reduce(_ + _) <=
+      lit(2) * floor(lit(0.15) * greatest(length(a), length(b)))
 
   def linkSuppliersToCustomers(spark: SparkSession, dir: String): DataFrame = {
     // Normalize + token-sort ONCE per input row (N+M evaluations), so the
     // only per-pair work inside the blocked join is the levenshtein score.
     // Folding the whole scorer into the join predicate re-evaluates the
     // split/sort per pair — measured 8× slower at sf0.1.
+    val cCnt = digitCounts(col("norm_c"))
     val c = customer(spark, dir)
+      // the fixture table is a single parquet split and the dim side
+      // broadcasts, so WITHOUT an explicit repartition the entire
+      // blocked join + scorer runs in ONE task (measured: the whole
+      // 600k-pair stage single-threaded). Hash-distribute the streamed
+      // side so the pair work spreads; the EXPLICIT partition count
+      // matters — a bare repartition(col) is a REPARTITION_BY_COL
+      // shuffle that AQE coalesces back to one partition (the shuffle
+      // is ~2 MB; AQE sizes by bytes, blind to the 600k-pair × O(len²)
+      // compute hiding downstream of the join).
+      .repartition(shufflePartitions(spark), col("c_custkey"))
+      // coalesce makes norm_c (and every count derived from it)
+      // NON-NULLABLE. Without it, InferFiltersFromConstraints adds an
+      // isnotnull(cd_i) for each of the 10 count columns referenced in
+      // the join residual and pushes them to the SCAN — where each
+      // substitutes the whole tokenSort expression, evaluating the
+      // interpreted lambda ~20× per input row (measured: that scan
+      // filter, single-task below the exchange, WAS the query's cost).
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        StringSim.tokenSort(StringSim.normalizeName(col("c_name"))).as("norm_c"))
+        coalesce(StringSim.tokenSort(StringSim.normalizeName(col("c_name"))), lit("")).as("norm_c"))
+      .select(col("*") +: cCnt.zipWithIndex.map { case (e, i) => e.as(s"cd$i") }: _*)
+    val sCnt = digitCounts(col("norm_s"))
     val s = supplier(spark, dir)
       .withColumn("cand_name", regexp_replace(col("s_name"), "Supplier", "Customer"))
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
-        StringSim.tokenSort(StringSim.normalizeName(col("cand_name"))).as("norm_s"))
+        coalesce(StringSim.tokenSort(StringSim.normalizeName(col("cand_name"))), lit("")).as("norm_s"))
+      .select(col("*") +: sCnt.zipWithIndex.map { case (e, i) => e.as(s"sd$i") }: _*)
 
-    val scored = s
+    val scored = broadcast(s)
       .join(c, s("s_nationkey") === c("c_nationkey")) // blocking join
+      // lossless prunes BEFORE the O(len²) scorer: at a fixed block-key
+      // cardinality, pairs-per-block grow quadratically with the corpus;
+      // these keep the expensive scorer off pairs that provably cannot
+      // clear the threshold (proofs in the object scaladoc). The length
+      // bound handles length-diverse corpora; the digit-count bound
+      // handles fixed-width keyed names where every length is equal.
+      .filter(lengthBound(col("norm_c"), col("norm_s")))
+      .filter(digitBound(
+        (0 until 10).map(i => col(s"cd$i")), (0 until 10).map(i => col(s"sd$i")),
+        col("norm_c"), col("norm_s")))
       // exact scorer: the thresholded-levenshtein variant
       // (ratioOfSortedCapped) measured 2× slower here — the banded
       // early-abandon doesn't pay off on short, similar-length names
@@ -52,8 +129,14 @@ object FuzzyLink {
     val w = Window.partitionBy(col("s_suppkey"))
       .orderBy(desc("score"), col("c_custkey"))
     scored
+      // threshold BELOW the window — provably output-equivalent (same
+      // argmax-then-filter argument as the prefilters: a supplier whose
+      // argmax clears 85 keeps it; one whose argmax doesn't emits
+      // nothing either way), and it shrinks the window's shuffle from
+      // every scored pair to only above-threshold pairs.
+      .filter(col("score") > Threshold)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("score") > Threshold)
+      .filter(col("rn") === 1)
       .select(col("s_suppkey"), col("s_name"), col("c_custkey"), col("c_name"), col("score"))
       .orderBy(col("s_suppkey"))
   }

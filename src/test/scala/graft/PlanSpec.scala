@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("fuzzy link evaluates the length prefilter below the argmax window") {
+    val p = plan(graft.operators.FuzzyLink.linkSuppliersToCustomers(spark, sfDir))
+    val w = p.indexOf("Window")
+    val f = p.indexOf("abs((length(norm_c")
+    assert(w >= 0, s"no argmax window in:\n$p")
+    assert(f > w, s"length prefilter missing or not below the window:\n$p")
+  }
+
   test("scope semi-join broadcasts the scope side") {
     val p = plan(Relational.scopeSemiJoin(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
