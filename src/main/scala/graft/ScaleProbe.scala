@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe for the dedup/ANN tiers (round-5 task: the 100 TB
+  * claims — df caps, banded candidate generation, candidate-restricted
+  * verify — were measured only at sf0.1's 5k docs; probe how wall time
+  * grows when the corpus grows ~10×).
+  *
+  * Corpus construction: k salted copies of sf0.1's `documents`, with
+  * every token of copy c rewritten to `<token>_c<c>` — copies share NO
+  * shingles/grams, so near-dup structure (and thus candidate-pair count)
+  * grows LINEARLY in k, which is the scaling regime the tiers claim.
+  * Naively unioning identical copies would instead create k-clique
+  * exact-dup families — a quadratic pair explosion that measures output
+  * size, not plan shape. `embeddings` copies salt vec_id and label, so
+  * label blocks keep their size and block COUNT grows with k.
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [factors-csv]
+  * Prints one JSON line per factor; results recorded in PLANS.md.
+  */
+object ScaleProbe {
+
+  private val Salt = 100000000L
+
+  def buildCorpus(spark: SparkSession, baseDir: String, k: Int, outRoot: String): String = {
+    if (k == 1) return baseDir
+    val out = s"$outRoot/probe_${k}x"
+    val docs = Tables.documents(spark, baseDir)
+    val scaledDocs = (0 until k).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c * Salt)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1_c" + c).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+    scaledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embs = Tables.embeddings(spark, baseDir)
+    val scaledEmbs = (0 until k).map { c =>
+      embs.select(
+        (col("vec_id") + lit(c * Salt)).as("vec_id"),
+        col("embedding"),
+        concat(col("label"), lit("_c"), lit(c)).as("label"))
+    }.reduce(_ unionByName _)
+    scaledEmbs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factors = (if (args.length > 1) args(1) else "1,3,10").split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.withScratch(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outRoot = Tables.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")) +
+      s"/graft_probe_${ProcessHandle.current().pid()}"
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d2_ngram_jaccard"     -> (operators.Dedup.ngramJaccardPairs(_, _)),
+      "d3_minhash_lsh"       -> (operators.Dedup.minhashLshPairs(_, _)),
+      "d4b_simhash_pairs"    -> (operators.Dedup.simhashPairs(_, _)),
+      "d6_rolling_fingerprint" -> (operators.Dedup.rollingFingerprintPairs(_, _)),
+      "v2b_neardup_bucketed" -> (operators.Similarity.nearDupTopPairsBucketed(_, _)))
+
+    // JVM/codegen warm-up so factor 1's first query isn't billed startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    try {
+      factors.foreach { k =>
+        val dir = buildCorpus(spark, baseDir, k, outRoot)
+        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val timed = queries.map { case (name, fn) =>
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            val rows = fn(spark, dir).count()
+            spark.catalog.clearCache()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          (name, times.map(_._1).min, times.head._2)
+        }
+        val qJson = timed.map { case (n, t, rows) =>
+          s""""$n":{"sec":${r3(t)},"rows":$rows}""" }.mkString(",")
+        println(s"""{"factor":$k,"docs":$nDocs,"queries":{$qJson}}""")
+      }
+    } finally {
+      // the scaled corpora live on tmpfs — never leave them behind
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(outRoot))
+      spark.stop()
+    }
+  }
+}

@@ -21,7 +21,7 @@ python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/check_verify | tail -3
 
 echo "=== bench @ sf0.1 ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-  2>&1 | grep -oE '\{"metric".*\}$' | python3 -c "
+  2>&1 | grep -oE '\{"metric".*\}$' | tee /tmp/check_bench.json | python3 -c "
 import sys, json
 d = json.loads(sys.stdin.read())
 errs = d.get('errors') or {}
