@@ -100,6 +100,8 @@ object SparkEntry {
     "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
     "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
     "s4_vote_scan"            -> ((s, d) => graft.sources.ReferenceSources.voteScanOverEvents(s, d)),
+    "s5_bill_xml_scan"        -> ((s, d) => graft.sources.ReferenceSources.billXmlOverParts(s, d)),
+    "s6_committee_flatten"    -> ((s, d) => graft.sources.ReferenceSources.committeesOverNations(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
@@ -807,6 +809,43 @@ object SparkEntry {
          FROM filt
          GROUP BY dy, date, event_type
          ORDER BY bill_key, date, vote_position""",
+    // s5: the engine writes one bill-status XML file per bill and parses
+    // them back through wholetext + from_xml (struct sponsor, cosponsor
+    // array, explode_outer, boolean/date parses); the oracle recomputes
+    // the rollup straight from part — equality proves the XML round-trip.
+    "s5_bill_xml_scan" ->
+      """WITH b AS (
+           SELECT p_partkey AS k, p_name AS title FROM part
+           WHERE p_partkey % 100 = 0)
+         SELECT CASE WHEN k % 2 = 0 THEN 'HR' ELSE 'S' END
+                  || CAST(k // 100 AS VARCHAR) AS official_bill_number,
+           title,
+           strftime(DATE '2023-01-01' + CAST(k % 365 AS INTEGER), '%Y-%m-%d') AS date_introduced,
+           'S' || CAST(k % 500 AS VARCHAR) AS sponsor_bioguide,
+           CAST(k % 3 AS BIGINT) AS n_cosponsors,
+           CAST(CASE WHEN k % 3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_original
+         FROM b ORDER BY official_bill_number""",
+    // s6: the engine writes the committees JSON tree from nation and
+    // flattens it back through readCommittees (field unswap, sub-id
+    // composition, parent+sub union); the oracle recomputes the listing
+    // from nation directly.
+    "s6_committee_flatten" ->
+      """WITH n AS (SELECT n_nationkey AS k, n_name FROM nation),
+         parents AS (
+           SELECT 'N' || CAST(k AS VARCHAR) AS committee_id, n_name AS name,
+             CASE WHEN k % 2 = 0 THEN 'house' ELSE 'senate' END AS chamber,
+             'standing' AS committee_type,
+             CAST(NULL AS VARCHAR) AS parent_committee_id
+           FROM n),
+         subs AS (
+           SELECT 'N' || CAST(k AS VARCHAR) || lpad(CAST(t.i AS VARCHAR), 2, '0') AS committee_id,
+             n_name || ' Subcommittee ' || CAST(t.i AS VARCHAR) AS name,
+             CASE WHEN k % 2 = 0 THEN 'house' ELSE 'senate' END AS chamber,
+             'subcommittee' AS committee_type,
+             'N' || CAST(k AS VARCHAR) AS parent_committee_id
+           FROM n, unnest(range(k % 3)) AS t(i))
+         SELECT * FROM (SELECT * FROM parents UNION ALL SELECT * FROM subs)
+         ORDER BY committee_id""",
     "f14_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -134,54 +134,51 @@ object Dedup {
 
   /** D3: MinHash + LSH near-dup candidates, verified with exact Jaccard.
     *
-    * Pipeline (all codegen-friendly scalar expressions):
-    *  1. explode docs → distinct shingles (the posting list)
-    *  2. cross the postings with the K seeds, hash seed:gram with the
-    *     scalar md5 path, groupBy (doc, seed) min → minhash rows
-    *  3. roll seeds up into band buckets (md5 of the band's 4 min-hashes
-    *     in seed order — identical bytes to hashing the signature slice)
-    *  4. self-join band buckets → candidate pairs
-    *  5. verify candidates with exact Jaccard via the posting list
+    * Pipeline:
+    *  1. one-pass K-way signature per document in the SCAN stage
+    *     (functions.MinHashSig — same per-gram arithmetic as the oracle's
+    *     exploded SQL, ~K× fewer rows than the gram×seed explode this
+    *     replaces, and map-only where the explode needed two wide
+    *     aggregations). Null signatures (docs shorter than the shingle
+    *     width) are dropped — an all-sentinel signature would bucket
+    *     every tiny doc together, a quadratic self-join bomb at scale.
+    *  2. band buckets = md5 of each signature slice in seed order
+    *     (byte-identical to the oracle's per-band min-list hash)
+    *  3. self-join band buckets → candidate pairs
+    *  4. verify candidates with exact Jaccard over a posting list built
+    *     from CANDIDATE DOCS ONLY (semi-join before the shingle explode,
+    *     the d6 pattern) — verification cost ∝ candidates, not corpus.
     *
-    * The equivalent nested higher-order-function formulation
-    * (minhashSignature) is 20× slower: Spark HOF lambdas are interpreted,
-    * not codegen'd — measured 123 s vs ~6 s at sf0.1. Keep hashing in
-    * exploded scalar form on hot paths.
+    * The nested higher-order-function formulation is 20× slower
+    * (interpreted lambdas, measured 123 s vs ~6 s at sf0.1); the
+    * exploded scalar formulation this replaces measured ~2.5-4 s, mostly
+    * in the G×K row blowup and its two aggregations.
     *
-    * At 100 TB: the explode is map-side; the only wide exchanges are the
-    * (doc,seed) min-combine (partial agg shrinks it to K rows per doc
-    * before shuffle) and the band self-join on constant-size keys.
+    * At 100 TB: signatures are map-side; the only wide exchanges are the
+    * band self-join on constant-size keys and the candidate-restricted
+    * verify.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val rows = MinHashK / LshBands
-    // shared: the posting list feeds the seed cross-join, the counts,
-    // and both verification join sides
-    val grams = shared(documents(spark, dir)
-      .repartition(col("doc_id")) // BEFORE shingling — see ngramJaccardPairs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram")))
-
-    val spark2 = grams.sparkSession
-    import spark2.implicits._
-    val seedDf = (0 until MinHashK)
-      .map(i => (i, i / rows, seedA(i), seedB(i)))
-      .toDF("seed", "band", "a", "b")
-    val minhashes = grams
-      .withColumn("gh", md5Base28(col("gram")))
-      .crossJoin(broadcast(seedDf))
-      .select(col("doc_id"), col("seed"), col("band"),
-        ((col("a") * col("gh") + col("b")) % MinHashP).as("h"))
-      .groupBy(col("doc_id"), col("seed"), col("band"))
-      .agg(min(col("h")).as("mh"))
-
-    // persist: a self-join over an UNPERSISTED aggregate re-executes the
-    // whole minhash subtree once per branch — and measurably worse than
-    // 2×: 21 s vs 1 s for this join at sf0.1. The bucket table is tiny
-    // (|docs| × bands rows), so the persist is cheap at any scale.
-    val buckets = shared(minhashes
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("sm"))
-      .select(col("doc_id"), col("band"),
-        md5(concat_ws(",", transform(col("sm"), s => s.getField("mh")))).as("bucket")))
+    val seedsA = (0 until MinHashK).map(seedA)
+    val seedsB = (0 until MinHashK).map(seedB)
+    // shared + filter INSIDE the cached frame: the null-drop predicate
+    // must not be pushed below the projection (predicate pushdown
+    // substitutes the alias, re-evaluating the signature expression in
+    // the scan filter — the j7 lesson); behind the cache boundary the
+    // signature computes once per doc at fill time.
+    val sigs = shared(documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(shingles(col("text")), seedsA, seedsB, MinHashP).as("sig"))
+      .filter(col("sig").isNotNull))
+    val bandBucket = (0 until LshBands).map { b =>
+      md5(concat_ws(",",
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+    }
+    val buckets = shared(sigs.select(col("doc_id"),
+      posexplode(array(bandBucket: _*)).as(Seq("band", "bucket"))))
+    sigs.unpersist(true)
 
     val candidates = buckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
       .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
@@ -189,9 +186,19 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+      .localCheckpoint(true)
 
-    val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
-    materializeAndRelease(verifyCandidates(candidates, hashed, threshold), grams, buckets)
+    // verify only candidate docs: semi-join BEFORE the shingle explode
+    // (the d6 pattern) — the signature phase no longer materializes a
+    // full-corpus posting list, and verification must not either
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val verGrams = documents(spark, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
+    materializeAndRelease(verifyCandidates(candidates, verGrams, threshold), buckets)
   }
 
   /** Exact-Jaccard verification of candidate pairs through a HASHED

