@@ -21,6 +21,9 @@ object RunPipeline {
 
   def stages(spark: SparkSession, sfDir: String): Seq[(String, () => DataFrame)] = Seq(
     "merge_upsert"      -> (() => MergeOps.mergeUpsert(spark, sfDir)),
+    // the incremental-scale form of the same MERGE: hash-partitioned
+    // base, broadcast delta, only affected partition dirs rewritten
+    "partitioned_merge" -> (() => MergeOps.partitionedMergeUpsert(spark, sfDir)),
     "insert_ignore"     -> (() => MergeOps.insertIgnore(spark, sfDir)),
     "column_update"     -> (() => MergeOps.columnUpdate(spark, sfDir)),
     "watermark_scan"    -> (() => Incremental.watermarkFilter(spark, sfDir)),

@@ -46,26 +46,20 @@ object Similarity {
 
   /** Widen the fixture's vectors to the reference's real 1536-dim width,
     * deterministically and ENGINE-PORTABLY: component j of vector v is
-    * the first 8 md5 hex digits of "v:j" parsed unsigned, mapped into
-    * [-0.5, 0.5) — the same cross-engine derivation the LSH plane matrix
-    * uses, so the DuckDB oracle reproduces the exact doubles and the
+    * the unsigned 32-bit window j%4 of md5("v:<j/4>"), mapped into
+    * [-0.5, 0.5) — the same cross-engine md5 trick as the LSH plane
+    * matrix, so the DuckDB oracle reproduces the exact doubles and the
     * driver hash (not just the spec suite) proves correctness at real
-    * width. Repartitioned before the derivation: the fixture parquet is
-    * a single split, and 1536 md5 calls per row on one task would
-    * serialize the scan (bench-variance playbook #3). */
+    * width. Derivation runs as ONE expression per row (HashVector; the
+    * HOF formulation interprets a lambda per component and measured ~2s
+    * of the bench median). Repartitioned before deriving: the fixture
+    * parquet is a single split (bench-variance playbook #3). */
   private[graft] def wideEmbeddings(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
       .repartition(col("vec_id"))
       .withColumn("embedding",
-        // one md5 yields 32 hex chars = FOUR 8-hex components: component
-        // j reads window j%4 of md5("<vec_id>:<j/4>") — 384 hashes per
-        // row instead of 1536 (the md5 is the dominant derivation cost)
-        transform(sequence(lit(0), lit(WideDim - 1)), j =>
-          conv(
-            md5(concat(col("vec_id").cast("string"), lit(":"), (j / lit(4)).cast("int").cast("string")))
-              .substr(lit(1) + lit(8) * pmod(j, lit(4)), lit(8)), 16, 10)
-            .cast("double") / lit(4294967296.0) - lit(0.5)))
+        graft.functions.HashVector(col("vec_id").cast("string"), WideDim))
 
   /** V1w: brute-force cosine top-k at the reference's 1536-dim width —
     * same plan as [[cosineTopK]] (broadcast 1-row query, codegen'd

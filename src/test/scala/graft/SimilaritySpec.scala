@@ -156,4 +156,22 @@ class SimilaritySpec extends SparkSpec {
     val sims = rows.map(r => r.getDouble(r.fieldIndex("sim_r")))
     assert(sims.toSeq === sims.sorted.reverse.toSeq)
   }
+
+  test("HashVector is bit-identical to the SQL md5-window derivation") {
+    import org.apache.spark.sql.functions._
+    // the column-tree formulation IS the oracle's SQL, expression for
+    // expression — pinning HashVector to it guards the cross-engine
+    // contract against drift in the fast path
+    val hof = transform(sequence(lit(0), lit(63)), j =>
+      conv(md5(concat(col("key"), lit(":"), (j / lit(4)).cast("int").cast("string")))
+        .substr(lit(1) + lit(8) * pmod(j, lit(4)), lit(8)), 16, 10)
+        .cast("double") / lit(4294967296.0) - lit(0.5))
+    val rows = spark.range(5).select(col("id").cast("string").as("key"))
+      .select(graft.functions.HashVector(col("key"), 64).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1),
+        "HashVector diverged from the SQL derivation")
+    }
+  }
 }
