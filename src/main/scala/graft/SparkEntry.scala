@@ -102,6 +102,7 @@ object SparkEntry {
     "s4_vote_scan"            -> ((s, d) => graft.sources.ReferenceSources.voteScanOverEvents(s, d)),
     "s5_bill_xml_scan"        -> ((s, d) => graft.sources.ReferenceSources.billXmlOverParts(s, d)),
     "s6_committee_flatten"    -> ((s, d) => graft.sources.ReferenceSources.committeesOverNations(s, d)),
+    "s8_zip_ingest"           -> ((s, d) => graft.sources.ZipSource.zipIngestOverOrders(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
@@ -776,6 +777,46 @@ object SparkEntry {
                   ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS transaction_amt,
              CAST(o_orderkey AS VARCHAR) AS sub_id
            FROM orders),
+         targets AS (SELECT 'C' || CAST(n_nationkey AS VARCHAR) AS cmte_id FROM nation),
+         cleaned AS (
+           SELECT cmte_id AS committee_id,
+             name || '|' || zip_code || '|' || employer AS donor_uid,
+             CAST(try_strptime(transaction_dt, '%m%d%Y') AS DATE) AS date,
+             TRY_CAST(transaction_amt AS DECIMAL(12,2)) AS amount
+           FROM contribs
+           WHERE amndt_ind = 'N'
+             AND cmte_id IN (SELECT cmte_id FROM targets))
+         SELECT committee_id, COUNT(*) AS n_donations,
+           COUNT(DISTINCT donor_uid) AS n_donors,
+           CAST(SUM(amount) AS DOUBLE) AS total_amount,
+           MIN(strftime(date, '%Y-%m-%d')) AS first_date
+         FROM cleaned
+         WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
+         GROUP BY committee_id
+         ORDER BY committee_id""",
+    // s8: the engine renders the same FEC-shaped rows as pipe-text,
+    // zips them (3 archives x 2 entries), and reads them back through
+    // the distributed zip -> from_csv path into the donation lineage.
+    // The oracle is the etl1 rollup computed straight from orders, with
+    // key%17 rows excluded: those lines are planted TRUNCATED in the
+    // archives (PERMISSIVE null tail-fill), so their null dates drop
+    // them in the engine — equality proves the zip round trip and the
+    // permissive parse lose nothing else.
+    "s8_zip_ingest" ->
+      """WITH contribs AS (
+           SELECT
+             'C' || CAST(o_custkey % 50 AS VARCHAR) AS cmte_id,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'A' ELSE 'N' END AS amndt_ind,
+             'DONOR, ' || CAST(o_custkey AS VARCHAR) AS name,
+             lpad(CAST(o_custkey % 1000 AS VARCHAR), 5, '0') AS zip_code,
+             o_orderpriority AS employer,
+             CASE WHEN o_orderkey % 13 = 0 THEN '99999999'
+                  ELSE strftime(o_orderdate, '%m%d%Y') END AS transaction_dt,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'n/a'
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS transaction_amt,
+             CAST(o_orderkey AS VARCHAR) AS sub_id
+           FROM orders
+           WHERE o_orderkey % 17 <> 0),
          targets AS (SELECT 'C' || CAST(n_nationkey AS VARCHAR) AS cmte_id FROM nation),
          cleaned AS (
            SELECT cmte_id AS committee_id,

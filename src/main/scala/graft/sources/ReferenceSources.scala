@@ -61,6 +61,23 @@ object ReferenceSources {
       .na.drop(Seq("donor_uid", "date", "amount"))
   }
 
+  /** The FEC-shaped contribution rows synthesized deterministically
+    * from the `orders` fixture — shared by the etl1 lineage query and
+    * the S8 zip-ingestion round trip (ZipSource.zipIngestOverOrders),
+    * and mirrored field-for-field in both queries' oracle SQL. */
+  def fecShapedOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir).select(
+      concat(lit("C"), (col("o_custkey") % 50).cast("string")).as("CMTE_ID"),
+      when(col("o_orderkey") % 7 === 0, lit("A")).otherwise(lit("N")).as("AMNDT_IND"),
+      concat(lit("DONOR, "), col("o_custkey").cast("string")).as("NAME"),
+      lpad((col("o_custkey") % 1000).cast("string"), 5, "0").as("ZIP_CODE"),
+      col("o_orderpriority").as("EMPLOYER"),
+      when(col("o_orderkey") % 13 === 0, lit("99999999"))
+        .otherwise(date_format(col("o_orderdate"), "MMddyyyy")).as("TRANSACTION_DT"),
+      when(col("o_orderkey") % 11 === 0, lit("n/a"))
+        .otherwise(col("o_totalprice").cast("decimal(12,2)").cast("string")).as("TRANSACTION_AMT"),
+      col("o_orderkey").cast("string").as("SUB_ID"))
+
   /** §3.4 as a DRIVER-GATED query: the composed donation lineage
     * (filter amended → semi-join tracked committees → donor uid →
     * project/rename → coerce date+amount → drop nulls) run end-to-end
@@ -72,17 +89,7 @@ object ReferenceSources {
     * exercised, not just the happy path. Output is the per-committee
     * rollup — stable, small, hash-comparable. */
   def donationPipelineOverOrders(spark: SparkSession, dir: String): DataFrame = {
-    val contribs = graft.Tables.orders(spark, dir).select(
-      concat(lit("C"), (col("o_custkey") % 50).cast("string")).as("CMTE_ID"),
-      when(col("o_orderkey") % 7 === 0, lit("A")).otherwise(lit("N")).as("AMNDT_IND"),
-      concat(lit("DONOR, "), col("o_custkey").cast("string")).as("NAME"),
-      lpad((col("o_custkey") % 1000).cast("string"), 5, "0").as("ZIP_CODE"),
-      col("o_orderpriority").as("EMPLOYER"),
-      when(col("o_orderkey") % 13 === 0, lit("99999999"))
-        .otherwise(date_format(col("o_orderdate"), "MMddyyyy")).as("TRANSACTION_DT"),
-      when(col("o_orderkey") % 11 === 0, lit("n/a"))
-        .otherwise(col("o_totalprice").cast("decimal(12,2)").cast("string")).as("TRANSACTION_AMT"),
-      col("o_orderkey").cast("string").as("SUB_ID"))
+    val contribs = fecShapedOrders(spark, dir)
     val targets = graft.Tables.nation(spark, dir)
       .select(concat(lit("C"), col("n_nationkey").cast("string")).as("CMTE_ID"))
     donationPipeline(contribs, targets)
@@ -155,12 +162,12 @@ object ReferenceSources {
     * functions of the fixture, so a repeat call (bench warm reps,
     * later test suites) re-scans rather than re-writes — the WRITE is
     * fixture construction, the SCAN is the operator under test. */
-  private val treeWritten = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val treeWritten = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def voteScanOverEvents(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_s4_$tag/votes"
-    if (treeWritten.putIfAbsent(root, true) == null) {
+    if (treeWritten.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
       val votes = graft.Tables.events(spark, dir)
         .select(dayofmonth(col("ts")).as("dy"),
           date_format(col("ts"), "yyyy-MM-dd").as("date"),
@@ -247,7 +254,7 @@ object ReferenceSources {
   def billXmlOverParts(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_s5_$tag/bills"
-    if (treeWritten.putIfAbsent(root, true) == null) {
+    if (treeWritten.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
       val k = col("p_partkey")
       val btype = when(k % 2 === 0, lit("hr")).otherwise(lit("s"))
       val number = expr("p_partkey div 100")
@@ -315,7 +322,7 @@ object ReferenceSources {
   def committeesOverNations(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_s6_$tag/committees"
-    if (treeWritten.putIfAbsent(root, true) == null) {
+    if (treeWritten.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
       val k = col("n_nationkey")
       val subsFull = array((0 until 2).map(i => struct(
         lpad(lit(i).cast("string"), 2, "0").as("thomas_id"),

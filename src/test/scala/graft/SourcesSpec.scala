@@ -128,4 +128,54 @@ class SourcesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rolled === Map("HSAG" -> 2L, "SSFR" -> 1L))
   }
+
+  test("S8: zip scan extracts every entry of every archive, one task per zip") {
+    import graft.sources.ZipSource
+    val d = Files.createTempDirectory("graft_zip")
+    def writeZip(name: String, entries: Seq[(String, Seq[String])]): Unit = {
+      val out = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(d.resolve(name).toFile))
+      try entries.foreach { case (entry, lines) =>
+        out.putNextEntry(new java.util.zip.ZipEntry(entry))
+        out.write(lines.map(_ + "\n").mkString.getBytes("UTF-8"))
+        out.closeEntry()
+      } finally out.close()
+    }
+    writeZip("a.zip", Seq(
+      "p0.txt" -> Seq("C1|N|x", "C2|A|y"),
+      "p1.txt" -> Seq("C3|N|z"),
+      "empty.txt" -> Seq()))
+    writeZip("b.zip", Seq("p0.txt" -> Seq("C4|N|w")))
+
+    val lines = ZipSource.readZippedLines(spark, s"$d/*.zip")
+    assert(lines.count() === 4)
+    // entries stay attributed to their archive and entry name
+    val byEntry = lines.collect()
+      .groupBy(r => (r.getString(0).split('/').last, r.getString(1)))
+      .view.mapValues(_.length).toMap
+    assert(byEntry === Map(
+      ("a.zip", "p0.txt") -> 2, ("a.zip", "p1.txt") -> 1, ("b.zip", "p0.txt") -> 1))
+  }
+
+  test("S8: zipped csv parses PERMISSIVEly — short lines null-fill the tail") {
+    import graft.sources.ZipSource
+    val d = Files.createTempDirectory("graft_zip2")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(d.resolve("x.zip").toFile))
+    out.putNextEntry(new java.util.zip.ZipEntry("t.txt"))
+    // row 1 full arity; row 2 truncated after NAME (field 8 of 21)
+    out.write(
+      ("C1|N|Q1||||IND|ALICE|SPRINGFIELD|IL|62704|ACME|ENG|01152024|250.00||T1|1||M|S1\n"
+        + "C2|N|Q1||||IND|BOB\n").getBytes("UTF-8"))
+    out.closeEntry(); out.close()
+
+    val rows = ZipSource.readZippedCsv(spark, s"$d/*.zip",
+      ReferenceSources.fecContributionsSchema).collect()
+    assert(rows.length === 2)
+    val byCmte = rows.map(r => r.getAs[String]("CMTE_ID") -> r).toMap
+    assert(byCmte("C1").getAs[String]("TRANSACTION_AMT") === "250.00")
+    assert(byCmte("C2").getAs[String]("NAME") === "BOB")
+    assert(byCmte("C2").getAs[String]("TRANSACTION_DT") === null)
+    assert(byCmte("C2").getAs[String]("SUB_ID") === null)
+  }
 }
