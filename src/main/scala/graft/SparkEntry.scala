@@ -102,11 +102,15 @@ object SparkEntry {
     "s4_vote_scan"            -> ((s, d) => graft.sources.ReferenceSources.voteScanOverEvents(s, d)),
     "s5_bill_xml_scan"        -> ((s, d) => graft.sources.ReferenceSources.billXmlOverParts(s, d)),
     "s6_committee_flatten"    -> ((s, d) => graft.sources.ReferenceSources.committeesOverNations(s, d)),
+    "s7_paged_scan"           -> ((s, d) => graft.sources.PagedSource.pagedScanOverCustomers(s, d)),
     "s8_zip_ingest"           -> ((s, d) => graft.sources.ZipSource.zipIngestOverOrders(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
+    "x7_llm_extract"          -> ((s, d) => LlmOps.extractKeywords(s, d)),
+    "x7b_llm_extract_batched" -> ((s, d) => LlmOps.extractKeywordsBatched(s, d)),
+    "x7c_rag_answer"          -> ((s, d) => LlmOps.ragAnswer(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -119,6 +123,25 @@ object SparkEntry {
     (0 until operators.Dedup.MinHashK)
       .map(i => s"(${i}, ${i / (operators.Dedup.MinHashK / operators.Dedup.LshBands)}, ${operators.Dedup.seedA(i)}, ${operators.Dedup.seedB(i)})")
       .mkString(", ")
+
+  private val xSevenSql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+         FROM documents),
+       filt AS (
+         SELECT doc_id, token FROM toks
+         WHERE length(token) >= 4
+           AND token NOT IN ('that','with','this','from','have','were','they','their')),
+       counted AS (
+         SELECT doc_id, token, COUNT(*) AS cnt FROM filt GROUP BY doc_id, token),
+       ranked AS (
+         SELECT doc_id, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rk
+         FROM counted)
+       SELECT doc_id, string_agg(token, ',' ORDER BY rk) AS keywords
+       FROM ranked WHERE rk <= 5
+       GROUP BY doc_id
+       ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     // Convention (see Relational.moneyOut): aggregates run in DECIMAL for
@@ -794,6 +817,29 @@ object SparkEntry {
          WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
          GROUP BY committee_id
          ORDER BY committee_id""",
+    // x7/x7b: keyword extraction with the "model" stubbed to a
+    // deterministic rule (top-5 tokens by frequency, ties lexicographic)
+    // so BOTH execution paths — the codegen'd column plan and the
+    // batched per-partition model-client path — are provable against
+    // the same independent SQL formulation. The stopword IN-list and
+    // min-length must stay in lockstep with LlmOps.Stopwords/MinTokenLen.
+    "x7_llm_extract" -> xSevenSql,
+    "x7b_llm_extract_batched" -> xSevenSql,
+    // s7: the engine synthesizes a cursor-chained page feed from the
+    // customer table, follows the pagination loop to a landed spool,
+    // and parses the spool distributed; the oracle recomputes the
+    // rollup straight from the customer table — equality proves every
+    // page was visited exactly once (a dropped or doubled page shifts
+    // the per-nation counts).
+    "s7_paged_scan" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           COUNT(*) AS n_members,
+           MIN(c_custkey) AS min_custkey,
+           MAX(c_custkey) AS max_custkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+         FROM customer
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
     // s8: the engine renders the same FEC-shaped rows as pipe-text,
     // zips them (3 archives x 2 entries), and reads them back through
     // the distributed zip -> from_csv path into the donation lineage.

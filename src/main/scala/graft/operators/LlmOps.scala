@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X7: the LLM extraction/synthesis tier (reference app.py:374-398
+  * keyword extraction, app.py:401-519 answer synthesis over retrieved
+  * rows) — with the MODEL behind a deterministic stub seam, the same
+  * treatment X5 gives the embedding service (StubEmbed): the Spark-side
+  * plumbing (batched calls, partition-level client init, plan shape,
+  * schemas) is real and driver-gated; swapping in a live model changes
+  * only the [[CompletionModel]] implementation.
+  *
+  * Two execution paths, asserted equivalent:
+  *  - [[extractKeywords]]: the extraction expressed as a PURE COLUMN
+  *    PLAN (explode → count → windowed top-k → ordered re-aggregate) —
+  *    whole-stage-codegen'd, no UDF, the form a deterministic "model"
+  *    permits and the form to prefer whenever extraction rules are
+  *    expressible;
+  *  - [[extractKeywordsBatched]]: the mapPartitions form that a REAL
+  *    model client forces — one client per partition (amortized init,
+  *    like a rate-limited HTTP session), prompts pulled through in
+  *    batches of `batchSize` (the reference batches its calls too).
+  *    This is the seam production swaps: `StubKeywordModel` →
+  *    an HTTP-backed CompletionModel, plan unchanged.
+  *
+  * At 100 TB the column plan is one shuffle (doc_id, token) with
+  * map-side partial counts; the batched form is map-only. Neither
+  * collects to the driver.
+  */
+object LlmOps {
+
+  /** Words ignored by the extraction "model" — must stay in lockstep
+    * with the IN-list in the x7 oracle SQL (SparkEntry). */
+  val Stopwords: Seq[String] = Seq(
+    "that", "with", "this", "from", "have", "were", "they", "their")
+
+  val MinTokenLen = 4
+
+  /** The model seam: a batch of prompts in, a completion per prompt
+    * out. Production backs this with an HTTP client; the stub is a
+    * deterministic extraction so the pipeline is testable offline and
+    * oracle-checkable. */
+  trait CompletionModel extends Serializable {
+    def completeBatch(prompts: Seq[String]): Seq[String]
+  }
+
+  /** Deterministic "LLM": extracts the top-k alphabetic tokens of
+    * length ≥ [[MinTokenLen]] (stopwords dropped) by descending
+    * frequency, ties broken lexicographically — the rule mirrored by
+    * the column plan and the DuckDB oracle. */
+  final class StubKeywordModel(k: Int) extends CompletionModel {
+    def completeBatch(prompts: Seq[String]): Seq[String] = prompts.map { p =>
+      p.toLowerCase.split("[^a-z]+")
+        .filter(t => t.length >= MinTokenLen && !Stopwords.contains(t))
+        .groupBy(identity).view.mapValues(_.length).toSeq
+        .sortBy { case (tok, n) => (-n, tok) }
+        .take(k).map(_._1).mkString(",")
+    }
+  }
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+
+  /** X7 as a column plan: per-document top-k keyword extraction.
+    * Output: (doc_id, keywords) with keywords comma-joined in rank
+    * order — totally ordered, no arrays (driver-gate rules). */
+  def extractKeywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) >= MinTokenLen &&
+        !col("token").isin(Stopwords: _*))
+    val counted = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counted.withColumn("rk",
+      row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rk") <= k)
+    ranked.groupBy(col("doc_id"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rk"), col("token")))),
+          x => x.getField("token"))).as("keywords"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X7 through the model seam: same output as [[extractKeywords]],
+    * produced by batched calls to a per-partition [[CompletionModel]]
+    * client. Driver-gated against the SAME oracle as x7 — the two
+    * paths must agree bit-for-bit. */
+  def extractKeywordsBatched(spark: SparkSession, dir: String, k: Int = 5,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val in = documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val out = in.mapPartitions { rows =>
+      // per-partition client init — a real model opens its session here
+      val model = new StubKeywordModel(k)
+      rows.grouped(batchSize).flatMap { batch =>
+        val completions = model.completeBatch(batch.map(_._2))
+        batch.map(_._1).zip(completions)
+      }
+    }
+    out.toDF("doc_id", "keywords")
+      .filter(col("keywords") =!= "") // docs with no qualifying token
+      .orderBy(col("doc_id"))
+  }
+
+  /** X7 synthesis shape (app.py:401-519): answer a query over the
+    * top-k retrieved documents — retrieval is the v4 semantic-search
+    * plan (stub embedder, broadcast 1-row query), synthesis is a
+    * deterministic per-row "grounded answer" assembled from the
+    * retrieved row and its extracted keywords. Rows-only at the driver
+    * gate (the answer text is stub-shaped); the retrieval underneath is
+    * oracle-proven via v1/v1w and spec-proven via SimilaritySpec. */
+  def ragAnswer(spark: SparkSession, dir: String,
+      query: String = "customer order filter join", k: Int = 5): DataFrame = {
+    val hits = Similarity.semanticSearch(spark, dir, query, k)
+    val kw = extractKeywords(spark, dir)
+    hits.join(kw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sim_r"),
+        concat(lit("q["), lit(query), lit("] -> doc "), col("doc_id"),
+          lit(" ("), coalesce(col("keywords"), lit("")), lit(")")).as("answer"))
+      .orderBy(desc("sim_r"), col("doc_id"))
+  }
+}

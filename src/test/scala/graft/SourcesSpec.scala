@@ -129,6 +129,52 @@ class SourcesSpec extends SparkSpec {
     assert(rolled === Map("HSAG" -> 2L, "SSFR" -> 1L))
   }
 
+  test("S7: cursor loop lands every page once; retry backs off exponentially") {
+    import graft.sources.PagedSource
+    val d = Files.createTempDirectory("graft_pages")
+    def page(name: String, ids: Seq[Int], next: Option[String]): Unit =
+      Files.writeString(d.resolve(s"$name.json"),
+        s"""{"members":[${ids.map(i => s"""{"c_custkey":$i}""").mkString(",")}],
+           |"pagination":{"next":${next.map("\"" + _ + "\"").getOrElse("null")}}}"""
+          .stripMargin.replace("\n", ""))
+    page("page_0", Seq(1, 2), Some("page_1"))
+    page("page_1", Seq(3), Some("page_2"))
+    page("page_2", Seq(4, 5), None)
+
+    // a fetcher that rate-limits the first TWO attempts at page_1
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val inner = new PagedSource.LocalJsonPages(d.toString)
+    val flaky = new PagedSource.PageFetcher {
+      def fetch(cursor: Option[String]): String = {
+        if (cursor.contains("page_1") && failures.getAndDecrement() > 0)
+          throw new PagedSource.RateLimited("429")
+        inner.fetch(cursor)
+      }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val spool = Files.createTempDirectory("graft_spool").toString
+    val n = PagedSource.fetchAllToSpool(flaky, spool,
+      maxRetries = 3, backoffMs = 100, sleeper = sleeps += _)
+    assert(n === 3)
+    assert(sleeps.toSeq === Seq(100L, 200L)) // exponential, not constant
+    // the spool holds each page exactly once, ids complete
+    val ids = spark.read.json(spool)
+      .select(explode(col("members.c_custkey")).as("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+
+    // a feed that stays down propagates after maxRetries
+    val alwaysDown = new PagedSource.PageFetcher {
+      def fetch(cursor: Option[String]): String =
+        throw new PagedSource.RateLimited("429")
+    }
+    intercept[PagedSource.RateLimited] {
+      PagedSource.fetchAllToSpool(alwaysDown,
+        Files.createTempDirectory("graft_spool2").toString,
+        maxRetries = 2, backoffMs = 1, sleeper = _ => ())
+    }
+  }
+
   test("S8: zip scan extracts every entry of every archive, one task per zip") {
     import graft.sources.ZipSource
     val d = Files.createTempDirectory("graft_zip")
