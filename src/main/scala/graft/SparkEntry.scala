@@ -108,6 +108,7 @@ object SparkEntry {
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
+    "c1_corpus_curation"      -> ((s, d) => Curation.curate(s, d)),
     "x7_llm_extract"          -> ((s, d) => LlmOps.extractKeywords(s, d)),
     "x7b_llm_extract_batched" -> ((s, d) => LlmOps.extractKeywordsBatched(s, d)),
     "x7c_rag_answer"          -> ((s, d) => LlmOps.ragAnswer(s, d)),
@@ -817,6 +818,50 @@ object SparkEntry {
          WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
          GROUP BY committee_id
          ORDER BY committee_id""",
+    // c1: the four-stage curation pipeline (quality gate -> exact dedup
+    // min-id survivor -> near-dup removal via the df-capped inverted
+    // index over survivors -> deterministic md5 split) chained in one
+    // DuckDB formulation; a final-rollup hash match pins every stage,
+    // since any stage's error compounds into the (lang, split) totals.
+    "c1_corpus_curation" ->
+      s"""WITH toks AS (
+           SELECT doc_id, text, lang, len($toksSql) AS n_tokens FROM documents),
+         q AS (SELECT * FROM toks WHERE n_tokens >= ${operators.Curation.MinTokens}),
+         keepmin AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         ex AS (SELECT q.* FROM q JOIN keepmin USING (doc_id)),
+         t AS (SELECT doc_id, $toksSql AS w FROM documents JOIN keepmin USING (doc_id)),
+         g0 AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+         rare AS (SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dropped AS (
+           SELECT DISTINCT b_id AS doc_id FROM common
+           JOIN cnt ca ON a_id = ca.doc_id
+           JOIN cnt cb ON b_id = cb.doc_id
+           WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
+         kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         SELECT lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                  % ${operators.Curation.EvalBuckets} = 0
+             THEN 'eval' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM kept
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
     // x7/x7b: keyword extraction with the "model" stubbed to a
     // deterministic rule (top-5 tokens by frequency, ties lexicographic)
     // so BOTH execution paths — the codegen'd column plan and the

@@ -73,7 +73,13 @@ object Dedup {
     */
   val NgramDfCap = 50
 
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsOf(documents(spark, dir), threshold)
+
+  /** D2 over an arbitrary (doc_id, text) frame — the df cap is computed
+    * over THIS corpus, so a curated subset prunes by its own gram
+    * frequencies (Curation runs it over exact-dedup survivors). */
+  private[graft] def ngramJaccardPairsOf(input: DataFrame, threshold: Double = 0.8): DataFrame = {
     // Join on a 60-bit gram hash, not the gram string: same pairs and
     // counts (collision odds ~n²/2⁶¹), half the shuffle bytes. The
     // capped posting list feeds three plan branches (doc counts + both
@@ -85,7 +91,7 @@ object Dedup {
     // so without the early exchange the whole shingle+hash computation
     // runs on a single task (measured 4 s single-task vs <1 s spread).
     // Shuffling the raw docs first is cheap (5k rows of text).
-    val docs = shared(documents(spark, dir)
+    val docs = shared(input
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h")))

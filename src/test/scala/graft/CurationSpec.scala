@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, TextOps}
+
+/** Curation-pipeline invariants the oracle rollup can't see directly:
+  * stage monotonicity, survivor rules, and split stability. */
+class CurationSpec extends SparkSpec {
+
+  test("curated totals are a partition of the post-filter survivor set") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val rollup = Curation.curate(spark, sfDir).collect()
+    val kept = rollup.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0 && kept <= nDocs)
+    // every (lang, split) row distinct; split values only train/eval
+    assert(rollup.map(r => (r.getString(0), r.getString(1))).distinct.length === rollup.length)
+    assert(rollup.map(_.getString(1)).toSet.subsetOf(Set("train", "eval")))
+  }
+
+  test("the split is a pure function of doc_id — append never migrates a doc") {
+    // curating a corpus PREFIX assigns every shared doc the same split
+    // membership as the full corpus (the eval-contamination guarantee)
+    val all = graft.Tables.documents(spark, sfDir)
+    val prefix = all.filter(col("doc_id") < 200)
+    def splitOf(df: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+      val quality = df
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+        .filter(col("n_tokens") >= Curation.MinTokens)
+      quality.select(col("doc_id"),
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % Curation.EvalBuckets === 0, lit("eval"))
+          .otherwise(lit("train")).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val fromPrefix = splitOf(prefix)
+    val fromAll = splitOf(all)
+    assert(fromPrefix.nonEmpty)
+    fromPrefix.foreach { case (id, s) => assert(fromAll(id) === s) }
+    // both classes are actually populated at fixture scale
+    assert(fromAll.values.toSet === Set("train", "eval"))
+  }
+
+  test("near-dup stage drops exactly the greater id of each surviving pair") {
+    // pairs computed over the same survivor frame the pipeline uses
+    val quality = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .filter(col("n_tokens") >= Curation.MinTokens)
+    val exact = quality
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+    val pairs = Dedup.ngramJaccardPairsOf(exact.select(col("doc_id"), col("text"))).collect()
+    // every b_id must be absent from the curated survivor set: compare
+    // totals — dropping b-ids from exact reproduces the rollup count
+    val expectedKept = exact.count() - pairs.map(_.getLong(1)).distinct.length
+    val rollupKept = Curation.curate(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rollupKept === expectedKept)
+  }
+}
