@@ -20,6 +20,11 @@ object RunPipeline {
   case class StageResult(name: String, rows: Long, seconds: Double, status: String)
 
   def stages(spark: SparkSession, sfDir: String): Seq[(String, () => DataFrame)] = Seq(
+    // acquisition tier first, like the reference's ingest_* scripts:
+    // landed-archive extraction (S8) and the cursor-paged feed (S7)
+    // both land + parse + cleanse before the merge tier runs
+    "ingest_zip"        -> (() => graft.sources.ZipSource.zipIngestOverOrders(spark, sfDir)),
+    "ingest_paged"      -> (() => graft.sources.PagedSource.pagedScanOverCustomers(spark, sfDir)),
     "merge_upsert"      -> (() => MergeOps.mergeUpsert(spark, sfDir)),
     // the incremental-scale form of the same MERGE: hash-partitioned
     // base, broadcast delta, only affected partition dirs rewritten

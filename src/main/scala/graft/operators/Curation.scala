@@ -53,12 +53,15 @@ object Curation {
 
     // exact dedup: one shuffle on the digest, min-id survivor (d1's
     // rule) — window instead of groupBy+self-join so lang/n_tokens ride
-    // along without a second join
-    val exact = quality
+    // along without a second join. The survivor frame feeds TWO
+    // branches (pair generation and the kept anti join), so it is
+    // persisted under the CacheOps discipline — unpersisted it would
+    // re-run the scan+window per branch.
+    val exact = CacheOps.shared(quality
       .withColumn("rk", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rk") === 1)
-      .drop("rk")
+      .drop("rk"))
 
     // near-dup: d2's capped inverted-index pairs over the survivor set;
     // the GREATER id of every qualifying pair is dropped (deterministic
@@ -68,11 +71,12 @@ object Curation {
       .select(col("b_id").as("doc_id")).distinct()
     val kept = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
 
-    kept
+    val rollup = kept
       .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("lang"), col("split"))
+    CacheOps.materializeAndRelease(rollup, exact)
   }
 }

@@ -110,6 +110,35 @@ object PagedSource {
       .select(recordSchema.fieldNames.toSeq.map(f => col(s"r.$f")): _*)
   }
 
+  /** Streaming flavor of the spool read: the spool is APPEND-ONLY (the
+    * fetch loop lands page files and never mutates them), which is
+    * exactly Structured Streaming's file-source contract — so the
+    * reference's "re-run the ETL after each fetch" loop becomes a
+    * continuous pipeline: the acquisition loop keeps landing pages
+    * while the stream's checkpointed file index parses each page
+    * EXACTLY ONCE into the parquet sink. A crash on either side
+    * resumes from durable state (the spool for acquisition, the
+    * checkpoint for processing); re-running after new pages land
+    * processes only the new pages. */
+  def streamSpoolTo(spark: SparkSession, spoolDir: String,
+      recordSchema: StructType, recordsField: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val envelope = StructType(Seq(
+      StructField(recordsField, ArrayType(recordSchema)),
+      StructField("pagination", StructType(Seq(StructField("next", StringType))))))
+    val q = spark.readStream.schema(envelope).json(spoolDir)
+      .select(explode(col(recordsField)).as("r"))
+      .select(recordSchema.fieldNames.toSeq.map(f => col(s"r.$f")): _*)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------------------------------------------------------------- s7
 
   private val memberSchema = StructType(Seq(

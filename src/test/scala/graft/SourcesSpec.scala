@@ -175,6 +175,32 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S7 streaming: spool pages are parsed exactly once across restarts") {
+    import graft.sources.PagedSource
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_spoolstream")
+    val spool = s"$root/spool"
+    Files.createDirectories(Paths.get(spool))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    def land(page: Int, ids: Seq[Int]): Unit =
+      Files.writeString(Paths.get(spool, f"page_$page%05d.json"),
+        s"""{"members":[${ids.map(i => s"""{"id":$i,"name":"m$i"}""").mkString(",")}],
+           |"pagination":{"next":null}}""".stripMargin.replace("\n", ""))
+
+    land(0, Seq(1, 2)); land(1, Seq(3))
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    PagedSource.streamSpoolTo(spark, spool, schema, "members", out, ckpt)
+    assert(spark.read.parquet(out).count() === 3)
+
+    // more pages land; a RESTARTED stream processes only the new file —
+    // ids 1-3 are not duplicated in the sink (checkpointed file index)
+    land(2, Seq(4, 5))
+    PagedSource.streamSpoolTo(spark, spool, schema, "members", out, ckpt)
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("S8: zip scan extracts every entry of every archive, one task per zip") {
     import graft.sources.ZipSource
     val d = Files.createTempDirectory("graft_zip")
