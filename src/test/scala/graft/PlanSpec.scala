@@ -55,4 +55,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"semi join not broadcast:\n$p")
   }
+
+  test("zip ingestion parses with from_csv and broadcasts the committee semi-join") {
+    val p = plan(graft.sources.ZipSource.zipIngestOverOrders(spark, sfDir))
+    assert(p.contains("from_csv"), s"zip lines not parsed by from_csv:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"committee filter not a broadcast semi join:\n$p")
+  }
+
+  test("llm extraction partial-aggregates token counts below the exchange") {
+    val p = plan(graft.operators.LlmOps.extractKeywords(spark, sfDir))
+    val partial = p.indexOf("partial_count")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0, s"no map-side partial count in:\n$p")
+    // executedPlan prints top-down, so the map-side partial (earliest
+    // stage) must sit BELOW (larger index than) the exchange above it
+    assert(exchange >= 0 && partial > exchange,
+      s"partial aggregation does not precede the shuffle:\n$p")
+    // the batched seam computes map-only: no hash shuffle (the only
+    // exchange is the output-ordering rangepartitioning)
+    val pb = plan(graft.operators.LlmOps.extractKeywordsBatched(spark, sfDir))
+    assert(!pb.contains("Exchange hashpartitioning"),
+      s"batched model path must not hash-shuffle:\n$pb")
+  }
+
+  test("paged-spool parse schedules no schema inference and one aggregate exchange") {
+    val p = plan(graft.sources.PagedSource.pagedScanOverCustomers(spark, sfDir))
+    assert(p.contains("Scan json"), s"spool not read as schema'd json scan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"rollup lacks map-side partial aggregation:\n$p")
+  }
 }
