@@ -105,6 +105,7 @@ object SparkEntry {
     "s7_paged_scan"           -> ((s, d) => graft.sources.PagedSource.pagedScanOverCustomers(s, d)),
     "s8_zip_ingest"           -> ((s, d) => graft.sources.ZipSource.zipIngestOverOrders(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
+    "s16b_compacted_read"     -> ((s, d) => Partitioned.compactedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
@@ -1003,6 +1004,16 @@ object SparkEntry {
     // the raw table — equality proves the partitioned round-trip + prune
     // lose nothing.
     "s16_partitioned_sink" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         GROUP BY 1, 2 ORDER BY day, event_type""",
+    // s16b: the engine lands events FRAGMENTED (hash-distributed
+    // writers -> many files per day), compacts each day to one file by
+    // stage-then-rename, and reads the pruned rollup through the
+    // compacted table; the s16 formulation proves compaction loses and
+    // duplicates nothing.
+    "s16b_compacted_read" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
          FROM events
          WHERE CAST(ts AS DATE) >= DATE '2024-01-15'

@@ -68,6 +68,82 @@ object Partitioned {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Small-file compaction — the maintenance pass every partitioned
+    * sink needs at 100 TB: streaming micro-batches (EventsStream), the
+    * spool-as-you-fetch landings (PagedSource), and per-batch
+    * incremental appends each add files, and read cost degrades with
+    * file count (one task minimum per file, listing overhead, tiny row
+    * groups). Each multi-file partition's rows are rewritten as ONE
+    * file into a staging dir and committed by directory rename —
+    * readers never observe a half-compacted partition, and partitions
+    * already compact are SKIPPED (their files are not opened, moved,
+    * or rewritten — the same untouched-partition guarantee the
+    * partition-scoped MERGE makes, PartitionedSpec asserts both).
+    * Returns the compacted partition values.
+    *
+    * The affected-partition read filters with literals cast to the
+    * partition column's type (see readEventsSince) so the scan lists
+    * only fragmented directories. */
+  def compact(spark: SparkSession, path: String,
+      partitionKey: String = "day"): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(hconf)
+    def dataFiles(dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val fragmented = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionKey="))
+      .filter(s => dataFiles(s.getPath).length > 1)
+      .map(_.getPath.getName.stripPrefix(s"$partitionKey="))
+      .sorted.toSeq
+    if (fragmented.nonEmpty) {
+      val t = spark.read.parquet(path)
+      val keyType = t.schema(partitionKey).dataType
+      // literal-typed OR chain keeps this a partition filter: only the
+      // fragmented directories are listed and read
+      val affected = fragmented
+        .map(v => col(partitionKey) === lit(v).cast(keyType))
+        .reduce(_ || _)
+      val staging = s"${path}__compact_staging"
+      t.filter(affected)
+        .repartition(col(partitionKey)) // one task-set per partition → one file
+        .write.mode("overwrite").partitionBy(partitionKey).parquet(staging)
+      fragmented.foreach { v =>
+        val src = new org.apache.hadoop.fs.Path(staging, s"$partitionKey=$v")
+        val dst = new org.apache.hadoop.fs.Path(base, s"$partitionKey=$v")
+        if (fs.exists(src)) {
+          fs.delete(dst, true)
+          fs.rename(src, dst); ()
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      ()
+    }
+    fragmented
+  }
+
+  /** Driver-gated compaction round trip (s16b): land the fixture's
+    * events FRAGMENTED (hash-distributed writers → many files per day
+    * directory, the shape a streaming sink leaves), compact every
+    * fragmented day to one file, then run the same pruned incremental
+    * rollup as s16 against the compacted table. The s16 oracle proves
+    * compaction loses and duplicates nothing. */
+  def compactedIncrementalCounts(spark: SparkSession, dir: String,
+      sinceDay: String = "2024-01-15"): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s16b_$tag/events_fragmented"
+    graft.Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(16) // deliberately NOT by day: every writer hits every day
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val compacted = compact(spark, path)
+    System.err.println(s"[compact] ${compacted.size} partitions compacted under $path")
+    incrementalDailyCounts(spark, path, sinceDay)
+  }
+
   /** Driver-gated end-to-end form (s16): write the fixture's events
     * time-partitioned into a scratch dir, then run the pruned
     * incremental rollup from a fixed mid-month frontier. The oracle

@@ -155,4 +155,53 @@ class PartitionedSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() === total,
       "replaying one day must overwrite only that partition")
   }
+
+  test("compaction merges fragmented partitions to one file, skips compact ones untouched") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    // fragment: hash-distributed writers → several files per day dir
+    ev.repartition(8).write.partitionBy("day").parquet(base)
+    val before = spark.read.parquet(base)
+    val rowsBefore = before.groupBy(col("day"), col("event_type")).count().collect()
+      .map(r => (r.getAs[java.sql.Date](0).toString, r.getString(1), r.getLong(2))).toSet
+
+    def files(day: String): Array[java.io.File] =
+      new java.io.File(s"$base/day=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val days = new java.io.File(base).listFiles().filter(_.isDirectory)
+      .map(_.getName.stripPrefix("day=")).sorted
+    assert(days.exists(d => files(d).length > 1), "fixture failed to fragment")
+
+    // pre-compact one day by hand so compaction must SKIP it untouched
+    val preCompacted = days.find(d => files(d).length == 1)
+    val untouchedSig = preCompacted.map(d =>
+      files(d).map(f => (f.getName, f.lastModified(), f.length())).toSeq)
+
+    val compacted = graft.operators.Partitioned.compact(spark, base)
+    assert(compacted.nonEmpty)
+    preCompacted.foreach(d => assert(!compacted.contains(d),
+      s"already-compact partition $d must be skipped"))
+    days.foreach(d => assert(files(d).length === 1,
+      s"partition $d still fragmented after compaction"))
+    untouchedSig.zip(preCompacted).foreach { case (sig, d) =>
+      assert(files(d).map(f => (f.getName, f.lastModified(), f.length())).toSeq === sig,
+        s"skipped partition $d files were touched")
+    }
+    // content unchanged row-for-row
+    val rowsAfter = spark.read.parquet(base)
+      .groupBy(col("day"), col("event_type")).count().collect()
+      .map(r => (r.getAs[java.sql.Date](0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rowsAfter === rowsBefore, "compaction changed table content")
+
+    // idempotence: a second pass finds nothing fragmented and touches
+    // NO file in any partition
+    val allSigs = days.map(d =>
+      d -> files(d).map(f => (f.getName, f.lastModified(), f.length())).toSeq).toMap
+    assert(graft.operators.Partitioned.compact(spark, base).isEmpty,
+      "second compaction pass must be a no-op")
+    days.foreach(d =>
+      assert(files(d).map(f => (f.getName, f.lastModified(), f.length())).toSeq === allSigs(d),
+        s"idempotent pass touched files in partition $d"))
+  }
 }
