@@ -43,6 +43,23 @@ object ScaleProbe {
         concat(col("label"), lit("_c"), lit(c)).as("label"))
     }.reduce(_ unionByName _)
     scaledEmbs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // j7's incremental-linkage shape: the CANDIDATE file (suppliers,
+    // the FEC side) grows k×; the entity master (customers) stays 1×.
+    // Salted suppkeys, names unchanged — every copy links to the same
+    // argmax customer, so blocked-pair count and output grow LINEARLY
+    // in k, the regime the prefilter + blocking design claims. (Joint
+    // k× growth of BOTH sides is quadratic by design — the reference's
+    // fixed state-blocking trade; the mitigation at that point is a
+    // second blocking key, not a faster scorer.)
+    val supp = Tables.supplier(spark, baseDir)
+    val scaledSupp = (0 until k).map { c =>
+      supp.select(
+        (col("s_suppkey") + lit(c * Salt)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }.reduce(_ unionByName _)
+    scaledSupp.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    Tables.customer(spark, baseDir).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
     out
   }
 
@@ -65,7 +82,8 @@ object ScaleProbe {
       "d3_minhash_lsh"       -> (operators.Dedup.minhashLshPairs(_, _)),
       "d4b_simhash_pairs"    -> (operators.Dedup.simhashPairs(_, _)),
       "d6_rolling_fingerprint" -> (operators.Dedup.rollingFingerprintPairs(_, _)),
-      "v2b_neardup_bucketed" -> (operators.Similarity.nearDupTopPairsBucketed(_, _)))
+      "v2b_neardup_bucketed" -> (operators.Similarity.nearDupTopPairsBucketed(_, _)),
+      "j7_fuzzy_link"        -> (operators.FuzzyLink.linkSuppliersToCustomers(_, _)))
 
     // JVM/codegen warm-up so factor 1's first query isn't billed startup
     spark.range(1000000).selectExpr("sum(id)").collect()
