@@ -42,6 +42,15 @@ object ZipSource {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
+        // ZipInputStream yields null-on-first-entry for GARBAGE bytes,
+        // indistinguishable from a legitimately empty archive — and an
+        // ingestion source that silently reads a corrupt landed file as
+        // zero rows turns a transfer error into quiet data loss. The
+        // local-file-header magic check fails loudly instead (empty
+        // archives still carry the end-of-central-directory magic PK\5\6).
+        if (bytes.length >= 2 && !(bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte))
+          throw new IllegalArgumentException(
+            s"$path is not a zip archive (bad magic; corrupt download?)")
         val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
         Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
           .filterNot(_.isDirectory)

@@ -229,6 +229,24 @@ class SourcesSpec extends SparkSpec {
       ("a.zip", "p0.txt") -> 2, ("a.zip", "p1.txt") -> 1, ("b.zip", "p0.txt") -> 1))
   }
 
+  test("S8: a corrupt archive fails loudly; a valid empty archive reads as zero rows") {
+    import graft.sources.ZipSource
+    val d = Files.createTempDirectory("graft_zipbad")
+    // garbage bytes where a zip should be — a truncated/corrupt download
+    Files.write(d.resolve("bad.zip"), Array[Byte](0x42, 0x41, 0x44, 0x21))
+    val e = intercept[org.apache.spark.SparkException] {
+      ZipSource.readZippedLines(spark, s"$d/*.zip").count()
+    }
+    assert(e.getMessage.contains("not a zip archive")
+      || String.valueOf(e.getCause).contains("not a zip archive"))
+
+    val d2 = Files.createTempDirectory("graft_zipempty")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(d2.resolve("empty.zip").toFile))
+    out.close() // valid archive, zero entries — legitimately empty
+    assert(ZipSource.readZippedLines(spark, s"$d2/*.zip").count() === 0)
+  }
+
   test("S8: zipped csv parses PERMISSIVEly — short lines null-fill the tail") {
     import graft.sources.ZipSource
     val d = Files.createTempDirectory("graft_zip2")
