@@ -110,6 +110,7 @@ object SparkEntry {
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
     "c1_corpus_curation"      -> ((s, d) => Curation.curate(s, d)),
+    "c2_sequence_packing"     -> ((s, d) => Curation.sequencePacking(s, d)),
     "x7_llm_extract"          -> ((s, d) => LlmOps.extractKeywords(s, d)),
     "x7b_llm_extract_batched" -> ((s, d) => LlmOps.extractKeywordsBatched(s, d)),
     "x7c_rag_answer"          -> ((s, d) => LlmOps.ragAnswer(s, d)),
@@ -863,6 +864,29 @@ object SparkEntry {
          FROM kept
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+    // c2: packing-bin assignment is a windowed running token total over
+    // a deterministic (lang, shard) order — the SQL mirror uses the
+    // identical ROWS UNBOUNDED PRECEDING frame and the same floor'd
+    // double division, so bin ids match exactly.
+    "c2_sequence_packing" ->
+      s"""WITH toks AS (
+           SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents),
+         q AS (
+           SELECT doc_id, lang, n_tokens, doc_id % ${operators.Curation.PackShards} AS shard
+           FROM toks WHERE n_tokens >= ${operators.Curation.MinTokens}),
+         b AS (
+           SELECT lang, shard, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens) / ${operators.Curation.PackBudget}.0) AS BIGINT) AS bin
+           FROM q),
+         pb AS (
+           SELECT lang, shard, bin, COUNT(*) AS bin_docs, SUM(n_tokens) AS bin_tokens
+           FROM b GROUP BY 1, 2, 3)
+         SELECT lang, COUNT(*) AS n_bins,
+           CAST(SUM(bin_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens
+         FROM pb GROUP BY lang ORDER BY lang""",
     // x7/x7b: keyword extraction with the "model" stubbed to a
     // deterministic rule (top-5 tokens by frequency, ties lexicographic)
     // so BOTH execution paths — the codegen'd column plan and the

@@ -79,4 +79,43 @@ object Curation {
       .orderBy(col("lang"), col("split"))
     CacheOps.materializeAndRelease(rollup, exact)
   }
+
+  val PackBudget = 2048 // tokens per packed sequence
+  val PackShards = 8
+
+  /** c2: sequence packing — assign quality-surviving documents to
+    * fixed-token-budget bins (the pre-training packing step: documents
+    * are concatenated into budget-length sequences; the bin id is which
+    * sequence a document STARTS in, contiguous-fill semantics).
+    *
+    * The assignment is a windowed running token total: bin =
+    * floor((cumsum − own) / budget) over a deterministic (lang, shard)
+    * order. Partitioning the window by (lang, shard=doc_id mod 8)
+    * instead of lang alone is the scale decision: a cumulative sum is
+    * inherently sequential WITHIN a partition, and language cardinality
+    * is tiny, so lang-only windows would serialize the corpus through
+    * a handful of tasks; sharding makes the window parallel while bins
+    * stay deterministic (bins are arbitrary groupings — only their
+    * fill matters to training). Output is the per-lang packing summary
+    * (bin counts and fill extrema), totally ordered. */
+  def sequencePacking(spark: SparkSession, dir: String,
+      budget: Int = PackBudget, shards: Int = PackShards): DataFrame = {
+    val q = graft.Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .filter(col("n_tokens") >= MinTokens)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = q
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble)))
+    val perBin = binned.groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("bin_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    perBin.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        max(col("bin_tokens")).as("max_bin_tokens"))
+      .orderBy(col("lang"))
+  }
 }

@@ -41,6 +41,36 @@ class CurationSpec extends SparkSpec {
     assert(fromAll.values.toSet === Set("train", "eval"))
   }
 
+  test("sequence packing: contiguous bins, fill bounded by budget plus one doc") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = Curation.PackBudget
+    val q = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .filter(col("n_tokens") >= Curation.MinTokens)
+      .withColumn("shard", pmod(col("doc_id"), lit(Curation.PackShards)))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = q.withColumn("bin",
+      floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble)))
+      .collect()
+    val maxDoc = binned.map(_.getAs[Int]("n_tokens")).max
+    binned.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+        // contiguous: a doc STARTS in every bin from 0 to the last
+        assert(bins.head === 0L && bins.toSeq === (0L to bins.last))
+        // contiguous-fill bound: a bin's content never exceeds the
+        // budget by more than one overflowing document
+        rows.groupBy(_.getAs[Long]("bin")).values.foreach { binRows =>
+          val fill = binRows.map(_.getAs[Int]("n_tokens").toLong).sum
+          assert(fill <= budget + maxDoc, s"bin overfilled: $fill")
+        }
+    }
+    // the rollup accounts for every filtered doc
+    val rollup = Curation.sequencePacking(spark, sfDir).collect()
+    assert(rollup.map(_.getAs[Long]("n_docs")).sum === binned.length)
+  }
+
   test("near-dup stage drops exactly the greater id of each surviving pair") {
     // pairs computed over the same survivor frame the pipeline uses
     val quality = graft.Tables.documents(spark, sfDir)
