@@ -65,7 +65,11 @@ object Curation {
 
     // near-dup: d2's capped inverted-index pairs over the survivor set;
     // the GREATER id of every qualifying pair is dropped (deterministic
-    // regardless of chain order — b falls whether or not a also falls)
+    // regardless of chain order — b falls whether or not a also falls).
+    // The tier is pluggable: at 100 TB swap in the MinHash/LSH pairs
+    // (Dedup.minhashLshPairs — constant-size signatures decouple join
+    // width from document length); d2 is used here because its exact
+    // Jaccard formulation chains into the single-statement oracle.
     val nearDupIds = Dedup.ngramJaccardPairsOf(
         exact.select(col("doc_id"), col("text")))
       .select(col("b_id").as("doc_id")).distinct()

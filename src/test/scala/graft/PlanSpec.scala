@@ -79,6 +79,15 @@ class PlanSpec extends SparkSpec {
       s"batched model path must not hash-shuffle:\n$pb")
   }
 
+  test("sequence packing windows by (lang, shard), never lang alone") {
+    // a lang-only window serializes the corpus through |langs| tasks;
+    // the shard key is what keeps the cumulative sum parallel
+    val p = plan(graft.operators.Curation.sequencePacking(spark, sfDir))
+    val win = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(win.contains("lang") && win.contains("shard"),
+      s"packing window not sharded:\n$p")
+  }
+
   test("paged-spool parse schedules no schema inference and one aggregate exchange") {
     val p = plan(graft.sources.PagedSource.pagedScanOverCustomers(spark, sfDir))
     assert(p.contains("Scan json"), s"spool not read as schema'd json scan:\n$p")
