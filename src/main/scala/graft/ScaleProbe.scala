@@ -83,7 +83,14 @@ object ScaleProbe {
       "d4b_simhash_pairs"    -> (operators.Dedup.simhashPairs(_, _)),
       "d6_rolling_fingerprint" -> (operators.Dedup.rollingFingerprintPairs(_, _)),
       "v2b_neardup_bucketed" -> (operators.Similarity.nearDupTopPairsBucketed(_, _)),
-      "j7_fuzzy_link"        -> (operators.FuzzyLink.linkSuppliersToCustomers(_, _)))
+      "j7_fuzzy_link"        -> (operators.FuzzyLink.linkSuppliersToCustomers(_, _)),
+      // the composed training-data tier: curation chains quality, digest
+      // window, the d2 subplan, and the anti join; packing is windowed
+      // sums; extraction is explode+count+window. Probing the COMPOSITES
+      // checks stage coupling, not just the tiers in isolation.
+      "c1_corpus_curation"   -> (operators.Curation.curate(_, _)),
+      "c2_sequence_packing"  -> (operators.Curation.sequencePacking(_, _)),
+      "x7_llm_extract"       -> (operators.LlmOps.extractKeywords(_, _)))
 
     // JVM/codegen warm-up so factor 1's first query isn't billed startup
     spark.range(1000000).selectExpr("sum(id)").collect()
