@@ -96,6 +96,7 @@ object SparkEntry {
     "t1b_bpe_token_count"     -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "a12_pivot_counts"        -> ((s, d) => Relational.pivotCounts(s, d)),
     "a13_rollup_timeline"     -> ((s, d) => Relational.rollupTimeline(s, d)),
+    "a14_group_percentiles"   -> ((s, d) => Relational.groupPercentiles(s, d)),
     "st2_session_windows"     -> ((s, d) => graft.streaming.EventsStream.sessionWindows(s, d)),
     "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
     "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
@@ -820,6 +821,22 @@ object SparkEntry {
          WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
          GROUP BY committee_id
          ORDER BY committee_id""",
+    // a14: percentiles as the k-th smallest with k = ceil(p*n) — the
+    // engine-portable "disc" definition; interpolating percentile
+    // formulas differ across engines and would hash-mismatch.
+    "a14_group_percentiles" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+           FROM lineitem)
+         SELECT l_returnflag, MAX(cnt) AS n,
+           CAST(MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN l_quantity END) AS DOUBLE) AS p50,
+           CAST(MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN l_quantity END) AS DOUBLE) AS p90,
+           CAST(MAX(CASE WHEN rn = CEIL(cnt * 0.99) THEN l_quantity END) AS DOUBLE) AS p99
+         FROM ranked
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     // c1: the four-stage curation pipeline (quality gate -> exact dedup
     // min-id survivor -> near-dup removal via the df-capped inverted
     // index over survivors -> deterministic md5 split) chained in one

@@ -107,6 +107,40 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming flavor of the batched extraction: documents arrive as a
+    * file stream (the corpus-ingestion shape — landed batches of docs,
+    * e.g. the S7 spool or a crawler's output dir) and each micro-batch
+    * flows through the SAME per-partition batched model client,
+    * appending (doc_id, keywords) to a parquet sink. Stateless per
+    * document, so at 100 TB the stream holds no state at all — the
+    * checkpointed file index is the only bookkeeping, and a restart
+    * extracts only newly landed files (the exactly-once-per-doc
+    * property LlmOpsSpec asserts across a restart). */
+  def extractKeywordsStreamingTo(spark: SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String, k: Int = 5,
+      batchSize: Int = 64): Unit = {
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val extracted = stream.mapPartitions { rows =>
+      val model = new StubKeywordModel(k)
+      rows.grouped(batchSize).flatMap { batch =>
+        val completions = model.completeBatch(batch.map(_._2))
+        batch.map(_._1).zip(completions)
+      }
+    }.toDF("doc_id", "keywords")
+      .filter(col("keywords") =!= "")
+    val q = extracted.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** X7 synthesis shape (app.py:401-519): answer a query over the
     * top-k retrieved documents — retrieval is the v4 semantic-search
     * plan (stub embedder, broadcast 1-row query), synthesis is a

@@ -343,6 +343,32 @@ object Relational {
     }.orderBy(col("user_id"))
   }
 
+  /** A14: exact per-group percentiles — defined as the k-th smallest
+    * value with k = ceil(p·n) (the discrete/"disc" percentile), NOT an
+    * interpolating percentile: interpolation formulas differ across
+    * engines, while "k-th smallest" is engine-portable and well-defined
+    * under ties (the VALUE at rank k is unique even when the row order
+    * among equal values is not). One window pass (rank + group size
+    * share a shuffle on the group key), then a conditional-aggregate
+    * pivot — the distribution readout a dashboard quantile panel needs
+    * without a second scan. */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col("l_returnflag"))
+    val ranked = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(byGroup.orderBy(col("l_quantity"))))
+      .withColumn("cnt", count(lit(1)).over(byGroup))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("cnt") * lit(p)), col("l_quantity")))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(max(col("cnt")).as("n"),
+        pick(0.5).cast("double").as("p50"),
+        pick(0.9).cast("double").as("p90"),
+        pick(0.99).cast("double").as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** A13: ROLLUP — month × status totals with subtotal and grand-total
     * rows in one pass (the super-aggregate the reference approximates
     * with its "Both congresses" re-query, app.py:110-113). Spark plans

@@ -32,6 +32,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.forall(_.getString(1).nonEmpty))
   }
 
+  test("streaming extraction equals batch and processes each landed file once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_llmstream")
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // first landing: half the corpus, split across files
+    docs.filter(col("doc_id") % 2 === 0).repartition(2).write.parquet(src)
+    LlmOps.extractKeywordsStreamingTo(spark, src, out, ckpt)
+    val firstCount = spark.read.parquet(out).count()
+    assert(firstCount > 0)
+
+    // second landing: the rest; a restarted stream must process ONLY
+    // the new files (no doc extracted twice)
+    docs.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(src)
+    LlmOps.extractKeywordsStreamingTo(spark, src, out, ckpt)
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(streamed.map(_._1).distinct.length === streamed.length, "doc extracted twice")
+    val batch = LlmOps.extractKeywords(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq, "streaming result diverges from batch plan")
+  }
+
   test("rag answer grounds the top-k retrieved docs with their keywords") {
     val rows = LlmOps.ragAnswer(spark, sfDir, "customer order filter join", k = 5).collect()
     assert(rows.length === 5)

@@ -175,6 +175,20 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S7: a malformed page body fails the fetch loop loudly") {
+    import graft.sources.PagedSource
+    // a feed returning truncated/garbage JSON must abort the loop (the
+    // page is landed for post-mortem, but the cursor chain cannot
+    // continue past an unreadable envelope)
+    val broken = new PagedSource.PageFetcher {
+      def fetch(cursor: Option[String]): String = """{"members":[{"id":1}],"pagina"""
+    }
+    intercept[com.fasterxml.jackson.core.JacksonException] {
+      PagedSource.fetchAllToSpool(broken,
+        Files.createTempDirectory("graft_spool_bad").toString)
+    }
+  }
+
   test("S7 streaming: spool pages are parsed exactly once across restarts") {
     import graft.sources.PagedSource
     import org.apache.spark.sql.types._
