@@ -115,6 +115,11 @@ object SparkEntry {
     "x7_llm_extract"          -> ((s, d) => LlmOps.extractKeywords(s, d)),
     "x7b_llm_extract_batched" -> ((s, d) => LlmOps.extractKeywordsBatched(s, d)),
     "x7c_rag_answer"          -> ((s, d) => LlmOps.ragAnswer(s, d)),
+    "c3_decontamination"      -> ((s, d) => Curation.decontaminate(s, d)),
+    "c4_stratified_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "c5_mixture_epochs"       -> ((s, d) => Curation.mixtureEpochs(s, d)),
+    "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
+    "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1059,5 +1064,105 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
          GROUP BY 1, 2 ORDER BY day, event_type""",
+    // c3: benchmark membership, the df cap, and the gram hash are all
+    // interpolated from the Scala constants so both engines share them.
+    "c3_decontamination" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang, text,
+             (CAST('0x' || substr(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+               % ${operators.Curation.BenchmarkBuckets} = 0) AS is_bench
+           FROM documents),
+         t AS (SELECT doc_id, lang, is_bench, $toksSql AS w FROM d),
+         g0 AS (
+           SELECT DISTINCT doc_id, lang, is_bench, gram FROM (
+             SELECT doc_id, lang, is_bench, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, lang, is_bench,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+         rare AS (SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         bench AS (SELECT gram_h, doc_id AS bench_id FROM rare WHERE is_bench)
+         SELECT r.doc_id, r.lang,
+           COUNT(DISTINCT r.gram_h) AS n_shared_grams,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+         FROM rare r JOIN bench b USING (gram_h)
+         WHERE NOT r.is_bench
+         GROUP BY r.doc_id, r.lang
+         ORDER BY r.doc_id""",
+    "c4_stratified_sample" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang, len($toksSql) AS n_tokens,
+             CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS bucket,
+             CASE ${operators.Curation.SampleDenoms.map { case (l, n) => s"WHEN lang = '$l' THEN $n" }.mkString(" ")}
+               ELSE ${operators.Curation.SampleDenomDefault} END AS denom
+           FROM documents)
+         SELECT doc_id, lang, n_tokens FROM d
+         WHERE bucket % denom = 0
+         ORDER BY doc_id""",
+    "c5_mixture_epochs" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CASE ${operators.Curation.MixtureEpochs.map { case (l, n) => s"WHEN lang = '$l' THEN $n" }.mkString(" ")}
+               ELSE 1 END AS n_epochs
+           FROM documents)
+         SELECT doc_id, lang, x.e AS epoch,
+           CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(x.e AS VARCHAR)), 1, 15) AS BIGINT) AS shuffle_key
+         FROM d, unnest(range(1, n_epochs + 1)) AS x(e)
+         ORDER BY doc_id, epoch""",
+    // v6: assignment CTE identical to v5's; the re-estimated centroid
+    // divides two exact integers as doubles (see Similarity.kmeansStep).
+    "v6_kmeans_step" ->
+      s"""WITH cents AS (
+           SELECT vec_id AS cent_id, embedding AS cent_emb
+           FROM embeddings WHERE vec_id < ${operators.Similarity.IvfCentroids}),
+         assigned AS (
+           SELECT vec_id, embedding, cent_id FROM (
+             SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_reduce(list_transform(range(64),
+                   j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(range(64),
+                      j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(64),
+                      j -> CAST(c.cent_emb[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)))
+                 DESC, c.cent_id) AS rn
+             FROM embeddings e CROSS JOIN cents c) t
+           WHERE rn = 1),
+         expl AS (
+           SELECT cent_id, x.i AS dim_idx,
+             CAST(floor(CAST(embedding[x.i+1] AS DOUBLE) * 1000000) AS BIGINT) AS ppm
+           FROM assigned, unnest(range(64)) AS x(i))
+         SELECT cent_id, dim_idx,
+           CAST(CAST(SUM(ppm) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid_ppm,
+           COUNT(*) AS n_members
+         FROM expl GROUP BY cent_id, dim_idx
+         ORDER BY cent_id, dim_idx""",
+    // j11: the oracle reproduces the as-of semantics with the identical
+    // left band join + argmax window; -1 sentinels keep the output
+    // columns non-nullable (render parity).
+    "j11_asof_join" ->
+      s"""WITH p AS (
+           SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+         v AS (
+           SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events
+           WHERE event_type = 'view'),
+         j AS (
+           SELECT p.p_id, p.user_id, p.p_ts, v.v_ts, v.v_id,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+               ORDER BY v.v_ts DESC NULLS LAST, v.v_id DESC NULLS LAST) AS rn
+           FROM p LEFT JOIN v ON p.user_id = v.v_user
+             AND v.v_ts <= p.p_ts
+             AND v.v_ts >= p.p_ts - INTERVAL ${operators.AsofJoin.HorizonMinutes} MINUTE)
+         SELECT p_id, user_id, p_ts,
+           COALESCE(v_id, -1) AS v_id,
+           COALESCE((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000, -1) AS gap_s
+         FROM j WHERE rn = 1
+         ORDER BY p_id""",
   )
 }

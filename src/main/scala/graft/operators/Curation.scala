@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,5 +121,136 @@ object Curation {
         sum(col("bin_tokens")).as("total_tokens"),
         max(col("bin_tokens")).as("max_bin_tokens"))
       .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------- c3
+
+  val BenchmarkBuckets = 50 // ~2% of docs play the held-out benchmark role
+
+  /** Benchmark membership — a pure function of doc_id with a salt
+    * ('contam:') DISTINCT from c1's split hash, so the decontamination
+    * benchmark and the train/eval split are independent draws. */
+  private def isBenchmarkCol(docId: Column): Column =
+    conv(substring(md5(concat(lit("contam:"), docId.cast("string"))), 1, 4), 16, 10)
+      .cast("int") % BenchmarkBuckets === 0
+
+  /** c3: benchmark decontamination — flag training documents that share
+    * any rare word 3-gram with a held-out benchmark document (the
+    * standard pre-training hygiene pass: eval answers leaking into the
+    * training corpus inflate reported capability, so contaminated
+    * documents are quarantined before tokenization).
+    *
+    * Plan shape at 100 TB: shingle posting list (one map stage, the
+    * TextShingles expression), a corpus-wide doc-frequency cap — hot
+    * grams are boilerplate, not leakage; matching on them would
+    * quarantine half the corpus — then a join of TRAIN grams against
+    * BENCHMARK grams on the 60-bit gram hash. The benchmark side is
+    * tiny by construction (real suites are MBs against TBs of corpus),
+    * so it is explicitly `broadcast()`: the contamination scan costs
+    * one pass over the training grams with a map-side hash probe, no
+    * shuffle of the corpus at all. Output is the per-document
+    * contamination evidence (how many distinct grams matched, how many
+    * benchmark docs were hit), totally ordered.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val (result, cached) = decontaminationFrame(spark, dir, persist = true)
+    CacheOps.materializeAndRelease(result, cached.toSeq: _*)
+  }
+
+  /** Plan builder for c3 — `persist = false` yields the raw plan tree
+    * (PlanSpec asserts broadcast shapes on it; localCheckpoint in the
+    * public wrapper would otherwise hide the plan behind an RDD scan). */
+  private[graft] def decontaminationFrame(spark: SparkSession, dir: String,
+      persist: Boolean): (DataFrame, Option[DataFrame]) = {
+    // repartition before shingling for the same reason as d2: the
+    // fixture parquet is one split and shingling must parallelize
+    val gramsRaw = graft.Tables.documents(spark, dir)
+      .withColumn("is_bench", isBenchmarkCol(col("doc_id")))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("is_bench"),
+        explode(Dedup.shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), col("lang"), col("is_bench"),
+        Dedup.md5Long(col("gram")).as("gram_h"))
+    // grams feeds the df-cap aggregate AND both probe sides
+    val grams = if (persist) CacheOps.shared(gramsRaw) else gramsRaw
+    val hot = grams.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.NgramDfCap).select(col("gram_h"))
+    val rare = grams.join(broadcast(hot), Seq("gram_h"), "left_anti")
+    val benchGrams = rare.filter(col("is_bench"))
+      .select(col("gram_h"), col("doc_id").as("bench_id"))
+    val result = rare.filter(!col("is_bench"))
+      .join(broadcast(benchGrams), Seq("gram_h"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("gram_h")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+    (result, if (persist) Some(grams) else None)
+  }
+
+  // ---------------------------------------------------------------- c4
+
+  /** Per-language sampling denominators (keep 1-in-N). Powers of two on
+    * purpose: the md5 bucket is uniform over 2^16, so any power-of-two
+    * modulus gives an EXACT rate with zero bias. Head language keeps
+    * 1-in-2; tail languages 1-in-4 (a real mixture config flattens the
+    * head — the constants are config, the mechanism is the operator). */
+  val SampleDenoms: Seq[(String, Int)] =
+    Seq("en" -> 2, "de" -> 4, "es" -> 4, "fr" -> 4, "zh" -> 4)
+  val SampleDenomDefault = 8
+
+  /** c4: deterministic stratified sampling — keep a per-stratum
+    * fraction of documents, membership a pure hash of doc_id (salt
+    * 'sample:'). Unlike `TABLESAMPLE`/`df.sample`, re-running over an
+    * appended corpus never changes an old document's fate, so
+    * downstream caches and dedup state stay valid across refreshes —
+    * the same stability argument as c1's split.
+    *
+    * Scale shape: map-only (one hash + one when-chain per row, all
+    * codegen'd); sampling happens BEFORE any shuffle so every
+    * downstream stage sees only the kept fraction. The final sort is
+    * presentation-only. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val denom: Column = SampleDenoms.foldLeft(lit(SampleDenomDefault)) {
+      case (acc, (l, n)) => when(col("lang") === l, lit(n)).otherwise(acc)
+    }
+    graft.Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("int"))
+      .filter(pmod(col("bucket"), denom) === 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- c5
+
+  /** Per-language epoch counts — upsample tail languages (the mixture
+    * step that turns raw corpus proportions into the target training
+    * mixture; pairs with c4, which downsamples the head). */
+  val MixtureEpochs: Seq[(String, Int)] =
+    Seq("en" -> 1, "de" -> 2, "es" -> 2, "fr" -> 2, "zh" -> 3)
+
+  /** c5: domain-mixture epoch expansion — emit one (doc, epoch) row per
+    * scheduled repetition, plus the deterministic shuffle key training
+    * consumes (global order = hash of doc and epoch, so repeated epochs
+    * of one document land far apart in the token stream — epoch
+    * spacing — without any global sort by random()).
+    *
+    * Scale shape: map-side explode of a ≤MaxEpochs literal sequence (no
+    * shuffle, no join); the shuffle key is one md5 per emitted row. A
+    * training reader orders by (shuffle_key) via its sink's range
+    * partitioner; here the output is ordered by (doc_id, epoch) for the
+    * oracle and the key is a checked column. */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val epochs: Column = MixtureEpochs.foldLeft(lit(1)) {
+      case (acc, (l, n)) => when(col("lang") === l, lit(n)).otherwise(acc)
+    }
+    graft.Tables.documents(spark, dir)
+      .withColumn("epoch", explode(sequence(lit(1), epochs)))
+      .withColumn("shuffle_key", Dedup.md5Long(
+        concat(lit("mix:"), col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
+      .select(col("doc_id"), col("lang"), col("epoch"), col("shuffle_key"))
+      .orderBy(col("doc_id"), col("epoch"))
   }
 }

@@ -162,22 +162,29 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
     ivfTopKOf(embeddings(spark, dir), queryId, k)
 
-  private[graft] def ivfTopKOf(e: DataFrame, queryId: Long, k: Int): DataFrame = {
-    import CacheOps.{materializeAndRelease, shared}
+  /** The IVF assignment subtree, shared by v5 (search) and v6 (the
+    * Lloyd re-estimation step): broadcast the centroid set, score every
+    * vector against all centroids in the scan stage, keep the argmax
+    * (deterministic cent_id tie-break). */
+  private def centroidAssignment(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+  }
+
+  private[graft] def ivfTopKOf(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
     // shared: the assignment (crossJoin + argmax window, the expensive
     // subtree) feeds both the query-cell lookup and the probe scan —
     // unpersisted it would be computed once per branch. In a real IVF
     // deployment the assignment is materialized to storage once, not
     // per query; this is the in-session analog.
-    val assigned = shared(e
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id")))
+    val assigned = shared(centroidAssignment(e))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"), col("cent_id"))
     val result = assigned.filter(col("vec_id") =!= queryId)
@@ -188,6 +195,38 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
     materializeAndRelease(result, assigned)
   }
+
+  /** V6: one distributed k-means (Lloyd) iteration — the step v5's
+    * scaladoc defers to ("a real deployment trains k-means offline").
+    * Assignment reuses the v5 subtree (broadcast centroids, argmax in
+    * the scan stage); re-estimation recomputes every centroid as the
+    * member mean, per dimension.
+    *
+    * Plan shape at 100 TB: `posexplode` turns N vectors into N×dim
+    * (cluster, dim, value) rows, but the groupBy's PARTIAL aggregate
+    * collapses them to k×dim rows per task BEFORE the single exchange —
+    * the map-side combine is what makes a wide-vector mean distributed;
+    * the shuffle carries k×dim×tasks rows regardless of corpus size.
+    * Iterated to convergence this is exactly k-means; one step is kept
+    * here so the result stays a pure function of the fixture.
+    *
+    * Cross-engine portability: float→double widening is exact, so
+    * `floor(v×1e6)` is the same long on both engines; longs sum
+    * exactly in any order; the emitted mean divides two exact integers
+    * as doubles (IEEE-identical in both engines). Means of raw doubles
+    * would NOT hash-match — summation order differs. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    kmeansStepOf(embeddings(spark, dir))
+
+  private[graft] def kmeansStepOf(e: DataFrame): DataFrame =
+    centroidAssignment(e)
+      .select(col("cent_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "dim_idx")
+      .withColumn("ppm", floor(col("col").cast("double") * lit(1000000d)))
+      .groupBy(col("cent_id"), col("dim_idx"))
+      .agg((sum(col("ppm")).cast("double") / count(lit(1))).as("centroid_ppm"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cent_id"), col("dim_idx"))
 
   /** X5/§3.3: the RAG retrieval core — semantic document search with the
     * deterministic stub embedder. Documents embed in the scan stage (one

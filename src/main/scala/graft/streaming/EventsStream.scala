@@ -113,6 +113,49 @@ object EventsStream {
     spark.table(queryName).orderBy(col("user_id"), col("event_type"), col("ts"))
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * AsofJoin.viewBeforePurchase's candidate band: purchases joined to
+    * same-user views within the 10-minute look-back, both sides
+    * watermarked so Spark can expire join state (a view older than
+    * watermark + horizon can never match a future purchase; without the
+    * time-range constraint the join state would grow with the corpus —
+    * the same bounded-horizon argument as the batch operator's
+    * scaladoc). Inner join in append mode: matches emit as soon as both
+    * sides arrive; EventsStreamSpec asserts the emitted pair set equals
+    * the batch band join exactly. */
+  def viewPurchaseJoinStreaming(spark: SparkSession, dir: String,
+      queryName: String = "events_ss_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src(): DataFrame = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "20 minutes")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "20 minutes")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") -
+          expr(s"INTERVAL ${graft.operators.AsofJoin.HorizonMinutes} MINUTES"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("p_id"), col("v_id"))
+      .orderBy(col("p_id"), col("v_id"))
+  }
+
   /** S10 in streaming form: continuous MERGE — every micro-batch
     * upserts its per-key aggregate into a parquet state table through
     * `foreachBatch`, the standard streaming-MERGE pattern (on

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** J11 semantics pinned against a driver-side brute force: for every
+  * purchase, the match must be THE latest same-user view inside the
+  * horizon (event-id tie-break), and unmatched purchases must survive
+  * with the -1 sentinels. */
+class AsofJoinSpec extends SparkSpec {
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  test("as-of match is the latest same-user view within the horizon") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        micros(r.getAs[java.sql.Timestamp]("ts"))))
+    val horizon = AsofJoin.HorizonMinutes * 60L * 1000000L
+    val views = events.filter(_._3 == "view")
+    val purchases = events.filter(_._3 == "purchase")
+    assert(purchases.nonEmpty && views.nonEmpty)
+
+    val expected = purchases.map { case (pId, user, _, pTs) =>
+      val best = views
+        .filter { case (_, u, _, vTs) => u == user && vTs <= pTs && vTs >= pTs - horizon }
+        .sortBy { case (vId, _, _, vTs) => (vTs, vId) }
+        .lastOption
+      pId -> best.map { case (vId, _, _, vTs) => (vId, (pTs - vTs) / 1000000L) }
+        .getOrElse((-1L, -1L))
+    }.toMap
+
+    val got = AsofJoin.viewBeforePurchase(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got.size === purchases.length, "one output row per purchase")
+    assert(got === expected)
+    // the fixture must exercise BOTH branches, or the test proves little
+    assert(got.values.exists(_._1 >= 0), "no matched purchase in fixture")
+    assert(got.values.exists(_._1 == -1L), "no unmatched purchase in fixture")
+  }
+}

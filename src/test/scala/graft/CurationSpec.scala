@@ -89,4 +89,76 @@ class CurationSpec extends SparkSpec {
       .map(_.getAs[Long]("n_docs")).sum
     assert(rollupKept === expectedKept)
   }
+
+  test("decontamination matches an independent gram-string formulation") {
+    // recompute c3 without the 60-bit hash, the broadcasts, or the
+    // posting-list reuse: raw gram STRINGS, plain joins — an
+    // independent composition that must agree exactly
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("is_bench",
+        conv(substring(md5(concat(lit("contam:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("int") % Curation.BenchmarkBuckets === 0)
+    val grams = docs.select(col("doc_id"), col("lang"), col("is_bench"),
+      explode(Dedup.shingles(col("text"))).as("gram"))
+    val rare = grams.join(
+      grams.groupBy("gram").count().filter(col("count") <= Dedup.NgramDfCap)
+        .select("gram"),
+      Seq("gram"))
+    val expected = rare.filter(!col("is_bench"))
+      .join(rare.filter(col("is_bench"))
+        .select(col("gram"), col("doc_id").as("bench_id")), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = Curation.decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty, "fixture produced no contamination evidence")
+    assert(got === expected)
+    // no benchmark doc may ever be flagged as contaminated training data
+    val benchIds = docs.filter(col("is_bench")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet.intersect(benchIds).isEmpty)
+  }
+
+  test("stratified sample: exact hash membership, stable under append") {
+    val sampled = Curation.stratifiedSample(spark, sfDir).collect()
+    assert(sampled.nonEmpty)
+    val denoms = Curation.SampleDenoms.toMap
+    // membership is exactly the hash predicate (recomputed per row)
+    val all = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long): Int =
+      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"sample:$id").substring(0, 4), 16)
+    val expectedIds = all.collect { case (id, lang)
+      if bucket(id) % denoms.getOrElse(lang, Curation.SampleDenomDefault) == 0 => id
+    }.toSet
+    assert(sampled.map(_.getLong(0)).toSet === expectedIds)
+    // head language keeps roughly 1-in-2, tails roughly 1-in-4 — loose
+    // binomial bounds, just catching a swapped or ignored denominator
+    val byLang = sampled.groupBy(_.getString(1)).view.mapValues(_.length)
+    val total = all.groupBy(_._2).view.mapValues(_.size)
+    val enRate = byLang.getOrElse("en", 0).toDouble / total("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+  }
+
+  test("mixture epochs: per-lang repetition counts and distinct shuffle keys") {
+    val rows = Curation.mixtureEpochs(spark, sfDir).collect()
+    val weights = Curation.MixtureEpochs.toMap
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (_, rs) =>
+      val lang = rs.head.getString(1)
+      val epochs = rs.map(_.getInt(2)).sorted
+      assert(epochs === (1 to weights.getOrElse(lang, 1)).toArray,
+        s"doc epochs $epochs for lang $lang")
+    }
+    // the training-order key must not collide across emitted rows
+    // (md5-60bit over ~1k rows: any collision means a derivation bug)
+    assert(rows.map(_.getLong(3)).distinct.length === rows.length)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(perDoc.size === nDocs)
+  }
 }

@@ -50,4 +50,24 @@ class EventsStreamSpec extends SparkSpec {
       expected.exceptAll(replayed).count() === 0,
       "replaying committed batches must not change the state")
   }
+
+  test("stream-stream interval join emits exactly the batch band pairs") {
+    val stream = EventsStream.viewPurchaseJoinStreaming(spark, sfDir, "ss_join_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val batch = p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(
+            s"INTERVAL ${graft.operators.AsofJoin.HorizonMinutes} MINUTES"))
+      .select("p_id", "v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture has no view→purchase pairs in the band")
+    assert(stream === batch)
+  }
 }

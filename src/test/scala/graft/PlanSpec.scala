@@ -94,4 +94,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"),
       s"rollup lacks map-side partial aggregation:\n$p")
   }
+
+  test("sampling and mixture stay map-only — no hash exchange anywhere") {
+    // the whole point of hash-membership sampling / literal-sequence
+    // epoch expansion is that no shuffle touches the corpus; the only
+    // exchange either plan may contain is the presentation orderBy
+    val ps = plan(graft.operators.Curation.stratifiedSample(spark, sfDir))
+    assert(!ps.contains("Exchange hashpartitioning"),
+      s"stratified sample hash-shuffles:\n$ps")
+    val pm = plan(graft.operators.Curation.mixtureEpochs(spark, sfDir))
+    assert(!pm.contains("Exchange hashpartitioning"),
+      s"mixture epochs hash-shuffles:\n$pm")
+  }
+
+  test("decontamination probes benchmark grams via broadcast joins") {
+    val p = plan(graft.operators.Curation
+      .decontaminationFrame(spark, sfDir, persist = false)._1)
+    // df-cap removal (anti) and the benchmark probe (inner) must both
+    // be broadcast — the training-side gram stream is never shuffled
+    // before the probe
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"contamination probe not broadcast:\n$p")
+    val probeFirst = p.indexOf("BroadcastHashJoin")
+    assert(probeFirst >= 0 && p.indexOf("SortMergeJoin") < 0,
+      s"benchmark side fell back to a shuffled join:\n$p")
+  }
+
+  test("as-of join plans as an equi join with the band as residual, no nested loop") {
+    val p = plan(graft.operators.AsofJoin.viewBeforePurchase(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in:\n$p")
+  }
+
+  test("kmeans re-estimation partial-aggregates below its exchange") {
+    val p = plan(graft.operators.Similarity.kmeansStep(spark, sfDir))
+    val partial = p.indexOf("partial_sum")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0, s"no map-side partial sum in:\n$p")
+    assert(exchange >= 0 && partial > exchange,
+      s"posexplode rows shuffle without map-side combine:\n$p")
+  }
 }

@@ -174,4 +174,38 @@ class SimilaritySpec extends SparkSpec {
         "HashVector diverged from the SQL derivation")
     }
   }
+
+  test("kmeans step equals a driver-side Lloyd recomputation") {
+    val got = Similarity.kmeansStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val embs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cents = embs.filter(_._1 < Similarity.IvfCentroids).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // same argmax rule as the operator: max cosine, min cent_id on ties
+    val assigned = embs.map { case (id, e) =>
+      cents.map { case (cid, ce) => (cid, cos(e, ce)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1 -> e
+    }
+    val dims = embs.head._2.length
+    val expected = assigned.groupBy(_._1).flatMap { case (cid, members) =>
+      (0 until dims).map { d =>
+        val ppms = members.map { case (_, e) => math.floor(e(d).toDouble * 1e6).toLong }
+        (cid, d) -> (ppms.sum.toDouble / ppms.length, ppms.length.toLong)
+      }
+    }
+    assert(got.size === expected.size)
+    // exact equality: the operator's mean divides the same two exact
+    // integers — any drift means the assignment or the floor diverged
+    expected.foreach { case (k, v) => assert(got(k) === v, s"cell $k") }
+  }
 }
