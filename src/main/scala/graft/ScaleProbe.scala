@@ -60,6 +60,19 @@ object ScaleProbe {
     scaledSupp.write.mode("overwrite").parquet(s"$out/supplier.parquet")
     Tables.customer(spark, baseDir).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
+    // j11's regime: USERS grow k× (salted user_id), per-user event
+    // density constant — the band join's claimed linear scaling. Read
+    // RAW so ts stays a nanos long (Tables.events on the probe dir
+    // re-applies the div-1000 truncation to the long column).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val scaledEv = (0 until k).map { c =>
+      ev.select(
+        (col("event_id") + lit(c * Salt)).as("event_id"), col("ts"),
+        (col("user_id") + lit(c * Salt)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    scaledEv.write.mode("overwrite").parquet(s"$out/events.parquet")
     out
   }
 
@@ -90,7 +103,14 @@ object ScaleProbe {
       // checks stage coupling, not just the tiers in isolation.
       "c1_corpus_curation"   -> (operators.Curation.curate(_, _)),
       "c2_sequence_packing"  -> (operators.Curation.sequencePacking(_, _)),
-      "x7_llm_extract"       -> (operators.LlmOps.extractKeywords(_, _)))
+      "x7_llm_extract"       -> (operators.LlmOps.extractKeywords(_, _)),
+      // round-5 additions: the broadcast-probe decontamination (bench
+      // side grows with the salted corpus here — worst case for the
+      // broadcast claim), the Lloyd step (shuffle must stay k×dim), and
+      // the banded as-of join (linear in users)
+      "c3_decontamination"   -> (operators.Curation.decontaminate(_, _)),
+      "v6_kmeans_step"       -> (operators.Similarity.kmeansStep(_, _)),
+      "j11_asof_join"        -> (operators.AsofJoin.viewBeforePurchase(_, _)))
 
     // JVM/codegen warm-up so factor 1's first query isn't billed startup
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -87,9 +87,9 @@ object SparkEntry {
     // accuracy vs exact asserted in ScaleOpsSpec
     "a5b_approx_distinct"     -> ((s, d) => Relational.approxDistinctPerGroup(s, d)),
     "v5_ivf_topk"             -> ((s, d) => Similarity.ivfTopK(s, d)),
-    // winnowing fingerprints + batched decode: not SQL-expressible →
-    // rows-only checks; spec-asserted against exact jaccard / the
-    // expression decode path
+    // winnowing fingerprints: oracle mirrors the Mersenne-61 polynomial
+    // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
+    // additionally pins the tier against exact jaccard
     "d6_rolling_fingerprint"  -> ((s, d) => Dedup.rollingFingerprintPairs(s, d)),
     "m1b_decode_batched"      -> ((s, d) => Multimodal.decodeFeaturesBatched(s, d)),
     "d4b_simhash_pairs"       -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -120,11 +120,26 @@ object SparkEntry {
     "c5_mixture_epochs"       -> ((s, d) => Curation.mixtureEpochs(s, d)),
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
+    "t5_pii_scrub"            -> ((s, d) => TextOps.piiScrub(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** The d6 window hash as HUGEINT SQL: hash of the K-char window at
+    * 0-based position p equals sum(char_j · B^(K-1-j)) mod M — exactly
+    * the expression RollingFingerprint computes by Horner/rolling
+    * update. Powers are precomputed modulo M and interpolated, so both
+    * engines share the hash family; products stay < 2^77 (HUGEINT). */
+  private val fpWindowHashSql: String = {
+    import graft.functions.RollingFingerprint.{B, K, M}
+    val terms = (0 until K).map { j =>
+      val pw = BigInt(B).modPow(BigInt(K - 1 - j), BigInt(M))
+      s"CAST(ord(substr(t, x.p + ${j + 1}, 1)) AS HUGEINT) * ${pw}::HUGEINT"
+    }
+    s"(${terms.mkString("\n               + ")}) % ${M}::HUGEINT"
+  }
 
   /** Minhash seed constants shared with operators.Dedup — interpolated
     * into the d3 oracle so both engines use the identical hash family. */
@@ -1164,5 +1179,98 @@ object SparkEntry {
            COALESCE((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000, -1) AS gap_s
          FROM j WHERE rn = 1
          ORDER BY p_id""",
+    // t5: patterns interpolated from the shared Scala constants; DuckDB
+    // needs the explicit 'g' flag for a global replace (Spark's
+    // regexp_replace is global by default) and counts matches via
+    // regexp_extract_all.
+    "t5_pii_scrub" ->
+      s"""WITH prof AS (
+           SELECT c_custkey,
+             'Customer ' || c_name || ' reachable at user' || CAST(c_custkey AS VARCHAR)
+               || '@example.' || CASE WHEN c_nationkey % 2 = 0 THEN 'com' ELSE 'org' END
+               || repeat(' call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+                    CAST(c_custkey % 3 AS INTEGER))
+               || ' segment ' || c_mktsegment AS profile
+           FROM customer)
+         SELECT c_custkey,
+           CAST(len(regexp_extract_all(profile, '${operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(profile, '${operators.TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+           CAST('0x' || substr(md5(
+             regexp_replace(regexp_replace(profile, '${operators.TextOps.EmailPattern}', '[EMAIL]', 'g'),
+               '${operators.TextOps.PhonePattern}', '[PHONE]', 'g')), 1, 15) AS BIGINT) AS scrub_h
+         FROM prof
+         ORDER BY c_custkey""",
+    // d6: the winnowing tier end to end. The window hash reproduces
+    // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
+    // winnow encodes rightmost-tie argmin as MIN over a position-
+    // inverted composite key (valid while docs < 2^20 chars — true by
+    // orders of magnitude for the fixtures); candidates and the
+    // exact-jaccard verify mirror the Spark phases with the same
+    // interpolated constants.
+    "d6_rolling_fingerprint" ->
+      s"""WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+           FROM documents),
+         docs AS (
+           SELECT doc_id, t, length(t) AS n FROM norm
+           WHERE length(t) >= ${graft.functions.RollingFingerprint.K}),
+         win AS (
+           SELECT doc_id, x.p AS p,
+             $fpWindowHashSql AS h
+           FROM docs, unnest(range(n - ${graft.functions.RollingFingerprint.K - 1})) AS x(p)),
+         keyed AS (
+           SELECT doc_id, p, h, h * 1048576 + (1048575 - p) AS key,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_win
+           FROM win),
+         winnowed AS (
+           SELECT doc_id, p, n_win,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN ${graft.functions.RollingFingerprint.W - 1} PRECEDING
+               AND CURRENT ROW) AS mkey
+           FROM keyed),
+         fps0 AS (
+           SELECT doc_id, mkey // 1048576 AS fp FROM winnowed
+           WHERE n_win > ${graft.functions.RollingFingerprint.W}
+             AND p >= ${graft.functions.RollingFingerprint.W - 1}
+           UNION
+           SELECT doc_id, MIN(key) // 1048576 AS fp FROM keyed
+           WHERE n_win <= ${graft.functions.RollingFingerprint.W}
+           GROUP BY doc_id),
+         hot AS (
+           SELECT fp FROM fps0 GROUP BY fp
+           HAVING COUNT(*) > ${operators.Dedup.FingerprintDfCap}),
+         fps AS (SELECT * FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= ${operators.Dedup.FingerprintMinShared}),
+         cand_ids AS (
+           SELECT a_id AS doc_id FROM cand UNION SELECT b_id FROM cand),
+         ct AS (
+           SELECT doc_id, $toksSql AS w FROM documents
+           JOIN cand_ids USING (doc_id)),
+         g0 AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM ct, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+         common AS (
+           SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+           FROM cand c
+           JOIN g ga ON ga.doc_id = c.a_id
+           JOIN g gb ON gb.doc_id = c.b_id AND gb.gram_h = ga.gram_h
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN cnt ca ON a_id = ca.doc_id
+         JOIN cnt cb ON b_id = cb.doc_id
+         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
+         ORDER BY a_id, b_id""",
   )
 }

@@ -35,8 +35,8 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  private val B = 1000003L
-  private val M = (1L << 61) - 1 // Mersenne prime, keeps products in range via careful mulmod
+  private val B = RollingFingerprint.B
+  private val M = RollingFingerprint.M // Mersenne prime, keeps products in range via careful mulmod
 
   // 128-bit multiply then Mersenne fold: since 2^61 ≡ 1 (mod M),
   // hi·2^64 + lo ≡ 8·hi + (lo >>> 61) + (lo & M). The sum can reach
@@ -105,8 +105,14 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
 }
 
 object RollingFingerprint {
-  /** k: char-window size; w: winnowing window (guarantee threshold
-    * t = w + k - 1 chars). */
-  def apply(text: Column, k: Int = 12, w: Int = 8): Column =
+  /** Hash family constants — public so the d6 oracle SQL interpolates
+    * the SAME base/modulus/window sizes (DuckDB mirrors the polynomial
+    * hash exactly in HUGEINT; see SparkEntry's d6 oracle). */
+  val B = 1000003L
+  val M = (1L << 61) - 1
+  val K = 12 // char-window size
+  val W = 8  // winnowing window (guarantee threshold t = W + K - 1 chars)
+
+  def apply(text: Column, k: Int = K, w: Int = W): Column =
     GraftShims.toCol(RollingFingerprint(GraftShims.toExpr(text), k, w))
 }

@@ -306,12 +306,16 @@ object Dedup {
     * granularity, robust to word-boundary edits, guaranteed to flag any
     * shared substring ≥ w+k-1 chars. Same inverted-index join shape as
     * D2, but the posting list is the compact winnowed set instead of
-    * every shingle. Not SQL-expressible → rows-only driver check;
-    * DedupSpec asserts agreement with the exact-Jaccard pairs. */
+    * every shingle. The polynomial hash and winnowing are mirrored
+    * EXACTLY in the DuckDB oracle (HUGEINT Mersenne-61 arithmetic, a
+    * position-inverted min key for rightmost ties), so the driver
+    * hash-checks the whole tier; DedupSpec additionally asserts
+    * agreement with the exact-Jaccard pairs. */
   val FingerprintDfCap = 50
+  val FingerprintMinShared = 5
 
   def rollingFingerprintPairs(spark: SparkSession, dir: String,
-      minShared: Int = 5, threshold: Double = 0.8): DataFrame = {
+      minShared: Int = FingerprintMinShared, threshold: Double = 0.8): DataFrame = {
     val raw = shared(documents(spark, dir)
       .repartition(col("doc_id")) // BEFORE fingerprinting — see ngramJaccardPairs
       .select(col("doc_id"),

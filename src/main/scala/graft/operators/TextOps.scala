@@ -130,4 +130,45 @@ object TextOps {
         countDistinct(col("fingerprint")).as("n_unique"))
       .orderBy(col("source"))
   }
+
+  /** PII patterns shared with the t5 oracle SQL — kept to the regex
+    * subset Java and RE2 (DuckDB) agree on (char classes, bounded
+    * repetition, \b, alternation; no lookaround, no backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** T5: PII scrubbing — count and mask email/phone occurrences, the
+    * redaction pass a training corpus runs before tokenization.
+    *
+    * The fixtures carry no natural PII (documents is synthetic word
+    * salad), so the operator derives a deterministic contact-card
+    * string per customer row — same fixture-synthesis precedent as the
+    * s4-s6 landed-file sources — and scrubs THAT. What the oracle then
+    * proves is the part that matters for the engine: regexp_count /
+    * global regexp_replace parity across engines on the shared
+    * patterns, occurrence-count variance included (c_custkey mod 3
+    * phone repetitions, so 0/1/2-match rows all occur). The scrubbed
+    * text is emitted as a 60-bit hash: a masked-output mismatch of even
+    * one character fails the row.
+    *
+    * Scale shape: map-only (PlanSpec-asserted) — regex work rides the
+    * scan, the one shape that streams at 100 TB. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val profile = concat(
+      lit("Customer "), col("c_name"),
+      lit(" reachable at user"), col("c_custkey").cast("string"),
+      lit("@example."),
+      when(pmod(col("c_nationkey"), lit(2)) === 0, lit("com")).otherwise(lit("org")),
+      expr("repeat(concat(' call 555-', lpad(cast(c_custkey % 10000 as string), 4, '0')), cast(c_custkey % 3 as int))"),
+      lit(" segment "), col("c_mktsegment"))
+    val scrubbed = regexp_replace(
+      regexp_replace(profile, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+    customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_count(profile, lit(EmailPattern)).as("n_emails"),
+        regexp_count(profile, lit(PhonePattern)).as("n_phones"),
+        Dedup.md5Long(scrubbed).as("scrub_h"))
+      .orderBy(col("c_custkey"))
+  }
 }

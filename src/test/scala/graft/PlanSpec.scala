@@ -105,6 +105,9 @@ class PlanSpec extends SparkSpec {
     val pm = plan(graft.operators.Curation.mixtureEpochs(spark, sfDir))
     assert(!pm.contains("Exchange hashpartitioning"),
       s"mixture epochs hash-shuffles:\n$pm")
+    val pt = plan(graft.operators.TextOps.piiScrub(spark, sfDir))
+    assert(!pt.contains("Exchange hashpartitioning"),
+      s"pii scrub hash-shuffles:\n$pt")
   }
 
   test("decontamination probes benchmark grams via broadcast joins") {
