@@ -91,6 +91,9 @@ object SparkEntry {
     // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
     // additionally pins the tier against exact jaccard
     "d6_rolling_fingerprint"  -> ((s, d) => Dedup.rollingFingerprintPairs(s, d)),
+    // batched decode: same md5 derivation as m1 plus the frame-offset
+    // sample, so the oracle extends m1's — the mapPartitions path is
+    // driver-hash-checked, not just spec-compared to the expression path
     "m1b_decode_batched"      -> ((s, d) => Multimodal.decodeFeaturesBatched(s, d)),
     "d4b_simhash_pairs"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "t1b_bpe_token_count"     -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
@@ -729,6 +732,21 @@ object SparkEntry {
            CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
            CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
            (['jpeg','png','webp','tiff'])[(CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 4) + 1] AS format
+         FROM documents ORDER BY asset_id""",
+    // m1b: m1's derivation plus the 4 frame-sample offsets (hex nibbles
+    // 10..13, 0-based → substr 11..14, modulo payload length) rendered
+    // as the csv string the batched path emits.
+    "m1b_decode_batched" ->
+      """SELECT doc_id AS asset_id, source,
+           strlen(text) AS n_bytes,
+           CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
+           CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
+           (['jpeg','png','webp','tiff'])[(CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 4) + 1] AS format,
+           CAST(CAST('0x' || substr(md5(text), 11, 4) AS INTEGER) % greatest(strlen(text), 1) AS VARCHAR)
+             || ',' || CAST(CAST('0x' || substr(md5(text), 12, 4) AS INTEGER) % greatest(strlen(text), 1) AS VARCHAR)
+             || ',' || CAST(CAST('0x' || substr(md5(text), 13, 4) AS INTEGER) % greatest(strlen(text), 1) AS VARCHAR)
+             || ',' || CAST(CAST('0x' || substr(md5(text), 14, 4) AS INTEGER) % greatest(strlen(text), 1) AS VARCHAR)
+           AS frame_offsets
          FROM documents ORDER BY asset_id""",
     "m2_format_stats" ->
       """WITH f AS (
