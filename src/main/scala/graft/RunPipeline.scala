@@ -49,7 +49,13 @@ object RunPipeline {
       val frontier = Incremental.probeFrontier(events, "event_id", start)
       import spark.implicits._
       Seq(("events_frontier", frontier)).toDF("table_name", "frontier")
-    }))
+    }),
+    // training-data tier, in corpus-build order: curation rollup
+    // (quality → dedup → near-dup → split), benchmark decontamination
+    // over the same corpus, then the mixture emission a trainer reads
+    "curate_corpus"     -> (() => graft.operators.Curation.curate(spark, sfDir)),
+    "decontaminate"     -> (() => graft.operators.Curation.decontaminate(spark, sfDir)),
+    "mixture_emit"      -> (() => graft.operators.Curation.mixtureEpochs(spark, sfDir)))
 
   def run(spark: SparkSession, sfDir: String, stateDir: String): Seq[StageResult] = {
     stages(spark, sfDir).map { case (name, mk) =>
