@@ -124,6 +124,9 @@ object SparkEntry {
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
     "t5_pii_scrub"            -> ((s, d) => TextOps.piiScrub(s, d)),
+    // distributed connected components over the d2 edge set; the oracle
+    // recomputes the same fixpoint via a recursive-CTE closure
+    "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1290,5 +1293,49 @@ object SparkEntry {
          JOIN cnt cb ON b_id = cb.doc_id
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
          ORDER BY a_id, b_id""",
+    // d7: the d2 pair CTEs verbatim, then a recursive transitive
+    // closure — an INDEPENDENT formulation of the component fixpoint
+    // the Spark side reaches by min-label propagation.
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         g0 AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+         rare AS (
+           SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM common
+           JOIN cnt ca ON a_id = ca.doc_id
+           JOIN cnt cb ON b_id = cb.doc_id
+           WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
+         edges AS (
+           SELECT a_id AS a, b_id AS b FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a)
+         SELECT c.doc_id, c.cluster_id, s.n_docs
+         FROM comp c
+         JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
+           USING (cluster_id)
+         ORDER BY c.doc_id""",
   )
 }

@@ -119,6 +119,64 @@ object Dedup {
     materializeAndRelease(result, docs, rare)
   }
 
+  /** D7: near-dup CLUSTERS via distributed connected components — the
+    * step after pair generation every dedup pipeline needs (pairwise
+    * similarity is not transitive, but the keep-one-per-group decision
+    * is made per connected component; d2/d3 emit the edges, this folds
+    * them into canonical cluster ids).
+    *
+    * Algorithm: min-label propagation. Every endpoint starts as its own
+    * label; each round takes the min of its neighbors' labels; stop at
+    * fixpoint. Rounds are bounded by the cluster diameter (O(log n)
+    * with doubling variants; near-dup components are shallow — the
+    * fixture converges in ≤3). Each round is one join + one partial-agg
+    * min per edge — all distributed; the driver loop carries ONLY the
+    * changed-row count, and each round's labels are localCheckpointed so
+    * lineage (and replanning cost) stays constant instead of growing
+    * per iteration — the standard Spark iterative-algorithm discipline.
+    * At 100 TB this is the simplified form of the published large-star/
+    * small-star map-reduce CC (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14); the plan shape (join on edge key,
+    * min-combine) is identical per round.
+    *
+    * Oracle: DuckDB recursive CTE computes the transitive closure of
+    * the same d2 edge set and takes min(reachable ∪ self) per doc —
+    * independent formulation, same fixpoint. Output: (doc_id,
+    * cluster_id) for every doc in ≥1 pair, plus the component size.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairsOf(documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+      .select(col("a_id"), col("b_id"))
+    val edges = shared(pairs.union(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    var labels = edges.select(col("a_id").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("b_id"), col("label")), Seq("b_id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin.select(col("a_id").as("doc_id"), col("nlabel")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    edges.unpersist(true)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinHashK = 16 // hash functions
   val LshBands = 4  // bands of rows = K/bands
 

@@ -83,4 +83,34 @@ class DedupSpec extends SparkSpec {
     val totalDocs = hist.map(r => r.getLong(0) * r.getLong(1)).sum
     assert(totalDocs === Tables.documents(spark, sfDir).count())
   }
+
+  test("dedup clusters equal a driver-side union-find over the same pairs") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // classic union-find with path compression, independent of the
+    // label-propagation rounds the operator runs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === expected.keySet)
+    // same canonical (min-id) cluster per member
+    expected.foreach { case (doc, root) =>
+      assert(got(doc)._1 === root, s"doc $doc cluster")
+    }
+    // sizes consistent with the partition
+    val sizeByRoot = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (doc, (cid, n)) => assert(n === sizeByRoot(cid), s"doc $doc size") }
+    // at least one non-trivial cluster, or the test proves little
+    assert(got.values.exists(_._2 >= 2), "no multi-doc cluster in fixture")
+  }
 }
