@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Zero-row inputs are the COMMON case at scale — an incremental run
+  * with an empty delta, a partition slice with no rows, a fresh corpus
+  * dir — and driver-side `.head`/`.collect()(0)` habits turn them into
+  * NPEs deep inside a 1000-executor job. Every operator family must
+  * return an empty (or identity) frame instead of throwing.
+  *
+  * The fixture is a full schema-faithful copy of the sf0.001 layout
+  * with zero rows in every table.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events must keep its nanos-long read path: copy the truncated
+    // schema the engine actually consumes back out as a plain parquet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("dedup tiers return empty frames on an empty corpus") {
+    assert(Dedup.exactDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.ngramJaccardPairs(spark, emptyDir).count() === 0)
+    assert(Dedup.minhashLshPairs(spark, emptyDir).count() === 0)
+    assert(Dedup.simhashPairs(spark, emptyDir).count() === 0)
+    assert(Dedup.rollingFingerprintPairs(spark, emptyDir).count() === 0)
+    assert(Dedup.dedupClusters(spark, emptyDir).count() === 0)
+  }
+
+  test("curation tier returns empty frames on an empty corpus") {
+    assert(Curation.curate(spark, emptyDir).count() === 0)
+    assert(Curation.decontaminate(spark, emptyDir).count() === 0)
+    assert(Curation.stratifiedSample(spark, emptyDir).count() === 0)
+    assert(Curation.mixtureEpochs(spark, emptyDir).count() === 0)
+    assert(Curation.sequencePacking(spark, emptyDir).count() === 0)
+  }
+
+  test("similarity tier returns empty frames on empty embeddings") {
+    assert(Similarity.cosineTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.nearDupTopPairs(spark, emptyDir).count() === 0)
+    assert(Similarity.lshTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.kmeansStep(spark, emptyDir).count() === 0)
+  }
+
+  test("text, events, and merge tiers survive empty inputs") {
+    assert(TextOps.tokenCounts(spark, emptyDir).count() === 0)
+    assert(TextOps.piiScrub(spark, emptyDir).count() === 0)
+    assert(AsofJoin.viewBeforePurchase(spark, emptyDir).count() === 0)
+    assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
+    assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
+    assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)
+    // scalar-sum queries have a defined EMPTY value, not an empty frame
+    val scalar = Relational.scalarSumCoalesce(spark, emptyDir).collect()
+    assert(scalar.length === 1 && scalar(0).getDouble(0) === 0.0)
+  }
+}
