@@ -127,6 +127,8 @@ object SparkEntry {
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "a15_cube_totals"         -> ((s, d) => Relational.cubeTotals(s, d)),
+    "w7_moving_average"       -> ((s, d) => Relational.movingAverage(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1337,5 +1339,36 @@ object SparkEntry {
          JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
            USING (cluster_id)
          ORDER BY c.doc_id""",
+    "a15_cube_totals" ->
+      """WITH r AS (
+           SELECT o_orderstatus AS status_raw, o_orderpriority AS prio_raw,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount,
+             COUNT(*) AS n_orders
+           FROM orders
+           GROUP BY CUBE (status_raw, prio_raw))
+         SELECT COALESCE(status_raw, 'ALL') AS o_orderstatus,
+           COALESCE(prio_raw, 'ALL') AS o_orderpriority,
+           CAST(total_amount AS DOUBLE) AS total_amount, n_orders
+         FROM r ORDER BY o_orderstatus, o_orderpriority""",
+    // w7: the trailing mean is floor'd cents (decimal division ties are
+    // not portable); delta subtracts exact decimals, 0 for the first day.
+    "w7_moving_average" ->
+      """WITH daily AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+           FROM orders GROUP BY 1),
+         win AS (
+           SELECT day, day_total,
+             CAST(floor(
+               CAST(SUM(CAST(day_total * 100 AS BIGINT)) OVER
+                 (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER
+                 (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT)
+               AS ma7_cents,
+             day_total - LAG(day_total, 1) OVER (ORDER BY day) AS delta
+           FROM daily)
+         SELECT day, CAST(day_total AS DOUBLE) AS day_total, ma7_cents,
+           CAST(COALESCE(delta, 0) AS DOUBLE) AS delta
+         FROM win ORDER BY day""",
   )
 }

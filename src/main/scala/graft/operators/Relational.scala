@@ -393,6 +393,53 @@ object Relational {
       .orderBy(col("month"), col("o_orderstatus"))
   }
 
+  /** A15: CUBE super-aggregate — every subtotal combination of
+    * (status, priority) in one pass, completing the a12 pivot / a13
+    * rollup family. Spark plans CUBE as a single Expand + one hash
+    * aggregate: each input row fans to 2^k grouping sets BUT the
+    * partial aggregate collapses them per task before the one exchange
+    * — the same map-side-combine argument as any groupBy, so the
+    * shuffle carries |groups|·2^k rows, not |input|·2^k. */
+  def cubeTotals(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_amount"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        moneyOut(col("total_amount")).as("total_amount"), col("n_orders"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** W7: moving average + period-over-period delta — the trend frame
+    * every timeline dashboard derives from the daily rollup. The
+    * 7-row trailing mean is emitted in FLOOR'D CENTS (sum of exact
+    * cent longs, double-divided by the exact count, floored) — the
+    * repo's ppm convention, because a decimal division's half-tie
+    * rounding is NOT portable across engines; the delta subtracts two
+    * exact decimals. Scale: the window partitions by nothing ONLY
+    * because its input is the already-aggregated daily series (|days|
+    * rows, not |orders|) — the aggregate shrinks first, then the
+    * sequential window runs over the tiny result; windowing the raw
+    * fact table unpartitioned would serialize the corpus. */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("day_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val trailing = w.rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7_cents",
+        floor(sum((col("day_total") * 100).cast("long")).over(trailing)
+          .cast("double") / count(lit(1)).over(trailing)).cast("long"))
+      .withColumn("delta",
+        col("day_total") - lag(col("day_total"), 1).over(w))
+      .select(col("day"), moneyOut(col("day_total")).as("day_total"),
+        col("ma7_cents"),
+        moneyOut(coalesce(col("delta"), lit(0).cast("decimal(18,2)"))).as("delta"))
+      .orderBy(col("day"))
+  }
+
   /** W5b: keyset pagination — the scale-correct form of W5. OFFSET
     * pagination sorts globally and discards `skip` rows per page; the
     * keyset form (`WHERE key > last_seen ORDER BY key LIMIT n`) pushes
