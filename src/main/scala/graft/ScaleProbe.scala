@@ -97,6 +97,7 @@ object ScaleProbe {
       "d6_rolling_fingerprint" -> (operators.Dedup.rollingFingerprintPairs(_, _)),
       "v2b_neardup_bucketed" -> (operators.Similarity.nearDupTopPairsBucketed(_, _)),
       "j7_fuzzy_link"        -> (operators.FuzzyLink.linkSuppliersToCustomers(_, _)),
+      "j7b_banded_link"      -> (operators.FuzzyLink.linkSuppliersToCustomersBanded(_, _)),
       // the composed training-data tier: curation chains quality, digest
       // window, the d2 subplan, and the anti join; packing is windowed
       // sums; extraction is explode+count+window. Probing the COMPOSITES

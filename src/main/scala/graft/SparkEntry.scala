@@ -43,6 +43,7 @@ object SparkEntry {
     "u2_keep_last_dedup"      -> ((s, d) => Relational.keepLastDedup(s, d)),
     "u3_dedup_derived_key"    -> ((s, d) => Relational.dedupDerivedKey(s, d)),
     "j7_fuzzy_link"           -> ((s, d) => FuzzyLink.linkSuppliersToCustomers(s, d)),
+    "j7b_banded_link"         -> ((s, d) => FuzzyLink.linkSuppliersToCustomersBanded(s, d)),
     "s10_merge_upsert"        -> ((s, d) => MergeOps.mergeUpsert(s, d)),
     // partition-scoped MERGE: same semantics as s10, realized through
     // the rewrite-only-affected-partitions write path (oracle = the
@@ -134,6 +135,33 @@ object SparkEntry {
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** The fuzzy-link formulation, shared by j7 and its banded j7b form
+    * (equality against the SAME oracle proves the second blocking key
+    * loses nothing). */
+  private val fuzzyLinkSql =
+    """WITH cn AS (
+         SELECT c_custkey, c_name, c_nationkey,
+           array_to_string(list_sort(regexp_split_to_array(trim(upper(trim(translate(c_name, '.,', '')))), '\s+')), ' ') AS norm_c
+         FROM customer),
+       sn AS (
+         SELECT s_suppkey, s_name, s_nationkey,
+           array_to_string(list_sort(regexp_split_to_array(trim(upper(trim(translate(replace(s_name, 'Supplier', 'Customer'), '.,', '')))), '\s+')), ' ') AS norm_s
+         FROM supplier),
+       scored AS (
+         SELECT sn.s_suppkey, sn.s_name, cn.c_custkey, cn.c_name,
+           CASE WHEN greatest(length(norm_c), length(norm_s)) = 0 THEN 100
+                ELSE CAST(floor(100 * (1 - CAST(levenshtein(norm_c, norm_s) AS DOUBLE)
+                     / greatest(length(norm_c), length(norm_s)))) AS INTEGER) END AS score
+         FROM sn JOIN cn ON sn.s_nationkey = cn.c_nationkey
+         WHERE abs(length(norm_c) - length(norm_s))
+               <= floor(0.15 * greatest(length(norm_c), length(norm_s)))),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+           ORDER BY score DESC, c_custkey) AS rn
+         FROM scored)
+       SELECT s_suppkey, s_name, c_custkey, c_name, score
+       FROM ranked WHERE rn = 1 AND score > 85 ORDER BY s_suppkey"""
 
   /** The d6 window hash as HUGEINT SQL: hash of the K-char window at
     * 0-based position p equals sum(char_j · B^(K-1-j)) mod M — exactly
@@ -340,29 +368,11 @@ object SparkEntry {
       """SELECT CONCAT_WS('|', COALESCE(p_brand, ''), COALESCE(p_type, ''), CAST(p_size AS VARCHAR)) AS uid,
          MIN(p_partkey) AS first_partkey, COUNT(*) AS n_members
          FROM part GROUP BY 1 ORDER BY uid""",
-    "j7_fuzzy_link" ->
-      """WITH cn AS (
-           SELECT c_custkey, c_name, c_nationkey,
-             array_to_string(list_sort(regexp_split_to_array(trim(upper(trim(translate(c_name, '.,', '')))), '\s+')), ' ') AS norm_c
-           FROM customer),
-         sn AS (
-           SELECT s_suppkey, s_name, s_nationkey,
-             array_to_string(list_sort(regexp_split_to_array(trim(upper(trim(translate(replace(s_name, 'Supplier', 'Customer'), '.,', '')))), '\s+')), ' ') AS norm_s
-           FROM supplier),
-         scored AS (
-           SELECT sn.s_suppkey, sn.s_name, cn.c_custkey, cn.c_name,
-             CASE WHEN greatest(length(norm_c), length(norm_s)) = 0 THEN 100
-                  ELSE CAST(floor(100 * (1 - CAST(levenshtein(norm_c, norm_s) AS DOUBLE)
-                       / greatest(length(norm_c), length(norm_s)))) AS INTEGER) END AS score
-           FROM sn JOIN cn ON sn.s_nationkey = cn.c_nationkey
-           WHERE abs(length(norm_c) - length(norm_s))
-                 <= floor(0.15 * greatest(length(norm_c), length(norm_s)))),
-         ranked AS (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
-             ORDER BY score DESC, c_custkey) AS rn
-           FROM scored)
-         SELECT s_suppkey, s_name, c_custkey, c_name, score
-         FROM ranked WHERE rn = 1 AND score > 85 ORDER BY s_suppkey""",
+    "j7_fuzzy_link" -> fuzzyLinkSql,
+    // j7b runs the two-key (nationkey, length-band) blocked join; its
+    // oracle is the SAME single-key formulation — hash equality proves
+    // the band key is lossless (the j6b salted ≡ plain proof shape)
+    "j7b_banded_link" -> fuzzyLinkSql,
     "s10_merge_upsert" ->
       """WITH existing AS (
            SELECT user_id AS e_user, event_type AS e_type, COUNT(*) AS e_n,

@@ -75,11 +75,12 @@ object FuzzyLink {
     aCnt.zip(bCnt).map { case (x, y) => abs(x - y) }.reduce(_ + _) <=
       lit(2) * floor(lit(0.15) * greatest(length(a), length(b)))
 
-  def linkSuppliersToCustomers(spark: SparkSession, dir: String): DataFrame = {
-    // Normalize + token-sort ONCE per input row (N+M evaluations), so the
-    // only per-pair work inside the blocked join is the levenshtein score.
-    // Folding the whole scorer into the join predicate re-evaluates the
-    // split/sort per pair — measured 8× slower at sf0.1.
+  /** Normalize + token-sort ONCE per input row (N+M evaluations), so the
+    * only per-pair work inside the blocked join is the levenshtein score.
+    * Folding the whole scorer into the join predicate re-evaluates the
+    * split/sort per pair — measured 8× slower at sf0.1. Shared by the
+    * single-key (j7) and length-banded (j7b) variants. */
+  private def preparedSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cCnt = digitCounts(col("norm_c"))
     val c = customer(spark, dir)
       // the fixture table is a single parquet split and the dim side
@@ -108,36 +109,84 @@ object FuzzyLink {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         coalesce(StringSim.tokenSort(StringSim.normalizeName(col("cand_name"))), lit("")).as("norm_s"))
       .select(col("*") +: sCnt.zipWithIndex.map { case (e, i) => e.as(s"sd$i") }: _*)
+    (c, s)
+  }
 
-    val scored = broadcast(s)
-      .join(c, s("s_nationkey") === c("c_nationkey")) // blocking join
-      // lossless prunes BEFORE the O(len²) scorer: at a fixed block-key
-      // cardinality, pairs-per-block grow quadratically with the corpus;
-      // these keep the expensive scorer off pairs that provably cannot
-      // clear the threshold (proofs in the object scaladoc). The length
-      // bound handles length-diverse corpora; the digit-count bound
-      // handles fixed-width keyed names where every length is equal.
+  /** Prefilters + scorer + argmax window — identical for both blocking
+    * variants; `scored` is the output of a blocking join over the
+    * prepared sides. */
+  private def scoreAndPick(scored: DataFrame): DataFrame = {
+    val picked = scored
       .filter(lengthBound(col("norm_c"), col("norm_s")))
       .filter(digitBound(
         (0 until 10).map(i => col(s"cd$i")), (0 until 10).map(i => col(s"sd$i")),
         col("norm_c"), col("norm_s")))
-      // exact scorer: the thresholded-levenshtein variant
-      // (ratioOfSortedCapped) measured 2× slower here — the banded
-      // early-abandon doesn't pay off on short, similar-length names
       .withColumn("score", StringSim.ratioOfSorted(col("norm_c"), col("norm_s")))
-
-    val w = Window.partitionBy(col("s_suppkey"))
-      .orderBy(desc("score"), col("c_custkey"))
-    scored
       // threshold BELOW the window — provably output-equivalent (same
       // argmax-then-filter argument as the prefilters: a supplier whose
       // argmax clears 85 keeps it; one whose argmax doesn't emits
       // nothing either way), and it shrinks the window's shuffle from
       // every scored pair to only above-threshold pairs.
       .filter(col("score") > Threshold)
+    val w = Window.partitionBy(col("s_suppkey"))
+      .orderBy(desc("score"), col("c_custkey"))
+    picked
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("s_suppkey"), col("s_name"), col("c_custkey"), col("c_name"), col("score"))
       .orderBy(col("s_suppkey"))
+  }
+
+  def linkSuppliersToCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = preparedSides(spark, dir)
+    val scored = broadcast(s)
+      .join(c, s("s_nationkey") === c("c_nationkey")) // blocking join
+    // lossless prunes BEFORE the O(len²) scorer (proofs in the object
+    // scaladoc), then exact scorer + argmax — shared with j7b. The
+    // thresholded-levenshtein scorer variant (ratioOfSortedCapped)
+    // measured 2× slower here — the banded early-abandon doesn't pay
+    // off on short, similar-length names.
+    scoreAndPick(scored)
+  }
+
+  /** J7b: two-key blocking — (nationkey, LENGTH BAND) — the relief
+    * valve j7's own scaladoc names for the fixed-cardinality block key.
+    *
+    * The length prefilter's theorem (score > 85 ⟹ |Δlen| ≤
+    * floor(0.15·maxlen)) makes a length band a PROVABLY LOSSLESS second
+    * blocking key: with band width B ≥ that bound, any qualifying
+    * pair's bands differ by at most 1, so replicating the (broadcast)
+    * supplier side to its 3 adjacent bands guarantees every qualifying
+    * pair still meets — and the result is IDENTICAL to the single-key
+    * join, which is exactly what the driver gate proves (j7b's oracle
+    * IS j7's formulation; hash equality = the blocking loses nothing,
+    * the same proof shape as j6b's salted ≡ plain).
+    *
+    * Why it matters at 100×: nationkey-only blocks grow as (N/25)(M/25)
+    * — quadratic. The band key multiplies block count by |length
+    * range|/B, dividing pairs-per-block by the same factor at the cost
+    * of 3× replication of the SMALL side. B is derived from the
+    * observed max name length (one scalar aggregate — bounded metadata,
+    * like the partitioned MERGE's affected-partition list), so the
+    * lossless guarantee tracks the data rather than trusting a
+    * constant. */
+  def linkSuppliersToCustomersBanded(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = preparedSides(spark, dir)
+    val maxLen = {
+      val r = c.agg(max(length(col("norm_c"))).cast("long")).collect()(0)
+      val rs = s.agg(max(length(col("norm_s"))).cast("long")).collect()(0)
+      math.max(if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (rs.isNullAt(0)) 0L else rs.getLong(0))
+    }
+    val bandWidth = math.max(4L, (0.15 * maxLen).toLong + 1)
+    val cB = c.withColumn("c_band", floor(length(col("norm_c")) / lit(bandWidth)))
+    val sB = s
+      .withColumn("s_band0", floor(length(col("norm_s")) / lit(bandWidth)))
+      .withColumn("s_band", explode(array(
+        col("s_band0") - 1, col("s_band0"), col("s_band0") + 1)))
+    val scored = broadcast(sB)
+      .join(cB, sB("s_nationkey") === cB("c_nationkey") &&
+        sB("s_band") === cB("c_band"))
+    scoreAndPick(scored)
   }
 }

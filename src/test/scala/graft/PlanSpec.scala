@@ -50,6 +50,19 @@ class PlanSpec extends SparkSpec {
     assert(f > w, s"length prefilter missing or not below the window:\n$p")
   }
 
+  test("banded fuzzy link blocks on the length band and equals the single-key link") {
+    val banded = graft.operators.FuzzyLink.linkSuppliersToCustomersBanded(spark, sfDir)
+    val p = plan(banded)
+    assert(p.contains("s_band") && p.contains("c_band"),
+      s"length band not part of the join key:\n$p")
+    // identical output — the lossless-blocking claim the oracle also checks
+    val plain = graft.operators.FuzzyLink.linkSuppliersToCustomers(spark, sfDir)
+    assert(banded.exceptAll(plain).count() === 0 &&
+      plain.exceptAll(banded).count() === 0,
+      "banded blocking changed the link output")
+    assert(plain.count() > 0)
+  }
+
   test("scope semi-join broadcasts the scope side") {
     val p = plan(Relational.scopeSemiJoin(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
