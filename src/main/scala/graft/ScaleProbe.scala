@@ -111,7 +111,10 @@ object ScaleProbe {
       // the banded as-of join (linear in users)
       "c3_decontamination"   -> (operators.Curation.decontaminate(_, _)),
       "v6_kmeans_step"       -> (operators.Similarity.kmeansStep(_, _)),
-      "j11_asof_join"        -> (operators.AsofJoin.viewBeforePurchase(_, _)))
+      "j11_asof_join"        -> (operators.AsofJoin.viewBeforePurchase(_, _)),
+      // components over the d2 edge set: rounds ≤ diameter must hold as
+      // the salted corpus multiplies component COUNT (not depth)
+      "d7_dedup_clusters"    -> (operators.Dedup.dedupClusters(_, _)))
 
     // JVM/codegen warm-up so factor 1's first query isn't billed startup
     spark.range(1000000).selectExpr("sum(id)").collect()
