@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingFingerprint, SimHash64, StubEmbed, TextShingles, VecDot}
+import graft.functions.{HashVector, MinHashSig, RollingFingerprint, SimHash64, StubEmbed, TextShingles, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so a SQL-first user can call
@@ -91,6 +91,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingFingerprint(args(0),
           intLiteral("rolling_fingerprint", args(1)),
           intLiteral("rolling_fingerprint", args(2)))
+      }))
+
+    // the engine's standard minhash family (Dedup's seeds/modulus) — a
+    // SQL caller gets the same signature the d3 tier computes
+    e.injectFunction((
+      FunctionIdentifier("min_hash_sig"),
+      info("min_hash_sig",
+        "min_hash_sig(grams) - K-way MinHash signature of a string array (engine seed family)"),
+      (args: Seq[Expression]) => {
+        arity("min_hash_sig", 1)(args)
+        val k = graft.operators.Dedup.MinHashK
+        MinHashSig(args(0),
+          (0 until k).map(graft.operators.Dedup.seedA),
+          (0 until k).map(graft.operators.Dedup.seedB),
+          graft.operators.Dedup.MinHashP)
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("hash_vector"),
+      info("hash_vector",
+        "hash_vector(key, dim) - deterministic md5-window double vector (engine-portable derivation)"),
+      (args: Seq[Expression]) => {
+        arity("hash_vector", 2)(args)
+        HashVector(args(0), intLiteral("hash_vector", args(1)))
       }))
   }
 }

@@ -64,6 +64,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a === a.sorted, "fingerprint set is emitted sorted")
   }
 
+  test("min_hash_sig callable from SQL, matches the d3 signature expression") {
+    import graft.operators.Dedup
+    val k = Dedup.MinHashK
+    val fromSql = spark.sql(
+      "SELECT min_hash_sig(text_shingles('a b c d e', 3)) AS sig")
+      .collect()(0).getSeq[Long](0)
+    val fromExpr = spark.range(1).select(
+      graft.functions.MinHashSig(
+        graft.functions.TextShingles(org.apache.spark.sql.functions.lit("a b c d e"), 3),
+        (0 until k).map(Dedup.seedA), (0 until k).map(Dedup.seedB),
+        Dedup.MinHashP).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(fromSql.length === k)
+    assert(fromSql === fromExpr)
+  }
+
+  test("hash_vector callable from SQL, matches the Scala expression") {
+    val fromSql = spark.sql("SELECT hash_vector('k1', 8) AS v")
+      .collect()(0).getSeq[Double](0)
+    val fromExpr = spark.range(1).select(
+      graft.functions.HashVector(org.apache.spark.sql.functions.lit("k1"), 8).as("v"))
+      .collect()(0).getSeq[Double](0)
+    assert(fromSql.length === 8)
+    assert(fromSql === fromExpr)
+  }
+
   test("end-to-end SQL retrieval over a registered view") {
     val root = sys.env.get("SPARK_GRAFT_SF_DIR")
       .map(d => new java.io.File(d).getParent).getOrElse("/root/testdata")
