@@ -51,6 +51,11 @@ object SparkEntry {
     // computes the identical MERGE)
     "s10b_partitioned_merge"  -> ((s, d) => MergeOps.partitionedMergeUpsert(s, d)),
     "s11_insert_ignore"       -> ((s, d) => MergeOps.insertIgnore(s, d)),
+    // s12/s13: write-mode semantics driver-gated — overwrite must not
+    // double on re-load; append partials must re-aggregate to the
+    // one-shot rollup
+    "s12_truncate_reload"     -> ((s, d) => MergeOps.truncateReload(s, d)),
+    "s13_batch_append"        -> ((s, d) => MergeOps.batchAppend(s, d)),
     "i1_update_log"           -> ((s, d) => Incremental.updateLogEntry(s, d)),
     "i2_watermark_filter"     -> ((s, d) => Incremental.watermarkFilter(s, d)),
     "f1_name_parse"           -> ((s, d) => Scalars.nameParse(s, d)),
@@ -420,6 +425,15 @@ object SparkEntry {
              WHERE x.ts < TIMESTAMP '2024-01-03 00:00:00'
                AND x.user_id = e.user_id AND x.event_type = e.event_type)
          GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    // s12/s13: both oracles are the PLAIN one-shot rollup — equality
+    // proves double-overwrite doesn't duplicate (s12) and appended
+    // partials re-aggregate exactly (s13)
+    "s12_truncate_reload" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "s13_batch_append" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "i1_update_log" ->
       """SELECT 'events' AS table_name, MAX(ts) AS last_update,
          COUNT(*) AS records_updated FROM events""",

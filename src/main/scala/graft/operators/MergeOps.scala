@@ -226,6 +226,51 @@ object MergeOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** S12: truncate-and-reload — the reference's full-refresh path
+    * (replace the table wholesale). Realized as idempotent OVERWRITE:
+    * the rollup is written twice on purpose — a second full refresh
+    * must leave the table byte-equal, never doubled — then read back.
+    * The oracle is the plain rollup, so a hash match proves the
+    * truncate semantics lose and duplicate nothing. At scale overwrite
+    * is a directory swap, the cheapest correct full-refresh there is;
+    * anything incremental belongs to S10/S16, not this path. */
+  def truncateReload(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s12_$tag/daily"
+    val rollup = events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    rollup.write.mode("overwrite").parquet(path)
+    rollup.write.mode("overwrite").parquet(path) // the re-load: must not double
+    spark.read.parquet(path).orderBy(col("day"), col("event_type"))
+  }
+
+  /** S13: batch append — each ingestion batch APPENDS its partial
+    * rollup; readers re-aggregate (sum of partials = exact total, the
+    * map-side-combine identity). The two batches here split events on
+    * the snapshot boundary, so together they cover the table exactly
+    * once; the oracle is the one-shot rollup, proving append + re-agg
+    * equals recompute. The landing dir is cleared per call — append
+    * semantics are only meaningful against a known base. */
+  def batchAppend(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s13_$tag/daily"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val ev = events(spark, dir)
+    def slice(p: org.apache.spark.sql.Column) = ev.filter(p)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val boundary = lit(SnapshotEnd).cast("timestamp")
+    slice(col("ts") < boundary).write.mode("append").parquet(path)
+    slice(col("ts") >= boundary).write.mode("append").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).cast("bigint").as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** S11: insert-ignore — first-writer-wins; only keys absent from the
     * existing table land (on_conflict_do_nothing,
     * ingest_bulk_donations.py:112-117). Anti join against existing keys. */
