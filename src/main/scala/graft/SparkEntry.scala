@@ -56,6 +56,9 @@ object SparkEntry {
     // one-shot rollup
     "s12_truncate_reload"     -> ((s, d) => MergeOps.truncateReload(s, d)),
     "s13_batch_append"        -> ((s, d) => MergeOps.batchAppend(s, d)),
+    // vector upsert: delta payloads replace base on the key; the
+    // sign-flipped element sum makes replacement visible in the hash
+    "s15_vector_upsert"       -> ((s, d) => MergeOps.vectorUpsert(s, d)),
     "i1_update_log"           -> ((s, d) => Incremental.updateLogEntry(s, d)),
     "i2_watermark_filter"     -> ((s, d) => Incremental.watermarkFilter(s, d)),
     "f1_name_parse"           -> ((s, d) => Scalars.nameParse(s, d)),
@@ -434,6 +437,23 @@ object SparkEntry {
     "s13_batch_append" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // s15: left-fold sum with a 0.0 init equals DuckDB's no-init fold
+    // (0 + x is exact), so both engines produce bit-identical doubles
+    "s15_vector_upsert" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(label AS VARCHAR) AS label, embedding FROM embeddings
+           WHERE vec_id % 2 = 0 AND vec_id % 3 <> 0),
+         delta AS (
+           SELECT vec_id, CAST(label AS VARCHAR) || '_v2' AS label,
+             list_transform(embedding, x -> -x) AS embedding
+           FROM embeddings WHERE vec_id % 3 = 0),
+         merged AS (
+           SELECT * FROM base UNION ALL SELECT * FROM delta)
+         SELECT vec_id, label,
+           CAST(floor(1000000 * COALESCE(
+             list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               (a, b) -> a + b), 0)) AS BIGINT) AS sum_ppm
+         FROM merged ORDER BY vec_id""",
     "i1_update_log" ->
       """SELECT 'events' AS table_name, MAX(ts) AS last_update,
          COUNT(*) AS records_updated FROM events""",

@@ -271,6 +271,44 @@ object MergeOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** S15: vector upsert sink — the Pinecone-upsert analog
+    * (hydrate_vectors.py's index.upsert): delta vectors REPLACE base
+    * payloads on the key, new keys insert, and the result lands as a
+    * parquet vector table and is read back. The delta is a
+    * deterministic transform of a key slice (negated embeddings,
+    * versioned label), so the oracle reproduces the merged table
+    * exactly; the read-back emits a portable projection — a floor'd
+    * left-fold element sum in ppm — because array columns can't cross
+    * the driver's row-sort (and the sign flip makes payload
+    * replacement visible in the hash, which a norm would not).
+    * Anti-join + union is the same keyed-upsert plan as [[mergeUpsert]]
+    * with the payload being the vector column. */
+  def vectorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s15_$tag/vectors"
+    val e = graft.Tables.embeddings(spark, dir)
+    // label is INTEGER in the fixture; string it on BOTH branches —
+    // under ANSI union coercion a string/bigint union resolves to the
+    // numeric side and '2_v2' would fail the implicit cast
+    val base = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("label").cast("string").as("label"), col("embedding"))
+    val delta = e.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        concat(col("label").cast("string"), lit("_v2")).as("label"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    base
+      .join(delta.select(col("vec_id").as("d_id")),
+        col("vec_id") === col("d_id"), "left_anti")
+      .unionByName(delta)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("label"),
+        floor(lit(1000000d) * coalesce(
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), lit(0.0))).as("sum_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
   /** S11: insert-ignore — first-writer-wins; only keys absent from the
     * existing table land (on_conflict_do_nothing,
     * ingest_bulk_donations.py:112-117). Anti join against existing keys. */
