@@ -50,13 +50,24 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     f
   }
 
-  // compiled once: String.replaceAll would recompile the pattern per row
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  // compiled once: String.replaceAll would recompile the pattern per row.
+  // Explicit class, not \s: Java's \s adds U+000B while DuckDB's RE2 \s
+  // is exactly [\t\n\f\r ] — the oracle and this expression must agree
+  // on which characters collapse to a space or fingerprints diverge on
+  // exotic-whitespace text.
+  @transient private lazy val ws = java.util.regex.Pattern.compile("[\\t\\n\\f\\r ]+")
 
   override def nullSafeEval(input: Any): Any = {
-    val text = ws.matcher(input.asInstanceOf[UTF8String].toString.toLowerCase)
+    // Locale.ROOT: default-locale lowercasing diverges per host (tr_TR
+    // dotless-i); ROOT matches DuckDB's simple case mapping on ASCII.
+    val text = ws.matcher(
+        input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
       .replaceAll(" ").trim
-    val n = text.length
+    // Hash CODE POINTS, not UTF-16 code units: the oracle's
+    // ord(substr(...)) yields code points, so charAt would diverge on
+    // supplementary-plane text (emoji, rare CJK).
+    val cps = text.codePoints().toArray()
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
 
     // B^(k-1) mod M
@@ -67,11 +78,11 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     val hashes = new Array[Long](nWin)
     var h = 0L
     var i = 0
-    while (i < k) { h = (mulmod(h, B) + text.charAt(i)) % M; i += 1 }
+    while (i < k) { h = (mulmod(h, B) + cps(i)) % M; i += 1 }
     hashes(0) = h
     while (i < n) {
-      h = (h + M - mulmod(text.charAt(i - k), bk) % M) % M
-      h = (mulmod(h, B) + text.charAt(i)) % M
+      h = (h + M - mulmod(cps(i - k), bk) % M) % M
+      h = (mulmod(h, B) + cps(i)) % M
       hashes(i - k + 1) = h
       i += 1
     }

@@ -122,10 +122,24 @@ object EventsStream {
     * the same bounded-horizon argument as the batch operator's
     * scaladoc). Inner join in append mode: matches emit as soon as both
     * sides arrive; EventsStreamSpec asserts the emitted pair set equals
-    * the batch band join exactly. */
+    * the batch band join exactly.
+    *
+    * Batch-equivalence precondition: the source must arrive as ONE
+    * micro-batch. With a multi-file source AvailableNow may split
+    * processing, and rows older than the 20-minute watermark relative
+    * to earlier batches would be silently dropped from the join — the
+    * equality claim is only structural because the fixture is a single
+    * parquet file, which this ENFORCES below. A production multi-file
+    * feed instead sizes the watermark delay to its cross-file event-time
+    * disorder (and orders file arrival), trading state for tolerance. */
   def viewPurchaseJoinStreaming(spark: SparkSession, dir: String,
       queryName: String = "events_ss_join"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    require(srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(srcPath).isFile,
+      s"viewPurchaseJoinStreaming needs a single-file source (one micro-batch); " +
+        s"$srcPath is a directory — size the watermark to its cross-file disorder first")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src(): DataFrame = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
