@@ -540,8 +540,9 @@ object SparkEntry {
     // posting list: hot grams are removed from the similarity space
     // (counts AND intersections), so jaccard is over the capped space —
     // equal to plain jaccard whenever no gram exceeds the cap, as in
-    // the fixtures. Hashing (md5 60-bit prefix) and the cap constant
-    // are shared with Dedup.
+    // the fixtures. Hashing (md5 60-bit prefix) is shared with Dedup;
+    // the cap is corpus-DERIVED on both sides (Dedup.dfCapSql mirrors
+    // dfCapFrame's integer arithmetic as a scalar subquery).
     "d2_ngram_jaccard" ->
       s"""WITH t AS (
            SELECT doc_id, $toksSql AS w FROM documents),
@@ -555,7 +556,7 @@ object SparkEntry {
            FROM g0),
          hot AS (
            SELECT gram_h FROM g GROUP BY gram_h
-           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
          rare AS (
            SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
@@ -946,7 +947,7 @@ object SparkEntry {
            FROM g0),
          hot AS (
            SELECT gram_h FROM g GROUP BY gram_h
-           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("keepmin")}),
          rare AS (SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
          common AS (
@@ -1166,7 +1167,7 @@ object SparkEntry {
            FROM g0),
          hot AS (
            SELECT gram_h FROM g GROUP BY gram_h
-           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
          rare AS (SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
          bench AS (SELECT gram_h, doc_id AS bench_id FROM rare WHERE is_bench)
          SELECT r.doc_id, r.lang,
@@ -1270,16 +1271,22 @@ object SparkEntry {
     // d6: the winnowing tier end to end. The window hash reproduces
     // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
     // winnow encodes rightmost-tie argmin as MIN over a position-
-    // inverted composite key (valid while docs < 2^20 chars — true by
-    // orders of magnitude for the fixtures); candidates and the
-    // exact-jaccard verify mirror the Spark phases with the same
-    // interpolated constants.
+    // inverted composite key — valid only while docs < 2^20 chars, so
+    // the docs CTE ENFORCES the bound via error(): an oversized doc
+    // fails the gate loudly instead of silently mis-ranking windows.
+    // (RE2's \\s+ here is exactly the [\\t\\n\\f\\r ] class the Scala
+    // expression normalizes with, and length()/ord() count CODE POINTS
+    // to match its codePoints() loop.)
     "d6_rolling_fingerprint" ->
       s"""WITH norm AS (
            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
            FROM documents),
          docs AS (
-           SELECT doc_id, t, length(t) AS n FROM norm
+           SELECT doc_id, t,
+             CASE WHEN length(t) >= 1048576
+               THEN error('d6 oracle: normalized doc >= 2^20 chars breaks the position-inverted winnow key')
+               ELSE length(t) END AS n
+           FROM norm
            WHERE length(t) >= ${graft.functions.RollingFingerprint.K}),
          win AS (
            SELECT doc_id, x.p AS p,
@@ -1305,7 +1312,7 @@ object SparkEntry {
            GROUP BY doc_id),
          hot AS (
            SELECT fp FROM fps0 GROUP BY fp
-           HAVING COUNT(*) > ${operators.Dedup.FingerprintDfCap}),
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
          fps AS (SELECT * FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)),
          cand AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -1355,7 +1362,7 @@ object SparkEntry {
            FROM g0),
          hot AS (
            SELECT gram_h FROM g GROUP BY gram_h
-           HAVING COUNT(*) > ${operators.Dedup.NgramDfCap}),
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
          rare AS (
            SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),

@@ -60,9 +60,12 @@ object Dedup {
     * intersections both) — standard boilerplate removal, identical on
     * both engines; whenever no gram exceeds the cap (true of the
     * fixtures at every SF) the result equals plain jaccard, asserted
-    * against an uncapped reference join in DedupSpec. At 100 TB the
-    * constant cap becomes a fraction of |docs| (estimated from a sample
-    * or a sketch), but the plan shape is unchanged.
+    * against an uncapped reference join in DedupSpec. The cap itself is
+    * corpus-DERIVED ([[dfCapFrame]]): a 1% doc-frequency fraction with
+    * a small-corpus floor, computed in-plan from |docs| — at fixture
+    * sizes it equals the old constant 50 (asserted in DedupSpec), at
+    * 100 TB it grows with the corpus so eviction stays a constant
+    * fraction of the gram space.
     *
     * Deliberately SINGLE-phase (join → groupBy n_common → broadcast
     * count join → jaccard filter), unlike the banded tiers: at a 0.8
@@ -71,7 +74,35 @@ object Dedup {
     * generate-then-verify split re-explodes millions of pairs against
     * the posting list and costs ~3× the direct aggregation.
     */
-  val NgramDfCap = 50
+
+  /** Corpus-derived doc-frequency cap: max(Floor, ceil(|docs| /
+    * PerDocs)). A CONSTANT cap on a growing corpus silently evicts a
+    * growing fraction of the gram space (shifting near-dup recall);
+    * deriving it from |docs| keeps "hot" meaning the same corpus
+    * fraction (1%) at every scale, with the floor preserving small-
+    * corpus behavior. Integer arithmetic on purpose: ceil via
+    * (n + PerDocs-1) div PerDocs is bit-identical across engines,
+    * where double rounding would not be. Shared by the n-gram (d2/c1),
+    * winnowing (d6), and decontamination (c3) tiers and interpolated
+    * into their oracles via [[dfCapSql]]. */
+  val DfCapFloor = 50L
+  val DfCapPerDocs = 100L
+
+  /** Driver-side mirror of the in-plan cap (specs, orchestration). */
+  def derivedDfCap(nDocs: Long): Long =
+    math.max(DfCapFloor, (nDocs + DfCapPerDocs - 1) / DfCapPerDocs)
+
+  /** 1-row (df_cap) frame computed IN-PLAN from the corpus row count —
+    * broadcast-crossJoined into the hot-gram filter, never collected. */
+  private[graft] def dfCapFrame(corpus: DataFrame): DataFrame =
+    corpus.agg(count(lit(1)).as("n_docs"))
+      .select(greatest(lit(DfCapFloor),
+        expr(s"(n_docs + ${DfCapPerDocs - 1}) div $DfCapPerDocs")).as("df_cap"))
+
+  /** Oracle-SQL twin of [[dfCapFrame]]: a scalar subquery over the SAME
+    * corpus relation, same integer arithmetic. */
+  def dfCapSql(corpusRel: String): String =
+    s"(SELECT greatest($DfCapFloor, (COUNT(*) + ${DfCapPerDocs - 1}) // $DfCapPerDocs) FROM $corpusRel)"
 
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     ngramJaccardPairsOf(documents(spark, dir), threshold)
@@ -96,7 +127,8 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h")))
     val hot = docs.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap).select(col("gram_h"))
+      .crossJoin(broadcast(dfCapFrame(input)))
+      .filter(col("df") > col("df_cap")).select(col("gram_h"))
     val rare = shared(docs.join(broadcast(hot), Seq("gram_h"), "left_anti"))
     val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
@@ -170,6 +202,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(true)
+    // A component whose min-label eccentricity exceeds maxIters would
+    // exit this loop with changed > 0 and silently wrong cluster ids
+    // (diverging from the transitive-closure oracle only when the gate
+    // happens to run) — fail loudly instead. Plain propagation needs
+    // diameter rounds; if a real corpus ever trips this, the fix is the
+    // large-star/small-star doubling variant (O(log n) rounds), not a
+    // bigger cap.
+    require(changed == 0,
+      s"dedupClusters did not converge in $maxIters rounds ($changed labels still changing)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
     labels
       .join(sizes, Seq("label"))
@@ -369,7 +410,6 @@ object Dedup {
     * position-inverted min key for rightmost ties), so the driver
     * hash-checks the whole tier; DedupSpec additionally asserts
     * agreement with the exact-Jaccard pairs. */
-  val FingerprintDfCap = 50
   val FingerprintMinShared = 5
 
   def rollingFingerprintPairs(spark: SparkSession, dir: String,
@@ -378,15 +418,16 @@ object Dedup {
       .repartition(col("doc_id")) // BEFORE fingerprinting — see ngramJaccardPairs
       .select(col("doc_id"),
         explode(graft.functions.RollingFingerprint(col("text"))).as("fp")))
-    // doc-frequency cap: fingerprints shared corpus-wide (boilerplate /
-    // common-vocab substrings) only fan out the candidate join without
-    // identifying near-dup PAIRS; dropping them is standard winnowing
-    // practice. Final output is unchanged — candidates are verified
-    // with exact Jaccard — as long as true dups still share >= minShared
-    // rare fingerprints (they do: near-identical docs share their long,
-    // pair-specific substrings).
+    // doc-frequency cap (corpus-derived, see dfCapFrame): fingerprints
+    // shared corpus-wide (boilerplate / common-vocab substrings) only
+    // fan out the candidate join without identifying near-dup PAIRS;
+    // dropping them is standard winnowing practice. Final output is
+    // unchanged — candidates are verified with exact Jaccard — as long
+    // as true dups still share >= minShared rare fingerprints (they do:
+    // near-identical docs share their long, pair-specific substrings).
     val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > FingerprintDfCap).select(col("fp"))
+      .crossJoin(broadcast(dfCapFrame(documents(spark, dir))))
+      .filter(col("df") > col("df_cap")).select(col("fp"))
     // persist: the capped posting list feeds both self-join branches,
     // and an unpersisted frame re-executes the df-cap subtree (group,
     // broadcast, anti-join) once per branch — same pathology measured

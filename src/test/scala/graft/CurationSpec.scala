@@ -101,7 +101,8 @@ class CurationSpec extends SparkSpec {
     val grams = docs.select(col("doc_id"), col("lang"), col("is_bench"),
       explode(Dedup.shingles(col("text"))).as("gram"))
     val rare = grams.join(
-      grams.groupBy("gram").count().filter(col("count") <= Dedup.NgramDfCap)
+      grams.groupBy("gram").count()
+        .filter(col("count") <= Dedup.derivedDfCap(docs.count()))
         .select("gram"),
       Seq("gram"))
     val expected = rare.filter(!col("is_bench"))

@@ -78,6 +78,23 @@ class DedupSpec extends SparkSpec {
       s"missed: ${uncapped.diff(capped)}, spurious: ${capped.diff(uncapped)}")
   }
 
+  test("derived df cap: floor at fixture scale, corpus fraction past it") {
+    // at fixture sizes the corpus-derived cap equals the old constant
+    // (50), so round-5 oracle behavior is unchanged by construction
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(Dedup.derivedDfCap(nDocs) === Dedup.DfCapFloor,
+      s"fixture |docs|=$nDocs should sit at the cap floor")
+    // past the floor the cap tracks the 1% doc-frequency fraction
+    assert(Dedup.derivedDfCap(100 * Dedup.DfCapPerDocs * Dedup.DfCapFloor)
+      === 100 * Dedup.DfCapFloor)
+    assert(Dedup.derivedDfCap(Dedup.DfCapPerDocs * Dedup.DfCapFloor + 1)
+      === Dedup.DfCapFloor + 1) // ceil, not floor division
+    // the in-plan frame computes the same number as the driver mirror
+    val inPlan = Dedup.dfCapFrame(Tables.documents(spark, sfDir))
+      .collect()(0).getLong(0)
+    assert(inPlan === Dedup.derivedDfCap(nDocs))
+  }
+
   test("exact dedup histogram accounts for every document") {
     val hist = Dedup.exactDedup(spark, sfDir).collect()
     val totalDocs = hist.map(r => r.getLong(0) * r.getLong(1)).sum
