@@ -17,7 +17,17 @@ import org.apache.spark.sql.SparkSession
   *    JIT/cache warm-up is visible instead of folded in;
   *  - queries run in sorted-name order (deterministic, not Map order);
   *  - the cache is cleared between runs so persisted posting lists from
-  *    one query never skew the next.
+  *    one query never skew the next;
+  *  - round 6: the run DEFENDS itself against noisy-neighbor windows
+  *    instead of trusting one pass-set — when the per-query max/median
+  *    spread across warm reps exceeds 1.5× for >10% of queries (with a
+  *    0.2 s absolute-gap qualifier so sub-second GC jitter doesn't
+  *    count), the warm passes re-run (bounded retries) and the cleaner
+  *    set is kept; a still-dirty final set is flagged `"noisy":true` in
+  *    the output rather than silently recorded (the round-5 artifact:
+  *    a ~2.5× inflated pass committed as BENCH_r05 contradicted the
+  *    README's true zero-regression claim). Per-rep times go to stderr
+  *    under [bench-detail] for the archive.
   * Heap is scaled with the cpu count in build.sbt (32 tasks in an 8 GB
   * heap was the round-2 failure mode — constant GC billed to whichever
   * query happened to be running).
@@ -55,9 +65,40 @@ object Bench {
     }
 
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes: Vector[Map[String, (Double, Option[String])]] =
-      Vector.fill(math.max(1, reps))(
-        named.map { case (name, fn) => name -> timeOnce(fn) }.toMap)
+    def runPass(): Map[String, (Double, Option[String])] =
+      named.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+
+    // Per-query dispersion over a warm pass-set: max/median ratio,
+    // neutralized (1.0) when the absolute max-median gap is < 0.2 s —
+    // a 0.1→0.25 s blip is GC jitter, not a noisy-neighbor window.
+    def spreadRatios(ps: Vector[Map[String, (Double, Option[String])]]): Map[String, Double] =
+      if (ps.size < 2) Map.empty
+      else named.map { case (name, _) =>
+        val ts = ps.map(_(name)._1).sorted
+        val med = ts((ts.size - 1) / 2)
+        name -> (if (ts.last - med < 0.2) 1.0 else ts.last / math.max(med, 1e-9))
+      }.toMap
+    def noisyFraction(ps: Vector[Map[String, (Double, Option[String])]]): Double = {
+      val r = spreadRatios(ps)
+      if (r.isEmpty) 0.0 else r.values.count(_ > 1.5).toDouble / r.size
+    }
+
+    val coldPass = runPass()
+    val warmReps = math.max(1, reps) - 1
+    var warmPasses = Vector.fill(warmReps)(runPass())
+    var noiseRetries = 0
+    val MaxNoiseRetries = 2
+    while (noisyFraction(warmPasses) > 0.10 && noiseRetries < MaxNoiseRetries) {
+      System.err.println(f"[bench] noisy pass-set detected " +
+        f"(${noisyFraction(warmPasses) * 100}%.0f%% of queries spread >1.5x) — re-running warm passes")
+      val rerun = Vector.fill(warmReps)(runPass())
+      if (noisyFraction(rerun) < noisyFraction(warmPasses)) warmPasses = rerun
+      noiseRetries += 1
+    }
+    val noisy = noisyFraction(warmPasses) > 0.10
+    val spreads = spreadRatios(warmPasses)
+
+    val passes = coldPass +: warmPasses
     val results = named.map { case (name, _) =>
       val times = passes.map(_(name)._1)
       // median over WARM passes only (cold first pass reported
@@ -85,8 +126,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    System.err.println(s"""[bench-detail] {"cold":${jsonNum(_._3)}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":${r3(coldTotal)},"errors":$errJson,"sf":"$sfDir"}""")
+    // stdout stays ONE compact line (bounded driver tail): the noise
+    // verdict + only the offending queries' spreads; the full per-rep
+    // time vectors land on stderr for the archive.
+    val noisyQ = spreads.filter(_._2 > 1.5).toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.values.max
+    val perRep = named.map { case (name, _) =>
+      "\"" + name + "\":[" + passes.map(p => r3(p(name)._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    System.err.println(s"""[bench-detail] {"cold":${jsonNum(_._3)},"reps":$perRep}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":${r3(coldTotal)},"noisy":$noisy,"noise_retries":$noiseRetries,"spread_max":${r3(spreadMax)},"noisy_queries":$noisyQ,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
