@@ -24,6 +24,11 @@ object RunPipeline {
     // landed-archive extraction (S8) and the cursor-paged feed (S7)
     // both land + parse + cleanse before the merge tier runs
     "ingest_zip"        -> (() => graft.sources.ZipSource.zipIngestOverOrders(spark, sfDir)),
+    // the reject-accounting twin of ingest_zip (SURVEY §5 ETL
+    // self-verification): same scan, classified instead of dropped; its
+    // per-reason counters land in this run's update_log notes, matching
+    // the reference's scanned/inserted/skipped run summaries
+    "ingest_zip_audit"  -> (() => graft.sources.ZipSource.zipRejectCountsOverOrders(spark, sfDir)),
     "ingest_paged"      -> (() => graft.sources.PagedSource.pagedScanOverCustomers(spark, sfDir)),
     "merge_upsert"      -> (() => MergeOps.mergeUpsert(spark, sfDir)),
     // the incremental-scale form of the same MERGE: hash-partitioned
@@ -65,7 +70,16 @@ object RunPipeline {
         df.write.mode("overwrite").parquet(s"$stateDir/$name")
         val rows = spark.read.parquet(s"$stateDir/$name").count()
         val secs = (System.nanoTime() - t0) / 1e9
-        logUpdate(spark, stateDir, name, rows, "success")
+        // audit stages carry their counters into the log's notes — the
+        // reference prints these per run (ingest_bulk_donations.py:
+        // 219-223); reading back the just-written 7-row rollup is
+        // bounded metadata, not a second source scan
+        val notes = if (name.endsWith("_audit")) {
+          spark.read.parquet(s"$stateDir/$name")
+            .orderBy(col("reason")).collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+        } else ""
+        logUpdate(spark, stateDir, name, rows, "success", notes)
         StageResult(name, rows, secs, "success")
       } catch {
         case e: Exception =>
@@ -79,12 +93,13 @@ object RunPipeline {
   }
 
   /** Append one update_log row (table_name, last_update, records_updated,
-    * status) — the reference's watermark table, as Parquet. */
+    * status, notes) — the reference's watermark table, as Parquet;
+    * `notes` carries audit counters (scanned/inserted/rejects). */
   private def logUpdate(spark: SparkSession, stateDir: String,
-      table: String, rows: Long, status: String): Unit = {
+      table: String, rows: Long, status: String, notes: String = ""): Unit = {
     import spark.implicits._
-    Seq((table, new java.sql.Timestamp(System.currentTimeMillis()), rows, status))
-      .toDF("table_name", "last_update", "records_updated", "status")
+    Seq((table, new java.sql.Timestamp(System.currentTimeMillis()), rows, status, notes))
+      .toDF("table_name", "last_update", "records_updated", "status", "notes")
       .write.mode("append").parquet(s"$stateDir/update_log")
   }
 

@@ -117,6 +117,10 @@ object SparkEntry {
     "s6_committee_flatten"    -> ((s, d) => graft.sources.ReferenceSources.committeesOverNations(s, d)),
     "s7_paged_scan"           -> ((s, d) => graft.sources.PagedSource.pagedScanOverCustomers(s, d)),
     "s8_zip_ingest"           -> ((s, d) => graft.sources.ZipSource.zipIngestOverOrders(s, d)),
+    // etl1b: reject accounting over the same zip scan — the dropped
+    // side of the lineage as a first-class output (scanned = inserted
+    // + Σ rejects, reconciled against the oracle's classification)
+    "etl1b_reject_counts"     -> ((s, d) => graft.sources.ZipSource.zipRejectCountsOverOrders(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "s16b_compacted_read"     -> ((s, d) => Partitioned.compactedIncrementalCounts(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
@@ -1055,6 +1059,41 @@ object SparkEntry {
          WHERE donor_uid IS NOT NULL AND date IS NOT NULL AND amount IS NOT NULL
          GROUP BY committee_id
          ORDER BY committee_id""",
+    // etl1b: the oracle classifies every synthesized row by the FIRST
+    // failing gate in pipeline order — the same first-wins when-chain
+    // as donationRejectCounts — and unpivots one conditional-count
+    // aggregate row, so zero-count reasons still emit (the Spark stack
+    // does too; a GROUP BY formulation would drop them).
+    "etl1b_reject_counts" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k, o_custkey % 50 AS ck FROM orders),
+         cls AS (
+           SELECT CASE
+             WHEN k % 7 = 0 THEN 'amended'
+             WHEN ck NOT IN (SELECT n_nationkey FROM nation) THEN 'off_target'
+             WHEN k % 17 = 0 THEN 'truncated_line'
+             WHEN k % 13 = 0 THEN 'bad_date'
+             WHEN k % 11 = 0 THEN 'bad_amount'
+             ELSE 'inserted' END AS reason
+           FROM src),
+         agg AS (
+           SELECT COUNT(*) AS scanned,
+             COUNT(*) FILTER (WHERE reason = 'amended') AS amended,
+             COUNT(*) FILTER (WHERE reason = 'off_target') AS off_target,
+             COUNT(*) FILTER (WHERE reason = 'truncated_line') AS truncated_line,
+             COUNT(*) FILTER (WHERE reason = 'bad_date') AS bad_date,
+             COUNT(*) FILTER (WHERE reason = 'bad_amount') AS bad_amount,
+             COUNT(*) FILTER (WHERE reason = 'inserted') AS inserted
+           FROM cls)
+         SELECT reason, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'scanned' AS reason, scanned AS n FROM agg
+           UNION ALL SELECT 'amended', amended FROM agg
+           UNION ALL SELECT 'off_target', off_target FROM agg
+           UNION ALL SELECT 'truncated_line', truncated_line FROM agg
+           UNION ALL SELECT 'bad_date', bad_date FROM agg
+           UNION ALL SELECT 'bad_amount', bad_amount FROM agg
+           UNION ALL SELECT 'inserted', inserted FROM agg)
+         ORDER BY reason""",
     // s4: the engine writes the recursive vote-JSON tree from events and
     // scans it back (readVoteFiles + double explode); the oracle computes
     // the same rollup straight from the events table — equality proves

@@ -61,6 +61,56 @@ object ReferenceSources {
       .na.drop(Seq("donor_uid", "date", "amount"))
   }
 
+  /** §5 "ETL self-verification": per-reason reject accounting for the
+    * donation lineage. The reference prints scanned/inserted/skipped
+    * counters per run and skips bad rows one at a time
+    * (ingest_bulk_donations.py:219-223, ingest_votes.py:173-178);
+    * [[donationPipeline]] applies the same gates declaratively but
+    * `na.drop`s the failures invisibly — this is the dropped side as a
+    * first-class, checkable output.
+    *
+    * Every row is billed to the FIRST gate it fails, in pipeline order
+    * (amended → off-target committee → truncated line → bad date → bad
+    * amount); survivors count as `inserted` and `scanned` is the grand
+    * total, so the counters reconcile exactly:
+    * scanned = inserted + Σ rejects (asserted in SourcesSpec, along
+    * with inserted == the pipeline's surviving row count).
+    *
+    * One pass over the SAME scan — the committee check is the same
+    * broadcast join as the pipeline's semi join (left + null-probe
+    * instead of semi, no extra shuffle), the classification is a
+    * when-chain, and the rollup is a single aggregate of conditional
+    * counts (map-side partials) unpivoted by a map-only `stack`. No
+    * second read of the source, no driver-side counting — at 100 TB
+    * the audit costs one column of branch arithmetic on top of the
+    * scan the pipeline already pays for.
+    *
+    * `truncated_line` is distinguishable from `bad_date` because
+    * PERMISSIVE tail-fill leaves the MISSING date column null, while a
+    * planted bad date arrives as a non-null unparseable string. */
+  def donationRejectCounts(contribs: DataFrame, targetCommittees: DataFrame): DataFrame = {
+    val classified = contribs
+      .join(broadcast(targetCommittees.withColumn("__is_target", lit(true))),
+        Seq("CMTE_ID"), "left")
+      .withColumn("reason",
+        when(!(col("AMNDT_IND") <=> lit("N")), lit("amended"))
+          .when(col("__is_target").isNull, lit("off_target"))
+          .when(col("TRANSACTION_DT").isNull, lit("truncated_line"))
+          .when(try_to_date(col("TRANSACTION_DT"), "MMddyyyy").isNull, lit("bad_date"))
+          .when(expr("try_cast(TRANSACTION_AMT AS decimal(12,2))").isNull, lit("bad_amount"))
+          .otherwise(lit("inserted")))
+    val reasons = Seq("amended", "off_target", "truncated_line",
+      "bad_date", "bad_amount", "inserted")
+    val one = classified.agg(
+      count(lit(1)).as("scanned"),
+      reasons.map(r => sum(when(col("reason") === r, 1L).otherwise(0L)).as(r)): _*)
+    one.selectExpr(
+      s"stack(${reasons.size + 1}, " +
+        (("'scanned', scanned" +: reasons.map(r => s"'$r', $r")).mkString(", ")) +
+        ") as (reason, n)")
+      .orderBy(col("reason"))
+  }
+
   /** The FEC-shaped contribution rows synthesized deterministically
     * from the `orders` fixture — shared by the etl1 lineage query and
     * the S8 zip-ingestion round trip (ZipSource.zipIngestOverOrders),

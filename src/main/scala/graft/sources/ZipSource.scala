@@ -103,6 +103,41 @@ object ZipSource {
     * TRUNCATED after the NAME field (key%17), which exercise
     * PERMISSIVE's null tail-fill and drop out via the date guard. */
   def zipIngestOverOrders(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureArchives(spark, dir)
+    val contribs = readZippedCsv(spark,
+        s"$root/*.zip", ReferenceSources.fecContributionsSchema)
+      .drop("zip_path", "entry")
+    val targets = graft.Tables.nation(spark, dir)
+      .select(concat(lit("C"), col("n_nationkey").cast("string")).as("CMTE_ID"))
+    ReferenceSources.donationPipeline(contribs, targets)
+      .groupBy(col("committee_id"))
+      .agg(
+        count(lit(1)).as("n_donations"),
+        countDistinct(col("donor_uid")).as("n_donors"),
+        sum(col("amount")).cast("double").as("total_amount"),
+        min(date_format(col("date"), "yyyy-MM-dd")).as("first_date"))
+      .orderBy(col("committee_id"))
+  }
+
+  /** etl1b: the reject-accounting twin of [[zipIngestOverOrders]] — the
+    * SAME zip → extract → from_csv scan, classified instead of dropped
+    * (ReferenceSources.donationRejectCounts). The zip path is the one
+    * lineage where every planted fault class appears, including the
+    * truncated lines only PERMISSIVE tail-fill can produce. */
+  def zipRejectCountsOverOrders(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureArchives(spark, dir)
+    val contribs = readZippedCsv(spark,
+        s"$root/*.zip", ReferenceSources.fecContributionsSchema)
+      .drop("zip_path", "entry")
+    val targets = graft.Tables.nation(spark, dir)
+      .select(concat(lit("C"), col("n_nationkey").cast("string")).as("CMTE_ID"))
+    ReferenceSources.donationRejectCounts(contribs, targets)
+  }
+
+  /** One-time synthesis of the landed-archive tree (see scaladoc above);
+    * returns its root. Memoized per session — the archives are a pure
+    * deterministic function of the fixture. */
+  private def ensureArchives(spark: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_s8_$tag"
     if (zipped.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
@@ -140,18 +175,6 @@ object ZipSource {
       }
       System.err.println(f"[zip-source] one-time archive synthesis ($dir): ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    val contribs = readZippedCsv(spark,
-        s"$root/*.zip", ReferenceSources.fecContributionsSchema)
-      .drop("zip_path", "entry")
-    val targets = graft.Tables.nation(spark, dir)
-      .select(concat(lit("C"), col("n_nationkey").cast("string")).as("CMTE_ID"))
-    ReferenceSources.donationPipeline(contribs, targets)
-      .groupBy(col("committee_id"))
-      .agg(
-        count(lit(1)).as("n_donations"),
-        countDistinct(col("donor_uid")).as("n_donors"),
-        sum(col("amount")).cast("double").as("total_amount"),
-        min(date_format(col("date"), "yyyy-MM-dd")).as("first_date"))
-      .orderBy(col("committee_id"))
+    root
   }
 }

@@ -41,6 +41,33 @@ class SourcesSpec extends SparkSpec {
     assert(kept.map(_.getAs[java.math.BigDecimal]("amount").doubleValue()).sum === 300.0)
   }
 
+  test("etl1b: reject counters reconcile with the pipeline exactly") {
+    import spark.implicits._
+    // the S1 fixture above, plus a TRUNCATED line (cut after NAME) —
+    // every reason bucket except bad_amount is exercised, and the
+    // counters must reconcile: scanned = inserted + Σ rejects, and
+    // inserted equals the pipeline's surviving row count
+    val rows = Seq(
+      "C1|N|Q1||||IND|ALICE|SPRINGFIELD|IL|62704|ACME|ENG|01152024|250.00||T1|1||M|S1",
+      "C1|A|Q1||||IND|BOB|SPRINGFIELD|IL|62704|ACME|ENG|01152024|100.00||T2|1||M|S2",
+      "C9|N|Q1||||IND|CARL|SPRINGFIELD|IL|62704|ACME|ENG|01152024|100.00||T3|1||M|S3",
+      "C1|N|Q1||||IND|DAVE|SPRINGFIELD|IL|62704|ACME|ENG|99152024|100.00||T4|1||M|S4",
+      "C1|N|Q1||||IND|EVE|SPRINGFIELD|IL|62704|ACME|ENG|01152024|n/a||T5|1||M|S5",
+      "C1|N|Q1||||IND|FRED")
+    val path = tmp("itcont.txt", rows.mkString("\n"))
+    val contribs = ReferenceSources.readFecContributions(spark, path)
+    val targets = Seq("C1").toDF("CMTE_ID")
+    val counts = ReferenceSources.donationRejectCounts(contribs, targets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map(
+      "scanned" -> 6L, "inserted" -> 1L, "amended" -> 1L, "off_target" -> 1L,
+      "truncated_line" -> 1L, "bad_date" -> 1L, "bad_amount" -> 1L))
+    val survivors = ReferenceSources.donationPipeline(contribs, targets).count()
+    assert(counts("inserted") === survivors)
+    assert(counts("scanned") ===
+      counts.filterNot(_._1 == "scanned").values.sum)
+  }
+
   test("S4: recursive vote json scan explodes the position map, skips scalars") {
     val d = Files.createTempDirectory("graft_votes")
     Files.createDirectories(Paths.get(s"$d/2024/h1"))
