@@ -112,6 +112,13 @@ object ScaleProbe {
       "c3_decontamination"   -> (operators.Curation.decontaminate(_, _)),
       "v6_kmeans_step"       -> (operators.Similarity.kmeansStep(_, _)),
       "j11_asof_join"        -> (operators.AsofJoin.viewBeforePurchase(_, _)),
+      // round-6 additions: the bucketed as-of join (cells must shrink to
+      // rate×horizon — compare against j11's growth), and Lloyd at a
+      // FIXED 3 rounds (eps = -1 disables the fixpoint stop) so
+      // per-round cost is comparable across factors
+      "j11b_bucketed_asof"   -> (operators.AsofJoin.viewBeforePurchaseBucketed(_, _)),
+      "v6b_lloyd_3rounds"    -> ((s, d) =>
+        operators.Similarity.kmeansConvergedOf(Tables.embeddings(s, d), 3, -1.0)._1),
       // components over the d2 edge set: rounds ≤ diameter must hold as
       // the salted corpus multiplies component COUNT (not depth)
       "d7_dedup_clusters"    -> (operators.Dedup.dedupClusters(_, _)))

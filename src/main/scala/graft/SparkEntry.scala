@@ -89,7 +89,8 @@ object SparkEntry {
     "w4_multikey_nulls"       -> ((s, d) => Scalars.multiKeySortNulls(s, d)),
     "s14_column_update"       -> ((s, d) => MergeOps.columnUpdate(s, d)),
     "e1_entity_profile"       -> ((s, d) => Profile.customerProfile(s, d)),
-    // stub-embedder retrieval: not SQL-expressible → rows-only check
+    // stub-embedder retrieval — oracle-checked since r6 (stubSearchSql
+    // mirrors the md5-window embedder exactly)
     "v4_semantic_search"      -> ((s, d) => Similarity.semanticSearch(s, d)),
     "w5b_keyset_pagination"   -> ((s, d) => Relational.keysetPagination(s, d)),
     // HLL/quantile sketches are engine-specific → rows-only check;
@@ -136,6 +137,9 @@ object SparkEntry {
     "c5_mixture_epochs"       -> ((s, d) => Curation.mixtureEpochs(s, d)),
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
+    // j11b: horizon-bucket second equi key — same oracle as j11, so the
+    // hash proves the bucket blocking lossless (the j7b pattern)
+    "j11b_bucketed_asof"      -> ((s, d) => AsofJoin.viewBeforePurchaseBucketed(s, d)),
     "t5_pii_scrub"            -> ((s, d) => TextOps.piiScrub(s, d)),
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
@@ -214,6 +218,75 @@ object SparkEntry {
        FROM ranked WHERE rk <= 5
        GROUP BY doc_id
        ORDER BY doc_id"""
+
+  /** The stub-embedder retrieval formulation shared by v4 and x7c:
+    * StubEmbed's md5-window token-hash derivation mirrored verbatim —
+    * per-token 32-bit digest windows centered and summed as EXACT
+    * integers (HUGEINT, order-free), one division by 2^32, an
+    * ordered-fold L2 norm, float32 rounding via CAST AS REAL — then the
+    * v1w cosine folds. Emits a WITH chain ending in `hits` (doc_id,
+    * full-precision sim, top-`k` by sim). */
+  private def stubSearchSql(query: String, k: Int): String = {
+    val dim = graft.functions.StubEmbed.DefaultDim
+    val qToks = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(t => s"'$t'").mkString(", ")
+    def vecOf(comp: String, keyed: Boolean): String = {
+      val key = if (keyed) "doc_id, " else ""
+      s"""(SELECT ${key}list_transform(raw, v ->
+             CASE WHEN nrm = 0 THEN CAST(0.0 AS REAL) ELSE CAST(v / nrm AS REAL) END) AS emb
+           FROM (SELECT ${key}raw,
+                   sqrt(list_reduce(list_transform(raw, v -> v * v), (x, y) -> x + y)) AS nrm
+                 FROM (SELECT ${key}list(s / 4294967296.0 ORDER BY j) AS raw
+                       FROM $comp GROUP BY ALL)))"""
+    }
+    def compOf(toks: String, keyed: Boolean): String = {
+      val key = if (keyed) "doc_id, " else ""
+      s"""(SELECT ${key}x.j AS j,
+             SUM(CAST('0x' || substr(md5(tok || ':' || CAST(x.j // 4 AS VARCHAR)),
+                   CAST(1 + 8 * (x.j % 4) AS INTEGER), 8) AS BIGINT) - 2147483648) AS s
+           FROM $toks, unnest(range($dim)) AS x(j)
+           GROUP BY ALL)"""
+    }
+    s"""WITH dtoks AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+         FROM documents),
+       qtoks AS (SELECT unnest([$qToks]) AS tok),
+       dvec AS ${vecOf(compOf("dtoks", keyed = true), keyed = true)},
+       qvec AS ${vecOf(compOf("qtoks", keyed = false), keyed = false)},
+       hits AS (
+         SELECT dv.doc_id,
+           list_reduce(list_transform(range($dim),
+             j -> CAST(dv.emb[j+1] AS DOUBLE) * CAST(q.emb[j+1] AS DOUBLE)), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range($dim),
+                j -> CAST(dv.emb[j+1] AS DOUBLE) * CAST(dv.emb[j+1] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range($dim),
+                j -> CAST(q.emb[j+1] AS DOUBLE) * CAST(q.emb[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+         FROM dvec dv, qvec q
+         ORDER BY sim DESC, doc_id LIMIT $k)"""
+  }
+
+  /** The as-of join oracle — left band join + argmax window, -1
+    * sentinels for render parity. Shared verbatim by j11 and the
+    * bucketed j11b (equality proves the second join key lossless). */
+  private val j11Sql: String =
+    s"""WITH p AS (
+         SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+         WHERE event_type = 'purchase'),
+       v AS (
+         SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events
+         WHERE event_type = 'view'),
+       j AS (
+         SELECT p.p_id, p.user_id, p.p_ts, v.v_ts, v.v_id,
+           ROW_NUMBER() OVER (PARTITION BY p.p_id
+             ORDER BY v.v_ts DESC NULLS LAST, v.v_id DESC NULLS LAST) AS rn
+         FROM p LEFT JOIN v ON p.user_id = v.v_user
+           AND v.v_ts <= p.p_ts
+           AND v.v_ts >= p.p_ts - INTERVAL ${operators.AsofJoin.HorizonMinutes} MINUTE)
+       SELECT p_id, user_id, p_ts,
+         COALESCE(v_id, -1) AS v_id,
+         COALESCE((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000, -1) AS gap_s
+       FROM j WHERE rn = 1
+       ORDER BY p_id"""
 
   def oracleSql: Map[String, String] = Map(
     // Convention (see Relational.moneyOut): aggregates run in DECIMAL for
@@ -1004,6 +1077,39 @@ object SparkEntry {
     // min-length must stay in lockstep with LlmOps.Stopwords/MinTokenLen.
     "x7_llm_extract" -> xSevenSql,
     "x7b_llm_extract_batched" -> xSevenSql,
+    // v4: the retrieval tier hash-checked end to end — stubSearchSql
+    // mirrors StubEmbed's md5-window derivation exactly (integer sums,
+    // ordered folds, float32 rounding), closing the round-5 rows-only gap
+    "v4_semantic_search" ->
+      s"""${stubSearchSql(operators.Similarity.DefaultQuery, 10)}
+         SELECT h.doc_id, d.lang, round(h.sim, 6) AS sim_r,
+           substr(d.text, 1, 60) AS preview
+         FROM hits h JOIN documents d USING (doc_id)
+         ORDER BY h.doc_id""",
+    // x7c: retrieval (v4's CTE chain at k=5) composed with the x7
+    // keyword rule — the grounded RAG answer reproduced verbatim
+    "x7c_rag_answer" ->
+      s"""${stubSearchSql(operators.Similarity.DefaultQuery, 5)},
+         ktoks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+           FROM documents),
+         kfilt AS (
+           SELECT doc_id, token FROM ktoks
+           WHERE length(token) >= ${operators.LlmOps.MinTokenLen}
+             AND token NOT IN (${operators.LlmOps.Stopwords.map(s => s"'$s'").mkString(",")})),
+         kcount AS (SELECT doc_id, token, COUNT(*) AS cnt FROM kfilt GROUP BY doc_id, token),
+         krank AS (
+           SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rk
+           FROM kcount),
+         kw AS (
+           SELECT doc_id, string_agg(token, ',' ORDER BY rk) AS keywords
+           FROM krank WHERE rk <= 5 GROUP BY doc_id)
+         SELECT h.doc_id, round(h.sim, 6) AS sim_r,
+           'q[${operators.Similarity.DefaultQuery}] -> doc ' || CAST(h.doc_id AS VARCHAR)
+             || ' (' || COALESCE(kw.keywords, '') || ')' AS answer
+         FROM hits h LEFT JOIN kw USING (doc_id)
+         ORDER BY h.doc_id""",
     // s7: the engine synthesizes a cursor-chained page feed from the
     // customer table, follows the pagination loop to a landed spool,
     // and parses the spool distributed; the oracle recomputes the
@@ -1266,26 +1372,10 @@ object SparkEntry {
          ORDER BY cent_id, dim_idx""",
     // j11: the oracle reproduces the as-of semantics with the identical
     // left band join + argmax window; -1 sentinels keep the output
-    // columns non-nullable (render parity).
-    "j11_asof_join" ->
-      s"""WITH p AS (
-           SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
-           WHERE event_type = 'purchase'),
-         v AS (
-           SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id FROM events
-           WHERE event_type = 'view'),
-         j AS (
-           SELECT p.p_id, p.user_id, p.p_ts, v.v_ts, v.v_id,
-             ROW_NUMBER() OVER (PARTITION BY p.p_id
-               ORDER BY v.v_ts DESC NULLS LAST, v.v_id DESC NULLS LAST) AS rn
-           FROM p LEFT JOIN v ON p.user_id = v.v_user
-             AND v.v_ts <= p.p_ts
-             AND v.v_ts >= p.p_ts - INTERVAL ${operators.AsofJoin.HorizonMinutes} MINUTE)
-         SELECT p_id, user_id, p_ts,
-           COALESCE(v_id, -1) AS v_id,
-           COALESCE((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000, -1) AS gap_s
-         FROM j WHERE rn = 1
-         ORDER BY p_id""",
+    // columns non-nullable (render parity). j11b shares it VERBATIM —
+    // equality proves the time-bucket second join key loses nothing.
+    "j11b_bucketed_asof" -> j11Sql,
+    "j11_asof_join" -> j11Sql,
     // t5: patterns interpolated from the shared Scala constants; DuckDB
     // needs the explicit 'g' flag for a global replace (Spark's
     // regexp_replace is global by default) and counts matches via

@@ -60,4 +60,52 @@ object AsofJoin {
           lit(-1L)).as("gap_s"))
       .orderBy(col("p_id"))
   }
+
+  /** J11b: the time-BUCKETED as-of join — [[viewBeforePurchase]] with a
+    * horizon-width time bucket as a SECOND equi key (the j7b
+    * adjacent-band trick). SMJ does not exploit the band's
+    * monotonicity, so in the plain form a hot user's purchases pair
+    * with that user's WHOLE view history before the residual filter
+    * prunes — residual pairs grow with rate × history. Bucketing by
+    * `floor(epoch / horizon)` and probing buckets b and b−1 (provably
+    * lossless: a view within the 1-horizon look-back band lies in the
+    * purchase's bucket or the one before, never earlier) shrinks the
+    * equi-join cells to rate × horizon — per-pair work is then
+    * independent of history length. The purchase side explodes into
+    * its two probe buckets (2× a filtered side, cheap); a view matches
+    * through exactly ONE probe (it has one bucket), so no dedup is
+    * needed beyond the argmax the operator already runs; unmatched
+    * probes surface as null rows that sort last and are dropped by
+    * rn=1 — unmatched PURCHASES still emit their -1 sentinel row.
+    * Driver-gated against j11's ORACLE VERBATIM: hash equality proves
+    * the bucket blocking loses nothing. */
+  def viewBeforePurchaseBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val horizonUs = HorizonMinutes * 60L * 1000000L
+    val e = graft.Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("probe", explode(array(
+        expr(s"unix_micros(p_ts) div $horizonUs"),
+        expr(s"unix_micros(p_ts) div $horizonUs - 1"))))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withColumn("probe", expr(s"unix_micros(v_ts) div $horizonUs"))
+    purchases
+      .join(views,
+        col("user_id") === col("v_user") &&
+          purchases("probe") === views("probe") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $HorizonMinutes MINUTES"),
+        "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_id"))
+          .orderBy(desc_nulls_last("v_ts"), desc_nulls_last("v_id"))))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        coalesce(col("v_id"), lit(-1L)).as("v_id"),
+        coalesce(expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000"),
+          lit(-1L)).as("gap_s"))
+      .orderBy(col("p_id"))
+  }
 }

@@ -145,11 +145,12 @@ object LlmOps {
     * top-k retrieved documents — retrieval is the v4 semantic-search
     * plan (stub embedder, broadcast 1-row query), synthesis is a
     * deterministic per-row "grounded answer" assembled from the
-    * retrieved row and its extracted keywords. Rows-only at the driver
-    * gate (the answer text is stub-shaped); the retrieval underneath is
-    * oracle-proven via v1/v1w and spec-proven via SimilaritySpec. */
+    * retrieved row and its extracted keywords. Oracle-checked since
+    * round 6: retrieval mirrors StubEmbed's md5-window derivation and
+    * synthesis reuses the x7 keyword rule, so the composed RAG answer
+    * is hash-proven end to end. */
   def ragAnswer(spark: SparkSession, dir: String,
-      query: String = "customer order filter join", k: Int = 5): DataFrame = {
+      query: String = Similarity.DefaultQuery, k: Int = 5): DataFrame = {
     val hits = Similarity.semanticSearch(spark, dir, query, k)
     val kw = extractKeywords(spark, dir)
     hits.join(kw, Seq("doc_id"), "left")

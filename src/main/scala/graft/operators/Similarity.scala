@@ -228,14 +228,111 @@ object Similarity {
         count(lit(1)).as("n_members"))
       .orderBy(col("cent_id"), col("dim_idx"))
 
+  /** V6b: Lloyd iterated to CONVERGENCE — v6's re-estimation step run
+    * with the d7 iterative discipline: the centroid frame (k rows) is
+    * localCheckpointed per round so lineage stays constant, the driver
+    * carries ONLY the movement scalar (the loop-control value, exactly
+    * like d7's changed-count), and empty cells keep their old centroid
+    * instead of vanishing. Stops at movement ≤ epsPpm (default 0 = the
+    * exact fixpoint: once assignment stops changing, the ppm means
+    * recompute identically and movement is exactly 0.0) or maxIters
+    * (with a loud stderr warning — an unconverged result is usable but
+    * must not masquerade as a fixpoint).
+    *
+    * Numeric discipline (the v6 portability rules, applied round over
+    * round): centroids live in the ppm domain — floor(v×1e6) longs sum
+    * exactly in any order, one double division per component per round —
+    * and cosine is scale-invariant, so ppm-domain centroids assign
+    * identically to their real-valued counterparts. SimilaritySpec
+    * asserts bit-exact fixpoint equality against a driver-side Lloyd
+    * mirror (same fold order, same tie-breaks).
+    *
+    * Scale shape per round: one broadcast of k×dim doubles into the
+    * assignment scan, one posexplode + partial agg BELOW the exchange
+    * (shuffle carries k×dim×tasks rows, corpus-independent — v6's
+    * plan), one k-row join for the empty-cell coalesce, one k-row
+    * aggregate for the movement norm. Probed in ScaleProbe at fixed
+    * rounds: per-round wall flat in corpus size. */
+  def kmeansConverged(spark: SparkSession, dir: String,
+      maxIters: Int = 20, epsPpm: Double = 0.0): DataFrame =
+    kmeansConvergedOf(embeddings(spark, dir), maxIters, epsPpm)._1
+
+  private[graft] def kmeansConvergedOf(e0: DataFrame, maxIters: Int,
+      epsPpm: Double): (DataFrame, Int) = {
+    import CacheOps.shared
+    val e = shared(e0.select(col("vec_id"), col("label"), col("embedding")))
+    // initial centroids: the first IvfCentroids vectors, quantized into
+    // the ppm domain so round 0 uses the same representation as every
+    // later round (cosine is scale-invariant — assignment unchanged)
+    var cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 1000000.0) as double))")
+          .as("cent_vec"),
+        lit(0L).as("n_members"))
+      .localCheckpoint(true)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > epsPpm) {
+      val assigned = e
+        .crossJoin(broadcast(cents.select(col("cent_id"), col("cent_vec"))))
+        .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_vec")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val est = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim_idx")
+        .withColumn("ppm", floor(col("col").cast("double") * lit(1000000d)))
+        .groupBy(col("cent_id"), col("dim_idx"))
+        .agg((sum(col("ppm")).cast("double") / count(lit(1))).as("comp"),
+          count(lit(1)).as("dim_n"))
+      val estVec = est.groupBy(col("cent_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("dim_idx"), col("comp")))),
+            x => x.getField("comp")).as("new_vec"),
+          max(col("dim_n")).as("new_n")) // every dim has the member count
+      val next = cents
+        .join(estVec, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"),
+          coalesce(col("new_n"), lit(0L)).as("n_members"),
+          col("cent_vec").as("old_vec"))
+        .localCheckpoint(true)
+      // the ONLY driver-side value: max component movement in ppm
+      moved = next
+        .select(aggregate(zip_with(col("cent_vec"), col("old_vec"),
+            (a, b) => abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x)).as("m"))
+        .agg(max(col("m"))).collect()(0).getDouble(0)
+      cents = next.drop("old_vec")
+      iter += 1
+    }
+    if (moved > epsPpm)
+      System.err.println(
+        f"[v6b] WARNING: Lloyd stopped at maxIters=$maxIters with movement $moved%.3f ppm > $epsPpm")
+    val result = cents
+      .select(col("cent_id"), col("n_members"), posexplode(col("cent_vec")))
+      .select(col("cent_id"), col("pos").as("dim_idx"),
+        col("col").as("centroid_ppm"), col("n_members"))
+      .orderBy(col("cent_id"), col("dim_idx"))
+    (CacheOps.materializeAndRelease(result, e), iter)
+  }
+
+  /** The flagship retrieval query string — shared by v4, x7c and their
+    * oracles (interpolated into the SQL so both engines embed the SAME
+    * tokens). */
+  val DefaultQuery = "customer order filter join"
+
   /** X5/§3.3: the RAG retrieval core — semantic document search with the
     * deterministic stub embedder. Documents embed in the scan stage (one
     * StubEmbed expression per row); the query string embeds into a 1-row
     * broadcast; cosine top-k re-ranks. Swapping StubEmbed for a real
-    * model keeps this plan identical. Not SQL-expressible → rows-only
-    * driver check + SimilaritySpec assertions. */
+    * model keeps this plan identical. Oracle-checked end to end since
+    * round 6: StubEmbed's md5-window derivation is mirrored
+    * component-for-component in DuckDB (SparkEntry's stubSearchSql), so
+    * the driver hash proves the whole retrieval tier, not just rows. */
   def semanticSearch(spark: SparkSession, dir: String,
-      query: String = "customer order filter join", k: Int = 10): DataFrame = {
+      query: String = DefaultQuery, k: Int = 10): DataFrame = {
     val docs = documents(spark, dir)
       .withColumn("embedding", graft.functions.StubEmbed(col("text")))
     val q = spark.range(1)

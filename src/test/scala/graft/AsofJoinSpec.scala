@@ -39,4 +39,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.values.exists(_._1 >= 0), "no matched purchase in fixture")
     assert(got.values.exists(_._1 == -1L), "no unmatched purchase in fixture")
   }
+
+  test("bucketed as-of join (j11b) equals the plain band join exactly") {
+    // the 2-probe bucket blocking must lose nothing: a view inside the
+    // 1-horizon band lies in the purchase's bucket or the previous one
+    val plain = AsofJoin.viewBeforePurchase(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val bucketed = AsofJoin.viewBeforePurchaseBucketed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(bucketed.length === plain.length, "row count diverged")
+    assert(bucketed.toSeq === plain.toSeq)
+  }
 }

@@ -144,6 +144,21 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi join in:\n$p")
   }
 
+  test("bucketed as-of join carries the time bucket in its equi keys") {
+    val p = plan(graft.operators.AsofJoin.viewBeforePurchaseBucketed(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join degenerated to a nested loop:\n$p")
+    // the probe bucket must be one of the join's EQUI keys (not just a
+    // residual filter): the join expression lists 'probe' alongside
+    // user_id in the key set
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.isDefined, s"no equi join in:\n$p")
+    assert(joinLine.get.contains("probe"),
+      s"time bucket missing from join keys: ${joinLine.get}")
+  }
+
   test("kmeans re-estimation partial-aggregates below its exchange") {
     val p = plan(graft.operators.Similarity.kmeansStep(spark, sfDir))
     val partial = p.indexOf("partial_sum")

@@ -33,6 +33,71 @@ class SimilaritySpec extends SparkSpec {
     assert(row.isNullAt(1), "null array must yield null")
   }
 
+  test("converged Lloyd reaches the driver-side fixpoint bit-exactly") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = Similarity.IvfCentroids
+    val dim = e.head._2.length
+    // mirror of the operator's arithmetic: ppm-domain centroids, cosine
+    // argmax with smallest-cent_id tie-break, exact long sums, one
+    // double division, empty cells keep the old centroid
+    def cosine(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nc = 0.0; var j = 0
+      while (j < dim) {
+        dot += a(j).toDouble * c(j)
+        na += a(j).toDouble * a(j).toDouble
+        nc += c(j) * c(j)
+        j += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nc)
+      if (denom == 0) 0.0 else dot / denom
+    }
+    var cents = e.filter(_._1 < k).map(_._2.map(v => math.floor(v.toDouble * 1000000.0)))
+    var counts = Array.fill(k)(0L)
+    var moved = Double.MaxValue
+    var iters = 0
+    while (moved > 0.0 && iters < 20) {
+      val sums = Array.fill(k, dim)(0L)
+      val cnt = Array.fill(k)(0L)
+      e.foreach { case (_, emb) =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        for (c <- 0 until k) {
+          val sim = cosine(emb, cents(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+        }
+        cnt(best) += 1
+        var j = 0
+        while (j < dim) {
+          sums(best)(j) += math.floor(emb(j).toDouble * 1000000.0).toLong; j += 1
+        }
+      }
+      val next = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => sums(c)(j).toDouble / cnt(c))
+      }
+      moved = (0 until k).iterator.flatMap(c =>
+        (0 until dim).iterator.map(j => math.abs(next(c)(j) - cents(c)(j)))).max
+      cents = next
+      counts = cnt
+      iters += 1
+    }
+    assert(moved === 0.0, s"driver-side Lloyd did not converge in 20 rounds")
+
+    val (df, sparkIters) = Similarity.kmeansConvergedOf(
+      Tables.embeddings(spark, sfDir), maxIters = 20, epsPpm = 0.0)
+    assert(sparkIters === iters, "round counts diverged")
+    val got = df.collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size === k * dim)
+    for (c <- 0 until k; j <- 0 until dim) {
+      val (ppm, n) = got((c, j))
+      assert(ppm === cents(c)(j), s"centroid $c dim $j: $ppm != ${cents(c)(j)}")
+      assert(n === counts(c), s"centroid $c member count")
+    }
+  }
+
   test("brute-force top-k is sorted desc and k-sized") {
     val rows = Similarity.cosineTopK(spark, sfDir, queryId = 0L, k = 10).collect()
     assert(rows.length === 10)
