@@ -128,6 +128,11 @@ object SparkEntry {
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
     "c1_corpus_curation"      -> ((s, d) => Curation.curate(s, d)),
+    // c1b: the pair frame billed once — CC clustering + keep-one-per-
+    // component survivors, chained with the quality/dedup/split stages
+    // in one oracle statement (quality -> exact -> pairs -> closure ->
+    // keep-min -> rollup)
+    "c1b_clustered_curation"  -> ((s, d) => Curation.curateClustered(s, d)),
     "c2_sequence_packing"     -> ((s, d) => Curation.sequencePacking(s, d)),
     "x7_llm_extract"          -> ((s, d) => LlmOps.extractKeywords(s, d)),
     "x7b_llm_extract_batched" -> ((s, d) => LlmOps.extractKeywordsBatched(s, d)),
@@ -1036,6 +1041,60 @@ object SparkEntry {
            JOIN cnt ca ON a_id = ca.doc_id
            JOIN cnt cb ON b_id = cb.doc_id
            WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
+         kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         SELECT lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                  % ${operators.Curation.EvalBuckets} = 0
+             THEN 'eval' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM kept
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+    // c1b: c1's stages with the near-dup tier upgraded to connected
+    // components — pairs feed a recursive transitive closure (the d7
+    // oracle's independent formulation), survivors are each
+    // component's min doc_id, and the rollup pins the whole chain.
+    "c1b_clustered_curation" ->
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, text, lang, len($toksSql) AS n_tokens FROM documents),
+         q AS (SELECT * FROM toks WHERE n_tokens >= ${operators.Curation.MinTokens}),
+         keepmin AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         ex AS (SELECT q.* FROM q JOIN keepmin USING (doc_id)),
+         t AS (SELECT doc_id, $toksSql AS w FROM documents JOIN keepmin USING (doc_id)),
+         g0 AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("keepmin")}),
+         rare AS (SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM common
+           JOIN cnt ca ON a_id = ca.doc_id
+           JOIN cnt cb ON b_id = cb.doc_id
+           WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
+         edges AS (
+           SELECT a_id AS a, b_id AS b FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a),
+         dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
          kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
          SELECT lang,
            CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)

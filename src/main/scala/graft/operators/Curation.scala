@@ -84,6 +84,52 @@ object Curation {
     CacheOps.materializeAndRelease(rollup, exact)
   }
 
+  /** c1b: cluster-aware curation — the PRODUCTION composition where the
+    * near-dup PAIR frame is materialized once and consumed by BOTH
+    * clustering and survivor selection (round-5 verdict: d7 re-derived
+    * its d2 edge subplan, ~2.4 s of its 3.1 s, and a real corpus build
+    * runs these stages together).
+    *
+    * Differences from [[curate]]: pairs chain into d7's connected
+    * components, and survivors are keep-ONE-per-component (the
+    * component's min doc_id — c1's per-pair b-drop rule can drop every
+    * member of a cycle-free chain except its head twice over, but
+    * cannot name a canonical representative; the component rule can,
+    * and it is what dedup pipelines ship). The pair subplan is billed
+    * ONCE: localCheckpointed, then read by the CC loop and nowhere
+    * else — survivor selection consumes the LABELS (doc_id != label ⇒
+    * drop), not the pairs.
+    *
+    * Oracle: quality gate + exact dedup + capped pair join + recursive
+    * transitive closure + keep-min + rollup, all in ONE DuckDB
+    * statement — the strongest composition check in the suite. */
+  def curateClustered(spark: SparkSession, dir: String): DataFrame = {
+    val quality = graft.Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .filter(col("n_tokens") >= MinTokens)
+    val exact = CacheOps.shared(quality
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .drop("rk"))
+    // the pair frame: computed once (ngramJaccardPairsOf materializes
+    // via localCheckpoint), fed to CC; labels drive the survivor drop
+    val pairs = Dedup.ngramJaccardPairsOf(
+        exact.select(col("doc_id"), col("text")))
+      .select(col("a_id"), col("b_id"))
+    val dropIds = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"))
+    val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val rollup = kept
+      .withColumn("split", splitCol(col("doc_id")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+    CacheOps.materializeAndRelease(rollup, exact)
+  }
+
   val PackBudget = 2048 // tokens per packed sequence
   val PackShards = 8
 

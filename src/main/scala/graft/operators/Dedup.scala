@@ -180,7 +180,19 @@ object Dedup {
     val pairs = ngramJaccardPairsOf(documents(spark, dir)
       .select(col("doc_id"), col("text")))
       .select(col("a_id"), col("b_id"))
-    val edges = shared(pairs.union(
+    val labels = connectedComponents(pairs, maxIters)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The CC core of d7, shared with the composed curation (c1b): min-
+    * label propagation over an undirected pair frame. Returns (doc_id,
+    * label) for every endpoint, label = the component's min doc_id. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = shared(pairs.select(col("a_id"), col("b_id")).union(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
     var labels = edges.select(col("a_id").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
@@ -210,12 +222,8 @@ object Dedup {
     // large-star/small-star doubling variant (O(log n) rounds), not a
     // bigger cap.
     require(changed == 0,
-      s"dedupClusters did not converge in $maxIters rounds ($changed labels still changing)")
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+      s"connectedComponents did not converge in $maxIters rounds ($changed labels still changing)")
     labels
-      .join(sizes, Seq("label"))
-      .select(col("doc_id"), col("label").as("cluster_id"), col("n_docs"))
-      .orderBy(col("doc_id"))
   }
 
   val MinHashK = 16 // hash functions

@@ -90,6 +90,39 @@ class CurationSpec extends SparkSpec {
     assert(rollupKept === expectedKept)
   }
 
+  test("clustered curation (c1b) keeps exactly one doc per component") {
+    // same survivor frame as the pipeline, pairs folded into components
+    // by a driver-side union-find — the independent formulation
+    val quality = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .filter(col("n_tokens") >= Curation.MinTokens)
+    val exact = quality
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+    val pairs = Dedup.ngramJaccardPairsOf(exact.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val endpoints = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val components = endpoints.map(find).distinct.length
+    // keep-one-per-component: clustered endpoints collapse to one
+    // survivor each; untouched docs all survive
+    val expectedKept = exact.count() - (endpoints.length - components)
+    val rollupKept = Curation.curateClustered(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rollupKept === expectedKept)
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
   test("decontamination matches an independent gram-string formulation") {
     // recompute c3 without the 60-bit hash, the broadcasts, or the
     // posting-list reuse: raw gram STRINGS, plain joins — an
