@@ -119,9 +119,16 @@ object ScaleProbe {
       "j11b_bucketed_asof"   -> (operators.AsofJoin.viewBeforePurchaseBucketed(_, _)),
       "v6b_lloyd_3rounds"    -> ((s, d) =>
         operators.Similarity.kmeansConvergedOf(Tables.embeddings(s, d), 3, -1.0)._1),
+      "c1b_clustered_curation" -> (operators.Curation.curateClustered(_, _)),
       // components over the d2 edge set: rounds ≤ diameter must hold as
       // the salted corpus multiplies component COUNT (not depth)
       "d7_dedup_clusters"    -> (operators.Dedup.dedupClusters(_, _)))
+
+    // optional name filter (csv of exact names) — large factors are only
+    // affordable for the tiers under study
+    val onlyQ = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = onlyQ.fold(queries)(f => queries.filter(q => f(q._1)))
 
     // JVM/codegen warm-up so factor 1's first query isn't billed startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -131,7 +138,7 @@ object ScaleProbe {
       factors.foreach { k =>
         val dir = buildCorpus(spark, baseDir, k, outRoot)
         val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-        val timed = queries.map { case (name, fn) =>
+        val timed = selected.map { case (name, fn) =>
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             val rows = fn(spark, dir).count()
