@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator tier: plans graft.plans.AsofMergeJoin (the O(n+m)
+    // as-of merge) — the Scala API also self-registers this strategy
+    // via experimental.extraStrategies for extension-less sessions
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+
     def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
       require(args.length == n, s"$name requires exactly $n arguments, got ${args.length}")
 

@@ -24,9 +24,17 @@ object ScaleProbe {
 
   private val Salt = 100000000L
 
+  /** SPARK_GRAFT_PROBE_EVENT_DENSITY=1 flips the events regime from
+    * "users grow k×" to "per-user in-band DENSITY grows k×" (same
+    * users, k copies of every event offset by c microseconds): the
+    * adversarial regime for the as-of family, where band-as-residual
+    * pairs grow k² while the j11c merge stays linear. */
+  private def denseEvents: Boolean =
+    sys.env.get("SPARK_GRAFT_PROBE_EVENT_DENSITY").contains("1")
+
   def buildCorpus(spark: SparkSession, baseDir: String, k: Int, outRoot: String): String = {
     if (k == 1) return baseDir
-    val out = s"$outRoot/probe_${k}x"
+    val out = s"$outRoot/probe_${k}x" + (if (denseEvents) "_dense" else "")
     val docs = Tables.documents(spark, baseDir)
     val scaledDocs = (0 until k).map { c =>
       docs.select(
@@ -67,10 +75,20 @@ object ScaleProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
     val scaledEv = (0 until k).map { c =>
-      ev.select(
-        (col("event_id") + lit(c * Salt)).as("event_id"), col("ts"),
-        (col("user_id") + lit(c * Salt)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+      if (denseEvents)
+        // same users, k× events each: copies offset by c MICROSECONDS
+        // (ts is a raw nanos long here) stay inside the same horizon
+        // windows, so in-band density — and residual pair count —
+        // truly multiplies
+        ev.select(
+          (col("event_id") + lit(c * Salt)).as("event_id"),
+          (col("ts") + lit(c.toLong * 1000L)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      else
+        ev.select(
+          (col("event_id") + lit(c * Salt)).as("event_id"), col("ts"),
+          (col("user_id") + lit(c * Salt)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
     scaledEv.write.mode("overwrite").parquet(s"$out/events.parquet")
     out
@@ -117,6 +135,9 @@ object ScaleProbe {
       // FIXED 3 rounds (eps = -1 disables the fixpoint stop) so
       // per-round cost is comparable across factors
       "j11b_bucketed_asof"   -> (operators.AsofJoin.viewBeforePurchaseBucketed(_, _)),
+      // the custom O(n+m) physical merge: wall must track the EVENT
+      // count, with no pair-enumeration term at all (vs j11/j11b)
+      "j11c_merge_asof"      -> (operators.AsofJoin.viewBeforePurchaseMerged(_, _)),
       "v6b_lloyd_3rounds"    -> ((s, d) =>
         operators.Similarity.kmeansConvergedOf(Tables.embeddings(s, d), 3, -1.0)._1),
       "c1b_clustered_curation" -> (operators.Curation.curateClustered(_, _)),

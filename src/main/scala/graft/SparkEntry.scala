@@ -145,6 +145,10 @@ object SparkEntry {
     // j11b: horizon-bucket second equi key — same oracle as j11, so the
     // hash proves the bucket blocking lossless (the j7b pattern)
     "j11b_bucketed_asof"      -> ((s, d) => AsofJoin.viewBeforePurchaseBucketed(s, d)),
+    // j11c: the custom AsofMergeExec operator (graft.plans) — same
+    // oracle again, so the hash proves the O(n+m) physical merge
+    // implements the band-join + argmax semantics exactly
+    "j11c_merge_asof"         -> ((s, d) => AsofJoin.viewBeforePurchaseMerged(s, d)),
     "t5_pii_scrub"            -> ((s, d) => TextOps.piiScrub(s, d)),
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
@@ -1435,6 +1439,8 @@ object SparkEntry {
     // equality proves the time-bucket second join key loses nothing.
     "j11b_bucketed_asof" -> j11Sql,
     "j11_asof_join" -> j11Sql,
+    // j11c: the custom physical operator answers to the same oracle too
+    "j11c_merge_asof" -> j11Sql,
     // t5: patterns interpolated from the shared Scala constants; DuckDB
     // needs the explicit 'g' flag for a global replace (Spark's
     // regexp_replace is global by default) and counts matches via

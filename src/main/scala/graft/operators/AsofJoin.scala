@@ -108,4 +108,34 @@ object AsofJoin {
           lit(-1L)).as("gap_s"))
       .orderBy(col("p_id"))
   }
+
+  /** J11c: the TRUE as-of operator — [[viewBeforePurchase]]'s exact
+    * semantics through the custom `AsofMergeJoin` logical plan +
+    * `AsofMergeExec` physical merge (graft.plans). Same exchanges as
+    * the SMJ forms (hash on user, sort by time) but the per-key work
+    * is O(views + purchases) instead of the band-residual's O(views ×
+    * purchases) pair enumeration, and no argmax window runs at all —
+    * the merge emits exactly one row per purchase. Driver-gated
+    * against j11's oracle VERBATIM, so hash equality proves the
+    * custom operator implements the declarative band-join + argmax
+    * semantics bit-for-bit. */
+  def viewBeforePurchaseMerged(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    graft.plans.AsofMerge.joinBackward(
+        purchases, views,
+        leftKeys = Seq("user_id"), rightKeys = Seq("v_user"),
+        leftTime = "p_ts", rightTime = "v_ts", rightTieBreak = "v_id",
+        horizonUs = HorizonMinutes * 60L * 1000000L,
+        rightPayload = Seq("v_id", "v_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        coalesce(col("v_id"), lit(-1L)).as("v_id"),
+        coalesce(expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000"),
+          lit(-1L)).as("gap_s"))
+      .orderBy(col("p_id"))
+  }
 }

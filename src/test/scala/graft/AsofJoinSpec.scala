@@ -40,6 +40,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.values.exists(_._1 == -1L), "no unmatched purchase in fixture")
   }
 
+  test("custom as-of merge operator (j11c) equals the plain band join exactly") {
+    val plain = AsofJoin.viewBeforePurchase(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val merged = AsofJoin.viewBeforePurchaseMerged(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(merged.length === plain.length, "row count diverged")
+    assert(merged.toSeq === plain.toSeq)
+  }
+
+  test("j11c plans the custom AsofMergeExec — no SMJ pair enumeration, no argmax window") {
+    val p = AsofJoin.viewBeforePurchaseMerged(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofMerge"), s"custom operator not planned:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fell back to a band-residual SMJ:\n$p")
+    assert(!p.contains("Window"), s"an argmax window survived — the merge should emit rn=1 directly:\n$p")
+    // the operator's declared requirements must have materialized as the
+    // standard hash exchanges + in-partition sorts (same shape SMJ pays)
+    assert(p.contains("Exchange hashpartitioning"), s"no hash exchange under the merge:\n$p")
+    assert(p.contains("Sort ["), s"no in-partition sort under the merge:\n$p")
+  }
+
   test("bucketed as-of join (j11b) equals the plain band join exactly") {
     // the 2-probe bucket blocking must lose nothing: a view inside the
     // 1-horizon band lies in the purchase's bucket or the previous one

@@ -59,6 +59,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.tokenCounts(spark, emptyDir).count() === 0)
     assert(TextOps.piiScrub(spark, emptyDir).count() === 0)
     assert(AsofJoin.viewBeforePurchase(spark, emptyDir).count() === 0)
+    assert(AsofJoin.viewBeforePurchaseMerged(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)
