@@ -150,6 +150,7 @@ object SparkEntry {
     // implements the band-join + argmax semantics exactly
     "j11c_merge_asof"         -> ((s, d) => AsofJoin.viewBeforePurchaseMerged(s, d)),
     "t5_pii_scrub"            -> ((s, d) => TextOps.piiScrub(s, d)),
+    "t6_repetition_stats"     -> ((s, d) => TextOps.repetitionStats(s, d)),
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -1462,6 +1463,43 @@ object SparkEntry {
                '${operators.TextOps.PhonePattern}', '[PHONE]', 'g')), 1, 15) AS BIGINT) AS scrub_h
          FROM prof
          ORDER BY c_custkey""",
+    // t6: repetition stats over word 2-grams. The null-gram sentinel
+    // keeps <2-token docs in the output on both engines; the top-gram
+    // tie-break (count desc, gram desc) mirrors Spark's max(struct)
+    // ordering; thresholds interpolate from the shared constants.
+    "t6_repetition_stats" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $toksSql AS t FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 2 THEN [NULL]
+                  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END AS grams
+           FROM toks),
+         e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         cnt AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram),
+         roll AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN gram IS NULL THEN 0 ELSE c END) AS BIGINT) AS n_grams,
+             COUNT(gram) AS n_distinct
+           FROM cnt GROUP BY doc_id),
+         top AS (
+           SELECT doc_id, gram AS top_gram, c AS top_c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+           FROM cnt WHERE gram IS NOT NULL),
+         m AS (
+           SELECT r.doc_id, r.n_grams,
+             CASE WHEN r.n_grams = 0 THEN 0
+                  ELSE CAST(floor((r.n_grams - r.n_distinct) * 1000000.0 / r.n_grams) AS BIGINT)
+                  END AS dup_gram_ppm,
+             COALESCE(t.top_gram, '') AS top_gram,
+             CASE WHEN r.n_grams = 0 THEN 0
+                  ELSE CAST(floor(t.top_c * 1000000.0 / r.n_grams) AS BIGINT)
+                  END AS top_gram_ppm
+           FROM roll r LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id))
+         SELECT doc_id, n_grams, dup_gram_ppm, top_gram, top_gram_ppm,
+           (dup_gram_ppm > ${operators.TextOps.DupGramPpmMax}
+            OR top_gram_ppm > ${operators.TextOps.TopGramPpmMax}) AS flagged
+         FROM m ORDER BY doc_id""",
     // d6: the winnowing tier end to end. The window hash reproduces
     // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
     // winnow encodes rightmost-tie argmin as MIN over a position-

@@ -171,4 +171,66 @@ object TextOps {
         Dedup.md5Long(scrubbed).as("scrub_h"))
       .orderBy(col("c_custkey"))
   }
+
+  /** t6 repetition-flag thresholds (ppm). The published corpus rules
+    * (Gopher's repetition removal: duplicate-ngram and top-ngram
+    * fractions) use ~0.2 of the doc; the fixture's tiny synthetic
+    * vocabulary puts baseline repetition far below that, so the
+    * constants here sit at the fixture's ~P90 — both branches of the
+    * flag occur and are oracle-checked. A production corpus swaps in
+    * the published fractions. */
+  val DupGramPpmMax = 65000L
+  val TopGramPpmMax = 65000L
+
+  /** t6: intra-document repetition stats — the Gopher-style repetition
+    * filter over word 2-grams: what fraction of a doc's 2-grams are
+    * repeats of an earlier one (`dup_gram_ppm`), and what fraction the
+    * single most frequent 2-gram occupies (`top_gram_ppm`). Boilerplate,
+    * scraped template farms, and decode loops all light up one of the
+    * two before any model-based filter needs to run.
+    *
+    * Plan shape for 100 TB: 2-grams are built IN the scan stage (adjacent
+    * zip of the token array — no self-join), then one shuffle to count
+    * (doc_id, gram) with map-side partial aggregation, then a per-doc
+    * rollup in which the top gram is a max(struct) — never a window. Doc
+    * cardinality bounds both exchanges; nothing is corpus-quadratic.
+    * Docs with <2 tokens keep a row (null-gram sentinel both engines)
+    * with zero stats — every input doc is accounted for, the etl1b rule.
+    *
+    * Determinism: top-gram ties break to the lexicographically LARGEST
+    * gram (struct ordering on (count, gram)); the oracle mirrors with
+    * ORDER BY c DESC, gram DESC. */
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // <2 tokens → no grams: keep the doc via a null-gram sentinel so the
+    // rollup emits its zero row (explode alone would drop it)
+    val gramsOrSentinel =
+      when(size(grams) === 0, array(lit(null).cast("string"))).otherwise(grams)
+    val dupPpm = when(col("n_grams") === 0, lit(0L))
+      .otherwise(floor((col("n_grams") - col("n_distinct")) * lit(1000000.0) / col("n_grams")))
+    val topPpm = when(col("n_grams") === 0, lit(0L))
+      .otherwise(floor(col("top.c") * lit(1000000.0) / col("n_grams")))
+    docs
+      .select(col("doc_id"), explode(gramsOrSentinel).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("gram").isNull, lit(0L)).otherwise(col("c"))).as("n_grams"),
+        count(col("gram")).as("n_distinct"),
+        max(when(col("gram").isNotNull,
+          struct(col("c").as("c"), col("gram").as("gram")))).as("top"))
+      .select(col("doc_id"), col("n_grams"),
+        dupPpm.as("dup_gram_ppm"),
+        coalesce(col("top.gram"), lit("")).as("top_gram"),
+        topPpm.as("top_gram_ppm"),
+        (dupPpm > DupGramPpmMax || topPpm > TopGramPpmMax).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(documents(spark, dir))
 }

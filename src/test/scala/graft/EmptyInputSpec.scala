@@ -58,6 +58,7 @@ class EmptyInputSpec extends SparkSpec {
   test("text, events, and merge tiers survive empty inputs") {
     assert(TextOps.tokenCounts(spark, emptyDir).count() === 0)
     assert(TextOps.piiScrub(spark, emptyDir).count() === 0)
+    assert(TextOps.repetitionStats(spark, emptyDir).count() === 0)
     assert(AsofJoin.viewBeforePurchase(spark, emptyDir).count() === 0)
     assert(AsofJoin.viewBeforePurchaseMerged(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)

@@ -44,4 +44,46 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getInt(2) === (key % 3).toInt, s"customer $key phone count")
     }
   }
+
+  test("repetition stats on planted docs: dup fraction, top gram, short-doc sentinel") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a b a b a b"),        // grams: a-b ×3, b-a ×2 → 5 grams, 2 distinct
+      (2L, "w x y z"),            // 3 grams, all distinct
+      (3L, "solo"),               // <2 tokens → zero row, not dropped
+      (4L, ""),                   // empty text → zero row
+      (5L, "t t t t t t t t t t t")) // one gram repeated 10× → both flags
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStatsOf(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L), "every doc accounted for")
+    // doc 1: dup = (5-2)/5 = 600000 ppm; top = a b ×3 → 600000 ppm
+    assert(got(1L).getLong(1) === 5L)
+    assert(got(1L).getLong(2) === 600000L)
+    assert(got(1L).getString(3) === "a b")
+    assert(got(1L).getLong(4) === 600000L)
+    assert(got(1L).getBoolean(5))
+    // doc 2: no repetition; top gram is the count-1 tie broken to the
+    // lexicographically largest ("y z")
+    assert(got(2L).getLong(2) === 0L)
+    assert(got(2L).getString(3) === "y z")
+    assert(got(2L).getLong(4) === 333333L)
+    // short docs: zero stats, empty top gram, never flagged
+    Seq(3L, 4L).foreach { id =>
+      assert(got(id).getLong(1) === 0L && got(id).getLong(2) === 0L &&
+        got(id).getString(3) === "" && got(id).getLong(4) === 0L &&
+        !got(id).getBoolean(5), s"doc $id sentinel row wrong")
+    }
+    // doc 5: t-t ×10 of 10 grams → 1000000 ppm on both measures
+    assert(got(5L).getLong(2) === 900000L && got(5L).getLong(4) === 1000000L &&
+      got(5L).getBoolean(5))
+  }
+
+  test("repetition stats rollup aggregates with partial combine, no window") {
+    val p = TextOps.repetitionStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"top-gram argmax must be max(struct), not a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial aggregation in:\n$p")
+  }
 }
