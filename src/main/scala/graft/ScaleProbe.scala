@@ -143,7 +143,12 @@ object ScaleProbe {
       "c1b_clustered_curation" -> (operators.Curation.curateClustered(_, _)),
       // components over the d2 edge set: rounds ≤ diameter must hold as
       // the salted corpus multiplies component COUNT (not depth)
-      "d7_dedup_clusters"    -> (operators.Dedup.dedupClusters(_, _)))
+      "d7_dedup_clusters"    -> (operators.Dedup.dedupClusters(_, _)),
+      // t6 is the explode+count tier (wall tracks gram count); d8's
+      // bloom pass and probe must both stay linear in docs, with the
+      // verify side bounded by candidates
+      "t6_repetition_stats"  -> (operators.TextOps.repetitionStats(_, _)),
+      "d8_incremental_dedup" -> (operators.Dedup.incrementalDedup(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

@@ -151,6 +151,11 @@ object SparkEntry {
     "j11c_merge_asof"         -> ((s, d) => AsofJoin.viewBeforePurchaseMerged(s, d)),
     "t5_pii_scrub"            -> ((s, d) => TextOps.piiScrub(s, d)),
     "t6_repetition_stats"     -> ((s, d) => TextOps.repetitionStats(s, d)),
+    // d8: bloom-prefiltered incremental dedup — the oracle reproduces
+    // the STATUSES with plain joins; hash equality proves the bloom
+    // probe + exact verify loses and invents nothing (the bloom stays
+    // a pure physical optimization)
+    "d8_incremental_dedup"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -1500,6 +1505,25 @@ object SparkEntry {
            (dup_gram_ppm > ${operators.TextOps.DupGramPpmMax}
             OR top_gram_ppm > ${operators.TextOps.TopGramPpmMax}) AS flagged
          FROM m ORDER BY doc_id""",
+    // d8: the planted batch reconstructed with UNION ALL; statuses via
+    // plain set logic (dup_of_landed beats dup_in_batch; first doc_id
+    // wins within the batch)
+    "d8_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+         landed AS (SELECT digest FROM d WHERE doc_id % 4 <> 0),
+         batch AS (
+           SELECT doc_id, digest FROM d WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 100000, digest FROM d WHERE doc_id % 4 <> 0 AND doc_id % 7 = 1
+           UNION ALL
+           SELECT doc_id + 200000, digest FROM d WHERE doc_id % 4 = 0 AND doc_id % 10 = 2),
+         firsts AS (SELECT digest, MIN(doc_id) AS first_id FROM batch GROUP BY digest)
+         SELECT b.doc_id,
+           CASE WHEN b.digest IN (SELECT digest FROM landed) THEN 'dup_of_landed'
+                WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+         FROM batch b JOIN firsts f USING (digest)
+         ORDER BY b.doc_id""",
     // d6: the winnowing tier end to end. The window hash reproduces
     // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
     // winnow encodes rightmost-tie argmin as MIN over a position-

@@ -130,4 +130,42 @@ class DedupSpec extends SparkSpec {
     // at least one non-trivial cluster, or the test proves little
     assert(got.values.exists(_._2 >= 2), "no multi-doc cluster in fixture")
   }
+
+  test("incremental dedup statuses equal a brute-force classification") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val landed = docs.filter(_._1 % 4 != 0)
+    val batch = docs.filter(_._1 % 4 == 0) ++
+      docs.filter(d => d._1 % 4 != 0 && d._1 % 7 == 1).map(d => (d._1 + 100000L, d._2)) ++
+      docs.filter(d => d._1 % 4 == 0 && d._1 % 10 == 2).map(d => (d._1 + 200000L, d._2))
+    val landedDigests = landed.map(d => md5hex(d._2)).toSet
+    val firstId = batch.map(d => (md5hex(d._2), d._1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val expected = batch.map { case (id, text) =>
+      val dg = md5hex(text)
+      id -> (if (landedDigests(dg)) "dup_of_landed"
+             else if (id != firstId(dg)) "dup_in_batch"
+             else "new")
+    }.toMap
+    val got = operators.Dedup.incrementalDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === batch.length, "one status per batch doc")
+    assert(got === expected)
+    // the fixture must exercise all three statuses
+    Seq("new", "dup_of_landed", "dup_in_batch").foreach { s =>
+      assert(got.values.exists(_ == s), s"no '$s' doc in fixture")
+    }
+  }
+
+  test("incremental dedup plans a bloom probe and broadcast-only joins") {
+    val p = operators.Dedup.incrementalDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-shuffling join crept into the incremental path:\n$p")
+  }
 }
