@@ -156,6 +156,7 @@ object SparkEntry {
     // probe + exact verify loses and invents nothing (the bloom stays
     // a pure physical optimization)
     "d8_incremental_dedup"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -955,6 +956,17 @@ object SparkEntry {
          LEFT JOIN act ON c.c_custkey = act.a_custkey
          WHERE c.c_mktsegment = 'BUILDING'
          ORDER BY c.c_custkey""",
+    // e2: the profiler's one-pass wide aggregate, unpivoted per column
+    // in the oracle as UNION ALL; min/max aggregate in the native type
+    // and cast AFTER (lexicographic min of a numeric string is wrong)
+    "e2_corpus_profile" -> Seq("doc_id", "lang", "source", "text").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT($c) AS n_null,
+          COUNT(DISTINCT $c) AS n_distinct,
+          COALESCE(CAST(MIN($c) AS VARCHAR), '') AS min_val,
+          COALESCE(CAST(MAX($c) AS VARCHAR), '') AS max_val
+          FROM documents"""
+    }.mkString("", " UNION ALL ", " ORDER BY column_name"),
     "j9b_self_hierarchy" ->
       """WITH h AS (
            SELECT p_partkey AS id,

@@ -45,4 +45,41 @@ object Profile {
         coalesce(col("n_items"), lit(0L)).as("n_items"))
       .orderBy(col("c_custkey"))
   }
+
+  /** E2: corpus column profile — the ANALYZE-style statistics sweep
+    * (per column: rows, nulls, exact distinct count, min/max) every
+    * pipeline runs before and after an ingest to catch schema drift,
+    * null storms, and key collisions. The reference's self-verification
+    * prints per-run row counters (update_donations.py's summaries);
+    * this is the per-COLUMN generalization a 100 TB corpus needs.
+    *
+    * ONE scan: all per-column aggregates ride a single pass (the
+    * multi-distinct plans as one Expand — rows × #columns before the
+    * partial agg, the standard trade for exact distincts; swap
+    * approx_count_distinct in when estimates suffice), then the 1-row
+    * wide aggregate unpivots to a row per column via an inline array —
+    * driver traffic is #columns rows, never data. min/max aggregate in
+    * the NATIVE type and cast to string after (lexicographic min of a
+    * numeric string would be wrong). */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    val cols = Seq("doc_id", "lang", "source", "text")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"${c}_n")).as("n_null"),
+          col(s"${c}_nd").as("n_distinct"),
+          coalesce(col(s"${c}_min"), lit("")).as("min_val"),
+          coalesce(col(s"${c}_max"), lit("")).as("max_val"))
+      }: _*)).as("c"))
+      .select(col("c.*"))
+      .orderBy(col("column_name"))
+  }
 }

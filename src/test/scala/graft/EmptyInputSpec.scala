@@ -68,5 +68,12 @@ class EmptyInputSpec extends SparkSpec {
     // scalar-sum queries have a defined EMPTY value, not an empty frame
     val scalar = Relational.scalarSumCoalesce(spark, emptyDir).collect()
     assert(scalar.length === 1 && scalar(0).getDouble(0) === 0.0)
+    // the profiler reports every column even over an empty corpus
+    val prof = Profile.corpusProfile(spark, emptyDir).collect()
+    assert(prof.length === 4)
+    prof.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L,
+        s"non-zero stats on empty corpus: $r")
+    }
   }
 }
