@@ -148,7 +148,10 @@ object ScaleProbe {
       // bloom pass and probe must both stay linear in docs, with the
       // verify side bounded by candidates
       "t6_repetition_stats"  -> (operators.TextOps.repetitionStats(_, _)),
-      "d8_incremental_dedup" -> (operators.Dedup.incrementalDedup(_, _)))
+      "d8_incremental_dedup" -> (operators.Dedup.incrementalDedup(_, _)),
+      // star contraction: log-round alternative to d7 — compare walls
+      // as the salted corpus multiplies component count
+      "d7b_star_clusters"    -> (operators.Dedup.dedupClustersStar(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

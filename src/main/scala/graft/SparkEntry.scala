@@ -157,6 +157,8 @@ object SparkEntry {
     // a pure physical optimization)
     "d8_incremental_dedup"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
+    // d7b: O(log n)-round star contraction, same oracle as d7
+    "d7b_star_clusters"       -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -280,6 +282,53 @@ object SparkEntry {
          FROM dvec dv, qvec q
          ORDER BY sim DESC, doc_id LIMIT $k)"""
   }
+
+  /** The d7 component oracle — the d2 pair CTEs verbatim, then a
+    * recursive transitive closure: an INDEPENDENT formulation of the
+    * component fixpoint. Shared verbatim by d7 (min-label propagation)
+    * and d7b (large-star/small-star contraction) — equality proves the
+    * two algorithms reach the identical fixpoint. */
+  private lazy val d7Sql: String =
+    s"""WITH RECURSIVE t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         g0 AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
+         rare AS (
+           SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM common
+           JOIN cnt ca ON a_id = ca.doc_id
+           JOIN cnt cb ON b_id = cb.doc_id
+           WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
+         edges AS (
+           SELECT a_id AS a, b_id AS b FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a)
+         SELECT c.doc_id, c.cluster_id, s.n_docs
+         FROM comp c
+         JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
+           USING (cluster_id)
+         ORDER BY c.doc_id"""
 
   /** The as-of join oracle — left band join + argmax window, -1
     * sentinels for render parity. Shared verbatim by j11 and the
@@ -1617,47 +1666,11 @@ object SparkEntry {
     // d7: the d2 pair CTEs verbatim, then a recursive transitive
     // closure — an INDEPENDENT formulation of the component fixpoint
     // the Spark side reaches by min-label propagation.
-    "d7_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (
-           SELECT doc_id, $toksSql AS w FROM documents),
-         g0 AS (
-           SELECT DISTINCT doc_id, gram FROM (
-             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
-             FROM t, unnest(range(len(w) - 2)) AS x(i)
-             WHERE len(w) >= 3)),
-         g AS (
-           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
-           FROM g0),
-         hot AS (
-           SELECT gram_h FROM g GROUP BY gram_h
-           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
-         rare AS (
-           SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
-         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
-         common AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT a_id, b_id FROM common
-           JOIN cnt ca ON a_id = ca.doc_id
-           JOIN cnt cb ON b_id = cb.doc_id
-           WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
-         edges AS (
-           SELECT a_id AS a, b_id AS b FROM pairs
-           UNION SELECT b_id, a_id FROM pairs),
-         reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (
-           SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-           FROM reach GROUP BY a)
-         SELECT c.doc_id, c.cluster_id, s.n_docs
-         FROM comp c
-         JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
-           USING (cluster_id)
-         ORDER BY c.doc_id""",
+    "d7_dedup_clusters" -> d7Sql,
+    // d7b: the large-star/small-star contraction answers to the SAME
+    // closure oracle — hash equality proves both algorithms reach the
+    // identical component fixpoint on the real edge set
+    "d7b_star_clusters" -> d7Sql,
     "a15_cube_totals" ->
       """WITH r AS (
            SELECT o_orderstatus AS status_raw, o_orderpriority AS prio_raw,

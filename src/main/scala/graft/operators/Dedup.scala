@@ -500,6 +500,91 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D7b: near-dup clusters via LARGE-STAR / SMALL-STAR contraction —
+    * the published O(log n)-round connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) that
+    * [[connectedComponents]]'s own failure message names as the fix for
+    * deep components. Plain min-label propagation needs DIAMETER
+    * rounds: a chain of 10k near-identical docs (version histories,
+    * crawl snapshots) is 10k joins; star contraction halves the
+    * component structure every alternation instead of walking it.
+    * Same output contract and THE SAME driver oracle as d7 — hash
+    * equality proves the two algorithms reach the identical fixpoint
+    * on the real edge set; the deep-chain case where they diverge in
+    * feasibility is pinned in DedupSpec. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairsOf(documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+      .select(col("a_id"), col("b_id"))
+    val labels = connectedComponentsStar(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Large-star/small-star CC over an undirected pair frame; returns
+    * (doc_id, label), label = the component's min doc_id.
+    *
+    * Each round rewrites the EDGE SET (not labels):
+    *  - large-star: per node u, attach every strictly-larger neighbor
+    *    to m = min(N(u) ∪ u) — long tails fold onto local minima;
+    *  - small-star: per node u over its ≤-neighbors, attach all of
+    *    them (and u) to the minimum — stars flatten one level.
+    * Both phases are groupBy-min + join + distinct — partial-agged
+    * shuffles on edge frames that SHRINK as components contract, each
+    * round localCheckpointed (d7's lineage discipline). At the
+    * fixpoint every edge is (node, component-min), so the label read
+    * is the edge list itself plus a self-label per root. Convergence
+    * in O(log² n) alternations with high probability per the paper;
+    * maxIters=30 covers graphs far beyond any corpus (2^30 docs) and
+    * fails loudly like d7 if ever exceeded. */
+  private[graft] def connectedComponentsStar(
+      pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // canonical undirected form: (hi, lo), hi > lo, distinct
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ u);
+      // every neighbor v > u re-attaches to m
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mL = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("minv"))
+        .select(col("u"), least(col("u"), col("minv")).as("m"))
+      val afterLarge = sym.join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star on the (hi, lo) orientation: per hi-node, its
+      // ≤-neighborhood (all lo's) plus itself attach to the minimum
+      val mS = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(mS, Seq("hi"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mS.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true)
+      // fixpoint = identical edge set; both set differences are
+      // candidate-sized anti joins, and rounds are logarithmic
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges.unpersist(false)
+      edges = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"star contraction did not converge in $maxIters rounds")
+    // stars: every non-root points straight at its component min
+    edges.select(col("hi").as("doc_id"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("label")))
+      .distinct()
+  }
+
   /** d8: INCREMENTAL exact dedup — classify an arriving batch against
     * an already-landed corpus without ever shuffling the corpus. The
     * day-2 shape of d1: once 100 TB is landed and deduped, each new

@@ -131,6 +131,30 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._2 >= 2), "no multi-doc cluster in fixture")
   }
 
+  test("star-contraction components equal label propagation on the fixture") {
+    val viaProp = operators.Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaStar = operators.Dedup.dedupClustersStar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaStar === viaProp)
+  }
+
+  test("deep chain: propagation trips its round cap, star contraction converges") {
+    import spark.implicits._
+    // a 64-node path has min-label eccentricity 63: plain propagation
+    // needs 63 rounds (require fires at 20); star contraction is the
+    // O(log n) fix the d7 scaladoc names — it must finish well under it
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalArgumentException] {
+      operators.Dedup.connectedComponents(chain).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val labels = operators.Dedup.connectedComponentsStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 64)
+    assert(labels.forall(_._2 === 0L), "every chain node must label to the min")
+  }
+
   test("incremental dedup statuses equal a brute-force classification") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
