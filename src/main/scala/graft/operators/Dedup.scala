@@ -61,11 +61,11 @@ object Dedup {
     * both engines; whenever no gram exceeds the cap (true of the
     * fixtures at every SF) the result equals plain jaccard, asserted
     * against an uncapped reference join in DedupSpec. The cap itself is
-    * corpus-DERIVED ([[dfCapFrame]]): a 1% doc-frequency fraction with
-    * a small-corpus floor, computed in-plan from |docs| — at fixture
-    * sizes it equals the old constant 50 (asserted in DedupSpec), at
-    * 100 TB it grows with the corpus so eviction stays a constant
-    * fraction of the gram space.
+    * corpus-DERIVED ([[dfCapFor]]): a 1% doc-frequency fraction with
+    * a small-corpus floor, landed from |docs| as one bounded driver
+    * scalar — at fixture sizes it equals the old constant 50 (asserted
+    * in DedupSpec), at 100 TB it grows with the corpus so eviction
+    * stays a constant fraction of the gram space.
     *
     * Deliberately SINGLE-phase (join → groupBy n_common → broadcast
     * count join → jaccard filter), unlike the banded tiers: at a 0.8
@@ -88,18 +88,23 @@ object Dedup {
   val DfCapFloor = 50L
   val DfCapPerDocs = 100L
 
-  /** Driver-side mirror of the in-plan cap (specs, orchestration). */
+  /** Corpus-size → cap (the shared arithmetic; specs, orchestration). */
   def derivedDfCap(nDocs: Long): Long =
     math.max(DfCapFloor, (nDocs + DfCapPerDocs - 1) / DfCapPerDocs)
 
-  /** 1-row (df_cap) frame computed IN-PLAN from the corpus row count —
-    * broadcast-crossJoined into the hot-gram filter, never collected. */
-  private[graft] def dfCapFrame(corpus: DataFrame): DataFrame =
-    corpus.agg(count(lit(1)).as("n_docs"))
-      .select(greatest(lit(DfCapFloor),
-        expr(s"(n_docs + ${DfCapPerDocs - 1}) div $DfCapPerDocs")).as("df_cap"))
+  /** The cap for a concrete corpus: ONE bounded driver-side count —
+    * parquet metadata for a table scan, a cached frame otherwise — and
+    * the cap enters the plan as a LITERAL the hot-gram filter pipelines
+    * over. Round 6 derived the same number in-plan (an extra aggregate
+    * + broadcast-exchange barrier per consumer, crossJoined into the
+    * filter); measured on calm re-runs that billed d2/d6/c3 an extra
+    * 0.5-0.9 s each while the collected value is a single integer — the
+    * same bounded-scalar class as I3's frontier probes. At 100 TB a
+    * production pipeline reads |docs| from table metadata anyway. */
+  private[graft] def dfCapFor(corpus: DataFrame): Long =
+    derivedDfCap(corpus.count())
 
-  /** Oracle-SQL twin of [[dfCapFrame]]: a scalar subquery over the SAME
+  /** Oracle-SQL twin of [[dfCapFor]]: a scalar subquery over the SAME
     * corpus relation, same integer arithmetic. */
   def dfCapSql(corpusRel: String): String =
     s"(SELECT greatest($DfCapFloor, (COUNT(*) + ${DfCapPerDocs - 1}) // $DfCapPerDocs) FROM $corpusRel)"
@@ -122,13 +127,13 @@ object Dedup {
     // so without the early exchange the whole shingle+hash computation
     // runs on a single task (measured 4 s single-task vs <1 s spread).
     // Shuffling the raw docs first is cheap (5k rows of text).
+    val cap = dfCapFor(input)
     val docs = shared(input
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h")))
     val hot = docs.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(dfCapFrame(input)))
-      .filter(col("df") > col("df_cap")).select(col("gram_h"))
+      .filter(col("df") > cap).select(col("gram_h"))
     val rare = shared(docs.join(broadcast(hot), Seq("gram_h"), "left_anti"))
     val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 
@@ -426,7 +431,7 @@ object Dedup {
       .repartition(col("doc_id")) // BEFORE fingerprinting — see ngramJaccardPairs
       .select(col("doc_id"),
         explode(graft.functions.RollingFingerprint(col("text"))).as("fp")))
-    // doc-frequency cap (corpus-derived, see dfCapFrame): fingerprints
+    // doc-frequency cap (corpus-derived, see dfCapFor): fingerprints
     // shared corpus-wide (boilerplate / common-vocab substrings) only
     // fan out the candidate join without identifying near-dup PAIRS;
     // dropping them is standard winnowing practice. Final output is
@@ -434,8 +439,7 @@ object Dedup {
     // as true dups still share >= minShared rare fingerprints (they do:
     // near-identical docs share their long, pair-specific substrings).
     val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(dfCapFrame(documents(spark, dir))))
-      .filter(col("df") > col("df_cap")).select(col("fp"))
+      .filter(col("df") > dfCapFor(documents(spark, dir))).select(col("fp"))
     // persist: the capped posting list feeds both self-join branches,
     // and an unpersisted frame re-executes the df-cap subtree (group,
     // broadcast, anti-join) once per branch — same pathology measured
@@ -594,11 +598,11 @@ object Dedup {
     *
     * Plan instead (Spark's own runtime-filter machinery, driven
     * explicitly):
-    *  1. one streaming pass folds the landed digests into a Bloom
-    *     filter (`BloomFilterAggregate` — partial blooms merge
-    *     per-task, one binary blob reaches the driver; bits sized for
-    *     1% FP at the landed count, the same sizing rule as
-    *     `BloomFilter.create`);
+    *  1. ONE pass over the landed digests builds the [[DigestIndex]]:
+    *     the landed count and the Bloom filter land from a single
+    *     two-expression aggregate (`count` + `BloomFilterAggregate` —
+    *     partial blooms merge per-task, one binary blob reaches the
+    *     driver; round 6 paid a separate count scan first);
     *  2. the batch probes the bloom as a LITERAL via
     *     `BloomFilterMightContain` — map-side, codegen'd, no join: the
     *     bloom's no-false-negative guarantee means every true
@@ -614,13 +618,14 @@ object Dedup {
     * and invents nothing. Within-batch policy: first doc_id wins;
     * a digest already landed marks ALL its batch docs dup_of_landed.
     *
-    * The driver carries exactly two scalars per ingest (landed count +
-    * the bloom blob — the same bounded-collect class as I3's frontier
+    * The driver carries exactly one DigestIndex per ingest (count +
+    * bloom blob — the same bounded-collect class as I3's frontier
     * probes; Spark's own InjectRuntimeFilter materializes the identical
-    * blob through a scalar subquery). At 100 TB the landed side would
-    * be the compact digest index the MERGE sink already maintains, not
-    * the raw corpus, and the bloom (~1.2 GB per 10^9 docs at 1% FP)
-    * ships once per ingest, amortized across every batch partition. */
+    * blob through a scalar subquery). At 100 TB the landed side is the
+    * compact digest index the sink maintains (CorpusStream persists one
+    * per batch and MERGES increments instead of re-folding), and the
+    * bloom (~1.2 GB per 10^9 docs at 1% FP) ships once per ingest,
+    * amortized across every batch partition. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val landed = d.filter(col("doc_id") % 4 =!= 0)
@@ -636,38 +641,101 @@ object Dedup {
     incrementalDedupOf(landed, batch)
   }
 
-  /** The operator proper: classify `batch` docs against `landed`
-    * (both (doc_id, text)); see [[incrementalDedup]] for the plan. */
-  def incrementalDedupOf(landed: DataFrame, batch: DataFrame): DataFrame = {
+  /** Compact landed-digest index: landed cardinality + a Bloom filter
+    * over `xxhash64(digest)`, both landed from ONE aggregate pass (two
+    * agg expressions — round 6 paid a separate count scan and then a
+    * separate bloom fold). `bloom` is Spark's sketch serialization
+    * (`BloomFilterAggregate` emits it, `BloomFilter.readFrom` reads
+    * it), so a snapshot persists as a plain binary column and two
+    * indexes built at the same `expectedItems` sizing MERGE by OR-ing
+    * bit sets — the incrementally-maintained index the streaming
+    * ingest keeps alongside its sink (CorpusStream), where round 6
+    * re-folded the ENTIRE landed corpus every micro-batch.
+    * `bloom == null` encodes an empty corpus (a bloom aggregate over
+    * zero rows yields a null sketch).
+    *
+    * Sizing: `expectedItems` fixes the bit width (~1% FP at that
+    * cardinality) for the whole index LINEAGE — increments must share
+    * it to merge. A corpus outgrowing it degrades the FP rate (more
+    * verify candidates) but never correctness: no-false-negatives is
+    * sizing-independent, and every candidate is exactly verified.
+    * Production rule: rebuild one tier up when nLanded nears
+    * expectedItems. */
+  case class DigestIndex(nLanded: Long, expectedItems: Long, bloom: Array[Byte])
+
+  /** Default index sizing: 2^20 docs ≈ 1.2 MB of bloom at 1% FP. */
+  val IndexExpectedItems = 1L << 20
+
+  /** ~1% FP bit count for n items (n·ln p / ln²2), floored at 64. */
+  def bloomBitsFor(n: Long): Long = math.max(64L,
+    math.ceil(-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+
+  /** Build a [[DigestIndex]] over a (digest) frame in ONE pass. */
+  def digestIndexOf(digests: DataFrame,
+      expectedItems: Long = IndexExpectedItems): DigestIndex = {
     import org.apache.spark.sql.GraftShims.{toCol, toExpr}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-
-    val digest = md5(col("text"))
-    val landedD = landed.select(digest.as("digest"))
-    val batchD = batch.select(col("doc_id"), digest.as("digest"))
-
-    // bloom sized for ~1% FP at the landed cardinality (n·ln p/ln²2).
-    // The count is one columnar scan; a production ingest reads it from
-    // the digest index's metadata instead.
-    val nLanded = landedD.count()
-    val nBits = math.max(64L,
-      math.ceil(-nLanded * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
     val bloomAgg = toCol(new BloomFilterAggregate(
       toExpr(xxhash64(col("digest"))),
-      Literal(math.max(nLanded, 1L)), Literal(nBits))
+      Literal(expectedItems), Literal(bloomBitsFor(expectedItems)))
       .toAggregateExpression())
-    val bloomBytes = landedD.agg(bloomAgg.as("bloom")).head.getAs[Array[Byte]](0)
+    val row = digests.agg(count(lit(1)).as("n_landed"), bloomAgg.as("bloom")).head
+    DigestIndex(row.getLong(0), expectedItems, row.getAs[Array[Byte]](1))
+  }
 
+  /** OR two same-sizing indexes together — driver-side and bounded
+    * (two bloom blobs). The streaming ingest merges each batch's
+    * increment into the persisted index instead of re-folding the
+    * landed corpus. */
+  def mergeIndexes(a: DigestIndex, b: DigestIndex): DigestIndex = {
+    require(a.expectedItems == b.expectedItems,
+      s"digest indexes sized differently (${a.expectedItems} vs ${b.expectedItems}) cannot merge")
+    val bloom = (a.bloom, b.bloom) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x, y) =>
+        val fa = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(x))
+        fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(y)))
+        val bos = new java.io.ByteArrayOutputStream()
+        fa.writeTo(bos)
+        bos.toByteArray
+    }
+    DigestIndex(a.nLanded + b.nLanded, a.expectedItems, bloom)
+  }
+
+  /** The operator proper: classify `batch` docs against `landed`
+    * (both (doc_id, text)); see [[incrementalDedup]] for the plan.
+    * Index build + classification = two landed-side passes total
+    * (round 6 took three: count, bloom fold, verify). */
+  def incrementalDedupOf(landed: DataFrame, batch: DataFrame): DataFrame = {
+    val landedD = landed.select(md5(col("text")).as("digest"))
+    classifyAgainstIndex(landedD, batch, digestIndexOf(landedD))
+  }
+
+  /** Classify a batch against a landed DIGEST frame through a pre-built
+    * index: the map-side bloom probe (no-false-negatives ⇒ every true
+    * re-arrival survives), then the landed digests stream past the
+    * broadcast candidate set ONCE to de-FP — the only landed-side pass
+    * when the index is maintained incrementally (the streaming sink's
+    * steady state). */
+  def classifyAgainstIndex(landedDigests: DataFrame, batch: DataFrame,
+      index: DigestIndex): DataFrame = {
+    import org.apache.spark.sql.GraftShims.{toCol, toExpr}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+
+    val batchD = batch.select(col("doc_id"), md5(col("text")).as("digest"))
     // map-side probe; an empty landed corpus has no bloom → no candidates
     val candidates =
-      if (bloomBytes == null) batchD.filter(lit(false))
+      if (index.bloom == null) batchD.filter(lit(false))
       else batchD.filter(toCol(BloomFilterMightContain(
-        toExpr(lit(bloomBytes)), toExpr(xxhash64(col("digest"))))))
+        toExpr(lit(index.bloom)), toExpr(xxhash64(col("digest"))))))
 
     // exact verify: landed STREAMS past the broadcast candidate set;
     // only the (few) matched rows reach the distinct's exchange
-    val confirmed = landedD
+    val confirmed = landedDigests
       .join(broadcast(candidates.select(col("digest")).distinct()),
         Seq("digest"), "leftsemi")
       .distinct()

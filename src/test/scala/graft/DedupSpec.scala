@@ -89,10 +89,9 @@ class DedupSpec extends SparkSpec {
       === 100 * Dedup.DfCapFloor)
     assert(Dedup.derivedDfCap(Dedup.DfCapPerDocs * Dedup.DfCapFloor + 1)
       === Dedup.DfCapFloor + 1) // ceil, not floor division
-    // the in-plan frame computes the same number as the driver mirror
-    val inPlan = Dedup.dfCapFrame(Tables.documents(spark, sfDir))
-      .collect()(0).getLong(0)
-    assert(inPlan === Dedup.derivedDfCap(nDocs))
+    // the per-corpus derivation lands the same number the mirror computes
+    assert(Dedup.dfCapFor(Tables.documents(spark, sfDir))
+      === Dedup.derivedDfCap(nDocs))
   }
 
   test("exact dedup histogram accounts for every document") {
@@ -191,5 +190,35 @@ class DedupSpec extends SparkSpec {
     assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"a corpus-shuffling join crept into the incremental path:\n$p")
+  }
+
+  test("digest index: one-pass build counts exactly, merge equals whole-corpus rebuild") {
+    import operators.Dedup
+    val digests = Tables.documents(spark, sfDir)
+      .select(md5(col("text")).as("digest"))
+    val full = Dedup.digestIndexOf(digests)
+    assert(full.nLanded === digests.count(),
+      "the one-pass aggregate must land the exact cardinality")
+    assert(full.bloom != null)
+    // same sizing ⇒ same hash family ⇒ OR-ing two partial indexes is
+    // bit-identical to folding the union in one pass — the property the
+    // streaming sink's incremental maintenance rests on
+    val a = Dedup.digestIndexOf(digests.filter(col("digest") < "8"))
+    val b = Dedup.digestIndexOf(digests.filter(col("digest") >= "8"))
+    val merged = Dedup.mergeIndexes(a, b)
+    assert(merged.nLanded === full.nLanded)
+    assert(java.util.Arrays.equals(merged.bloom, full.bloom),
+      "merged partial blooms must equal the one-pass whole-corpus bloom")
+    // empty corpus: null bloom, and merging it is the identity
+    val empty = Dedup.digestIndexOf(digests.filter(lit(false)))
+    assert(empty.nLanded === 0L && empty.bloom == null)
+    val viaEmpty = Dedup.mergeIndexes(empty, full)
+    assert(viaEmpty.nLanded === full.nLanded &&
+      java.util.Arrays.equals(viaEmpty.bloom, full.bloom))
+    // sizing is a lineage contract — mixed sizings must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.mergeIndexes(full, Dedup.digestIndexOf(digests, full.expectedItems * 2))
+    }
+    assert(ex.getMessage.contains("sized differently"))
   }
 }
