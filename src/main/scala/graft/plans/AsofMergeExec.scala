@@ -83,8 +83,21 @@ case class AsofMergeExec(
         val lTimeB = BindReferences.bindReference(lTimeE, lOutput)
         val rTimeB = BindReferences.bindReference(rTimeE, rOutput)
         val payloadProj = UnsafeProjection.create(payload, rOutput)
-        val resultProj = UnsafeProjection.create(outAttrs, lOutput ++ payload)
+        // bind payload references as NULLABLE to match the declared
+        // output schema: the unmatched-left null row must project as
+        // null, not as a garbage primitive read of a non-nullable field
+        val resultProj = UnsafeProjection.create(outAttrs,
+          lOutput ++ payload.map(_.withNullability(true)))
         val nullRow: InternalRow = new GenericInternalRow(payload.length)
+        // a null time must fail loudly, never unbox to epoch-0 —
+        // unreachable via joinBackward (right nulls filtered there;
+        // guarded for direct construction of the node)
+        @inline def nonNullTime(v: Any, side: String): Long = {
+          if (v == null) throw new IllegalStateException(
+            s"as-of merge: null $side time reached the merge — construct via " +
+              "AsofMerge.joinBackward, which enforces the null contract")
+          v.asInstanceOf[Long]
+        }
         val joined = new JoinedRow
         val rBuf = rIter.buffered
         // O(1) merge state; projection outputs are reused buffers, so the
@@ -102,11 +115,11 @@ case class AsofMergeExec(
               rBuf.next()
             }
           }
-          val lTs = lTimeB.eval(lRow).asInstanceOf[Long]
+          val lTs = nonNullTime(lTimeB.eval(lRow), "left")
           while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), curKey) == 0 &&
-              rTimeB.eval(rBuf.head).asInstanceOf[Long] <= lTs) {
+              nonNullTime(rTimeB.eval(rBuf.head), "right") <= lTs) {
             val r = rBuf.next()
-            bestTime = rTimeB.eval(r).asInstanceOf[Long]
+            bestTime = nonNullTime(rTimeB.eval(r), "right")
             best = payloadProj(r).copy()
           }
           joined(lRow, if (best != null && bestTime >= lTs - horizon) best else nullRow)

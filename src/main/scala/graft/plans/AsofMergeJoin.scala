@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /** The whole-operator extension tier (SURVEY §7.3 option c): a TRUE
@@ -34,8 +34,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   * Scale contract: children hash-shuffle on the equi keys and sort by
   * (keys, time) — the same exchanges a sort-merge join would plan (no
   * extra shuffle vs j11) — then each partition merges in one pass.
-  * Null keys never match (pre-filter them; SQL join semantics), and
-  * the time columns must be non-null on both sides.
+  *
+  * Null semantics (ENFORCED, round 7 — previously a silent caller
+  * obligation): right rows with a null key or null time are removed by
+  * an injected IsNotNull filter in [[AsofMerge.joinBackward]] — SQL
+  * join semantics, they can never match. Left rows with a null key
+  * survive UNMATCHED (left-outer semantics; with right nulls filtered,
+  * a null left key group can equal no right key group, so the merge
+  * emits the null payload). A null TIME reaching the merge — possible
+  * only when the node is constructed directly, bypassing joinBackward
+  * — fails loudly instead of evaluating as epoch-0.
   */
 case class AsofMergeJoin(
     left: LogicalPlan,
@@ -110,8 +118,17 @@ object AsofMerge {
       require(l.dataType == r.dataType,
         s"key type mismatch: ${l.name}:${l.dataType} vs ${r.name}:${r.dataType}")
     }
+    // enforce the null contract (see the class scaladoc): a right row
+    // with a null key or time can never be an as-of match — drop it
+    // BEFORE the merge so a null never reaches the time cast or makes
+    // two null keys compare equal under the natural ordering. On
+    // already-non-nullable attributes the optimizer folds this away.
+    val rGuard = Filter(
+      (rightKeys.map(ra) :+ ra(rightTime))
+        .map(IsNotNull(_): Expression).reduceLeft(And),
+      rPlan)
     GraftShims.ofRows(spark, AsofMergeJoin(
-      lPlan, rPlan, leftKeys.map(la), rightKeys.map(ra),
+      lPlan, rGuard, leftKeys.map(la), rightKeys.map(ra),
       la(leftTime), ra(rightTime), ra(rightTieBreak),
       horizonUs, rightPayload.map(ra)))
   }

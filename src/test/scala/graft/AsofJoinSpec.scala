@@ -61,6 +61,52 @@ class AsofJoinSpec extends SparkSpec {
     assert(p.contains("Sort ["), s"no in-partition sort under the merge:\n$p")
   }
 
+  test("as-of merge null contract: right nulls filtered, left null key unmatched, null left time loud") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.plans.AsofMerge
+    val lSchema = StructType(Seq(
+      StructField("p_id", LongType, nullable = false),
+      StructField("p_user", LongType, nullable = true),
+      StructField("p_ts", LongType, nullable = true)))
+    // v_id deliberately NON-nullable: the unmatched-left row must still
+    // project a null payload (the r7 resultProj nullability fix), not a
+    // garbage primitive read
+    val rSchema = StructType(Seq(
+      StructField("v_user", LongType, nullable = true),
+      StructField("v_ts", LongType, nullable = true),
+      StructField("v_id", LongType, nullable = false)))
+    def df(schema: StructType, rows: Row*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val right = df(rSchema,
+      Row(1L, 100L, 10L),    // valid view for user 1
+      Row(1L, null, 11L),    // null right time: dropped by the guard
+      Row(null, 120L, 12L))  // null right key: dropped by the guard
+    val left = df(lSchema,
+      Row(1L, 1L, 150L),     // must match v_id=10, not the null-time row
+      Row(2L, null, 150L),   // null left key: survives unmatched
+      Row(3L, 9L, 160L))     // user with no views: unmatched
+    val out = AsofMerge.joinBackward(left, right,
+      Seq("p_user"), Seq("v_user"), "p_ts", "v_ts", "v_id",
+      horizonUs = 1000L, rightPayload = Seq("v_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out === Map(1L -> 10L, 2L -> -1L, 3L -> -1L))
+
+    // a null LEFT time is a contract violation — loud, never epoch-0
+    val badLeft = df(lSchema, Row(1L, 1L, null))
+    val ex = intercept[Exception] {
+      AsofMerge.joinBackward(badLeft, right,
+        Seq("p_user"), Seq("v_user"), "p_ts", "v_ts", "v_id",
+        horizonUs = 1000L, rightPayload = Seq("v_id")).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      String.valueOf(t.getMessage).contains("null left time")),
+      s"expected loud null-time failure, got: $ex")
+  }
+
   test("bucketed as-of join (j11b) equals the plain band join exactly") {
     // the 2-probe bucket blocking must lose nothing: a view inside the
     // 1-horizon band lies in the purchase's bucket or the previous one
