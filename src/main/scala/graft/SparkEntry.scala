@@ -246,8 +246,12 @@ object SparkEntry {
     * full-precision sim, top-`k` by sim). */
   private def stubSearchSql(query: String, k: Int): String = {
     val dim = graft.functions.StubEmbed.DefaultDim
-    val qToks = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      .map(t => s"'$t'").mkString(", ")
+    // tokenize the query EXACTLY as StubEmbed does (Locale.ROOT lower,
+    // the explicit [\t\n\f\r ] class — Java \s+ admits U+000B, RE2
+    // does not), and escape quotes so a token can never splice SQL
+    val qToks = query.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("[\\t\\n\\f\\r ]+").filter(_.nonEmpty)
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     def vecOf(comp: String, keyed: Boolean): String = {
       val key = if (keyed) "doc_id, " else ""
       s"""(SELECT ${key}list_transform(raw, v ->

@@ -38,7 +38,10 @@ case class StubEmbed(child: Expression, dim: Int)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val ws = "\\s+".r
+  // explicit class, not \s+: Java \s includes U+000B where RE2 (the
+  // oracle's regexp_split_to_array dialect) does not — the same
+  // whitespace-divergence fix RollingFingerprint carries
+  @transient private lazy val ws = "[\\t\\n\\f\\r ]+".r
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.trim

@@ -138,6 +138,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(dot03) < 0.5, s"unrelated texts too similar: $dot03")
   }
 
+  test("stub embedder tokenizes by the oracle's whitespace class (no U+000B)") {
+    import graft.functions.StubEmbed
+    // RE2 \s (the DuckDB oracle's regexp_split_to_array class) excludes
+    // U+000B, so 'ab' is ONE token — it must NOT embed like 'a b'
+    // (Java \s+ would split it; the r7 fix pins the explicit class)
+    val df = spark.createDataFrame(Seq(
+      Tuple1("ab"), Tuple1("a b"), Tuple1("a\tb")))
+      .toDF("text").select(StubEmbed(col("text")).as("e"))
+    val vecs = df.collect().map(_.getSeq[Float](0).toArray)
+    assert(vecs(0).toSeq !== vecs(1).toSeq,
+      "U+000B acted as a token separator — Java \\s leaked back in")
+    assert(vecs(1).toSeq === vecs(2).toSeq, "tab must split like space")
+  }
+
   test("semantic search retrieves docs sharing the query vocabulary") {
     val rows = Similarity.semanticSearch(spark, sfDir,
       query = "customer order filter join", k = 10).collect()
