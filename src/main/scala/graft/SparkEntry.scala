@@ -157,6 +157,8 @@ object SparkEntry {
     // a pure physical optimization)
     "d8_incremental_dedup"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
+    // e2b: the generic profiler over a second table (more column types)
+    "e2b_orders_profile"      -> ((s, d) => Profile.ordersProfile(s, d)),
     // d7b: O(log n)-round star contraction, same oracle as d7
     "d7b_star_clusters"       -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     // distributed connected components over the d2 edge set; the oracle
@@ -1019,6 +1021,23 @@ object SparkEntry {
           COALESCE(CAST(MIN($c) AS VARCHAR), '') AS min_val,
           COALESCE(CAST(MAX($c) AS VARCHAR), '') AS max_val
           FROM documents"""
+    }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+    // e2b: same generated shape over orders; money through the
+    // DECIMAL(18,2) pre-cast both engines share (double min/max STRING
+    // rendering diverges between engines; decimal rendering does not)
+    "e2b_orders_profile" -> Seq(
+      "o_orderkey" -> "o_orderkey",
+      "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_totalprice" -> "CAST(o_totalprice AS DECIMAL(18,2))",
+      "o_orderdate" -> "o_orderdate",
+      "o_orderpriority" -> "o_orderpriority").map { case (n, e) =>
+      s"""SELECT '$n' AS column_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT($e) AS n_null,
+          COUNT(DISTINCT $e) AS n_distinct,
+          COALESCE(CAST(MIN($e) AS VARCHAR), '') AS min_val,
+          COALESCE(CAST(MAX($e) AS VARCHAR), '') AS max_val
+          FROM orders"""
     }.mkString("", " UNION ALL ", " ORDER BY column_name"),
     "j9b_self_hierarchy" ->
       """WITH h AS (

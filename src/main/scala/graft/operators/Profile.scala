@@ -46,31 +46,41 @@ object Profile {
       .orderBy(col("c_custkey"))
   }
 
-  /** E2: corpus column profile — the ANALYZE-style statistics sweep
-    * (per column: rows, nulls, exact distinct count, min/max) every
-    * pipeline runs before and after an ingest to catch schema drift,
-    * null storms, and key collisions. The reference's self-verification
-    * prints per-run row counters (update_donations.py's summaries);
-    * this is the per-COLUMN generalization a 100 TB corpus needs.
+  /** E2/E2b: ANALYZE-style column statistics for ANY frame — per
+    * column: rows, nulls, distinct count (exact or approx), min/max —
+    * the sweep every pipeline runs before and after an ingest to catch
+    * schema drift, null storms, and key collisions. The reference's
+    * self-verification prints per-run row counters (update_donations
+    * .py's summaries); this is the per-COLUMN generalization a 100 TB
+    * corpus needs, schema-driven so any table profiles without code
+    * (round 6 hardcoded `documents` and its four columns).
     *
-    * ONE scan: all per-column aggregates ride a single pass (the
-    * multi-distinct plans as one Expand — rows × #columns before the
-    * partial agg, the standard trade for exact distincts; swap
-    * approx_count_distinct in when estimates suffice), then the 1-row
-    * wide aggregate unpivots to a row per column via an inline array —
-    * driver traffic is #columns rows, never data. min/max aggregate in
-    * the NATIVE type and cast to string after (lexicographic min of a
-    * numeric string would be wrong). */
-  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.documents(spark, dir)
-    val cols = Seq("doc_id", "lang", "source", "text")
+    * ONE scan: all per-column aggregates ride a single pass, then the
+    * 1-row wide aggregate unpivots to a row per column via an inline
+    * array — driver traffic is #columns rows, never data. min/max
+    * aggregate in the NATIVE type and cast to string after
+    * (lexicographic min of a numeric string would be wrong). Exact
+    * distincts plan as one Expand — rows × #columns before the partial
+    * agg, the standard trade; `approx = true` swaps every distinct for
+    * `approx_count_distinct` (HLL partials, no Expand) — the wide-
+    * table tier, where an exact sweep's Expand multiplies a 100 TB
+    * scan by column count. Non-atomic columns (array/map/struct) are
+    * skipped: min/max is undefined for them. */
+  def profileOf(df: DataFrame, approx: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }).map(_.name).toSeq
+    require(cols.nonEmpty, "profileOf: no atomic columns to profile")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_n"),
-        countDistinct(col(c)).as(s"${c}_nd"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"${c}_nd"),
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"))
     }
-    d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("column_name"),
           col("n_rows"),
@@ -82,4 +92,21 @@ object Profile {
       .select(col("c.*"))
       .orderBy(col("column_name"))
   }
+
+  /** E2: the profiler over the corpus gate's four reference columns
+    * (n_chars is itself a derived stat, not profiled). */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(graft.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "text"))
+
+  /** E2b: the generic profiler over `orders` — long keys, strings, a
+    * TIMESTAMP, and money, exercising the type-driven min/max path.
+    * Money is pre-cast to DECIMAL(18,2): decimal min/max/distinct
+    * render engine-portably where raw double formatting does not (the
+    * moneyOut discipline; exact for cent-denominated prices). */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")))
 }

@@ -75,5 +75,16 @@ class EmptyInputSpec extends SparkSpec {
       assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L,
         s"non-zero stats on empty corpus: $r")
     }
+    // the GENERIC profiler path (any schema, both distinct tiers)
+    val oprof = Profile.ordersProfile(spark, emptyDir).collect()
+    assert(oprof.length === 6)
+    val aprof = Profile.profileOf(
+      spark.read.parquet(s"$emptyDir/orders.parquet"), approx = true).collect()
+    assert(aprof.length === 6)
+    (oprof ++ aprof).foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(3) === 0L &&
+        r.getString(4) === "" && r.getString(5) === "",
+        s"non-empty stats on empty table: $r")
+    }
   }
 }

@@ -123,6 +123,27 @@ class PlanSpec extends SparkSpec {
       s"pii scrub hash-shuffles:\n$pt")
   }
 
+  test("profiler approx tier drops the Expand and tracks exact distincts") {
+    import graft.operators.Profile
+    // exact multi-distinct pays one Expand (rows × #columns) — the
+    // wide-table approx tier must NOT
+    val exactPlan = plan(Profile.ordersProfile(spark, sfDir))
+    assert(exactPlan.contains("Expand"),
+      s"exact profile lost its multi-distinct Expand shape:\n$exactPlan")
+    val approxDf = Profile.profileOf(Tables.orders(spark, sfDir), approx = true)
+    val approxPlan = plan(approxDf)
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile still plans an Expand:\n$approxPlan")
+    val exact = Profile.ordersProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = approxDf.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(2L, (0.1 * n).toLong),
+        s"approx distinct for $c off: ${approx(c)} vs exact $n")
+    }
+  }
+
   test("decontamination probes benchmark grams via broadcast joins") {
     val p = plan(graft.operators.Curation
       .decontaminationFrame(spark, sfDir, persist = false)._1)
