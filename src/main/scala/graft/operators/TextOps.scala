@@ -172,13 +172,20 @@ object TextOps {
       .orderBy(col("c_custkey"))
   }
 
-  /** t6 repetition-flag thresholds (ppm). The published corpus rules
-    * (Gopher's repetition removal: duplicate-ngram and top-ngram
-    * fractions) use ~0.2 of the doc; the fixture's tiny synthetic
-    * vocabulary puts baseline repetition far below that, so the
-    * constants here sit at the fixture's ~P90 — both branches of the
-    * flag occur and are oracle-checked. A production corpus swaps in
-    * the published fractions. */
+  /** The PUBLISHED repetition thresholds — the operator's defaults
+    * (Gopher's repetition removal, Rae et al. arXiv:2112.11446 §A1.1:
+    * a document whose duplicate word-2-gram fraction, or whose single
+    * most frequent 2-gram's share, exceeds ~0.2 is removed). */
+  val GopherDupGramPpm = 200000L
+  val GopherTopGramPpm = 200000L
+
+  /** t6 GATE thresholds (ppm) — the fixture operating point, passed
+    * explicitly at the gate call site ([[repetitionStats]]). The
+    * fixture's tiny synthetic vocabulary puts baseline repetition far
+    * below the published 0.2 fractions, so the gate runs at the
+    * fixture's ~P90 — both branches of the flag occur and are
+    * oracle-checked; a production corpus just omits the arguments and
+    * gets the Gopher defaults. */
   val DupGramPpmMax = 65000L
   val TopGramPpmMax = 65000L
 
@@ -200,7 +207,9 @@ object TextOps {
     * Determinism: top-gram ties break to the lexicographically LARGEST
     * gram (struct ordering on (count, gram)); the oracle mirrors with
     * ORDER BY c DESC, gram DESC. */
-  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+  def repetitionStatsOf(docs: DataFrame,
+      dupGramPpmMax: Long = GopherDupGramPpm,
+      topGramPpmMax: Long = GopherTopGramPpm): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val grams = zip_with(
@@ -227,10 +236,10 @@ object TextOps {
         dupPpm.as("dup_gram_ppm"),
         coalesce(col("top.gram"), lit("")).as("top_gram"),
         topPpm.as("top_gram_ppm"),
-        (dupPpm > DupGramPpmMax || topPpm > TopGramPpmMax).as("flagged"))
+        (dupPpm > dupGramPpmMax || topPpm > topGramPpmMax).as("flagged"))
       .orderBy(col("doc_id"))
   }
 
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
-    repetitionStatsOf(documents(spark, dir))
+    repetitionStatsOf(documents(spark, dir), DupGramPpmMax, TopGramPpmMax)
 }

@@ -79,6 +79,26 @@ class TextOpsSpec extends SparkSpec {
       got(5L).getBoolean(5))
   }
 
+  test("repetition thresholds are parametric; defaults are the published Gopher point") {
+    // the operator defaults to the published ~0.2 fractions; the gate
+    // passes the fixture constants explicitly. Flags must follow the
+    // chosen operating point row-by-row, and the (stricter) fixture
+    // flag set must contain the Gopher flag set.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val atGopher = TextOps.repetitionStatsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+    atGopher.foreach { case (id, dup, top, flagged) =>
+      assert(flagged === (dup > TextOps.GopherDupGramPpm ||
+        top > TextOps.GopherTopGramPpm), s"doc $id flag wrong at Gopher point")
+    }
+    val gopherFlagged = atGopher.filter(_._4).map(_._1).toSet
+    val fixtureFlagged = TextOps.repetitionStats(spark, sfDir).collect()
+      .filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(gopherFlagged.subsetOf(fixtureFlagged),
+      "a doc flagged at 0.2 must also flag at the stricter fixture point")
+    assert(fixtureFlagged.nonEmpty, "fixture gate must flag something")
+  }
+
   test("repetition stats rollup aggregates with partial combine, no window") {
     val p = TextOps.repetitionStats(spark, sfDir)
       .queryExecution.executedPlan.toString
