@@ -122,7 +122,8 @@ object MergeOps {
     * ('inserted'); unmatched base rows carry over byte-for-byte in
     * memory and FILE-for-file on disk for untouched partitions. */
   def mergeIntoPartitioned(spark: SparkSession, path: String, delta: DataFrame,
-      keys: Seq[String], numParts: Int): Unit = {
+      keys: Seq[String], numParts: Int,
+      commit: CommitProtocol = RenameCommit): Unit = {
     import CacheOps.shared
     val d = shared(delta.withColumn("part", partCol(keys, numParts)))
     try {
@@ -150,26 +151,18 @@ object MergeOps {
         .drop("k_existed")
       val merged = survivors.unionByName(deltaRows.select(survivors.columns.map(col): _*))
 
-      // stage-then-swap: write affected partitions to a staging dir,
-      // then commit with one directory rename per affected partition —
-      // the plain-FS analog of a partition-level metastore commit.
-      // Writing staged output (instead of dynamic-overwriting `path`)
-      // also sidesteps Spark's overwrite-while-reading restriction.
+      // stage-then-publish: write affected partitions to a staging dir,
+      // then publish through the CommitProtocol seam (default: one
+      // directory rename per affected partition — the plain-FS analog
+      // of a partition-level metastore commit; a Delta/Iceberg protocol
+      // swaps in here, see CommitProtocol's scaladoc). Writing staged
+      // output (instead of dynamic-overwriting `path`) also sidesteps
+      // Spark's overwrite-while-reading restriction.
       val staging = s"${path}__staging"
       merged.repartition(col("part"))
         .write.mode("overwrite").partitionBy("part").parquet(staging)
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-      affected.foreach { p =>
-        val src = new org.apache.hadoop.fs.Path(staging, s"part=$p")
-        val dst = new org.apache.hadoop.fs.Path(path, s"part=$p")
-        if (fs.exists(src)) {
-          fs.delete(dst, true)
-          fs.rename(src, dst); ()
-        }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      ()
+      commit.commitPartitions(spark, staging, path,
+        affected.map(p => s"part=$p").toSeq)
     } finally { d.unpersist(); () }
   }
 

@@ -85,7 +85,8 @@ object Partitioned {
     * partition column's type (see readEventsSince) so the scan lists
     * only fragmented directories. */
   def compact(spark: SparkSession, path: String,
-      partitionKey: String = "day"): Seq[String] = {
+      partitionKey: String = "day",
+      commit: CommitProtocol = RenameCommit): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(hconf)
@@ -111,16 +112,10 @@ object Partitioned {
       t.filter(affected)
         .repartition(col(partitionKey)) // one task-set per partition → one file
         .write.mode("overwrite").partitionBy(partitionKey).parquet(staging)
-      fragmented.foreach { v =>
-        val src = new org.apache.hadoop.fs.Path(staging, s"$partitionKey=$v")
-        val dst = new org.apache.hadoop.fs.Path(base, s"$partitionKey=$v")
-        if (fs.exists(src)) {
-          fs.delete(dst, true)
-          fs.rename(src, dst); ()
-        }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      ()
+      // publish through the CommitProtocol seam (default: per-partition
+      // rename; a table-format protocol swaps in here)
+      commit.commitPartitions(spark, staging, path,
+        fragmented.map(v => s"$partitionKey=$v"))
     }
     fragmented
   }

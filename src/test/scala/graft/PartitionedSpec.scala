@@ -135,6 +135,51 @@ class PartitionedSpec extends SparkSpec {
       .collect().head.getAs[Long]("n_events") === 70L)
   }
 
+  test("partition publishes flow through the CommitProtocol seam") {
+    import spark.implicits._
+    import graft.operators.{CommitProtocol, MergeOps, RenameCommit}
+    val keys = Seq("user_id", "event_type")
+    val numParts = 8
+    val path = java.nio.file.Files.createTempDirectory("graft_seam").toString + "/t"
+    val base = (1 to 20).map(i => (s"u$i", "click", i.toLong, i * 1.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+      .withColumn("merge_action", lit("unchanged"))
+    MergeOps.writePartitionedBase(base, path, keys, numParts)
+    val delta = Seq(("u7", "click", 70L, 700.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+    // a table-format commit would register staged files in a
+    // transaction log; the recording protocol stands in for it and
+    // proves the writers hand EXACTLY the affected partitions to the
+    // seam, delegating the actual publish
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val recording = new CommitProtocol {
+      override def commitPartitions(s: org.apache.spark.sql.SparkSession,
+          staging: String, table: String, dirNames: Seq[String]): Unit = {
+        published ++= dirNames
+        RenameCommit.commitPartitions(s, staging, table, dirNames)
+      }
+    }
+    MergeOps.mergeIntoPartitioned(spark, path, delta, keys, numParts, recording)
+    val expected = delta
+      .select(pmod(hash(col("user_id"), col("event_type")), lit(numParts)).as("p"))
+      .distinct().collect().map(r => s"part=${r.getInt(0)}").toSet
+    assert(published.toSet === expected,
+      "exactly the affected partitions must publish through the seam")
+    assert(spark.read.parquet(path).filter(col("user_id") === "u7")
+      .collect().head.getAs[Long]("n_events") === 70L)
+
+    // compaction publishes through the same seam
+    published.clear()
+    val frag = java.nio.file.Files.createTempDirectory("graft_seam_c").toString + "/t"
+    (1 to 30).map(i => (s"2024-01-0${i % 3 + 1}", i.toLong))
+      .toDF("day", "n").repartition(4)
+      .write.partitionBy("day").parquet(frag)
+    val compacted = Partitioned.compact(spark, frag, "day", recording)
+    assert(compacted.nonEmpty)
+    assert(published.toSet === compacted.map(v => s"day=$v").toSet,
+      "compaction must publish exactly the fragmented partitions")
+  }
+
   test("partitioned merge driver form matches the plain full-outer merge") {
     import graft.operators.MergeOps
     val scoped = MergeOps.partitionedMergeUpsert(spark, sfDir)
