@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   *    the output rather than silently recorded (the round-5 artifact:
   *    a ~2.5× inflated pass committed as BENCH_r05 contradicted the
   *    README's true zero-regression claim). Per-rep times go to stderr
-  *    under [bench-detail] for the archive.
+  *    under [bench-detail] for the archive;
+  *  - round 7: the ONE cold pass can't median-defend itself, so a
+  *    cold/warm total ratio past 2× (calm windows measure ~1.5-1.6×)
+  *    marks the artifact `"cold_noisy":true` — the committed number
+  *    stays, the flag says not to diff against it.
   * Heap is scaled with the cpu count in build.sbt (32 tasks in an 8 GB
   * heap was the round-2 failure mode — constant GC billed to whichever
   * query happened to be running).
@@ -126,6 +130,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
+    // the cold pass runs ONCE by definition (a re-run isn't cold), so
+    // it cannot defend itself with medians the way the warm set does.
+    // Flag it instead: calm-window cold totals measure ~1.5-1.6× warm
+    // (JIT/codegen warm-up); a cold/warm ratio past 2× means the cold
+    // pass overlapped a noisy-neighbor window and its absolute number
+    // should not be trusted (r5 and r6 both committed such artifacts —
+    // 220 s recorded vs 97 s calm in r6).
+    val coldNoisy = total > 0 && coldTotal > 2.0 * total
     // stdout stays ONE compact line (bounded driver tail): the noise
     // verdict + only the offending queries' spreads; the full per-rep
     // time vectors land on stderr for the archive.
@@ -136,7 +148,7 @@ object Bench {
       "\"" + name + "\":[" + passes.map(p => r3(p(name)._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"cold":${jsonNum(_._3)},"reps":$perRep}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":${r3(coldTotal)},"noisy":$noisy,"noise_retries":$noiseRetries,"spread_max":${r3(spreadMax)},"noisy_queries":$noisyQ,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${jsonNum(_._2)},"cold_total":${r3(coldTotal)},"cold_noisy":$coldNoisy,"noisy":$noisy,"noise_retries":$noiseRetries,"spread_max":${r3(spreadMax)},"noisy_queries":$noisyQ,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
