@@ -68,7 +68,13 @@ object Bench {
       (t, err)
     }
 
+    // optional comma-separated query filter for targeted re-measurement
+    // (plan-audit follow-ups); the driver never sets it, so BENCH_r{N}
+    // artifacts always cover the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def runPass(): Map[String, (Double, Option[String])] =
       named.map { case (name, fn) => name -> timeOnce(fn) }.toMap
 

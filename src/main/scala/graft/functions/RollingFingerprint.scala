@@ -65,9 +65,22 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
       .replaceAll(" ").trim
     // Hash CODE POINTS, not UTF-16 code units: the oracle's
     // ord(substr(...)) yields code points, so charAt would diverge on
-    // supplementary-plane text (emoji, rare CJK).
-    val cps = text.codePoints().toArray()
-    val n = cps.length
+    // supplementary-plane text (emoji, rare CJK). Materializing the
+    // code-point array costs an int[] allocation per document, which is
+    // real money in this map-heavy operator (d6 is ~all fingerprinting),
+    // so BMP-only text — no high surrogates, the overwhelming case, and
+    // where charAt(i) == codePointAt(i) — hashes straight off the
+    // string; only supplementary text pays for the array.
+    var hasSupp = false
+    var si = 0
+    while (si < text.length && !hasSupp) {
+      if (Character.isHighSurrogate(text.charAt(si))) hasSupp = true
+      si += 1
+    }
+    val cps: Array[Int] = if (hasSupp) text.codePoints().toArray() else null
+    val n = if (hasSupp) cps.length else text.length
+    @inline def cp(i: Int): Long =
+      if (cps ne null) cps(i).toLong else text.charAt(i).toLong
     if (n < k) return new GenericArrayData(Array.empty[Any])
 
     // B^(k-1) mod M
@@ -78,11 +91,11 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     val hashes = new Array[Long](nWin)
     var h = 0L
     var i = 0
-    while (i < k) { h = (mulmod(h, B) + cps(i)) % M; i += 1 }
+    while (i < k) { h = (mulmod(h, B) + cp(i)) % M; i += 1 }
     hashes(0) = h
     while (i < n) {
-      h = (h + M - mulmod(cps(i - k), bk) % M) % M
-      h = (mulmod(h, B) + cps(i)) % M
+      h = (h + M - mulmod(cp(i - k), bk) % M) % M
+      h = (mulmod(h, B) + cp(i)) % M
       hashes(i - k + 1) = h
       i += 1
     }

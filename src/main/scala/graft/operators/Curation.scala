@@ -220,7 +220,7 @@ object Curation {
     // grams feeds the df-cap aggregate AND both probe sides
     val grams = if (persist) CacheOps.shared(gramsRaw) else gramsRaw
     val hot = grams.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > Dedup.dfCapFor(graft.Tables.documents(spark, dir)))
+      .filter(col("df") > Dedup.dfCapForTable(spark, dir))
       .select(col("gram_h"))
     val rare = grams.join(broadcast(hot), Seq("gram_h"), "left_anti")
     val benchGrams = rare.filter(col("is_bench"))

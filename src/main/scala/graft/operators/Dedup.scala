@@ -104,18 +104,31 @@ object Dedup {
   private[graft] def dfCapFor(corpus: DataFrame): Long =
     derivedDfCap(corpus.count())
 
+  /** The cap when the corpus IS an on-disk table: |docs| comes from
+    * parquet footer metadata on the driver ([[graft.Tables
+    * .parquetRowCount]]) — no Spark job at all. The count() flavor
+    * above still exists for derived frames (Curation's survivor sets),
+    * whose cardinality no metadata records; DedupSpec asserts the two
+    * derivations agree on the fixture table. */
+  def dfCapForTable(spark: SparkSession, dir: String, name: String = "documents"): Long =
+    derivedDfCap(graft.Tables.parquetRowCount(spark, dir, name))
+
   /** Oracle-SQL twin of [[dfCapFor]]: a scalar subquery over the SAME
     * corpus relation, same integer arithmetic. */
   def dfCapSql(corpusRel: String): String =
     s"(SELECT greatest($DfCapFloor, (COUNT(*) + ${DfCapPerDocs - 1}) // $DfCapPerDocs) FROM $corpusRel)"
 
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    ngramJaccardPairsOf(documents(spark, dir), threshold)
+    ngramJaccardPairsOf(documents(spark, dir), threshold,
+      capOverride = Some(dfCapForTable(spark, dir)))
 
   /** D2 over an arbitrary (doc_id, text) frame — the df cap is computed
     * over THIS corpus, so a curated subset prunes by its own gram
-    * frequencies (Curation runs it over exact-dedup survivors). */
-  private[graft] def ngramJaccardPairsOf(input: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * frequencies (Curation runs it over exact-dedup survivors). Callers
+    * whose corpus is a raw table pass the metadata-derived cap instead
+    * ([[dfCapForTable]]) and skip the count() job. */
+  private[graft] def ngramJaccardPairsOf(input: DataFrame, threshold: Double = 0.8,
+      capOverride: Option[Long] = None): DataFrame = {
     // Join on a 60-bit gram hash, not the gram string: same pairs and
     // counts (collision odds ~n²/2⁶¹), half the shuffle bytes. The
     // capped posting list feeds three plan branches (doc counts + both
@@ -127,7 +140,7 @@ object Dedup {
     // so without the early exchange the whole shingle+hash computation
     // runs on a single task (measured 4 s single-task vs <1 s spread).
     // Shuffling the raw docs first is cheap (5k rows of text).
-    val cap = dfCapFor(input)
+    val cap = capOverride.getOrElse(dfCapFor(input))
     val docs = shared(input
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
@@ -183,7 +196,8 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     val pairs = ngramJaccardPairsOf(documents(spark, dir)
-      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text")),
+      capOverride = Some(dfCapForTable(spark, dir)))
       .select(col("a_id"), col("b_id"))
     val labels = connectedComponents(pairs, maxIters)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
@@ -439,7 +453,7 @@ object Dedup {
     // as true dups still share >= minShared rare fingerprints (they do:
     // near-identical docs share their long, pair-specific substrings).
     val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCapFor(documents(spark, dir))).select(col("fp"))
+      .filter(col("df") > dfCapForTable(spark, dir)).select(col("fp"))
     // persist: the capped posting list feeds both self-join branches,
     // and an unpersisted frame re-executes the df-cap subtree (group,
     // broadcast, anti-join) once per branch — same pathology measured
@@ -518,7 +532,8 @@ object Dedup {
     * feasibility is pinned in DedupSpec. */
   def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairsOf(documents(spark, dir)
-      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text")),
+      capOverride = Some(dfCapForTable(spark, dir)))
       .select(col("a_id"), col("b_id"))
     val labels = connectedComponentsStar(pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))

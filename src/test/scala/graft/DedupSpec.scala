@@ -92,6 +92,11 @@ class DedupSpec extends SparkSpec {
     // the per-corpus derivation lands the same number the mirror computes
     assert(Dedup.dfCapFor(Tables.documents(spark, sfDir))
       === Dedup.derivedDfCap(nDocs))
+    // the metadata path (parquet footers, no Spark job) is exact: same
+    // row count, same cap as the frame-count derivation
+    assert(Tables.parquetRowCount(spark, sfDir, "documents") === nDocs)
+    assert(Dedup.dfCapForTable(spark, sfDir)
+      === Dedup.dfCapFor(Tables.documents(spark, sfDir)))
   }
 
   test("exact dedup histogram accounts for every document") {

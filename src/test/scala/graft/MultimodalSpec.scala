@@ -36,6 +36,30 @@ class MultimodalSpec extends SparkSpec {
     assert(caught >= 0.9, s"rolling fingerprints caught only $caught of near-dups")
   }
 
+  test("fingerprint hashes code points on both the BMP fast path and the supplementary path") {
+    import graft.functions.RollingFingerprint
+    // texts of exactly K code points → one k-window → the output is that
+    // window's rolling hash, mirrored here over code points in BigInt
+    // (the oracle's ord() domain). The BMP text exercises the
+    // allocation-free charAt path, the emoji text the codePoints path;
+    // both must land on the same polynomial-hash family.
+    def expected(s: String): Long = {
+      val B = BigInt(RollingFingerprint.B)
+      val M = BigInt(RollingFingerprint.M)
+      s.codePoints().toArray
+        .foldLeft(BigInt(0))((h, c) => (h * B + c) % M).toLong
+    }
+    val bmp = "abcdefghijkl"          // 12 chars = K code points
+    val supp = "😀" + "bcdefghijkl" // 😀 + 11 chars = K code points
+    assert(bmp.codePoints().count() === RollingFingerprint.K)
+    assert(supp.codePoints().count() === RollingFingerprint.K)
+    val rows = spark.createDataFrame(Seq(Tuple1(bmp), Tuple1(supp))).toDF("text")
+      .select(col("text"), RollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(bmp) === Seq(expected(bmp)))
+    assert(rows(supp) === Seq(expected(supp)))
+  }
+
   test("winnowing is robust to a leading insertion (fingerprints mostly stable)") {
     import graft.functions.RollingFingerprint
     val df = spark.createDataFrame(Seq(
