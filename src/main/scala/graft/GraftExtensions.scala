@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HashVector, MinHashSig, RollingFingerprint, SimHash64, StubEmbed, TextShingles, VecDot}
+import graft.functions.{HashVector, MinHashSig, QuantizeVec, RollingFingerprint, SimHash64, StubEmbed, TextShingles, VecDot, VecDotInt}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so a SQL-first user can call
@@ -59,6 +59,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("vec_dot", 2)(args)
         VecDot(args(0), args(1))
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("quantize_vec"),
+      info("quantize_vec",
+        "quantize_vec(v) - unit-norm int8 (SQ8) quantization of a float/double array; NULL for zero vectors"),
+      (args: Seq[Expression]) => {
+        arity("quantize_vec", 1)(args)
+        QuantizeVec(args(0))
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("vec_dot_int"),
+      info("vec_dot_int",
+        "vec_dot_int(a, b) - exact integer dot product of two int8-quantized vectors"),
+      (args: Seq[Expression]) => {
+        arity("vec_dot_int", 2)(args)
+        VecDotInt(args(0), args(1))
       }))
 
     e.injectFunction((

@@ -80,6 +80,10 @@ object SparkEntry {
     // the reference's embedding width
     "v1w_cosine_topk_wide"    -> ((s, d) => Similarity.cosineTopKWide(s, d)),
     "v2_neardup_top_pairs"    -> ((s, d) => Similarity.nearDupTopPairs(s, d)),
+    // int8 (SQ8) quantized search: exact integer scoring, 4x density
+    "v7_quantized_topk"       -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    // batched retrieval: one corpus scan scores the whole query batch
+    "v8_batch_topk"           -> ((s, d) => Similarity.batchTopK(s, d)),
     "v3_lsh_topk"             -> ((s, d) => Similarity.lshTopK(s, d)),
     "m1_decode_features"      -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "m2_format_stats"         -> ((s, d) => Multimodal.formatStats(s, d)),
@@ -124,6 +128,10 @@ object SparkEntry {
     "etl1b_reject_counts"     -> ((s, d) => graft.sources.ZipSource.zipRejectCountsOverOrders(s, d)),
     "s16_partitioned_sink"    -> ((s, d) => Partitioned.partitionedIncrementalCounts(s, d)),
     "s16b_compacted_read"     -> ((s, d) => Partitioned.compactedIncrementalCounts(s, d)),
+    // range-clustered layout: disjoint per-file key ranges, footer-pruned read
+    "s17_sorted_layout"       -> ((s, d) => Partitioned.sortedLayoutRollup(s, d)),
+    // mergeSchema read across batches written before/after a column existed
+    "s18_schema_evolution"    -> ((s, d) => Partitioned.schemaEvolutionRollup(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
@@ -827,6 +835,49 @@ object SparkEntry {
            FROM wide e, q WHERE e.vec_id <> 0)
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10""",
+    // v7: the quantization (unit-norm floor to int8) and the integer
+    // dot product are mirrored operation-for-operation — norms as the
+    // same left-fold double sum as v1's oracle, then IEEE divide/
+    // multiply/floor (portable; round-half would not be), then exact
+    // integer arithmetic. The whole quantized tier is hash-checked.
+    "v7_quantized_topk" ->
+      """WITH n AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(range(64),
+               j -> CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)), (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         qz AS (
+           SELECT vec_id, label,
+             list_transform(range(64),
+               j -> CAST(floor(CAST(embedding[j+1] AS DOUBLE) / nrm * 127.0) AS BIGINT)) AS q
+           FROM n WHERE nrm > 0),
+         qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+         scored AS (
+           SELECT z.vec_id, z.label,
+             list_reduce(list_transform(range(64), j -> z.q[j+1] * qq[j+1]), (x, y) -> x + y) AS iscore
+           FROM qz z, qv WHERE z.vec_id <> 0)
+         SELECT vec_id, label, CAST(iscore AS BIGINT) AS iscore FROM scored
+         ORDER BY iscore DESC, vec_id LIMIT 10""",
+    // v8: per-query brute force over the disjoint corpus split, ranked
+    // by the same cosine derivation as v1's oracle
+    "v8_batch_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+             list_reduce(list_transform(range(64),
+               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.q_emb[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(q.q_emb[j+1] AS DOUBLE) * CAST(q.q_emb[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM embeddings e, q WHERE e.vec_id >= 8),
+         ranked AS (
+           SELECT query_id, vec_id, label, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, rk, vec_id, label, round(sim, 6) AS sim_r
+         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
     "v2_neardup_top_pairs" ->
       """WITH scored AS (
            SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1445,6 +1496,24 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
          GROUP BY 1, 2 ORDER BY day, event_type""",
+    // s17: the rollup from the RAW table — equality proves the range-
+    // clustered round-trip loses nothing and the footer-pruned read
+    // keeps every in-range row
+    "s17_sorted_layout" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // s18: the evolved-read frame reconstructed from the raw table —
+    // pre-evolution rows (even keys, landed without the column) must
+    // surface NULL-filled, evolved rows keep their values
+    "s18_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                     ELSE '<pre-evolution>' END AS priority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1 ORDER BY priority""",
     // c3: benchmark membership, the df cap, and the gram hash are all
     // interpolated from the Scala constants so both engines share them.
     "c3_decontamination" ->

@@ -168,4 +168,76 @@ object Partitioned {
     writeEventsByDay(graft.Tables.events(spark, dir), path)
     incrementalDailyCounts(spark, path, sinceDay)
   }
+
+  /** S17: SORTED (range-clustered) layout — clustering WITHIN files,
+    * the complement of [[writeEventsByDay]]'s directory partitioning.
+    * `repartitionByRange` gives every output file a DISJOINT slice of
+    * the sort key (range exchange on sampled split points), and the
+    * within-partition sort tightens every parquet row group's min/max
+    * around a narrow interval — so a range predicate skips whole files
+    * and row groups from footer stats alone. At 100 TB this layout
+    * decision is the difference between "scan the table" and "read the
+    * 1% of files whose stats bracket the predicate": directory
+    * partitioning skips coarse units (days), range clustering makes
+    * the remaining files individually skippable.
+    *
+    * PartitionedSpec proves the layout physically: after the write,
+    * the per-file footer min/max ranges of the sort column are
+    * pairwise disjoint (every out-of-range file is skippable), and the
+    * read plan carries the predicate in PushedFilters. */
+  def sortedWrite(df: DataFrame, sortCol: String, path: String, nFiles: Int = 8): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** Driver-gated end-to-end form (s17): land `orders` range-clustered
+    * by order date, then run a quarter's rollup through the clustered
+    * table. The oracle computes the same rollup from the raw table —
+    * equality proves the clustered round-trip loses nothing and the
+    * footer-pruned read keeps every in-range row. */
+  def sortedLayoutRollup(spark: SparkSession, dir: String,
+      from: String = "1995-01-01", to: String = "1995-04-01"): DataFrame = {
+    // fixed scratch path per source dir, overwritten per call — see
+    // partitionedIncrementalCounts
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s17_$tag/orders_by_date"
+    sortedWrite(graft.Tables.orders(spark, dir), "o_orderdate", path)
+    spark.read.parquet(path)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** S18: schema-evolution read — the day-2 reality of any landed
+    * corpus: batches written before a column existed must stay
+    * readable next to batches written after. Batch 1 lands with the
+    * original schema, batch 2 adds a column; `mergeSchema` unions the
+    * footers' schemas at planning and NULL-fills the missing column in
+    * old files — no rewrite of landed data, the cardinal rule at
+    * 100 TB. (Merging N footers at planning is why production table
+    * formats record ONE schema in table metadata — the CommitProtocol
+    * seam's Delta/Iceberg swap-in; mergeSchema is the plain-parquet
+    * analog.) The oracle reconstructs the same frame from the raw
+    * table with a CASE — equality proves old rows surface with NULLs
+    * and new rows keep their values, exactly. */
+  def schemaEvolutionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_s18_$tag/orders_evolved"
+    val o = graft.Tables.orders(spark, dir)
+    val v1Cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(v1Cols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$base/b1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select((v1Cols :+ "o_orderpriority").map(col): _*)
+      .write.mode("overwrite").parquet(s"$base/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("priority"))
+  }
 }

@@ -74,6 +74,65 @@ object Similarity {
     materializeAndRelease(cosineTopKOf(wide, queryId, k), wide)
   }
 
+  /** V7: scalar-quantized (int8) cosine search — the storage/bandwidth
+    * tier of the ANN ladder. The corpus is quantized to unit-norm int8
+    * ([[graft.functions.QuantizeVec]]: qᵢ = floor(vᵢ/‖v‖·127), 4× the
+    * density of float32) and candidates are ranked by the EXACT integer
+    * dot product ([[graft.functions.VecDotInt]], codegen'd) — ≈127²·cosθ,
+    * no float math at query time. At 100 TB quantization runs once at
+    * ingest and the int8 column is what the cluster scans: a quarter of
+    * the bytes off disk and a pure-integer multiply-add scorer is the
+    * difference between bandwidth-bound and compute-bound search. The
+    * integer score is portable arithmetic end-to-end, so the oracle
+    * mirrors the whole tier byte-for-byte (v1's sibling plan shape:
+    * broadcast 1-row query, TakeOrderedAndProject top-k);
+    * SimilaritySpec additionally pins recall against the exact tier. */
+  def quantizedTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val qz = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.QuantizeVec(col("embedding")).as("q"))
+      .filter(col("q").isNotNull) // zero vectors have no direction (oracle: WHERE nrm > 0)
+    val qv = qz.filter(col("vec_id") === queryId).select(col("q").as("qq"))
+    qz.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("iscore", graft.functions.VecDotInt(col("q"), col("qq")))
+      .orderBy(desc("iscore"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("iscore"))
+  }
+
+  /** V8: BATCH top-k — neighbors for a whole batch of query vectors in
+    * ONE corpus scan. Production retrieval is batched (RAG corpus
+    * builds, dedup-against-index, eval sweeps): scanning the corpus
+    * once per query multiplies the dominant cost by |batch|, so the
+    * batch crossJoins in as a broadcast and every corpus row scores
+    * all queries in a single codegen stage.
+    *
+    * Per-query top-k is a rank-filtered window, NOT a driver loop —
+    * and Spark 3.5+'s InferWindowGroupLimit rewrites the filter into a
+    * WindowGroupLimit that prunes to k rows per query WITHIN each map
+    * partition before the shuffle (the classic two-phase top-k,
+    * derived by Catalyst rather than hand-built; PlanSpec asserts the
+    * node is present). The final |queries|-partition window then ranks
+    * |parts|·k survivors per query, not |corpus| — the skew a naive
+    * per-query window would hit at 100 TB never materializes. */
+  def batchTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val e = embeddings(spark, dir)
+    // disjoint query/corpus split on vec_id keeps the oracle a plain
+    // predicate pair (queries never match themselves or each other)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("vec_id"))
+    e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding near-dup detection, IVF-style: compare only within a
     * coarse partition (label plays the centroid-assignment role), rank
     * pairs by cosine, keep the global top-k. At 100 TB the all-pairs

@@ -54,6 +54,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.lshTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfTopK(spark, emptyDir).count() === 0)
     assert(Similarity.kmeansStep(spark, emptyDir).count() === 0)
+    assert(Similarity.quantizedTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.batchTopK(spark, emptyDir).count() === 0)
+  }
+
+  test("layout tier survives empty inputs (empty range write, empty evolved batches)") {
+    assert(Partitioned.sortedLayoutRollup(spark, emptyDir).count() === 0)
+    assert(Partitioned.schemaEvolutionRollup(spark, emptyDir).count() === 0)
   }
 
   test("text, events, and merge tiers survive empty inputs") {

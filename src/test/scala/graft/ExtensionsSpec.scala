@@ -101,4 +101,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(top.length === 3)
     assert(top(0).getDouble(1) > 0.2)
   }
+
+  test("quantize_vec + vec_dot_int callable from SQL, exact integer arithmetic") {
+    // (3,4)/5·127 → (floor(76.2), floor(101.6)) = (76, 101)
+    val s = spark.sql(
+      """SELECT vec_dot_int(
+           quantize_vec(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+           quantize_vec(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))) AS s""")
+      .collect()(0).getLong(0)
+    assert(s === 76L * 76 + 101L * 101)
+    // zero vector quantizes to NULL (no direction)
+    val z = spark.sql(
+      "SELECT quantize_vec(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS q")
+      .collect()(0)
+    assert(z.isNullAt(0))
+  }
 }

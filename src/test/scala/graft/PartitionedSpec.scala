@@ -249,4 +249,59 @@ class PartitionedSpec extends SparkSpec {
       assert(files(d).map(f => (f.getName, f.lastModified(), f.length())).toSeq === allSigs(d),
         s"idempotent pass touched files in partition $d"))
   }
+
+  test("sorted layout lands pairwise-disjoint per-file key ranges (every out-of-range file skippable)") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_s17/orders_by_date"
+    Partitioned.sortedWrite(Tables.orders(spark, sfDir), "o_orderdate", path, nFiles = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(files.length > 1, "need multiple files to demonstrate pruning")
+    // footer stats per file: (min, max) of the sort column across its
+    // row groups — the exact statistics a reader prunes against
+    import scala.jdk.CollectionConverters._
+    val ranges = files.toSeq.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val stats = r.getFooter.getBlocks.asScala.flatMap(
+          _.getColumns.asScala.filter(_.getPath.toDotString == "o_orderdate")
+            .map(_.getStatistics))
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+      } finally r.close()
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, prevMax), (curMin, _)) =>
+        assert(curMin >= prevMax,
+          s"file key ranges overlap: $ranges — range clustering broke")
+      case _ =>
+    }
+    // a range predicate must reach the scan as a pushed filter so the
+    // reader can apply those stats
+    val read = spark.read.parquet(path)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date predicate not pushed to the clustered scan:\n$p")
+  }
+
+  test("schema-evolution read NULL-fills pre-evolution batches and keeps evolved values") {
+    val got = Partitioned.schemaEvolutionRollup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sfDir)
+    val nOld = o.filter(col("o_orderkey") % 2 === 0).count()
+    val nNew = o.filter(col("o_orderkey") % 2 === 1).count()
+    assert(got("<pre-evolution>") === nOld,
+      "every pre-evolution row must surface exactly once with a NULL-filled column")
+    assert(got.filterNot(_._1 == "<pre-evolution>").values.sum === nNew)
+    // and the old batch physically lacks the column — evolution
+    // happened at READ planning, no landed data was rewritten
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_s18_$tag/orders_evolved"
+    assert(!spark.read.parquet(s"$base/b1").columns.contains("o_orderpriority"))
+    assert(spark.read.parquet(s"$base/b2").columns.contains("o_orderpriority"))
+  }
 }

@@ -188,4 +188,23 @@ class PlanSpec extends SparkSpec {
     assert(exchange >= 0 && partial > exchange,
       s"posexplode rows shuffle without map-side combine:\n$p")
   }
+
+  test("quantized top-k broadcasts the query row and plans TakeOrderedAndProject") {
+    val p = plan(graft.operators.Similarity.quantizedTopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not take-ordered:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query row not broadcast:\n$p")
+  }
+
+  test("batch top-k plans a WindowGroupLimit (Catalyst's two-phase per-query top-k)") {
+    // the rank<=k filter over the per-query window must become a
+    // WindowGroupLimit: k rows per query survive each map partition
+    // BEFORE the shuffle — without it the final |queries|-partition
+    // window sorts the whole corpus × batch and skews at scale
+    val p = plan(graft.operators.Similarity.batchTopK(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not rewritten into a group limit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query batch not broadcast:\n$p")
+  }
 }

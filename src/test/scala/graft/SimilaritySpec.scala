@@ -98,6 +98,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: bounded error, exact integer scores, strong recall vs the exact tier") {
+    import graft.functions.{QuantizeVec, VecDotInt}
+    import graft.operators.Similarity
+    // roundtrip error bound: the dequantized vector (q/127) stays
+    // within a cosine hair of the original — floor discretization at
+    // 127 levels costs < 1% of direction on real embeddings
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), QuantizeVec(col("embedding")).as("q"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val q = r.getSeq[Byte](2).map(_.toDouble / 127.0)
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+      assert(cos >= 0.99, s"vec ${r.getLong(0)} lost direction: cos=$cos")
+      assert(r.getSeq[Byte](2).forall(b => b >= -127 && b <= 127))
+    }
+    // the integer score the operator ranks by is EXACTLY the driver's
+    // integer arithmetic over the same bytes
+    val q0 = rows.find(_.getLong(0) == 0L).get.getSeq[Byte](2)
+    val viaExpr = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), QuantizeVec(col("embedding")).as("q"))
+      .withColumn("s", VecDotInt(col("q"),
+        // lit over Array[Byte] would make a BinaryType literal — go
+        // through array<int> and cast the elements down
+        lit(q0.map(_.toInt).toArray).cast("array<tinyint>")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val expected = r.getSeq[Byte](2).zip(q0).map { case (a, b) => a.toLong * b.toLong }.sum
+      assert(viaExpr(r.getLong(0)) === expected)
+    }
+    // recall: the quantized top-10 recovers nearly all of the exact
+    // cosine top-10 (identical direction proxy, 127-level grid)
+    val exact = Similarity.cosineTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"quantized recall too low: ${exact.intersect(quant).size}/10")
+  }
+
+  test("batch top-k equals a per-query driver-side brute force") {
+    import graft.operators.Similarity
+    val nQ = 8
+    val k = 3
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0) 0.0 else dot / d
+    }
+    val corpus = all.filter(_._1 >= nQ)
+    val expected = all.filter(_._1 < nQ).flatMap { case (qid, qe) =>
+      corpus.map { case (vid, ve) => (qid, vid, cos(ve, qe)) }
+        .sortBy { case (_, vid, s) => (-s, vid) }
+        .take(k).zipWithIndex
+        .map { case ((_, vid, _), i) => (qid, i + 1, vid) }
+    }.toSet
+    val got = Similarity.batchTopK(spark, sfDir, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("brute-force top-k is sorted desc and k-sized") {
     val rows = Similarity.cosineTopK(spark, sfDir, queryId = 0L, k = 10).collect()
     assert(rows.length === 10)
