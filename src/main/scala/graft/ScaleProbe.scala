@@ -107,6 +107,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val outRoot = Tables.scratchDir.getOrElse(System.getProperty("java.io.tmpdir")) +
       s"/graft_probe_${ProcessHandle.current().pid()}"
+    def quantizedPathFor(d: String): String =
+      s"$outRoot/q8_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d2_ngram_jaccard"     -> (operators.Dedup.ngramJaccardPairs(_, _)),
@@ -151,7 +153,23 @@ object ScaleProbe {
       "d8_incremental_dedup" -> (operators.Dedup.incrementalDedup(_, _)),
       // star contraction: log-round alternative to d7 — compare walls
       // as the salted corpus multiplies component count
-      "d7b_star_clusters"    -> (operators.Dedup.dedupClustersStar(_, _)))
+      "d7b_star_clusters"    -> (operators.Dedup.dedupClustersStar(_, _)),
+      // round-7 retrieval ladder: all three must stay linear in corpus
+      // size. v7 here quantizes IN-PLAN (a float pass + the int scan);
+      // the materialized row below is the production form
+      "v1_cosine_topk"       -> (operators.Similarity.cosineTopK(_, _)),
+      "v7_quantized_topk"    -> (operators.Similarity.quantizedTopK(_, _)),
+      "v8_batch_topk"        -> (operators.Similarity.batchTopK(_, _)),
+      // search over a PRE-materialized int8 table: built lazily into
+      // scratch on the first rep (min-over-reps reports the warm
+      // search) — the 100 TB claim is bytes off disk, recorded per
+      // factor as emb_bytes vs q8_bytes in the output line
+      "v7_search_materialized" -> ((s, d) => {
+        val q8 = quantizedPathFor(d)
+        if (!new java.io.File(q8).exists())
+          operators.Similarity.materializeQuantized(s, d, q8)
+        operators.Similarity.quantizedTopKOverTable(s, q8)
+      }))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
@@ -178,7 +196,19 @@ object ScaleProbe {
         }
         val qJson = timed.map { case (n, t, rows) =>
           s""""$n":{"sec":${r3(t)},"rows":$rows}""" }.mkString(",")
-        println(s"""{"factor":$k,"docs":$nDocs,"queries":{$qJson}}""")
+        // storage evidence for the quantized tier: float32 table bytes
+        // vs the landed int8 table (present only when the materialized
+        // probe row ran for this factor)
+        def dirBytes(p: String): Long = {
+          def sz(f: java.io.File): Long =
+            if (f.isFile) f.length()
+            else Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+          sz(new java.io.File(p))
+        }
+        val embBytes = dirBytes(s"$dir/embeddings.parquet")
+        val q8 = quantizedPathFor(dir)
+        val q8Bytes = if (new java.io.File(q8).exists()) dirBytes(q8) else -1L
+        println(s"""{"factor":$k,"docs":$nDocs,"emb_bytes":$embBytes,"q8_bytes":$q8Bytes,"queries":{$qJson}}""")
       }
     } finally {
       // the scaled corpora live on tmpfs — never leave them behind

@@ -148,6 +148,8 @@ object SparkEntry {
     "c3_decontamination"      -> ((s, d) => Curation.decontaminate(s, d)),
     "c4_stratified_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
     "c5_mixture_epochs"       -> ((s, d) => Curation.mixtureEpochs(s, d)),
+    // shard assignment + per-shard manifest (the dataloader handoff)
+    "c6_shard_manifest"       -> ((s, d) => Curation.shardManifest(s, d)),
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
     // j11b: horizon-bucket second equi key — same oracle as j11, so the
@@ -1564,6 +1566,24 @@ object SparkEntry {
            CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(x.e AS VARCHAR)), 1, 15) AS BIGINT) AS shuffle_key
          FROM d, unnest(range(1, n_epochs + 1)) AS x(e)
          ORDER BY doc_id, epoch""",
+    // c6: shard = 60-bit salted md5 mod ManifestShards (both constants
+    // interpolated); first_doc mirrors Spark's min(struct(skey,doc_id))
+    // via ROW_NUMBER over the same ordering; integer sum through BIGINT
+    "c6_shard_manifest" ->
+      s"""WITH d AS (
+           SELECT doc_id, len($toksSql) AS n_tokens,
+             CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens, skey,
+             skey % ${operators.Curation.ManifestShards} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY skey % ${operators.Curation.ManifestShards}
+               ORDER BY skey, doc_id) AS rn
+           FROM d)
+         SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc
+         FROM s GROUP BY shard ORDER BY shard""",
     // v6: assignment CTE identical to v5's; the re-estimated centroid
     // divides two exact integers as doubles (see Similarity.kmeansStep).
     "v6_kmeans_step" ->

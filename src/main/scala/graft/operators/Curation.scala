@@ -300,4 +300,41 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("epoch"), col("shuffle_key"))
       .orderBy(col("doc_id"), col("epoch"))
   }
+
+  // ---------------------------------------------------------------- c6
+
+  /** Shard count the fixture manifest covers; a production run sets
+    * thousands (one shard ≈ one dataloader file group). */
+  val ManifestShards = 16
+
+  /** c6: training-shard MANIFEST — the dataloader handoff after
+    * curation/packing. Every document is assigned a shard by a salted
+    * md5 hash (deterministic and append-stable — re-running the
+    * pipeline, or adding documents, never moves an existing doc to a
+    * different shard) and the manifest rolls each shard up to what a
+    * loader plans with: document count, token budget, and the shard's
+    * FIRST document under the hash order (c5's shuffle-key order —
+    * pinning it in the hash-checked output proves the within-shard
+    * ordering contract, not just the membership).
+    *
+    * Scale shape: assignment is map-only arithmetic on the scan; the
+    * rollup is ONE partially-aggregated exchange of |shards| groups.
+    * No window, no join — at 100 TB the manifest costs a scan. Skew is
+    * structurally absent: shards are hash-balanced (CurationSpec
+    * asserts the balance on the fixture), unlike key-derived grouping.
+    * The first-doc column is min(struct(skey, doc_id)) — the same
+    * argmax-without-a-window idiom as w2/t6. */
+  def shardManifest(spark: SparkSession, dir: String,
+      nShards: Int = ManifestShards): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("skey", Dedup.md5Long(
+        concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+    docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(struct(col("skey"), col("doc_id"))).getField("doc_id").as("first_doc"))
+      .orderBy(col("shard"))
+  }
 }

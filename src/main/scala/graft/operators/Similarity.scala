@@ -87,11 +87,36 @@ object Similarity {
     * mirrors the whole tier byte-for-byte (v1's sibling plan shape:
     * broadcast 1-row query, TakeOrderedAndProject top-k);
     * SimilaritySpec additionally pins recall against the exact tier. */
-  def quantizedTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val qz = embeddings(spark, dir)
+  def quantizedTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
+    quantizedTopKOver(embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         graft.functions.QuantizeVec(col("embedding")).as("q"))
-      .filter(col("q").isNotNull) // zero vectors have no direction (oracle: WHERE nrm > 0)
+      .filter(col("q").isNotNull), // zero vectors have no direction (oracle: WHERE nrm > 0)
+      queryId, k)
+
+  /** Quantize once, land the int8 table — the production ingest step
+    * whose output [[quantizedTopKOverTable]] searches. Returns the
+    * landed path. */
+  def materializeQuantized(spark: SparkSession, dir: String, outPath: String): String = {
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.QuantizeVec(col("embedding")).as("q"))
+      .filter(col("q").isNotNull)
+      .write.mode("overwrite").parquet(outPath)
+    outPath
+  }
+
+  /** Search over an ALREADY-quantized (vec_id, label, q) table — the
+    * production form: at 100 TB quantization runs once at ingest
+    * ([[materializeQuantized]]) and every query scans the int8 column
+    * (~1/4 of the float32 bytes; ScaleProbe records the measured
+    * ratio). The in-plan form above exists so the driver gate
+    * hash-checks quantization itself without a side table. */
+  def quantizedTopKOverTable(spark: SparkSession, path: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame =
+    quantizedTopKOver(spark.read.parquet(path), queryId, k)
+
+  private def quantizedTopKOver(qz: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qv = qz.filter(col("vec_id") === queryId).select(col("q").as("qq"))
     qz.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))

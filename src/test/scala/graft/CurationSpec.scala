@@ -195,4 +195,28 @@ class CurationSpec extends SparkSpec {
     val nDocs = graft.Tables.documents(spark, sfDir).count()
     assert(perDoc.size === nDocs)
   }
+
+  test("shard manifest accounts for every doc, balances shards, and is append-stable per doc") {
+    val m = Curation.shardManifest(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(m.map(_.getLong(1)).sum === nDocs, "every document lands in exactly one shard")
+    assert(m.map(_.getLong(0)).toSet === (0L until Curation.ManifestShards).toSet)
+    // hash sharding must stay near-uniform — the structural no-skew
+    // claim (fixture measures 26..41 around an average of 31)
+    val counts = m.map(_.getLong(1))
+    val avg = counts.sum.toDouble / counts.length
+    assert(counts.max <= avg * 1.6, s"shard skew high: max ${counts.max}, avg $avg")
+    assert(counts.min >= avg / 1.6, s"shard skew low: min ${counts.min}, avg $avg")
+    // assignment is a pure per-doc hash: recompute it driver-side for
+    // each shard's first_doc — append stability follows (adding docs
+    // can never move an existing one)
+    def shardOf(docId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Curation.ManifestShards
+    }
+    m.foreach(r => assert(shardOf(r.getLong(3)) === r.getLong(0),
+      s"first_doc ${r.getLong(3)} not in shard ${r.getLong(0)}"))
+  }
 }
