@@ -82,6 +82,8 @@ object SparkEntry {
     "v2_neardup_top_pairs"    -> ((s, d) => Similarity.nearDupTopPairs(s, d)),
     // int8 (SQ8) quantized search: exact integer scoring, 4x density
     "v7_quantized_topk"       -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    // the quantized tier at the reference's real 1536-dim width
+    "v7b_quantized_wide"      -> ((s, d) => Similarity.quantizedTopKWide(s, d)),
     // batched retrieval: one corpus scan scores the whole query batch
     "v8_batch_topk"           -> ((s, d) => Similarity.batchTopK(s, d)),
     "v3_lsh_topk"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -857,6 +859,34 @@ object SparkEntry {
          scored AS (
            SELECT z.vec_id, z.label,
              list_reduce(list_transform(range(64), j -> z.q[j+1] * qq[j+1]), (x, y) -> x + y) AS iscore
+           FROM qz z, qv WHERE z.vec_id <> 0)
+         SELECT vec_id, label, CAST(iscore AS BIGINT) AS iscore FROM scored
+         ORDER BY iscore DESC, vec_id LIMIT 10""",
+    // v7b: v1w's wide-vector derivation composed with v7's quantization
+    // mirror — elements are already DOUBLE, so no float cast (matching
+    // QuantizeVec's getDouble path exactly)
+    "v7b_quantized_wide" ->
+      """WITH wide AS (
+           SELECT vec_id, label,
+             list_transform(range(1536), j ->
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(j // 4 AS VARCHAR)),
+                      CAST(1 + 8 * (j % 4) AS INTEGER), 8) AS BIGINT)
+                 / 4294967296.0 - 0.5) AS embedding
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(range(1536),
+               j -> embedding[j+1] * embedding[j+1]), (x, y) -> x + y)) AS nrm
+           FROM wide),
+         qz AS (
+           SELECT vec_id, label,
+             list_transform(range(1536),
+               j -> CAST(floor(embedding[j+1] / nrm * 127.0) AS BIGINT)) AS q
+           FROM n WHERE nrm > 0),
+         qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+         scored AS (
+           SELECT z.vec_id, z.label,
+             list_reduce(list_transform(range(1536), j -> z.q[j+1] * qq[j+1]), (x, y) -> x + y) AS iscore
            FROM qz z, qv WHERE z.vec_id <> 0)
          SELECT vec_id, label, CAST(iscore AS BIGINT) AS iscore FROM scored
          ORDER BY iscore DESC, vec_id LIMIT 10""",

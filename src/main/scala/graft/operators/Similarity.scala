@@ -116,7 +116,23 @@ object Similarity {
       queryId: Long = 0L, k: Int = 10): DataFrame =
     quantizedTopKOver(spark.read.parquet(path), queryId, k)
 
-  private def quantizedTopKOver(qz: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** V7b: the quantized tier at the reference's REAL 1536-dim width —
+    * the same cross-engine md5 vector derivation as v1w, quantized.
+    * Proves the int8 behavior (floor discretization at 127 levels,
+    * integer scoring) is oracle-exact at production dimensionality,
+    * where float→int8 is 6 KB → 1.5 KB per vector — the regime where
+    * quantization pays. Same sharing discipline as v1w: the derived
+    * wide frame feeds the query row and the corpus scan once. */
+  def quantizedTopKWide(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val wide = shared(wideEmbeddings(spark, dir))
+    val qz = wide.select(col("vec_id"), col("label"),
+        graft.functions.QuantizeVec(col("embedding")).as("q"))
+      .filter(col("q").isNotNull)
+    materializeAndRelease(quantizedTopKOver(qz, queryId, k), wide)
+  }
+
+  private[graft] def quantizedTopKOver(qz: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qv = qz.filter(col("vec_id") === queryId).select(col("q").as("qq"))
     qz.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))

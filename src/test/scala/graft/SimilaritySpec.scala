@@ -271,6 +271,15 @@ class SimilaritySpec extends SparkSpec {
           assert(m(id) === bruteMap(id), s"$nm sim mismatch for $id at dim=$dim")
         }
       }
+      // the quantized tier must keep the planted near-dup at real width
+      // too — floor discretization at 127 levels cannot lose a ≈1.0
+      // cosine neighbor
+      val quant = Similarity.quantizedTopKOver(
+        e.select(col("vec_id"), col("label"),
+            graft.functions.QuantizeVec(col("embedding")).as("q"))
+          .filter(col("q").isNotNull), qid, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(quant.contains(dupId), s"quantized@10 missed the near-dup at dim=$dim")
     } finally e.unpersist()
   }
 
