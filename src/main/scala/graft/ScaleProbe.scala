@@ -74,15 +74,20 @@ object ScaleProbe {
     // re-applies the div-1000 truncation to the long column).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    // ts ships as nanos-as-long (older testdata) or native timestamp[us]
+    // (current) — offset copies by c microseconds in either encoding.
+    val tsIsLong = ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def tsPlusMicros(c: Int) =
+      if (tsIsLong) (col("ts") + lit(c.toLong * 1000L)).as("ts")
+      else expr(s"timestampadd(MICROSECOND, $c, ts)").as("ts")
     val scaledEv = (0 until k).map { c =>
       if (denseEvents)
         // same users, k× events each: copies offset by c MICROSECONDS
-        // (ts is a raw nanos long here) stay inside the same horizon
-        // windows, so in-band density — and residual pair count —
-        // truly multiplies
+        // stay inside the same horizon windows, so in-band density —
+        // and residual pair count — truly multiplies
         ev.select(
           (col("event_id") + lit(c * Salt)).as("event_id"),
-          (col("ts") + lit(c.toLong * 1000L)).as("ts"),
+          tsPlusMicros(c),
           col("user_id"), col("event_type"), col("value"), col("props"))
       else
         ev.select(
@@ -102,6 +107,7 @@ object ScaleProbe {
     val spark = Tables.withScratch(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,16 +91,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a nanos long (legacy conf) and truncate
-    * to microseconds with integer division — `ts div 1000`, NOT `/1000`
-    * (double division loses precision on 1.7e18-scale nanos) — matching
-    * DuckDB's ns→us truncation so oracle timestamps compare equal. */
+  /** events.ts has shipped as BOTH Parquet TIMESTAMP(NANOS) (older
+    * testdata) and timestamp[us] (current testdata), so the read path
+    * detects the physical type instead of assuming one. With
+    * nanosAsLong=true a NANOS column surfaces as LongType — truncate it
+    * to microseconds with integer division (`ts div 1000`, NOT `/1000`:
+    * double division loses precision on 1.7e18-scale nanos), matching
+    * DuckDB's ns→us truncation. A native timestamp column passes
+    * through untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalize a raw events `ts` column to TIMESTAMP. The testdata has
+    * shipped `ts` in two physical encodings, so every reader (batch AND
+    * streaming — this works on unanalyzed streaming frames too) detects
+    * rather than assumes:
+    *  - Parquet TIMESTAMP(NANOS), surfaced as a nanos LONG under the
+    *    nanosAsLong conf → truncate to micros with integer division
+    *    (`ts div 1000`, NOT `/1000`: double division loses precision on
+    *    1.7e18-scale nanos), matching DuckDB's ns→us truncation.
+    *  - timestamp[us] without UTC adjustment, surfaced as TIMESTAMP_NTZ
+    *    → cast to TIMESTAMP. Under the UTC session tz every entry point
+    *    pins, the cast is value-preserving and matches DuckDB's naive
+    *    read. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -37,12 +37,12 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory: stream the sf dir, globbed to
-    // the events table file.
-    val stream = spark.readStream
+    // the events table file. ts encoding varies by testdata vintage —
+    // Tables.normalizeEventTs detects and normalizes to TIMESTAMP.
+    val stream = Tables.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
       .withWatermark("ts", "10 minutes")
       .groupBy(
         window(col("ts"), "1 hour").getField("start").as("hour_start"),
@@ -96,8 +96,7 @@ object EventsStream {
     val schema = spark.read.option("pathGlobFilter", globFilter).parquet(dir).schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", globFilter)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val deduped = reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = Tables.normalizeEventTs(reader.parquet(dir))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -141,9 +140,9 @@ object EventsStream {
       s"viewPurchaseJoinStreaming needs a single-file source (one micro-batch); " +
         s"$srcPath is a directory — size the watermark to its cross-file disorder first")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src(): DataFrame = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src(): DataFrame = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
     val purchases = src().filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "20 minutes")
@@ -294,8 +293,8 @@ object EventsStream {
       .schema(schema)
       .option("pathGlobFilter", globFilter)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(dir)
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val stream = Tables.normalizeEventTs(reader.parquet(dir))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, String, Long)]
 
     // flatMapGroupsWithState + Append: a key is EMITTED exactly once —
