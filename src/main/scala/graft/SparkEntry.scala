@@ -152,6 +152,15 @@ object SparkEntry {
     "c5_mixture_epochs"       -> ((s, d) => Curation.mixtureEpochs(s, d)),
     // shard assignment + per-shard manifest (the dataloader handoff)
     "c6_shard_manifest"       -> ((s, d) => Curation.shardManifest(s, d)),
+    // c7: per-source caps — exact top-cap per domain WITHOUT a
+    // whole-corpus window (count → broadcast over-cap probe → salted
+    // two-phase top-K); kept_id_sum pins exact membership in the hash
+    "c7_source_caps"          -> ((s, d) => Curation.sourceCaps(s, d)),
+    // j12/j12b: range join, two physical forms against one oracle —
+    // broadcast NLJ for a small interval table, bucket-expansion equi
+    // join for the large-interval-table scale path
+    "j12_range_join"          -> ((s, d) => RangeJoin.bandRollup(s, d)),
+    "j12b_range_bucketed"     -> ((s, d) => RangeJoin.bandRollupBucketed(s, d)),
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
     // j11b: horizon-bucket second equi key — same oracle as j11, so the
@@ -183,6 +192,20 @@ object SparkEntry {
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** Range-join oracle shared by j12 (broadcast NLJ) and j12b (bucket
+    * expansion): a plain BETWEEN join against the band table, inlined
+    * as VALUES from the SAME Scala constant the operator uses. */
+  private val rangeJoinSql: String = {
+    val bands = operators.RangeJoin.PriceBands
+      .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $bands)
+       SELECT b.band, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       FROM orders o JOIN bands b
+         ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+       GROUP BY b.band ORDER BY b.band"""
+  }
 
   /** The fuzzy-link formulation, shared by j7 and its banded j7b form
     * (equality against the SAME oracle proves the second blocking key
@@ -1614,6 +1637,39 @@ object SparkEntry {
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc
          FROM s GROUP BY shard ORDER BY shard""",
+    // c7: the cap's priority reuses t2's hash-checked quality_ppm
+    // expression; QUALIFY row_number keeps top-cap per source (under-cap
+    // sources keep every row, mirroring the pass-through branch);
+    // kept_id_sum pins exact membership, not just counts
+    "c7_source_caps" ->
+      s"""WITH f AS (
+           SELECT doc_id, source,
+             len($toksSql) AS n_tokens,
+             len(list_filter($toksSql,
+               x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
+                       + n_stop / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END AS quality_ppm
+           FROM f),
+         counts AS (SELECT source, COUNT(*) AS n_src FROM scored GROUP BY source),
+         kept AS (
+           SELECT * FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY quality_ppm DESC, doc_id) <= ${operators.Curation.SourceCap})
+         SELECT k.source, COUNT(*) AS n_kept,
+           CAST(c.n_src - COUNT(*) AS BIGINT) AS n_dropped,
+           MIN(k.quality_ppm) AS min_kept_ppm,
+           CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_sum
+         FROM kept k JOIN counts c USING (source)
+         GROUP BY k.source, c.n_src ORDER BY k.source""",
+    // j12/j12b: one BETWEEN-join oracle for both physical forms —
+    // hash equality proves the bucket expansion + residual filter
+    // loses and invents nothing vs the plain non-equi join
+    "j12_range_join" -> rangeJoinSql,
+    "j12b_range_bucketed" -> rangeJoinSql,
     // v6: assignment CTE identical to v5's; the re-estimated centroid
     // divides two exact integers as doubles (see Similarity.kmeansStep).
     "v6_kmeans_step" ->

@@ -19,6 +19,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failed queries land in _errors.json (name -> message) so a crash
+    // is a visible artifact, not a silently-missing scenario — round 7
+    // shipped a "green" correctness file that had quietly lost 21
+    // erroring scenarios. local_verify.py counts these as failures.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,11 +31,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
       // dedup queries persist posting lists for their own plan reuse;
       // drop them so later queries don't run under cache pressure
       spark.catalog.clearCache()
     }
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
+        .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Verify.jsonString(k)}: ${Verify.jsonString(v)}" }
       .mkString("{", ",", "}")

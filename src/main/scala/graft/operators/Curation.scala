@@ -337,4 +337,97 @@ object Curation {
         min(struct(col("skey"), col("doc_id"))).getField("doc_id").as("first_doc"))
       .orderBy(col("shard"))
   }
+
+  // ---------------------------------------------------------------- c7
+
+  /** Documents kept per source by the c7 cap (fixture: 25 docs/source,
+    * so 15 trims 10 per source and every source exercises the over-cap
+    * path). */
+  val SourceCap = 15
+
+  /** Salt fan-out for the two-phase top-K (see sourceCaps). */
+  val CapSalts = 4
+
+  /** c7: per-source document caps — the domain-mixing control a corpus
+    * build applies so no single crawl domain dominates the training mix
+    * (the same per-source discipline as the reference's one-batch-per-
+    * committee ETL loops, scripts/load_donations.py-style, promoted to
+    * a corpus policy). Keeps the top `cap` documents per source under
+    * the deterministic priority (quality_ppm DESC, doc_id ASC) —
+    * quality_ppm is t2's hash-checked scoring expression, so the cap's
+    * priority is itself oracle-pinned.
+    *
+    * Scale shape — the naive form is ONE window over the whole corpus
+    * partitioned by source: a full 100 TB sort-shuffle, and a
+    * mega-domain (a third of a web crawl can be one host) lands in ONE
+    * task. This implementation is exact but never sorts the corpus:
+    *
+    *   1. count docs per source (map-side partial agg → |sources| rows)
+    *      and keep only OVER-CAP sources;
+    *   2. under-cap sources pass through MAP-ONLY (broadcast anti probe
+    *      against the tiny over-cap list);
+    *   3. over-cap documents run a SALTED two-phase top-K: rank within
+    *      (source, salt) and keep ≤cap per salt — the per-task working
+    *      set is ~1/CapSalts of the hot source — then re-rank the
+    *      ≤ cap×CapSalts survivors per source for the exact global
+    *      top-cap (union of per-salt top-K is a superset of global
+    *      top-K, so phase 2 is exact).
+    *
+    *    On real corpora the over-cap set is a handful of mega-domains,
+    *    so the expensive path touches a small fraction of rows and its
+    *    skew is split CapSalts ways (raise CapSalts with domain size;
+    *    AQE's skew splitting covers the rest).
+    *
+    * Output: per-source rollup — kept/dropped counts, the min kept
+    * quality (the admission bar the cap induced), and sum(doc_id) over
+    * the kept set, which pins exact MEMBERSHIP in the hash compare,
+    * not just cardinality. */
+  def sourceCaps(spark: SparkSession, dir: String,
+      cap: Int = SourceCap, salts: Int = CapSalts): DataFrame = {
+    val scored = graft.Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("n_stop", size(filter(TextOps.tokens(col("text")),
+        t => t.isin(TextOps.Stopwords.map(lit): _*))))
+      .withColumn("quality_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(
+            (least(col("n_tokens"), lit(100)) / lit(100.0) * 0.5
+              + col("n_stop") / col("n_tokens").cast("double") * 0.5) * lit(1000000.0))))
+      .select(col("doc_id"), col("source"), col("quality_ppm"))
+
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val overCap = counts.filter(col("n_src") > cap).select(col("source"))
+
+    // map-only pass-through for sources that never hit the cap: anti
+    // probe against the broadcast over-cap list (tiny: one row per
+    // mega-domain)
+    val underDocs = scored.join(broadcast(overCap), Seq("source"), "left_anti")
+    val overDocs = scored.join(broadcast(overCap), Seq("source"), "left_semi")
+
+    // phase 1: per-(source, salt) local top-cap. Salt is derived from
+    // doc_id (deterministic), so re-runs rank identically.
+    val priority = Seq(col("quality_ppm").desc, col("doc_id").asc)
+    val local = overDocs
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("salt")).orderBy(priority: _*)))
+      .filter(col("rn") <= cap)
+    // phase 2: exact global top-cap over the ≤ cap×salts survivors
+    val kept = local
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("source")).orderBy(priority: _*)))
+      .filter(col("rn2") <= cap)
+      .select(col("doc_id"), col("source"), col("quality_ppm"))
+      .unionByName(underDocs)
+
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("quality_ppm")).as("min_kept_ppm"),
+        sum(col("doc_id")).as("kept_id_sum"))
+      .join(counts, Seq("source"))
+      .select(col("source"), col("n_kept"),
+        (col("n_src") - col("n_kept")).as("n_dropped"),
+        col("min_kept_ppm"), col("kept_id_sum"))
+      .orderBy(col("source"))
+  }
 }

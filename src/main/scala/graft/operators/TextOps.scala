@@ -56,7 +56,7 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Quality scoring: length, punctuation density, stopword ratio —
     * the standard cheap filters applied before LLM training ingestion.

@@ -196,6 +196,44 @@ class CurationSpec extends SparkSpec {
     assert(perDoc.size === nDocs)
   }
 
+  test("source caps (c7) equal the naive whole-corpus window, any salt fan-out") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cap = Curation.SourceCap
+    val out = Curation.sourceCaps(spark, sfDir01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 <= cap), "a source exceeded the cap")
+    // the salted two-phase form is EXACT: identical to salts=1 (which
+    // degenerates to the naive single-window ranking)
+    val oneSalt = Curation.sourceCaps(spark, sfDir01, salts = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val manySalts = Curation.sourceCaps(spark, sfDir01, salts = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out === oneSalt)
+    assert(out === manySalts)
+    // kept + dropped accounts for every document of every source
+    val srcCounts = Tables.documents(spark, sfDir01)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, kept, dropped, _, _) =>
+      assert(kept + dropped === srcCounts(src), s"$src kept+dropped != total")
+    }
+  }
+
+  test("source caps: under-cap sources pass through untouched") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.sourceCaps(spark, sfDir01, cap = 1000000)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(out.forall(_._2 === 0L), "nothing may be dropped under a huge cap")
+    val idSums = Tables.documents(spark, sfDir01)
+      .groupBy(col("source")).agg(sum(col("doc_id")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, _, keptSum) =>
+      assert(keptSum === idSums(src), s"$src pass-through changed membership")
+    }
+  }
+
   test("shard manifest accounts for every doc, balances shards, and is append-stable per doc") {
     val m = Curation.shardManifest(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()

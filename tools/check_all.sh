@@ -19,6 +19,25 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/check_verify" \
 grep -E '\[verify\]' /tmp/check_verify.log || true
 python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/check_verify | tail -3
 
+echo "=== scenario-set regression vs latest CORRECTNESS artifact ==="
+# round 7 regressed 21 scenarios invisibly: queries that crash produce
+# no output dir, and a correctness artifact built from the survivors
+# still reads "0 mismatches". Fail if any scenario present in the most
+# recent CORRECTNESS_r*.json is absent from this run's output set.
+python3 - <<'EOF'
+import glob, json, os, sys
+arts = sorted(glob.glob('CORRECTNESS_r*.json'))
+if not arts:
+    print('no prior CORRECTNESS artifact; skipping diff'); sys.exit(0)
+prior = set(json.load(open(arts[-1])).keys())
+now = {os.path.basename(p) for p in glob.glob('/tmp/check_verify/*') if os.path.isdir(p)}
+missing = sorted(prior - now)
+if missing:
+    print(f'FAIL: {len(missing)} scenario(s) in {arts[-1]} missing from this run: {missing}')
+    sys.exit(1)
+print(f'ok: all {len(prior)} scenarios from {arts[-1]} present ({len(now)} total now)')
+EOF
+
 echo "=== bench @ sf0.1 ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '\{"metric".*\}$' | tee /tmp/check_bench.json | python3 -c "

@@ -65,6 +65,14 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = n_rows_only = 0
+    # queries that crashed inside graft.Verify are recorded in
+    # _errors.json rather than silently missing from the output set
+    err_path = f"{out_dir}/_errors.json"
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            for name, msg in sorted(json.load(f).items()):
+                print(f"  ✗ {name}: QUERY CRASHED IN VERIFY: {msg}")
+                n_fail += 1
     produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
     for name in sorted(produced):
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
