@@ -137,6 +137,10 @@ object SparkEntry {
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
     "j2b_bucketed_join"       -> ((s, d) => Bucketing.bucketedPriorityRevenue(s, d)),
     "v2b_neardup_bucketed"    -> ((s, d) => Similarity.nearDupTopPairsBucketed(s, d)),
+    // v2c: int8-prefiltered near-dup against v2's EXACT oracle — the
+    // hash proves the quantized candidate tier + stored-correction
+    // bound loses nothing (the self-join runs on 1/4 the bytes)
+    "v2c_neardup_quantized"   -> ((s, d) => Similarity.nearDupTopPairsQuantized(s, d)),
     "c1_corpus_curation"      -> ((s, d) => Curation.curate(s, d)),
     // c1b: the pair frame billed once — CC clustering + keep-one-per-
     // component survivors, chained with the quality/dedup/split stages
@@ -192,6 +196,23 @@ object SparkEntry {
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** Exact within-label near-dup top-k, shared by v2 (exact all-pairs)
+    * and v2c (int8-prefiltered candidates + exact re-rank) — equality
+    * against the SAME oracle proves the quantized tier lossless. */
+  private val nearDupSql: String =
+    """WITH scored AS (
+         SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+           list_reduce(list_transform(range(64),
+             j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(64),
+                j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(a.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(64),
+                j -> CAST(b.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id)
+       SELECT label, a_id, b_id, round(sim, 6) AS sim_r FROM scored
+       ORDER BY sim DESC, a_id, b_id LIMIT 20"""
 
   /** Range-join oracle shared by j12 (broadcast NLJ) and j12b (bucket
     * expansion): a plain BETWEEN join against the band table, inlined
@@ -933,19 +954,10 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rk, vec_id, label, round(sim, 6) AS sim_r
          FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
-    "v2_neardup_top_pairs" ->
-      """WITH scored AS (
-           SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-             list_reduce(list_transform(range(64),
-               j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(64),
-                  j -> CAST(a.embedding[j+1] AS DOUBLE) * CAST(a.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(range(64),
-                  j -> CAST(b.embedding[j+1] AS DOUBLE) * CAST(b.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
-           FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id < b.vec_id)
-         SELECT label, a_id, b_id, round(sim, 6) AS sim_r FROM scored
-         ORDER BY sim DESC, a_id, b_id LIMIT 20""",
+    "v2_neardup_top_pairs" -> nearDupSql,
+    // v2c: the quantized-prefilter tier shares v2's oracle verbatim —
+    // hash equality proves the int8 candidate bound lossless
+    "v2c_neardup_quantized" -> nearDupSql,
     // v2b: near-dup pairs within (label, LSH bucket) cells — the skew
     // escape hatch for oversized label blocks. Bucket derivation is
     // identical to v3's (same md5 plane matrix), kept in lockstep.

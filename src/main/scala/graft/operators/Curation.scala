@@ -395,7 +395,11 @@ object Curation {
               + col("n_stop") / col("n_tokens").cast("double") * 0.5) * lit(1000000.0))))
       .select(col("doc_id"), col("source"), col("quality_ppm"))
 
-    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // |sources| rows, consumed by THREE branches (over-cap probe ×2 and
+    // the final rollup join) — billed once via the cache discipline so
+    // the corpus' source column is not re-scanned per branch
+    val counts = CacheOps.shared(
+      scored.groupBy(col("source")).agg(count(lit(1)).as("n_src")))
     val overCap = counts.filter(col("n_src") > cap).select(col("source"))
 
     // map-only pass-through for sources that never hit the cap: anti
@@ -420,7 +424,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("quality_ppm"))
       .unionByName(underDocs)
 
-    kept.groupBy(col("source"))
+    val out = kept.groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
         min(col("quality_ppm")).as("min_kept_ppm"),
         sum(col("doc_id")).as("kept_id_sum"))
@@ -429,5 +433,6 @@ object Curation {
         (col("n_src") - col("n_kept")).as("n_dropped"),
         col("min_kept_ppm"), col("kept_id_sum"))
       .orderBy(col("source"))
+    CacheOps.materializeAndRelease(out, counts)
   }
 }

@@ -219,6 +219,81 @@ object Similarity {
     materializeAndRelease(result, e)
   }
 
+  /** Admission bar for v2c's quantized prefilter: sound as long as the
+    * exact kth-best within-label cosine is ≥ this (fixture 20th-best is
+    * 0.355; the operator REQUIRES the invariant at runtime — loud, not
+    * lucky). */
+  val QuantPrefilterTau = 0.3
+
+  /** V2c: near-dup pairs with an int8-QUANTIZED candidate tier — the
+    * composition of the v7 quantization ingest with v2's exact top-k,
+    * kept EXACT by a provable error bound (hash-checked against v2's
+    * own oracle).
+    *
+    * Bound (per-pair, FAISS-style stored correction): with
+    * qᵢ = floor(127·uᵢ) and eᵢ = 127·uᵢ − qᵢ ∈ [0,1),
+    *
+    *   127²·cos(a,b) = S + Σ qaᵢ·ebᵢ + Σ qbᵢ·eaᵢ + Σ eaᵢ·ebᵢ
+    *                 ≤ S + posᵃ + posᵇ + d
+    *
+    * where S is the integer dot product and pos = Σ max(qᵢ,0) is a
+    * per-VECTOR correction computed once at quantization time (eᵢ < 1,
+    * so Σqaᵢebᵢ ≤ posᵃ; eaᵢebᵢ < 1 per slot). A pair can reach
+    * cos ≥ τ only if S + posᵃ + posᵇ + d ≥ 127²τ — everything below
+    * that is pruned WITHOUT touching float data, and the bound makes
+    * the pruning lossless (≈0.06 cosine slack at d=64, half the
+    * generic ±2·127·√d bound because the correction is per-vector).
+    *
+    * Scale shape: the all-pairs label-blocked join — the expensive
+    * stage — runs entirely on int8 (¼ the shuffle bytes of float32) +
+    * one long; only SURVIVING pairs fetch their float vectors back by
+    * id for exact scoring, so at 100 TB the float column is read for a
+    * vanishing fraction of pairs. Soundness is conditional on the
+    * admission bar τ₀ sitting at or below the true kth-best similarity;
+    * the operator verifies that from its own k-row output and REFUSES
+    * (require) rather than silently under-reporting — lower τ₀ (or fall
+    * back to v2) if a corpus ever trips it. */
+  def nearDupTopPairsQuantized(spark: SparkSession, dir: String, k: Int = 20,
+      tau0: Double = QuantPrefilterTau): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val dim = 64
+    val e = shared(embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.QuantizeVec(col("embedding")).as("q"))
+      .filter(col("q").isNotNull)
+      .withColumn("pos", aggregate(col("q"), lit(0L),
+        (acc, x) => acc + greatest(x.cast("long"), lit(0L)))))
+    // candidate tier: int8-only self-join within label blocks
+    val qa = e.select(col("vec_id").as("a_id"), col("label"),
+      col("q").as("qa"), col("pos").as("pos_a"))
+    val qb = e.select(col("vec_id").as("b_id"), col("label"),
+      col("q").as("qb"), col("pos").as("pos_b"))
+    val cutScore = math.ceil(127.0 * 127.0 * tau0).toLong
+    val cand = qa.join(qb, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.functions.VecDotInt(col("qa"), col("qb"))
+        + col("pos_a") + col("pos_b") + lit(dim.toLong) >= cutScore)
+      .select(col("label"), col("a_id"), col("b_id"))
+    // exact re-rank: only survivors fetch their float vectors
+    val fa = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val fb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val result = cand
+      .join(fa, Seq("a_id")).join(fb, Seq("b_id"))
+      .withColumn("sim", Vectors.cosine(col("a_emb"), col("b_emb")))
+      .orderBy(desc("sim"), col("a_id"), col("b_id"))
+      .limit(k)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+    val out = materializeAndRelease(result, e)
+    // soundness guard: the admission bar must sit at/below the kth-best
+    // similarity or the prefilter MAY have pruned a top-k pair
+    val sims = out.select(col("sim_r")).collect().map(_.getDouble(0))
+    require(sims.length >= k && sims.min >= tau0,
+      s"quantized prefilter admission bar tau0=$tau0 is not below the " +
+        s"kth-best similarity (got ${sims.length} rows, min ${if (sims.isEmpty) "-" else sims.min}); " +
+        "lower tau0 or use nearDupTopPairs (exact)")
+    out
+  }
+
   // 4 planes → 16 buckets: at 500-5000 vectors this keeps ~30-300
   // candidates per bucket, enough for a top-10 re-rank. Scale the plane
   // count with corpus size (buckets ≈ N / desired-candidates).

@@ -301,6 +301,36 @@ class SimilaritySpec extends SparkSpec {
       "top near-dup pair lost by sub-bucketing")
   }
 
+  test("quantized-prefilter near-dup (v2c) equals the exact tier, and the guard is loud") {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity.nearDupTopPairs(spark, sfDir01)
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val quant = Similarity.nearDupTopPairsQuantized(spark, sfDir01)
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(quant === exact, "prefiltered top-k diverged from the exact tier")
+    // an admission bar above the kth-best similarity must fail LOUDLY,
+    // never silently under-report
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupTopPairsQuantized(spark, sfDir01, tau0 = 0.99)
+    }
+    assert(e.getMessage.contains("admission bar"))
+    // the stored-correction bound must actually prune: count surviving
+    // candidate pairs vs all within-label pairs
+    val emb = Tables.embeddings(spark, sfDir01)
+      .select(col("vec_id"), col("label"),
+        graft.functions.QuantizeVec(col("embedding")).as("q"))
+      .withColumn("pos", aggregate(col("q"), lit(0L),
+        (acc, x) => acc + greatest(x.cast("long"), lit(0L))))
+    val a = emb.select(col("vec_id").as("a_id"), col("label"), col("q").as("qa"), col("pos").as("pos_a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("label"), col("q").as("qb"), col("pos").as("pos_b"))
+    val allPairs = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+    val total = allPairs.count()
+    val kept = allPairs.filter(graft.functions.VecDotInt(col("qa"), col("qb"))
+      + col("pos_a") + col("pos_b") + lit(64L)
+      >= math.ceil(127.0 * 127.0 * Similarity.QuantPrefilterTau).toLong).count()
+    assert(kept < total / 2, s"prefilter kept $kept of $total pairs — bound too loose to pay for itself")
+  }
+
   test("near-dup top pairs are within-label, deduped, sorted desc") {
     val rows = Similarity.nearDupTopPairs(spark, sfDir, k = 20).collect()
     assert(rows.length === 20)
