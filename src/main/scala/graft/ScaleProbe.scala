@@ -175,7 +175,17 @@ object ScaleProbe {
         if (!new java.io.File(q8).exists())
           operators.Similarity.materializeQuantized(s, d, q8)
         operators.Similarity.quantizedTopKOverTable(s, q8)
-      }))
+      }),
+      // round-8 additions. c7: the salted corpus multiplies docs per
+      // source (sources constant), the adversarial regime for the cap —
+      // wall must stay linear because phase 1 ranks within (source,
+      // salt) cells and WindowGroupLimit truncates to cap per cell
+      // before the phase-2 exchange.
+      "c7_source_caps"       -> (operators.Curation.sourceCaps(_, _)),
+      // v2c: label count grows with the salted corpus (block size
+      // constant), so candidate pairs grow linearly; the int8 prefilter
+      // must keep the float re-rank bounded by survivors
+      "v2c_neardup_quantized" -> (operators.Similarity.nearDupTopPairsQuantized(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
