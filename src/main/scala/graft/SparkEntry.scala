@@ -165,6 +165,10 @@ object SparkEntry {
     // join for the large-interval-table scale path
     "j12_range_join"          -> ((s, d) => RangeJoin.bandRollup(s, d)),
     "j12b_range_bucketed"     -> ((s, d) => RangeJoin.bandRollupBucketed(s, d)),
+    // s19: CDC-style snapshot diff — corpus v2 derived deterministically
+    // (delete/rewrite/add by md5 bucket), classified by a digest-only
+    // full-outer compare; id_sum pins exact membership of every class
+    "s19_release_diff"        -> ((s, d) => SnapshotDiff.releaseDiff(s, d)),
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
     // j11b: horizon-bucket second equi key — same oracle as j11, so the
@@ -1677,6 +1681,34 @@ object SparkEntry {
            CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_sum
          FROM kept k JOIN counts c USING (source)
          GROUP BY k.source, c.n_src ORDER BY k.source""",
+    // s19: the oracle derives the SAME v2 snapshot (md5-bucket
+    // delete/rewrite/add) and classifies by direct value comparison —
+    // proving the Spark side's digest compare equivalent to comparing
+    // the payloads themselves
+    "s19_release_diff" ->
+      s"""WITH b AS (
+           SELECT doc_id, text, lang, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % ${operators.SnapshotDiff.DeriveBuckets} AS bkt
+           FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN bkt = 1 THEN text || ' [rev2]' ELSE text END AS text,
+             lang, source FROM b WHERE bkt <> 0
+           UNION ALL
+           SELECT doc_id + ${operators.SnapshotDiff.AddOffset},
+             text || ' [new]', lang, source FROM b WHERE bkt = 2),
+         d AS (
+           SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'inserted'
+                  WHEN n.doc_id IS NULL THEN 'deleted'
+                  WHEN o.text IS NOT DISTINCT FROM n.text
+                   AND o.lang IS NOT DISTINCT FROM n.lang
+                   AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
+                  ELSE 'updated' END AS op
+           FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+         SELECT op, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM d GROUP BY op ORDER BY op""",
     // j12/j12b: one BETWEEN-join oracle for both physical forms —
     // hash equality proves the bucket expansion + residual filter
     // loses and invents nothing vs the plain non-equi join
