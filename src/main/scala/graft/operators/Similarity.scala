@@ -284,12 +284,18 @@ object Similarity {
       .limit(k)
       .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
     val out = materializeAndRelease(result, e)
-    // soundness guard: the admission bar must sit at/below the kth-best
-    // similarity or the prefilter MAY have pruned a top-k pair
+    // soundness guard: with a full page, the admission bar must sit
+    // at/below the kth-best similarity or the prefilter MAY have pruned
+    // a top-k pair. A SHORT page means the corpus has fewer than k
+    // candidates above the bar — pruned pairs could then belong in the
+    // page, so fall back to the exact tier (degenerate corpora only;
+    // the exact all-pairs cost is what the corpus size just proved
+    // affordable).
     val sims = out.select(col("sim_r")).collect().map(_.getDouble(0))
-    require(sims.length >= k && sims.min >= tau0,
+    if (sims.length < k) return nearDupTopPairs(spark, dir, k)
+    require(sims.min >= tau0,
       s"quantized prefilter admission bar tau0=$tau0 is not below the " +
-        s"kth-best similarity (got ${sims.length} rows, min ${if (sims.isEmpty) "-" else sims.min}); " +
+        s"kth-best similarity (min ${sims.min}); " +
         "lower tau0 or use nearDupTopPairs (exact)")
     out
   }

@@ -46,16 +46,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.stratifiedSample(spark, emptyDir).count() === 0)
     assert(Curation.mixtureEpochs(spark, emptyDir).count() === 0)
     assert(Curation.sequencePacking(spark, emptyDir).count() === 0)
+    assert(Curation.sourceCaps(spark, emptyDir).count() === 0)
+    assert(SnapshotDiff.releaseDiff(spark, emptyDir).count() === 0)
   }
 
   test("similarity tier returns empty frames on empty embeddings") {
     assert(Similarity.cosineTopK(spark, emptyDir).count() === 0)
     assert(Similarity.nearDupTopPairs(spark, emptyDir).count() === 0)
+    assert(Similarity.nearDupTopPairsQuantized(spark, emptyDir).count() === 0)
     assert(Similarity.lshTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfTopK(spark, emptyDir).count() === 0)
     assert(Similarity.kmeansStep(spark, emptyDir).count() === 0)
     assert(Similarity.quantizedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.batchTopK(spark, emptyDir).count() === 0)
+  }
+
+  test("range join returns empty rollups on empty orders") {
+    assert(RangeJoin.bandRollup(spark, emptyDir).count() === 0)
+    assert(RangeJoin.bandRollupBucketed(spark, emptyDir).count() === 0)
   }
 
   test("layout tier survives empty inputs (empty range write, empty evolved batches)") {

@@ -308,12 +308,19 @@ class SimilaritySpec extends SparkSpec {
     val quant = Similarity.nearDupTopPairsQuantized(spark, sfDir01)
       .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(quant === exact, "prefiltered top-k diverged from the exact tier")
-    // an admission bar above the kth-best similarity must fail LOUDLY,
-    // never silently under-report
-    val e = intercept[IllegalArgumentException] {
-      Similarity.nearDupTopPairsQuantized(spark, sfDir01, tau0 = 0.99)
+    // an admission bar above the kth-best similarity must either fail
+    // LOUDLY (enough candidates for a full page, bar not met) or fall
+    // back to the exact tier (short page) — NEVER silently under-report
+    for (tau <- Seq(0.4, 0.99)) {
+      try {
+        val r = Similarity.nearDupTopPairsQuantized(spark, sfDir01, tau0 = tau)
+          .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        assert(r === exact, s"tau0=$tau returned without exactness")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("admission bar"))
+      }
     }
-    assert(e.getMessage.contains("admission bar"))
     // the stored-correction bound must actually prune: count surviving
     // candidate pairs vs all within-label pairs
     val emb = Tables.embeddings(spark, sfDir01)
