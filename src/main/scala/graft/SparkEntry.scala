@@ -169,6 +169,9 @@ object SparkEntry {
     // (delete/rewrite/add by md5 bucket), classified by a digest-only
     // full-outer compare; id_sum pins exact membership of every class
     "s19_release_diff"        -> ((s, d) => SnapshotDiff.releaseDiff(s, d)),
+    // s19b: changelog -> apply reconstructs the release; the oracle
+    // derives v2 directly, so the hash proves the round-trip exact
+    "s19b_changelog_apply"    -> ((s, d) => SnapshotDiff.changelogApply(s, d)),
     "v6_kmeans_step"          -> ((s, d) => Similarity.kmeansStep(s, d)),
     "j11_asof_join"           -> ((s, d) => AsofJoin.viewBeforePurchase(s, d)),
     // j11b: horizon-bucket second equi key — same oracle as j11, so the
@@ -1709,6 +1712,26 @@ object SparkEntry {
            FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
          SELECT op, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM d GROUP BY op ORDER BY op""",
+    // s19b: the oracle NEVER sees the changelog — it derives v2
+    // directly and rolls up; the Spark side must reconstruct v2 from
+    // v1 + changelog to match
+    "s19b_changelog_apply" ->
+      s"""WITH b AS (
+           SELECT doc_id, text, lang, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % ${operators.SnapshotDiff.DeriveBuckets} AS bkt
+           FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN bkt = 1 THEN text || ' [rev2]' ELSE text END AS text,
+             lang, source FROM b WHERE bkt <> 0
+           UNION ALL
+           SELECT doc_id + ${operators.SnapshotDiff.AddOffset},
+             text || ' [new]', lang, source FROM b WHERE bkt = 2)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM v2 GROUP BY lang ORDER BY lang""",
     // j12/j12b: one BETWEEN-join oracle for both physical forms —
     // hash equality proves the bucket expansion + residual filter
     // loses and invents nothing vs the plain non-equi join

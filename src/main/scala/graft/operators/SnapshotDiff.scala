@@ -86,4 +86,49 @@ object SnapshotDiff {
       .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("op"))
   }
+
+  /** Changelog: the diff WITH the new-side payload attached — the
+    * shippable artifact of a release compare (deleted rows carry null
+    * values; `unchanged` rows are omitted, so the log's size is the
+    * CHANGE volume, not the corpus). Same exchange discipline as
+    * [[diff]]: old-side payloads never shuffle; the new side ships
+    * payloads only for rows that changed. */
+  def changelog(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val d = diff(oldDf, newDf, keyCols, valueCols)
+      .filter(col("op") =!= "unchanged")
+    d.join(newDf.select((keyCols ++ valueCols).map(col): _*), keyCols, "left")
+      .select(keyCols.map(col) ++ (col("op") +: valueCols.map(col)): _*)
+  }
+
+  /** Apply a changelog to the old snapshot — the MERGE-from-changelog
+    * form of incremental corpus sync (on a table format the body is one
+    * transactional MERGE INTO; this is the same full-outer discipline
+    * as MergeOps). Keys in the log leave the old snapshot (anti join);
+    * non-deleted log rows come back with their new payload. One shuffle
+    * on the key, sized by |old| + |changes| — re-applying a shipped
+    * changelog never rescans the new corpus. */
+  def applyChanges(oldDf: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val cols = (keyCols ++ valueCols).map(col)
+    oldDf.select(cols: _*)
+      .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(changes.filter(col("op") =!= "deleted").select(cols: _*))
+  }
+
+  /** s19b gate: reconstruct v2 as v1 + changelog, then roll up per
+    * lang (rows, text bytes, key-sum). The oracle derives v2 DIRECTLY
+    * and computes the same rollup — hash equality proves
+    * changelog→apply reconstructs the release exactly. */
+  def changelogApply(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = graft.Tables.documents(spark, dir)
+    val v2 = nextRelease(v1)
+    val keys = Seq("doc_id"); val vals = Seq("text", "lang", "source")
+    val applied = applyChanges(v1, changelog(v1, v2, keys, vals), keys, vals)
+    applied.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("text_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
 }

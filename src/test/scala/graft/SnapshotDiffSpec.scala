@@ -34,6 +34,23 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got === Seq("updated"), "shifted field boundary must read as a change")
   }
 
+  test("changelog -> apply reconstructs the new snapshot row-for-row") {
+    val keys = Seq("doc_id"); val vals = Seq("text", "lang", "source")
+    val v1 = Tables.documents(spark, sfDir01)
+    val v2 = SnapshotDiff.nextRelease(v1)
+    val log = SnapshotDiff.changelog(v1, v2, keys, vals)
+    // the log carries ONLY changes — its size is the change volume
+    val opsN = SnapshotDiff.releaseDiff(spark, sfDir01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(log.count() ===
+      opsN("deleted") + opsN("inserted") + opsN("updated"))
+    val applied = SnapshotDiff.applyChanges(v1, log, keys, vals)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val expected = v2.select((keys ++ vals).map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(applied === expected)
+  }
+
   test("release diff accounts for every row of both snapshots") {
     val v1 = Tables.documents(spark, sfDir01)
     val v2 = SnapshotDiff.nextRelease(v1)
