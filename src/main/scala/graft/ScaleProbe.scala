@@ -185,7 +185,10 @@ object ScaleProbe {
       // v2c: label count grows with the salted corpus (block size
       // constant), so candidate pairs grow linearly; the int8 prefilter
       // must keep the float re-rank bounded by survivors
-      "v2c_neardup_quantized" -> (operators.Similarity.nearDupTopPairsQuantized(_, _)))
+      "v2c_neardup_quantized" -> (operators.Similarity.nearDupTopPairsQuantized(_, _)),
+      // s19: the digest-only compare must track corpus size linearly —
+      // the exchange carries (key, digest), never text
+      "s19_release_diff"     -> (operators.SnapshotDiff.releaseDiff(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

@@ -384,6 +384,15 @@ object Curation {
     * not just cardinality. */
   def sourceCaps(spark: SparkSession, dir: String,
       cap: Int = SourceCap, salts: Int = CapSalts): DataFrame = {
+    val (out, counts) = sourceCapsFrames(spark, dir, cap, salts)
+    CacheOps.materializeAndRelease(out, counts)
+  }
+
+  /** The un-materialized (result, cached counts) pair — PlanSpec
+    * asserts the physical shape on the result before checkpointing
+    * erases it; callers must release `counts`. */
+  private[graft] def sourceCapsFrames(spark: SparkSession, dir: String,
+      cap: Int = SourceCap, salts: Int = CapSalts): (DataFrame, DataFrame) = {
     val scored = graft.Tables.documents(spark, dir)
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
       .withColumn("n_stop", size(filter(TextOps.tokens(col("text")),
@@ -433,6 +442,6 @@ object Curation {
         (col("n_src") - col("n_kept")).as("n_dropped"),
         col("min_kept_ppm"), col("kept_id_sum"))
       .orderBy(col("source"))
-    CacheOps.materializeAndRelease(out, counts)
+    (out, counts)
   }
 }

@@ -68,10 +68,11 @@ object SnapshotDiff {
       .withColumn("text",
         when(bucketOf(col("doc_id")) === 1, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")))
+    // withColumn (not select) keeps whatever extra columns the corpus
+    // carries — the probe's salted corpus has no n_chars
     val added = docs.filter(b === 2)
-      .select((col("doc_id") + AddOffset).as("doc_id"),
-        concat(col("text"), lit(" [new]")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+      .withColumn("doc_id", col("doc_id") + AddOffset)
+      .withColumn("text", concat(col("text"), lit(" [new]")))
     kept.unionByName(added)
   }
 

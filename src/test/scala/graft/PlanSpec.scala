@@ -207,4 +207,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query batch not broadcast:\n$p")
   }
+
+  test("c7 source caps: salted two-phase rank plans WindowGroupLimits, probes broadcast") {
+    // both rank phases must truncate to cap BEFORE their exchange
+    // (partial WindowGroupLimit per map partition), and the over-cap
+    // source list must reach the corpus as a broadcast probe — a
+    // shuffled semi/anti join here would mean the whole corpus pays a
+    // key exchange just to learn which sources are hot
+    val (frame, counts) = graft.operators.Curation.sourceCapsFrames(spark, sfDir)
+    val p = plan(frame)
+    counts.unpersist(true)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final group limits for both rank phases:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"over-cap probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffled join:\n$p")
+  }
+
+  test("s19 release diff: the exchange carries digests, never the text payload") {
+    // the full-outer compare must project (doc_id, digest) below its
+    // exchange — text reaching the shuffle would defeat the design
+    val df = graft.operators.SnapshotDiff.releaseDiff(spark, sfDir)
+    val p = plan(df)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exchangeIdx >= 0, s"no key exchange for the compare:\n$p")
+    assert(p.contains("md5"), s"digest not computed in-plan:\n$p")
+  }
 }
