@@ -35,6 +35,101 @@ trait CommitProtocol {
       tablePath: String, dirNames: Seq[String]): Unit
 }
 
+/** Optimistic-concurrency commit through a transaction log — the
+  * multi-writer half of the seam, in miniature (the structure a table
+  * format provides; public Delta/Iceberg design, reimplemented
+  * independently).
+  *
+  * Table state gains a `_log/` directory of versioned commit records
+  * `v<k>.json`, each listing the partitions its commit replaced.
+  * Committing:
+  *
+  *   1. read the current tip version N;
+  *   2. CONFLICT CHECK — any record in (base, N] touching one of this
+  *      writer's partitions is a true write-write conflict on the same
+  *      partition: abort loudly (re-deriving the staged content from
+  *      the new table state is the caller's retry, same as a failed
+  *      Delta REPLACE WHERE);
+  *   3. claim version N+1 by ATOMIC create-if-absent of its log file
+  *      — the CAS. Losing the race (file exists) re-reads the tip and
+  *      loops: disjoint writers serialize without data rewrites;
+  *   4. owning N+1, publish the staged partition dirs by rename and
+  *      drop the staging dir.
+  *
+  * Atomicity contract: create-if-absent and rename are atomic on
+  * HDFS-like filesystems (and the local FS closely enough for the
+  * spec's deterministic schedules); S3 needs a conditional-put or
+  * lock-table implementation of step 3 — exactly the seam a table
+  * format's LogStore abstracts.
+  *
+  * Scope: conflict detection is per-PARTITION (the granularity these
+  * writers stage at), and readers still see plain partition dirs —
+  * the log serializes writers without changing the read path. A crash
+  * between steps 3 and 4 leaves a claimed version whose renames are
+  * incomplete; recovery (replaying the claimed record's staged dirs)
+  * is the redo-log discipline a production log implements, noted here
+  * as the boundary rather than hidden. */
+class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
+    extends CommitProtocol {
+  import org.apache.hadoop.fs.Path
+
+  override def commitPartitions(spark: SparkSession, stagingPath: String,
+      tablePath: String, dirNames: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(hconf)
+    val log = new Path(table, "_log")
+    fs.mkdirs(log)
+    def records(): Seq[(Long, Set[String])] =
+      fs.listStatus(log).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map { n =>
+          val v = n.stripPrefix("v").stripSuffix(".json").toLong
+          val p = new Path(log, n)
+          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(0, buf) finally in.close()
+          val body = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          v -> "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+        }.sortBy(_._1)
+    val base = if (baseVersion >= 0) baseVersion else records().lastOption.map(_._1).getOrElse(0L)
+    var attempt = 0
+    while (true) {
+      val recs = records()
+      val conflicting = recs.filter { case (v, parts) =>
+        v > base && parts.intersect(dirNames.toSet).nonEmpty }
+      require(conflicting.isEmpty,
+        s"write-write conflict: version(s) ${conflicting.map(_._1).mkString(",")} " +
+          s"already replaced partition(s) ${conflicting.flatMap(_._2).toSet.intersect(dirNames.toSet).mkString(",")} " +
+          "since this writer's base — re-derive from the current table state and retry")
+      val next = recs.lastOption.map(_._1).getOrElse(0L) + 1L
+      val claimed =
+        try {
+          val out = fs.create(new Path(log, f"v$next%d.json"), false)
+          out.write(dirNames.map(d => s""""$d"""").mkString("[", ",", "]")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false } // lost the CAS
+      if (claimed) {
+        dirNames.foreach { d =>
+          val src = new Path(stagingPath, d)
+          val dst = new Path(table, d)
+          if (fs.exists(src)) {
+            fs.delete(dst, true)
+            fs.rename(src, dst); ()
+          }
+        }
+        fs.delete(new Path(stagingPath), true)
+        return
+      }
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"lost the version CAS $maxRetries times under contention; giving up")
+    }
+  }
+}
+
 /** Plain-filesystem commit: delete-then-rename per partition dir. */
 object RenameCommit extends CommitProtocol {
   override def commitPartitions(spark: SparkSession, stagingPath: String,

@@ -158,7 +158,9 @@ object MergeOps {
       // swaps in here, see CommitProtocol's scaladoc). Writing staged
       // output (instead of dynamic-overwriting `path`) also sidesteps
       // Spark's overwrite-while-reading restriction.
-      val staging = s"${path}__staging"
+      // unique per writer: concurrent committers (OptimisticLogCommit)
+      // must never share a staging dir
+      val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
       merged.repartition(col("part"))
         .write.mode("overwrite").partitionBy("part").parquet(staging)
       commit.commitPartitions(spark, staging, path,

@@ -180,6 +180,61 @@ class PartitionedSpec extends SparkSpec {
       "compaction must publish exactly the fragmented partitions")
   }
 
+  test("optimistic log commit: disjoint writers serialize; same-partition conflict aborts loudly") {
+    import spark.implicits._
+    import graft.operators.{MergeOps, OptimisticLogCommit}
+    val keys = Seq("user_id", "event_type")
+    val numParts = 8
+    val path = java.nio.file.Files.createTempDirectory("graft_oplog").toString + "/t"
+    val base = (1 to 40).map(i => (s"u$i", "click", i.toLong, i * 1.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+      .withColumn("merge_action", lit("unchanged"))
+    MergeOps.writePartitionedBase(base, path, keys, numParts)
+
+    def partOf(uid: String): Int = Seq((uid, "click")).toDF("user_id", "event_type")
+      .select(pmod(hash(col("user_id"), col("event_type")), lit(numParts)).as("p"))
+      .collect().head.getInt(0)
+    // two users in DIFFERENT partitions, one sharing u7's partition
+    val u7p = partOf("u7")
+    val other = (1 to 40).map(i => s"u$i").find(u => partOf(u) != u7p).get
+    val sameAsU7 = (1 to 40).map(i => s"u$i").find(u => u != "u7" && partOf(u) == u7p)
+
+    // writer A then writer B, disjoint partitions: both commit (v1, v2)
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq(("u7", "click", 70L, 700.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit())
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq((other, "click", 500L, 5.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit())
+    val log = new java.io.File(s"$path/_log").listFiles().map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json")).sorted
+    assert(log.toSeq === Seq("v1.json", "v2.json"), s"expected two committed versions, got ${log.toSeq}")
+    val back = spark.read.parquet(path)
+    assert(back.filter(col("user_id") === "u7").collect().head.getAs[Long]("n_events") === 70L)
+    assert(back.filter(col("user_id") === other).collect().head.getAs[Long]("n_events") === 500L)
+    assert(back.count() === 40)
+
+    // a writer whose base predates v2's commit and touches v2's
+    // partition must abort loudly (write-write conflict), and the
+    // table must be left unchanged by the aborted commit
+    sameAsU7.foreach { u =>
+      // make the conflicting victim: commit something to u7's partition at v3
+      MergeOps.mergeIntoPartitioned(spark, path,
+        Seq(("u7", "click", 71L, 701.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+        keys, numParts, new OptimisticLogCommit())
+      val before = spark.read.parquet(path).count()
+      val e = intercept[IllegalArgumentException] {
+        MergeOps.mergeIntoPartitioned(spark, path,
+          Seq((u, "click", 999L, 9.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+          keys, numParts, new OptimisticLogCommit(baseVersion = 2L))
+      }
+      assert(e.getMessage.contains("write-write conflict"))
+      assert(spark.read.parquet(path).count() === before)
+      assert(spark.read.parquet(path).filter(col("user_id") === u)
+        .collect().head.getAs[Long]("n_events") !== 999L)
+    }
+  }
+
   test("partitioned merge driver form matches the plain full-outer merge") {
     import graft.operators.MergeOps
     val scoped = MergeOps.partitionedMergeUpsert(spark, sfDir)
