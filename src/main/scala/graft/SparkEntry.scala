@@ -153,6 +153,9 @@ object SparkEntry {
     "x7c_rag_answer"          -> ((s, d) => LlmOps.ragAnswer(s, d)),
     "c3_decontamination"      -> ((s, d) => Curation.decontaminate(s, d)),
     "c4_stratified_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
+    // c4b: per-document quality-proportional keep, exact integer
+    // Bernoulli (u32*1e6 < ppm*2^32) — map-only importance sampling
+    "c4b_weighted_sample"     -> ((s, d) => Curation.weightedSample(s, d)),
     "c5_mixture_epochs"       -> ((s, d) => Curation.mixtureEpochs(s, d)),
     // shard assignment + per-shard manifest (the dataloader handoff)
     "c6_shard_manifest"       -> ((s, d) => Curation.shardManifest(s, d)),
@@ -1628,6 +1631,28 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens FROM d
          WHERE bucket % denom = 0
          ORDER BY doc_id""",
+    // c4b: quality-proportional Bernoulli in exact integer arithmetic —
+    // the u32*1e6 < ppm*2^32 compare is the same on both engines
+    "c4b_weighted_sample" ->
+      s"""WITH f AS (
+           SELECT doc_id, lang,
+             len($toksSql) AS n_tokens,
+             len(list_filter($toksSql,
+               x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
+                       + n_stop / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END AS quality_ppm,
+             CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u32
+           FROM f)
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+         FROM scored
+         WHERE u32 * 1000000 < quality_ppm * 4294967296
+         GROUP BY lang ORDER BY lang""",
     "c5_mixture_epochs" ->
       s"""WITH d AS (
            SELECT doc_id, lang,

@@ -270,6 +270,46 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** c4b: QUALITY-WEIGHTED deterministic sampling — keep each document
+    * with probability proportional to its quality score (the
+    * importance-sampling step that shapes a corpus toward its
+    * high-quality tail without a hard cutoff; c4's stratified form
+    * downsamples per language at fixed rates, this one downsamples per
+    * DOCUMENT at its own rate).
+    *
+    * Keep rule: u(doc) < quality_ppm / 10⁶, with u a 32-bit md5-derived
+    * uniform — evaluated in EXACT integer arithmetic
+    * (u32 · 10⁶ < quality_ppm · 2³²; both under 2⁵³, no float edge to
+    * disagree across engines). Membership is a pure function of doc_id,
+    * so re-runs and corpus appends never flip an old decision — the
+    * same append-stability contract as c4/c6 — and the sample is
+    * reproducible from the manifest alone.
+    *
+    * Scale shape: map-only (tokenize + md5 + one integer compare in the
+    * scan stage); the gate's rollup is one |langs|-group partial agg.
+    * At 100 TB the sample IS the scan — no shuffle, no state. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(TextOps.Stopwords.map(lit): _*)))
+    graft.Tables.documents(spark, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(
+            (least(col("n_tokens"), lit(100)) / lit(100.0) * 0.5
+              + nStop / col("n_tokens").cast("double") * 0.5) * lit(1000000.0))))
+      .withColumn("u32",
+        conv(substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("bigint"))
+      .filter(col("u32") * lit(1000000L) < col("quality_ppm") * lit(4294967296L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- c5
 
   /** Per-language epoch counts — upsample tail languages (the mixture

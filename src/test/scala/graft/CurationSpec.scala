@@ -196,6 +196,44 @@ class CurationSpec extends SparkSpec {
     assert(perDoc.size === nDocs)
   }
 
+  test("weighted sample (c4b): membership is the integer Bernoulli, append-stable, quality-monotone") {
+    import org.apache.spark.sql.functions._
+    // recompute membership driver-side from the same derivation
+    val docs = Tables.documents(spark, sfDir01)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("n_stop", size(filter(TextOps.tokens(col("text")),
+        t => t.isin(Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with").map(lit): _*))))
+      .select("doc_id", "lang", "n_tokens", "n_stop")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.filter { case (id, _, nt, ns) =>
+      val ppm = if (nt == 0) 0L
+        else math.floor((math.min(nt, 100) / 100.0 * 0.5 + ns.toDouble / nt * 0.5) * 1e6).toLong
+      val u32 = java.lang.Long.parseLong(md5hex(s"wsamp:$id").take(8), 16)
+      u32 * 1000000L < ppm * 4294967296L
+    }
+    val expByLang = expected.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    val got = Curation.weightedSample(spark, sfDir01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === expByLang.keySet)
+    expByLang.foreach { case (lang, ids) =>
+      assert(got(lang) === ((ids.size.toLong, ids.sum)), s"membership diverged for $lang")
+    }
+    // quality-monotone in aggregate: the kept fraction of the top
+    // quality tercile exceeds the bottom tercile's
+    val scoredAll = docs.map { case (id, _, nt, ns) =>
+      val ppm = if (nt == 0) 0L
+        else math.floor((math.min(nt, 100) / 100.0 * 0.5 + ns.toDouble / nt * 0.5) * 1e6).toLong
+      (id, ppm)
+    }.sortBy(_._2)
+    val keptSet = expected.map(_._1).toSet
+    val n = scoredAll.length
+    val low = scoredAll.take(n / 3); val high = scoredAll.takeRight(n / 3)
+    def rate(xs: Array[(Long, Long)]) = xs.count(x => keptSet(x._1)).toDouble / xs.length
+    assert(rate(high) > rate(low), "higher quality must keep at a higher rate")
+  }
+
   test("source caps (c7) equal the naive whole-corpus window, any salt fan-out") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
