@@ -172,6 +172,10 @@ object SparkEntry {
     // (delete/rewrite/add by md5 bucket), classified by a digest-only
     // full-outer compare; id_sum pins exact membership of every class
     "s19_release_diff"        -> ((s, d) => SnapshotDiff.releaseDiff(s, d)),
+    // a17/a18: per-user sequential analytics — funnels and retention
+    // cohorts, all aggregations co-partitioned on user_id
+    "a17_funnel_stages"       -> ((s, d) => Behavior.funnelStages(s, d)),
+    "a18_retention_cohorts"   -> ((s, d) => Behavior.retentionCohorts(s, d)),
     // s19b: changelog -> apply reconstructs the release; the oracle
     // derives v2 directly, so the hash proves the round-trip exact
     "s19b_changelog_apply"    -> ((s, d) => SnapshotDiff.changelogApply(s, d)),
@@ -1709,6 +1713,41 @@ object SparkEntry {
            CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_sum
          FROM kept k JOIN counts c USING (source)
          GROUP BY k.source, c.n_src ORDER BY k.source""",
+    // a17: the oracle chains the same three strictly-after mins
+    "a17_funnel_stages" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+         SELECT '1_view' AS stage, COUNT(*) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum FROM t1
+         UNION ALL
+         SELECT '2_view_click', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM t2
+         UNION ALL
+         SELECT '3_view_click_purchase', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM t3
+         ORDER BY stage""",
+    // a18: epoch-week arithmetic (floor of epoch micros / week) — no
+    // week-of-year / timezone semantics to disagree on
+    "a18_retention_cohorts" ->
+      """WITH c AS (
+           SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort_week
+           FROM events GROUP BY user_id),
+         cells AS (
+           SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT) - c.cohort_week AS week_offset
+           FROM events e JOIN c ON e.user_id = c.user_id)
+         SELECT cohort_week, week_offset, COUNT(*) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+         FROM cells GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
     // s19: the oracle derives the SAME v2 snapshot (md5-bucket
     // delete/rewrite/add) and classifies by direct value comparison —
     // proving the Spark side's digest compare equivalent to comparing
