@@ -188,7 +188,14 @@ object ScaleProbe {
       "v2c_neardup_quantized" -> (operators.Similarity.nearDupTopPairsQuantized(_, _)),
       // s19: the digest-only compare must track corpus size linearly —
       // the exchange carries (key, digest), never text
-      "s19_release_diff"     -> (operators.SnapshotDiff.releaseDiff(_, _)))
+      "s19_release_diff"     -> (operators.SnapshotDiff.releaseDiff(_, _)),
+      // a17/a18: per-user sequential analytics — linear in users
+      // (default regime salts user_id k×); the dense regime instead
+      // multiplies per-user history, the adversarial case for any
+      // sort-based funnel (this one aggregates, so state stays
+      // per-user-constant)
+      "a17_funnel_stages"    -> (operators.Behavior.funnelStages(_, _)),
+      "a18_retention_cohorts" -> (operators.Behavior.retentionCohorts(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
