@@ -82,7 +82,8 @@ object RangeJoin {
     * extra bucket); the point side computes one bucket; they equi-join
     * on it and the residual BETWEEN trims partial-bucket misses. */
   def bandRollupBucketed(spark: SparkSession, dir: String,
-      width: Double = BucketWidth): DataFrame = {
+      width: Double = BucketWidth,
+      broadcastIntervals: Boolean = true): DataFrame = {
     val expanded = bandsDf(spark)
       .withColumn("bucket", explode(sequence(
         floor(col("lo") / width).cast("long"),
@@ -92,7 +93,13 @@ object RangeJoin {
     val orders = graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
       .withColumn("bucket", floor(col("o_totalprice") / width).cast("long"))
-    val joined = orders.join(broadcast(expanded), Seq("bucket"))
+    // broadcastIntervals=false is the genuinely-large interval table
+    // path: both sides hash-shuffle on bucket (the fixture table is
+    // tiny, but the spec pins that the plan really is a shuffled equi
+    // join, since that claim is the whole point of the bucketed form)
+    val rhs = if (broadcastIntervals) broadcast(expanded)
+      else expanded.hint("shuffle_merge")
+    val joined = orders.join(rhs, Seq("bucket"))
       .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
     rollup(joined)
   }

@@ -28,6 +28,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("non-broadcast bucketed form shuffles both sides and still agrees") {
+    val shuffled = RangeJoin.bandRollupBucketed(spark, sfDir, broadcastIntervals = false)
+    val p = shuffled.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"large-interval-table path must plan a shuffled equi join:\n$p")
+    assert(rows(shuffled) === rows(RangeJoin.bandRollup(spark, sfDir)))
+  }
+
   test("j12 plans a broadcast non-equi join; j12b an equi hash join") {
     val nljPlan = RangeJoin.bandRollup(spark, sfDir)
       .queryExecution.executedPlan.toString
