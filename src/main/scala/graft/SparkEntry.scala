@@ -176,6 +176,9 @@ object SparkEntry {
     // cohorts, all aggregations co-partitioned on user_id
     "a17_funnel_stages"       -> ((s, d) => Behavior.funnelStages(s, d)),
     "a18_retention_cohorts"   -> ((s, d) => Behavior.retentionCohorts(s, d)),
+    // m3: cross-modal pair gate — text quality × embedding coherence
+    // (ppm-floored label centroids, broadcast into the pair scan)
+    "m3_paired_curation"      -> ((s, d) => Multimodal.pairedCuration(s, d)),
     // s19b: changelog -> apply reconstructs the release; the oracle
     // derives v2 directly, so the hash proves the round-trip exact
     "s19b_changelog_apply"    -> ((s, d) => SnapshotDiff.changelogApply(s, d)),
@@ -1713,6 +1716,47 @@ object SparkEntry {
            CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_sum
          FROM kept k JOIN counts c USING (source)
          GROUP BY k.source, c.n_src ORDER BY k.source""",
+    // m3: centroid = per-dim mean of FLOORED-ppm values (exact integer
+    // addends — order-free), cosine via the proven list_reduce mirror;
+    // the confusion split is pinned per class
+    "m3_paired_curation" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             len($toksSql) AS n_tokens,
+             len(list_filter($toksSql,
+               x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
+                       + n_stop / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END AS quality_ppm
+           FROM f),
+         cent AS (
+           SELECT label,
+             list_transform(range(64), j ->
+               list_sum(list_transform(list(embedding), v -> floor(CAST(v[j+1] AS DOUBLE) * 1000000.0)))
+                 / count(*)) AS c
+           FROM embeddings GROUP BY label),
+         p AS (
+           SELECT e.vec_id, e.label, q.quality_ppm,
+             CAST(floor(1000000.0 *
+               list_reduce(list_transform(range(64), j -> CAST(e.embedding[j+1] AS DOUBLE) * c[j+1]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(64), j -> CAST(e.embedding[j+1] AS DOUBLE) * e.embedding[j+1]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(64), j -> CAST(c[j+1] AS DOUBLE) * c[j+1]), (x, y) -> x + y)))) AS BIGINT) AS cos_ppm
+           FROM embeddings e JOIN cent USING (label) JOIN q ON e.vec_id = q.doc_id),
+         flags AS (
+           SELECT label, vec_id,
+             quality_ppm >= ${operators.Multimodal.PairTextMinPpm} AS q_ok,
+             cos_ppm >= ${operators.Multimodal.PairCosineMinPpm} AS v_ok
+           FROM p)
+         SELECT label, COUNT(*) AS n_pairs,
+           COUNT(*) FILTER (q_ok AND v_ok) AS n_kept,
+           COUNT(*) FILTER (NOT q_ok AND v_ok) AS n_text_reject,
+           COUNT(*) FILTER (q_ok AND NOT v_ok) AS n_vec_reject,
+           COUNT(*) FILTER (NOT q_ok AND NOT v_ok) AS n_both_reject,
+           CAST(SUM(vec_id) FILTER (q_ok AND v_ok) AS BIGINT) AS kept_id_sum
+         FROM flags GROUP BY label ORDER BY label""",
     // a17: the oracle chains the same three strictly-after mins
     "a17_funnel_stages" ->
       """WITH t1 AS (

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.Vectors
 
 /** Multimodal-asset plumbing: opaque binary payloads + typed metadata.
   *
@@ -111,5 +112,71 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         max(col("width")).as("max_width"))
       .orderBy(col("source"), col("format"))
+  }
+
+  /** m3 quality bars: text admission (t2's quality_ppm, at the fixture
+    * median so the gate bites) and embedding-coherence admission
+    * (cosine-to-label-centroid, in ppm). */
+  val PairTextMinPpm = 300000L
+  val PairCosineMinPpm = 100000L
+
+  /** m3: PAIRED-modality curation — the cross-modal gate a
+    * text+embedding corpus (CLIP-style pairs, caption+image, RAG
+    * passages) runs before training: keep a pair only when BOTH
+    * modalities pass — the text side by t2's quality score, the
+    * embedding side by coherence with its label block (cosine to the
+    * label centroid — an off-centroid vector under a high-quality
+    * caption is exactly the mispaired-asset smell).
+    *
+    * Determinism/portability: centroids are per-dim means of
+    * FLOORED-ppm values — every addend is an integer-valued double, so
+    * the sum is exact in any order (the v6 Lloyd discipline) and one
+    * double division ends the derivation; the cosine then accumulates
+    * left-to-right (VecDot ≡ DuckDB list_reduce, proven by v1/v5/v6).
+    *
+    * Scale shape: centroid build is a posexplode + partial-agged
+    * (label, dim) sum — k×dim rows through the exchange, the Lloyd
+    * shuffle bound — re-assembled per label and BROADCAST (k rows)
+    * into the pair scan; the text score is map-side; the rollup is a
+    * |labels|-group agg. One wide exchange total. Per-class counts +
+    * kept_id_sum pin the full confusion split in the hash compare. */
+  def pairedCuration(spark: SparkSession, dir: String,
+      textMinPpm: Long = PairTextMinPpm,
+      cosineMinPpm: Long = PairCosineMinPpm): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(TextOps.Stopwords.map(lit): _*)))
+    val docs = documents(spark, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(
+            (least(col("n_tokens"), lit(100)) / lit(100.0) * 0.5
+              + nStop / col("n_tokens").cast("double") * 0.5) * lit(1000000.0))))
+      .select(col("doc_id"), col("quality_ppm"))
+    val e = embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * 1000000.0)).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), (col("s") / col("n")).as("cv")))),
+        x => x.getField("cv")).as("centroid"))
+    val pairs = e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos_ppm",
+        floor(Vectors.cosine(col("embedding"), col("centroid")) * lit(1000000.0)))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .withColumn("q_ok", col("quality_ppm") >= textMinPpm)
+      .withColumn("v_ok", col("cos_ppm") >= cosineMinPpm)
+    pairs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("q_ok") && col("v_ok"), 1)).as("n_kept"),
+        count(when(!col("q_ok") && col("v_ok"), 1)).as("n_text_reject"),
+        count(when(col("q_ok") && !col("v_ok"), 1)).as("n_vec_reject"),
+        count(when(!col("q_ok") && !col("v_ok"), 1)).as("n_both_reject"),
+        sum(when(col("q_ok") && col("v_ok"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy(col("label"))
   }
 }

@@ -26,6 +26,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("paired curation accounts for every pair; both gates bite; bars are parameters") {
+    val rows = Multimodal.pairedCuration(spark, sfDir01)
+      .collect().map(r => (r.getInt(r.fieldIndex("label")),
+        r.getLong(r.fieldIndex("n_pairs")), r.getLong(r.fieldIndex("n_kept")),
+        r.getLong(r.fieldIndex("n_text_reject")), r.getLong(r.fieldIndex("n_vec_reject")),
+        r.getLong(r.fieldIndex("n_both_reject"))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, n, k, tr, vr, br) =>
+      assert(k + tr + vr + br === n, s"label $l: confusion split must partition the pairs")
+    }
+    assert(rows.map(_._3).sum > 0 && rows.map(_._4).sum > 0 &&
+      rows.map(_._5).sum > 0 && rows.map(_._6).sum > 0,
+      "both gates must bite at the fixture bars")
+    // an impossible cosine bar rejects every pair on the vector side
+    val strict = Multimodal.pairedCuration(spark, sfDir01, cosineMinPpm = 2000000L)
+      .collect().map(r => r.getLong(r.fieldIndex("n_kept"))).sum
+    assert(strict === 0L)
+  }
+
   test("rolling fingerprints flag the exact-jaccard near-dup pairs") {
     val exact = Dedup.ngramJaccardPairs(spark, sfDir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
