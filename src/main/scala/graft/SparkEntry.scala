@@ -201,6 +201,10 @@ object SparkEntry {
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
     // e2b: the generic profiler over a second table (more column types)
     "e2b_orders_profile"      -> ((s, d) => Profile.ordersProfile(s, d)),
+    // e3: FK audit — three clean native relations (all-zero proven, not
+    // assumed) + the planted one (docs vs the s19 release: deletions
+    // become dangling refs); orphan_key_sum pins membership
+    "e3_integrity_audit"      -> ((s, d) => Profile.integrityAudit(s, d)),
     // d7b: O(log n)-round star contraction, same oracle as d7
     "d7b_star_clusters"       -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     // distributed connected components over the d2 edge set; the oracle
@@ -1716,6 +1720,50 @@ object SparkEntry {
            CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_sum
          FROM kept k JOIN counts c USING (source)
          GROUP BY k.source, c.n_src ORDER BY k.source""",
+    // e3: NOT-EXISTS formulations of the same four relations; the
+    // release CTE mirrors s19's derivation
+    "e3_integrity_audit" ->
+      s"""WITH b AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % ${operators.SnapshotDiff.DeriveBuckets} AS bkt
+           FROM documents),
+         v2 AS (
+           SELECT doc_id FROM b WHERE bkt <> 0
+           UNION ALL
+           SELECT doc_id + ${operators.SnapshotDiff.AddOffset} FROM b WHERE bkt = 2),
+         audits AS (
+           SELECT 'events.user_id->customer' AS relation,
+             (SELECT COUNT(*) FROM events) AS n_child_rows,
+             (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans,
+             (SELECT COALESCE(SUM(e.user_id), 0) FROM events e WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS orphan_key_sum
+           UNION ALL
+           SELECT 'lineitem.l_orderkey->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             (SELECT COALESCE(SUM(l.l_orderkey), 0) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COALESCE(SUM(o.o_custkey), 0) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'v1.doc_id->next_release',
+             (SELECT COUNT(*) FROM documents),
+             (SELECT COUNT(*) FROM documents d WHERE NOT EXISTS
+               (SELECT 1 FROM v2 WHERE v2.doc_id = d.doc_id)),
+             (SELECT COALESCE(SUM(d.doc_id), 0) FROM documents d WHERE NOT EXISTS
+               (SELECT 1 FROM v2 WHERE v2.doc_id = d.doc_id)))
+         SELECT relation, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(orphan_key_sum AS BIGINT) AS orphan_key_sum
+         FROM audits ORDER BY relation""",
     // m3: centroid = per-dim mean of FLOORED-ppm values (exact integer
     // addends — order-free), cosine via the proven list_reduce mirror;
     // the confusion split is pinned per class

@@ -109,4 +109,50 @@ object Profile {
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")))
+
+  /** One referential audit row: child rows, orphans (child keys with
+    * no parent), and the orphan key-sum pinning exact membership. */
+  private def fkAudit(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+    val totals = child.agg(count(lit(1)).as("n_child_rows"))
+    val o = orphans.agg(count(lit(1)).as("n_orphans"),
+      coalesce(sum(col("k")), lit(0L)).as("orphan_key_sum"))
+    totals.crossJoin(o).select(lit(name).as("relation"),
+      col("n_child_rows"), col("n_orphans"), col("orphan_key_sum"))
+  }
+
+  /** E3: referential-integrity audit — the trust-but-verify sweep a
+    * pipeline runs over its foreign keys before training or serving
+    * (the reference enforces these as Postgres FK constraints,
+    * app/models.py; at corpus scale constraints don't exist, audits
+    * do). Three native relations (clean by construction in the
+    * fixture — the audit PROVES it, all-zero rows are the point) plus
+    * the adversarial one: the CURRENT corpus' doc_ids against the s19
+    * next release, where every release-deleted document becomes a
+    * dangling reference — the stale-manifest smell after a corpus
+    * swap.
+    *
+    * Scale shape: each relation is one anti join — parent sides that
+    * are small broadcast (Catalyst decides from stats); the big-big
+    * pair (lineitem → orders) hash-shuffles both sides on the key,
+    * which is the honest cost of auditing a fact-to-fact edge. The
+    * four audits are independent subtrees of one plan (one job),
+    * each reduced to a 1-row aggregate before the union. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val v2 = SnapshotDiff.nextRelease(Tables.documents(spark, dir))
+    Seq(
+      fkAudit("events.user_id->customer", Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey"),
+      fkAudit("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      fkAudit("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      fkAudit("v1.doc_id->next_release", Tables.documents(spark, dir), "doc_id",
+        v2, "doc_id"))
+      .reduce(_ unionByName _)
+      .orderBy(col("relation"))
+  }
 }
