@@ -103,6 +103,9 @@ object SparkEntry {
     // accuracy vs exact asserted in ScaleOpsSpec
     "a5b_approx_distinct"     -> ((s, d) => Relational.approxDistinctPerGroup(s, d)),
     "v5_ivf_topk"             -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // v9: probe over the LANDED cell-partitioned index (dynamic
+    // partition pruning reads one cell dir) — v5's oracle verbatim
+    "v9_ivf_landed"           -> ((s, d) => Similarity.ivfLandedTopK(s, d)),
     // winnowing fingerprints: oracle mirrors the Mersenne-61 polynomial
     // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
     // additionally pins the tier against exact jaccard
@@ -217,6 +220,38 @@ object SparkEntry {
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** v5's IVF probe formulation, shared with v9 (landed-index probe). */
+  private val ivfTopKSql: String =
+    """WITH cents AS (
+           SELECT vec_id AS cent_id, embedding AS cent_emb
+           FROM embeddings WHERE vec_id < 8),
+         assigned AS (
+           SELECT vec_id, label, embedding, cent_id FROM (
+             SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_reduce(list_transform(range(64),
+                   j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(range(64),
+                      j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(64),
+                      j -> CAST(c.cent_emb[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)))
+                 DESC, c.cent_id) AS rn
+             FROM embeddings e CROSS JOIN cents c) t
+           WHERE rn = 1),
+         q AS (SELECT embedding AS qe, cent_id FROM assigned WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(64),
+               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+           FROM assigned e JOIN q ON e.cent_id = q.cent_id
+           WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10"""
 
   /** Exact within-label near-dup top-k, shared by v2 (exact all-pairs)
     * and v2c (int8-prefiltered candidates + exact re-rank) — equality
@@ -1033,36 +1068,10 @@ object SparkEntry {
            WHERE e.vec_id <> 0)
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10""",
-    "v5_ivf_topk" ->
-      """WITH cents AS (
-           SELECT vec_id AS cent_id, embedding AS cent_emb
-           FROM embeddings WHERE vec_id < 8),
-         assigned AS (
-           SELECT vec_id, label, embedding, cent_id FROM (
-             SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_reduce(list_transform(range(64),
-                   j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_transform(range(64),
-                      j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(range(64),
-                      j -> CAST(c.cent_emb[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)))
-                 DESC, c.cent_id) AS rn
-             FROM embeddings e CROSS JOIN cents c) t
-           WHERE rn = 1),
-         q AS (SELECT embedding AS qe, cent_id FROM assigned WHERE vec_id = 0),
-         scored AS (
-           SELECT e.vec_id, e.label,
-             list_reduce(list_transform(range(64),
-               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(64),
-                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(range(64),
-                  j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
-           FROM assigned e JOIN q ON e.cent_id = q.cent_id
-           WHERE e.vec_id <> 0)
-         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
-         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "v5_ivf_topk" -> ivfTopKSql,
+    // v9: the landed partition-pruned index probe shares v5's oracle
+    // verbatim — the layout changes bytes read, never results
+    "v9_ivf_landed" -> ivfTopKSql,
     "m1_decode_features" ->
       """SELECT doc_id AS asset_id, source,
            strlen(text) AS n_bytes,

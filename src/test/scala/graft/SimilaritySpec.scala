@@ -338,6 +338,23 @@ class SimilaritySpec extends SparkSpec {
     assert(kept < total / 2, s"prefilter kept $kept of $total pairs — bound too loose to pay for itself")
   }
 
+  test("landed IVF index (v9): probe equals the in-plan tier and prunes to the query's cell") {
+    val inPlan = Similarity.ivfTopK(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val landed = Similarity.ivfLandedTopK(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(landed === inPlan, "landed layout must change bytes read, never results")
+    // the probe must plan a dynamic partition filter on cent_id — the
+    // evidence that only the query's cell directory is scanned
+    val tag = sfDir01.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Tables.scratchDir.getOrElse(
+      System.getProperty("java.io.tmpdir")) + s"/graft_ivf_idx_$tag"
+    val p = Similarity.ivfTopKOverIndex(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cent_id:\n$p")
+  }
+
   test("near-dup top pairs are within-label, deduped, sorted desc") {
     val rows = Similarity.nearDupTopPairs(spark, sfDir, k = 20).collect()
     assert(rows.length === 20)
