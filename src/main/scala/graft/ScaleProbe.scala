@@ -195,7 +195,12 @@ object ScaleProbe {
       // sort-based funnel (this one aggregates, so state stays
       // per-user-constant)
       "a17_funnel_stages"    -> (operators.Behavior.funnelStages(_, _)),
-      "a18_retention_cohorts" -> (operators.Behavior.retentionCohorts(_, _)))
+      "a18_retention_cohorts" -> (operators.Behavior.retentionCohorts(_, _)),
+      // m3: salted labels multiply the centroid-build groups (k×dim
+      // rows through the one wide exchange) while block size holds;
+      // doc_id and vec_id salt identically, so the 1:1 pair join is
+      // preserved across probe copies
+      "m3_paired_curation"   -> (operators.Multimodal.pairedCuration(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

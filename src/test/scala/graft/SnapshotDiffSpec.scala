@@ -25,6 +25,25 @@ class SnapshotDiffSpec extends SparkSpec {
       4L -> "updated", 5L -> "unchanged", 6L -> "inserted"))
   }
 
+  test("diff and apply work over composite keys") {
+    import spark.implicits._
+    val old = Seq((1L, "a", "x", 10), (1L, "b", "y", 20), (2L, "a", "z", 30))
+      .toDF("k1", "k2", "v", "w")
+    val neu = Seq((1L, "a", "x", 10), (1L, "b", "Y", 21), (3L, "c", "n", 40))
+      .toDF("k1", "k2", "v", "w")
+    val keys = Seq("k1", "k2"); val vals = Seq("v", "w")
+    val got = SnapshotDiff.diff(old, neu, keys, vals)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got === Map((1L, "a") -> "unchanged", (1L, "b") -> "updated",
+      (2L, "a") -> "deleted", (3L, "c") -> "inserted"))
+    val applied = SnapshotDiff.applyChanges(old,
+      SnapshotDiff.changelog(old, neu, keys, vals), keys, vals)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val expected = neu.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(applied === expected)
+  }
+
   test("digest has no field-boundary ambiguity") {
     import spark.implicits._
     val old = Seq((1L, "ab", "c")).toDF("id", "t", "s")
