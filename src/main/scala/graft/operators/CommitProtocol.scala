@@ -26,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   * touching their plan shapes. ARCHITECTURE.md records the boundary.
   */
 trait CommitProtocol {
+  /** Snapshot hook — a writer calls this BEFORE reading the table
+    * state its staged output derives from, so an optimistic protocol
+    * can pin the version the writer actually saw. Conflict detection
+    * against a base captured any later (e.g. at commit time) is
+    * vacuous: a commit landing between the writer's table read and its
+    * commit would be inside the window yet above the late-captured
+    * base, and the publish would silently clobber it (round-8 ADVICE).
+    * Default: no-op (single-writer protocols need no snapshot). */
+  def begin(spark: SparkSession, tablePath: String): Unit = ()
+
   /** Publish each staged partition directory (`dirNames`, e.g.
     * `part=3` / `day=2024-01-07`) from under `stagingPath` into
     * `tablePath`, replacing that partition's live contents, then
@@ -41,9 +51,15 @@ trait CommitProtocol {
   * independently).
   *
   * Table state gains a `_log/` directory of versioned commit records
-  * `v<k>.json`, each listing the partitions its commit replaced.
-  * Committing:
+  * `v<k>.json`, each a JSON array of the partition dirs its commit
+  * replaced. The writer lifecycle:
   *
+  *   0. [[begin]] — capture the tip version N₀ at the moment the
+  *      writer snapshots the table (called by mergeIntoPartitioned /
+  *      compact before their base read). An explicit `baseVersion`
+  *      constructor arg overrides it (a writer resuming from a known
+  *      snapshot); with NEITHER, commit refuses loudly rather than
+  *      defaulting to a vacuous commit-time base.
   *   1. read the current tip version N;
   *   2. CONFLICT CHECK — any record in (base, N] touching one of this
   *      writer's partitions is a true write-write conflict on the same
@@ -56,11 +72,18 @@ trait CommitProtocol {
   *   4. owning N+1, publish the staged partition dirs by rename and
   *      drop the staging dir.
   *
-  * Atomicity contract: create-if-absent and rename are atomic on
-  * HDFS-like filesystems (and the local FS closely enough for the
-  * spec's deterministic schedules); S3 needs a conditional-put or
-  * lock-table implementation of step 3 — exactly the seam a table
-  * format's LogStore abstracts.
+  * Atomicity contract for step 3: on `file://` the record is written
+  * to a temp file and PUBLISHED via `Files.createLink` — hard-link
+  * creation is atomic-or-EEXIST on POSIX, and the record is complete
+  * at the instant it becomes visible (Hadoop's RawLocalFileSystem
+  * implements create(overwrite=false) as check-then-create, which two
+  * local writers can both win — round-8 ADVICE). On HDFS-like
+  * filesystems `fs.create(path, overwrite=false)` is the atomic
+  * primitive; S3 needs a conditional-put or lock-table implementation
+  * — exactly the seam a table format's LogStore abstracts. Only a
+  * create/link that fails with FileAlreadyExistsException counts as a
+  * lost CAS; any other IOException (disk full, permission) is a real
+  * failure and propagates.
   *
   * Scope: conflict detection is per-PARTITION (the granularity these
   * writers stage at), and readers still see plain partition dirs —
@@ -71,31 +94,80 @@ trait CommitProtocol {
   * as the boundary rather than hidden. */
 class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
     extends CommitProtocol {
-  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  // tip version at the writer's table snapshot (begin); None until then
+  @volatile private var snapshotBase: Option[Long] = None
+
+  private def logPath(tablePath: String) = new Path(new Path(tablePath), "_log")
+
+  private def records(fs: FileSystem, log: Path): Seq[(Long, Set[String])] = {
+    val statuses =
+      try fs.listStatus(log)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    statuses.toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map { n =>
+        val v = n.stripPrefix("v").stripSuffix(".json").toLong
+        val p = new Path(log, n)
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        val node = mapper.readTree(buf)
+        val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(node.elements())
+          .asScala.map(_.asText()).toSet
+        v -> parts
+      }.sortBy(_._1)
+  }
+
+  override def begin(spark: SparkSession, tablePath: String): Unit =
+    if (baseVersion < 0) {
+      val log = logPath(tablePath)
+      val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snapshotBase = Some(records(fs, log).lastOption.map(_._1).getOrElse(0L))
+    }
+
+  /** Atomic create-if-absent of the version record WITH its content.
+    * True = claimed; false = lost the CAS (the version exists). */
+  private def claim(fs: FileSystem, log: Path, next: Long, body: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      // POSIX: write the full record to a temp file, publish by hard
+      // link (atomic-or-EEXIST, content complete at visibility)
+      val dir = java.nio.file.Paths.get(log.toUri.getPath)
+      val tmp = dir.resolve(s".v$next.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, body)
+      try { java.nio.file.Files.createLink(dir.resolve(s"v$next.json"), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    } else {
+      // HDFS-like: create(overwrite=false) is the atomic primitive
+      try {
+        val out = fs.create(new Path(log, s"v$next.json"), false)
+        try out.write(body) finally out.close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
 
   override def commitPartitions(spark: SparkSession, stagingPath: String,
       tablePath: String, dirNames: Seq[String]): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(tablePath)
     val fs = table.getFileSystem(hconf)
-    val log = new Path(table, "_log")
+    val log = logPath(tablePath)
     fs.mkdirs(log)
-    def records(): Seq[(Long, Set[String])] =
-      fs.listStatus(log).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map { n =>
-          val v = n.stripPrefix("v").stripSuffix(".json").toLong
-          val p = new Path(log, n)
-          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-          val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
-          val body = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          v -> "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
-        }.sortBy(_._1)
-    val base = if (baseVersion >= 0) baseVersion else records().lastOption.map(_._1).getOrElse(0L)
+    val base =
+      if (baseVersion >= 0) baseVersion
+      else snapshotBase.getOrElse(throw new IllegalStateException(
+        "OptimisticLogCommit has no snapshot base: call begin() before " +
+          "reading the table state (mergeIntoPartitioned/compact do), or " +
+          "construct with an explicit baseVersion"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body = mapper.writeValueAsBytes(
+      scala.jdk.CollectionConverters.SeqHasAsJava(dirNames).asJava)
     var attempt = 0
     while (true) {
-      val recs = records()
+      val recs = records(fs, log)
       val conflicting = recs.filter { case (v, parts) =>
         v > base && parts.intersect(dirNames.toSet).nonEmpty }
       require(conflicting.isEmpty,
@@ -103,15 +175,7 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
           s"already replaced partition(s) ${conflicting.flatMap(_._2).toSet.intersect(dirNames.toSet).mkString(",")} " +
           "since this writer's base — re-derive from the current table state and retry")
       val next = recs.lastOption.map(_._1).getOrElse(0L) + 1L
-      val claimed =
-        try {
-          val out = fs.create(new Path(log, f"v$next%d.json"), false)
-          out.write(dirNames.map(d => s""""$d"""").mkString("[", ",", "]")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false } // lost the CAS
-      if (claimed) {
+      if (claim(fs, log, next, body)) {
         dirNames.foreach { d =>
           val src = new Path(stagingPath, d)
           val dst = new Path(table, d)

@@ -127,6 +127,11 @@ object MergeOps {
     import CacheOps.shared
     val d = shared(delta.withColumn("part", partCol(keys, numParts)))
     try {
+      // snapshot the commit base BEFORE the base-table read: an
+      // optimistic protocol pins the version this writer derives from,
+      // so a concurrent commit landing after this point is a detected
+      // conflict, not a silent lost update (round-8 ADVICE)
+      commit.begin(spark, path)
       // bounded driver-side collect: ≤ numParts ints of partition
       // METADATA — the isin literal list is what guarantees a static
       // partition prune in the base scan below
@@ -163,8 +168,18 @@ object MergeOps {
       val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
       merged.repartition(col("part"))
         .write.mode("overwrite").partitionBy("part").parquet(staging)
-      commit.commitPartitions(spark, staging, path,
+      // an aborted commit (write-write conflict, publish failure) must
+      // not leak the staged copy of every affected partition — delete
+      // staging before rethrowing (round-8 ADVICE; a successful commit
+      // removes it itself as part of publish)
+      try commit.commitPartitions(spark, staging, path,
         affected.map(p => s"part=$p").toSeq)
+      catch { case e: Throwable =>
+        val fs = new org.apache.hadoop.fs.Path(staging)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        throw e
+      }
     } finally { d.unpersist(); () }
   }
 
@@ -176,8 +191,11 @@ object MergeOps {
   private val s10bLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cheap content fingerprint of a source file/dir: driver-side FS
-    * metadata only (max modification time + total length, recursive). */
-  private def sourceFingerprint(spark: SparkSession, p: String): String = {
+    * metadata only (max modification time + total length, recursive).
+    * Shared with every per-session landing memo (s10b here, v9's IVF
+    * index, c1's curation pair frame) so a regenerated fixture under
+    * the same dir re-lands instead of serving stale state. */
+  private[operators] def sourceFingerprint(spark: SparkSession, p: String): String = {
     val path = new org.apache.hadoop.fs.Path(p)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)

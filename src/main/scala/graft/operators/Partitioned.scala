@@ -90,6 +90,9 @@ object Partitioned {
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(hconf)
+    // snapshot the commit base before this writer reads the table (the
+    // mergeIntoPartitioned discipline — see CommitProtocol.begin)
+    commit.begin(spark, path)
     def dataFiles(dir: org.apache.hadoop.fs.Path) =
       fs.listStatus(dir).filter { s =>
         val n = s.getPath.getName

@@ -377,10 +377,13 @@ object Similarity {
     materializeAndRelease(result, assigned)
   }
 
-  // one-time-per-session landing memo for v9's index (the s10b
-  // discipline): the assignment is deterministic per sf dir, so a
-  // session builds each index once and every later probe reuses it
-  private val ivfLanded = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // one-time-per-session landing memo for v9's index, keyed by landed
+  // path with the SOURCE-content fingerprint as the value (the full
+  // s10b discipline, round-8 ADVICE): a fixture regenerated under the
+  // same dir re-lands instead of probing a stale index, and the
+  // per-key compute() lock serializes concurrent first callers so no
+  // reader sees a partially-written index
+  private val ivfLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Land the IVF index: the centroid assignment written PARTITIONED
     * BY CELL, so a probe reads one cell's directory and nothing else.
@@ -421,7 +424,11 @@ object Similarity {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = graft.Tables.scratchDir.getOrElse(
       System.getProperty("java.io.tmpdir")) + s"/graft_ivf_idx_$tag"
-    if (ivfLanded.add(path)) materializeIvf(spark, dir, path)
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    ivfLanded.compute(path, (_, cur) => {
+      if (cur != fp) materializeIvf(spark, dir, path)
+      fp
+    })
     ivfTopKOverIndex(spark, path, queryId, k)
   }
 

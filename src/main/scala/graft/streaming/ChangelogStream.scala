@@ -36,19 +36,35 @@ object ChangelogStream {
       keyCols: Seq[String], valueCols: Seq[String],
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val cols = (keyCols ++ valueCols).map(col)
+    // state-version markers and listing go through the Hadoop
+    // FileSystem API, the SAME api the version data is written/deleted
+    // with (round-8 ADVICE: java.io.File silently returns nothing on a
+    // non-local stateDir, so committed() was always empty there — the
+    // initial state was rewritten every call and marker creation failed
+    // unchecked). Marker creation/deletion results are CHECKED: a
+    // marker that didn't land means the commit protocol is broken, and
+    // continuing would replay or GC the wrong version.
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(id: Long) = new org.apache.hadoop.fs.Path(statePath, s"_committed_$id")
     def committed(): Seq[Long] = {
-      val d = new java.io.File(stateDir)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .map(_.getName).collect {
-          case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
-        }.toSeq.sorted
+      val statuses =
+        try fs.listStatus(statePath)
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      statuses.map(_.getPath.getName).collect {
+        case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
+      }.toSeq.sorted
     }
+    def writeMarker(id: Long): Unit =
+      // create(overwrite=false): a pre-existing marker is a protocol
+      // violation (the batch-skip check above it should have fired)
+      fs.create(marker(id), false).close()
     def versionPath(id: Long) = s"$stateDir/v_$id"
 
     // v_-1: the initial replica state, committed before the stream runs
     if (committed().isEmpty) {
       initial.select(cols: _*).write.mode("overwrite").parquet(versionPath(-1L))
-      new java.io.File(stateDir, "_committed_-1").createNewFile()
+      writeMarker(-1L)
     }
 
     val schema = spark.read.parquet(srcDir).schema
@@ -65,12 +81,14 @@ object ChangelogStream {
           val next = graft.operators.SnapshotDiff.applyChanges(
             cur, batch, keyCols, valueCols)
           next.write.mode("overwrite").parquet(versionPath(batchId))
-          new java.io.File(stateDir, s"_committed_$batchId").createNewFile()
+          writeMarker(batchId)
+          // GC old versions MARKER-LAST (data first): a crash between
+          // the two deletes leaves an unmarked data dir, which is
+          // ignored — never a marker pointing at deleted data
           committed().dropRight(2).foreach { old =>
-            val fs = new org.apache.hadoop.fs.Path(versionPath(old))
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
             fs.delete(new org.apache.hadoop.fs.Path(versionPath(old)), true)
-            new java.io.File(stateDir, s"_committed_$old").delete()
+            if (!fs.delete(marker(old), false))
+              System.err.println(s"[changelog-stream] WARNING: stale marker _committed_$old not deleted")
           }
         }
         ()

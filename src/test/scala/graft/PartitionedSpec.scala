@@ -235,6 +235,81 @@ class PartitionedSpec extends SparkSpec {
     }
   }
 
+  test("optimistic commit: begin() pins the snapshot base — a commit landing after the table read is a detected conflict") {
+    import spark.implicits._
+    import graft.operators.{MergeOps, OptimisticLogCommit}
+    val keys = Seq("user_id", "event_type")
+    val numParts = 8
+    val path = java.nio.file.Files.createTempDirectory("graft_oplog_snap").toString + "/t"
+    val base = (1 to 40).map(i => (s"u$i", "click", i.toLong, i * 1.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+      .withColumn("merge_action", lit("unchanged"))
+    MergeOps.writePartitionedBase(base, path, keys, numParts)
+
+    // writer A snapshots the table (begin) at tip v0, stages part=<p>
+    val a = new OptimisticLogCommit()
+    a.begin(spark, path)
+    val delta = Seq(("u7", "click", 70L, 700.0, "updated"))
+      .toDF("user_id", "event_type", "n_events", "total_value", "merge_action")
+      .withColumn("part", pmod(hash(col("user_id"), col("event_type")), lit(numParts)))
+    val p = delta.select(col("part")).collect().head.getInt(0)
+    def stage(tag: String): String = {
+      val s = s"${path}__staging_$tag"
+      delta.write.mode("overwrite").partitionBy("part").parquet(s)
+      s
+    }
+    val stagingA = stage("a")
+
+    // concurrent writer B lands v1 on the SAME partition between A's
+    // table read and A's commit — the exact lost-update window the
+    // commit-time default base could not see (round-8 ADVICE, medium)
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq(("u7", "click", 71L, 710.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit())
+
+    val e = intercept[IllegalArgumentException] {
+      a.commitPartitions(spark, stagingA, path, Seq(s"part=$p"))
+    }
+    assert(e.getMessage.contains("write-write conflict"),
+      "a commit landing inside the writer's snapshot window must be detected")
+    assert(spark.read.parquet(path).filter(col("user_id") === "u7")
+      .collect().head.getAs[Long]("n_events") === 71L,
+      "writer B's update must survive — A must not clobber it")
+
+    // without begin() and without an explicit baseVersion, commit must
+    // refuse loudly instead of silently using a vacuous base
+    val stagingC = stage("c")
+    intercept[IllegalStateException] {
+      new OptimisticLogCommit().commitPartitions(spark, stagingC, path, Seq(s"part=$p"))
+    }
+  }
+
+  test("aborted merge cleans up its staging directory") {
+    import spark.implicits._
+    import graft.operators.{MergeOps, OptimisticLogCommit}
+    val keys = Seq("user_id", "event_type")
+    val numParts = 8
+    val root = java.nio.file.Files.createTempDirectory("graft_oplog_stage")
+    val path = root.toString + "/t"
+    val base = (1 to 40).map(i => (s"u$i", "click", i.toLong, i * 1.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+      .withColumn("merge_action", lit("unchanged"))
+    MergeOps.writePartitionedBase(base, path, keys, numParts)
+    // land v1 on u7's partition, then a writer with a stale explicit
+    // base touching the same partition must abort AND leave no staging
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq(("u7", "click", 70L, 700.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit())
+    intercept[IllegalArgumentException] {
+      MergeOps.mergeIntoPartitioned(spark, path,
+        Seq(("u7", "click", 999L, 9.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+        keys, numParts, new OptimisticLogCommit(baseVersion = 0L))
+    }
+    val leaked = new java.io.File(root.toString).listFiles()
+      .map(_.getName).filter(_.contains("__staging_"))
+    assert(leaked.isEmpty, s"aborted merge leaked staging dirs: ${leaked.toSeq}")
+  }
+
   test("partitioned merge driver form matches the plain full-outer merge") {
     import graft.operators.MergeOps
     val scoped = MergeOps.partitionedMergeUpsert(spark, sfDir)
