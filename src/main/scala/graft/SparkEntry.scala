@@ -1355,7 +1355,7 @@ object SparkEntry {
       s"""WITH toks AS (
            SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents),
          q AS (
-           SELECT doc_id, lang, n_tokens, doc_id % ${operators.Curation.PackShards} AS shard
+           SELECT doc_id, lang, n_tokens, doc_id % ${operators.Curation.packShardsSql("documents")} AS shard
            FROM toks WHERE n_tokens >= ${operators.Curation.MinTokens}),
          b AS (
            SELECT lang, shard, doc_id, n_tokens,

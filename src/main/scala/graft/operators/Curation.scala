@@ -157,7 +157,26 @@ object Curation {
   }
 
   val PackBudget = 2048 // tokens per packed sequence
-  val PackShards = 8
+
+  /** Small-corpus floor / density for the DERIVED pack-shard count
+    * (the df-cap treatment, round-8 verdict #3: a constant shard
+    * count caps window parallelism at |langs|×8 regardless of corpus
+    * size). One shard per PackShardPerDocs documents keeps the
+    * sequential-cumsum working set per window partition bounded as the
+    * corpus grows; the floor preserves small-corpus behavior (both
+    * fixtures derive exactly the old constant 8, so c2's output is
+    * unchanged). Integer ceil arithmetic, bit-identical across engines. */
+  val PackShardFloor = 8L
+  val PackShardPerDocs = 2000L
+
+  /** Corpus-size → shard count (shared arithmetic; specs, oracle). */
+  def derivedPackShards(nDocs: Long): Long =
+    math.max(PackShardFloor, (nDocs + PackShardPerDocs - 1) / PackShardPerDocs)
+
+  /** Oracle-SQL twin of [[derivedPackShards]]: scalar subquery over the
+    * same corpus relation, same integer arithmetic (dfCapSql's rule). */
+  def packShardsSql(corpusRel: String): String =
+    s"(SELECT greatest($PackShardFloor, (COUNT(*) + ${PackShardPerDocs - 1}) // $PackShardPerDocs) FROM $corpusRel)"
 
   /** c2: sequence packing — assign quality-surviving documents to
     * fixed-token-budget bins (the pre-training packing step: documents
@@ -166,20 +185,27 @@ object Curation {
     *
     * The assignment is a windowed running token total: bin =
     * floor((cumsum − own) / budget) over a deterministic (lang, shard)
-    * order. Partitioning the window by (lang, shard=doc_id mod 8)
-    * instead of lang alone is the scale decision: a cumulative sum is
-    * inherently sequential WITHIN a partition, and language cardinality
-    * is tiny, so lang-only windows would serialize the corpus through
-    * a handful of tasks; sharding makes the window parallel while bins
-    * stay deterministic (bins are arbitrary groupings — only their
-    * fill matters to training). Output is the per-lang packing summary
-    * (bin counts and fill extrema), totally ordered. */
+    * order. Partitioning the window by (lang, shard=doc_id mod
+    * shards) instead of lang alone is the scale decision: a cumulative
+    * sum is inherently sequential WITHIN a partition, and language
+    * cardinality is tiny, so lang-only windows would serialize the
+    * corpus through a handful of tasks; sharding makes the window
+    * parallel while bins stay deterministic (bins are arbitrary
+    * groupings — only their fill matters to training). The shard count
+    * is corpus-DERIVED ([[derivedPackShards]], from parquet footer
+    * metadata — no job); CurationSpec proves bin semantics are
+    * shard-invariant, so the derivation changes parallelism, never
+    * results. Output is the per-lang packing summary (bin counts and
+    * fill extrema), totally ordered. */
   def sequencePacking(spark: SparkSession, dir: String,
-      budget: Int = PackBudget, shards: Int = PackShards): DataFrame = {
+      budget: Int = PackBudget, shards: Long = 0L): DataFrame = {
+    val nShards =
+      if (shards > 0L) shards
+      else derivedPackShards(graft.Tables.parquetRowCount(spark, dir, "documents"))
     val q = graft.Tables.documents(spark, dir)
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
       .filter(col("n_tokens") >= MinTokens)
-      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val binned = q

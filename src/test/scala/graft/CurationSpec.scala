@@ -44,10 +44,18 @@ class CurationSpec extends SparkSpec {
   test("sequence packing: contiguous bins, fill bounded by budget plus one doc") {
     import org.apache.spark.sql.expressions.Window
     val budget = Curation.PackBudget
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    // derived shard arithmetic: the fixture sits under the floor, so
+    // the derivation must reproduce the historical constant 8 (c2's
+    // output is pinned by its oracle on exactly this count)
+    val nShards = Curation.derivedPackShards(nDocs)
+    assert(nShards === 8L, s"fixture must derive the floor shard count, got $nShards")
+    assert(Curation.derivedPackShards(Curation.PackShardPerDocs * 100) === 100L,
+      "above the floor, one shard per PackShardPerDocs documents")
     val q = graft.Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
       .filter(col("n_tokens") >= Curation.MinTokens)
-      .withColumn("shard", pmod(col("doc_id"), lit(Curation.PackShards)))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val binned = q.withColumn("bin",
@@ -69,6 +77,19 @@ class CurationSpec extends SparkSpec {
     // the rollup accounts for every filtered doc
     val rollup = Curation.sequencePacking(spark, sfDir).collect()
     assert(rollup.map(_.getAs[Long]("n_docs")).sum === binned.length)
+
+    // shard-count INVARIANCE: shards change window parallelism, never
+    // the packed corpus — per-lang doc and token totals are identical
+    // at the derived count, the floor, and a 4x-derived count (bin
+    // counts/extrema legitimately differ: each shard opens its own
+    // bin 0, which is why the floor pins fixture output)
+    def totals(shards: Long): Map[String, (Long, Long)] =
+      Curation.sequencePacking(spark, sfDir, shards = shards).collect()
+        .map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))).toMap
+    val base = totals(nShards)
+    assert(totals(32L).view.mapValues(identity).toMap === base,
+      "per-lang totals must be shard-invariant")
   }
 
   test("near-dup stage drops exactly the greater id of each surviving pair") {
