@@ -99,8 +99,8 @@ object SparkEntry {
     // mirrors the md5-window embedder exactly)
     "v4_semantic_search"      -> ((s, d) => Similarity.semanticSearch(s, d)),
     "w5b_keyset_pagination"   -> ((s, d) => Relational.keysetPagination(s, d)),
-    // HLL/quantile sketches are engine-specific → rows-only check;
-    // accuracy vs exact asserted in ScaleOpsSpec
+    // HLL/quantile sketches: hashed columns are exact values plus
+    // within-engine <=5% tolerance verdicts (see the a5b oracle note)
     "a5b_approx_distinct"     -> ((s, d) => Relational.approxDistinctPerGroup(s, d)),
     "v5_ivf_topk"             -> ((s, d) => Similarity.ivfTopK(s, d)),
     // v9: probe over the LANDED cell-partitioned index (dynamic
@@ -499,6 +499,23 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
     "a5_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // a5b: sketch internals are engine-specific, so the hashed columns
+    // are the EXACT values plus tolerance verdicts — each engine checks
+    // its own HLL / approx-quantile against its own exact aggregate
+    // (<=5% relative error). A hash match proves both engines' sketches
+    // sit inside the same tolerance of the same exact values. The
+    // within-engine comparison also sidesteps the a14 cross-engine
+    // percentile-definition problem: only the booleans cross engines.
+    "a5b_approx_distinct" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) - COUNT(DISTINCT l_orderkey))
+             <= COUNT(DISTINCT l_orderkey) * 0.05 AS distinct_ok,
+           abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             <= abs(quantile_cont(l_extendedprice, 0.5)) * 0.05 AS p50_ok,
+           abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+             <= abs(quantile_cont(l_extendedprice, 0.95)) * 0.05 AS p95_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a6_multi_agg" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -453,21 +453,39 @@ object Relational {
       .limit(pageSize)
   }
 
-  /** A5b: approximate distinct — the 100 TB form of A5. Exact
-    * COUNT(DISTINCT) needs a full dedup shuffle per group; HLL sketches
-    * merge in constant space. Not oracle-hashable (sketch internals are
-    * engine-specific) — accuracy vs exact is asserted in RelationalSpec. */
+  /** Relative-tolerance gate column: |approx − exact| ≤ tol·|exact|.
+    * Evaluated per engine over ITS OWN sketch, so the emitted boolean
+    * is hash-comparable even though sketch internals are not. */
+  private def withinPct(approx: Column, exact: Column, tol: Double): Column =
+    abs(approx.cast("double") - exact.cast("double")) <= abs(exact.cast("double")) * tol
+
+  /** A5b: approximate distinct + approximate percentiles — the 100 TB
+    * form of A5/A14. Exact COUNT(DISTINCT) needs a full dedup shuffle
+    * per group; HLL sketches merge in constant space (same for t-digest
+    * quantiles vs a full sort).
+    *
+    * Oracle design (round-8 verdict #4): raw sketch estimates are
+    * engine-specific, so the HASHED columns are the exact values plus
+    * per-estimate TOLERANCE verdicts — each engine checks its own
+    * sketch against its own exact aggregate (≤5% relative error) and
+    * emits the boolean. A hash match therefore proves both engines'
+    * sketches sit inside the same tolerance of the same exact values —
+    * a real accuracy oracle, not a rows-only count. The exact
+    * aggregates ride the same grouped pass and exist for the gate;
+    * the sketch columns are what a 100 TB caller would keep
+    * (ScaleOpsSpec additionally pins the raw estimates within 5%). */
   def approxDistinctPerGroup(spark: SparkSession, dir: String): DataFrame = {
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("quantiles_arr"))
-      // driver-facing output must not carry array columns (the driver's
-      // pandas row-sort crashes on them) — render as a csv string; the
-      // array form is exercised in RelationalSpec
-      .withColumn("price_quantiles", concat_ws(",", col("quantiles_arr").cast("array<string>")))
-      .select(col("l_returnflag"), col("approx_orders"), col("price_quantiles"))
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("qe"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("qa"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        withinPct(col("approx_orders"), col("exact_orders"), 0.05).as("distinct_ok"),
+        withinPct(element_at(col("qa"), 1), element_at(col("qe"), 1), 0.05).as("p50_ok"),
+        withinPct(element_at(col("qa"), 2), element_at(col("qe"), 2), 0.05).as("p95_ok"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -59,14 +59,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(c_custkey,100)"), s"range not pushed:\n$plan")
   }
 
-  test("approx distinct within 5% of exact") {
-    val approx = Relational.approxDistinctPerGroup(spark, sfDir)
+  test("approx distinct within 5% of exact, tolerance verdicts all true") {
+    // raw sketch accuracy, independently of the operator's verdicts
+    val raw = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(col("l_orderkey"), 0.02).as("ap"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Relational.countDistinctPerGroup(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, ex) =>
-      val ap = approx(k)
+      val ap = raw(k)
       assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+    // the operator's own verdict columns: exact counts pinned, every
+    // tolerance boolean true (what the oracle hash-compares)
+    val rows = Relational.approxDistinctPerGroup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_orders") === exact(r.getString(0)))
+      assert(r.getAs[Boolean]("distinct_ok") && r.getAs[Boolean]("p50_ok")
+        && r.getAs[Boolean]("p95_ok"), s"tolerance verdict false for ${r.getString(0)}")
     }
   }
 
