@@ -106,6 +106,10 @@ object SparkEntry {
     // v9: probe over the LANDED cell-partitioned index (dynamic
     // partition pruning reads one cell dir) — v5's oracle verbatim
     "v9_ivf_landed"           -> ((s, d) => Similarity.ivfLandedTopK(s, d)),
+    // v9b: the same landed index probed at nprobe=2 — the recall
+    // repair for Voronoi-boundary queries; still DPP-pruned (two cell
+    // dirs read, never a scan)
+    "v9b_ivf_nprobe2"         -> ((s, d) => Similarity.ivfLandedTopK2(s, d)),
     // winnowing fingerprints: oracle mirrors the Mersenne-61 polynomial
     // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
     // additionally pins the tier against exact jaccard
@@ -221,35 +225,59 @@ object SparkEntry {
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
-  /** v5's IVF probe formulation, shared with v9 (landed-index probe). */
-  private val ivfTopKSql: String =
-    """WITH cents AS (
+  /** DuckDB cosine over two 64-dim list expressions — shared by the
+    * IVF oracle family (double promotion before multiply/accumulate,
+    * left-to-right fold: IEEE-identical to the Spark VecDot plan). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(64),
+               j -> CAST($a[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST($a[j+1] AS DOUBLE) * CAST($a[j+1] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(64),
+                  j -> CAST($b[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)), (x, y) -> x + y)))"""
+
+  /** The first-8-centroid IVF assignment (v5/v9/v9b's shared CTE pair):
+    * every vector joins all centroids, keeps its argmax cell. */
+  private val ivfAssignedCte: String =
+    s"""cents AS (
            SELECT vec_id AS cent_id, embedding AS cent_emb
            FROM embeddings WHERE vec_id < 8),
          assigned AS (
            SELECT vec_id, label, embedding, cent_id FROM (
              SELECT e.vec_id, e.label, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_reduce(list_transform(range(64),
-                   j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_transform(range(64),
-                      j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(range(64),
-                      j -> CAST(c.cent_emb[j+1] AS DOUBLE) * CAST(c.cent_emb[j+1] AS DOUBLE)), (x, y) -> x + y)))
+                 ${cosSql("e.embedding", "c.cent_emb")}
                  DESC, c.cent_id) AS rn
              FROM embeddings e CROSS JOIN cents c) t
-           WHERE rn = 1),
+           WHERE rn = 1)"""
+
+  /** v5's IVF probe formulation, shared with v9 (landed-index probe). */
+  private val ivfTopKSql: String =
+    s"""WITH $ivfAssignedCte,
          q AS (SELECT embedding AS qe, cent_id FROM assigned WHERE vec_id = 0),
          scored AS (
            SELECT e.vec_id, e.label,
-             list_reduce(list_transform(range(64),
-               j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(64),
-                  j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(range(64),
-                  j -> CAST(q.qe[j+1] AS DOUBLE) * CAST(q.qe[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
+             ${cosSql("e.embedding", "q.qe")} AS sim
            FROM assigned e JOIN q ON e.cent_id = q.cent_id
            WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+
+  /** v9b's nprobe=2 probe: cells ranked by query-to-centroid cosine,
+    * the top TWO probed (same tie-break as the Spark plan: similarity
+    * desc, cent_id asc). */
+  private val ivfNprobe2Sql: String =
+    s"""WITH $ivfAssignedCte,
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qcells AS (
+           SELECT c.cent_id FROM cents c CROSS JOIN q
+           ORDER BY ${cosSql("c.cent_emb", "q.qe")} DESC, c.cent_id LIMIT 2),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             ${cosSql("e.embedding", "q.qe")} AS sim
+           FROM assigned e CROSS JOIN q
+           WHERE e.vec_id <> 0
+             AND e.cent_id IN (SELECT cent_id FROM qcells))
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10"""
 
@@ -1086,9 +1114,11 @@ object SparkEntry {
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "v5_ivf_topk" -> ivfTopKSql,
-    // v9: the landed partition-pruned index probe shares v5's oracle
+    // v9: the landed partition-pruned index probe shares v5's oracle;
+    // v9b's oracle extends it with the top-2 cell ranking
     // verbatim — the layout changes bytes read, never results
     "v9_ivf_landed" -> ivfTopKSql,
+    "v9b_ivf_nprobe2" -> ivfNprobe2Sql,
     "m1_decode_features" ->
       """SELECT doc_id AS asset_id, source,
            strlen(text) AS n_bytes,
