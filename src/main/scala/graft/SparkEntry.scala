@@ -95,6 +95,9 @@ object SparkEntry {
     "w4_multikey_nulls"       -> ((s, d) => Scalars.multiKeySortNulls(s, d)),
     "s14_column_update"       -> ((s, d) => MergeOps.columnUpdate(s, d)),
     "e1_entity_profile"       -> ((s, d) => Profile.customerProfile(s, d)),
+    // e4: the four dashboard metric families from ONE cached scope
+    // frame in one plan (app.py's 10+ round-trips collapsed)
+    "e4_dashboard"            -> ((s, d) => Profile.dashboard(s, d)),
     // stub-embedder retrieval — oracle-checked since r6 (stubSearchSql
     // mirrors the md5-window embedder exactly)
     "v4_semantic_search"      -> ((s, d) => Similarity.semanticSearch(s, d)),
@@ -1206,6 +1209,38 @@ object SparkEntry {
          LEFT JOIN act ON c.c_custkey = act.a_custkey
          WHERE c.c_mktsegment = 'BUILDING'
          ORDER BY c.c_custkey""",
+    // e4: the dashboard fan-out — all four metric families chained
+    // from ONE scope CTE, mirroring the one-cached-scope plan; counts
+    // are BIGINT, money through DECIMAL(18,2) then DOUBLE (moneyOut)
+    "e4_dashboard" ->
+      """WITH scope AS (
+           SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+           FROM customer WHERE c_mktsegment = 'BUILDING'),
+         fin AS (
+           SELECT 'financial' AS family, o_orderpriority AS item, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+           FROM orders JOIN scope ON o_custkey = c_custkey
+           GROUP BY o_orderpriority),
+         act AS (
+           SELECT 'activity' AS family, l_returnflag AS item, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN scope ON o_custkey = c_custkey
+           GROUP BY l_returnflag),
+         vot AS (
+           SELECT 'voting' AS family, event_type AS item, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+           FROM events JOIN scope ON user_id = c_custkey
+           GROUP BY event_type),
+         mem AS (
+           SELECT 'membership' AS family, n_name AS item, COUNT(*) AS n,
+             CAST(SUM(c_acctbal) AS DOUBLE) AS amount
+           FROM scope JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT * FROM fin UNION ALL SELECT * FROM act
+         UNION ALL SELECT * FROM vot UNION ALL SELECT * FROM mem
+         ORDER BY family, item""",
     // e2: the profiler's one-pass wide aggregate, unpivoted per column
     // in the oracle as UNION ALL; min/max aggregate in the native type
     // and cast AFTER (lexicographic min of a numeric string is wrong)

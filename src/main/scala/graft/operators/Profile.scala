@@ -110,6 +110,89 @@ object Profile {
       col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")))
 
+  /** E4: the §3.1 dashboard fan-out as ONE multi-metric query. The
+    * reference dashboard issues 10+ independent BigQuery round-trips
+    * for one filtered scope — financial (app.py:120-196), legislative
+    * (app.py:199-262), voting (app.py:265-311), committee membership
+    * (app.py:314-331) — every one re-stating the same politician
+    * filter join. Here the scope is resolved ONCE into a cached frame
+    * and all four metric families compute from it in a single plan:
+    * the round-trips become shared subtrees of one union, and the
+    * scope scan runs once (PlanSpec asserts it).
+    *
+    * Family mapping onto the fixture schema: financial = order totals
+    * by priority (donations by donor_type); activity = line items
+    * through the scope's orders by return flag (bills via
+    * sponsorship); voting = the scope users' event breakdown by type
+    * (vote positions); membership = scope headcount + balance by
+    * nation (committee member counts).
+    *
+    * Output: tall (family, item, n, amount) — the shape a dashboard
+    * renderer consumes and the driver can hash (strings + BIGINT +
+    * moneyOut DOUBLE), totally ordered.
+    *
+    * Scale shape: the scope frame broadcasts into each fact-side join
+    * (a dashboard scope is a filter result, small by construction);
+    * each family is one partial-agg exchange over its OWN fact table;
+    * the union concatenates four ≤|groups| frames — no shuffle of any
+    * fact table beyond its grouped aggregate, no repeated scope
+    * resolution. */
+  def dashboard(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
+    val (result, scope) = dashboardFrames(spark, dir, segment)
+    CacheOps.materializeAndRelease(result, scope)
+  }
+
+  /** The un-materialized (result, cached scope) pair — PlanSpec
+    * asserts the single-scope-scan shape before checkpointing erases
+    * it; callers must release `scope`. */
+  private[graft] def dashboardFrames(spark: SparkSession, dir: String,
+      segment: String): (DataFrame, DataFrame) = {
+    val scope = CacheOps.shared(customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")))
+    val keys = scope.select(col("c_custkey"))
+
+    val financial = orders(spark, dir)
+      .join(broadcast(keys), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("amt"))
+      .select(lit("financial").as("family"), col("o_orderpriority").as("item"),
+        col("n"), col("amt").cast("double").as("amount"))
+
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(keys), col("o_custkey") === col("c_custkey"))
+    val activity = lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("amt"))
+      .select(lit("activity").as("family"), col("l_returnflag").as("item"),
+        col("n"), col("amt").cast("double").as("amount"))
+
+    val voting = events(spark, dir)
+      .join(broadcast(keys), col("user_id") === col("c_custkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("amt"))
+      .select(lit("voting").as("family"), col("event_type").as("item"),
+        col("n"), col("amt").cast("double").as("amount"))
+
+    val membership = scope
+      .join(broadcast(nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("amt"))
+      .select(lit("membership").as("family"), col("n_name").as("item"),
+        col("n"), col("amt").cast("double").as("amount"))
+
+    val result = financial.unionByName(activity)
+      .unionByName(voting).unionByName(membership)
+      .orderBy(col("family"), col("item"))
+    (result, scope)
+  }
+
   /** One referential audit row: child rows, orphans (child keys with
     * no parent), and the orphan key-sum pinning exact membership. */
   private def fkAudit(name: String, child: DataFrame, childKey: String,

@@ -223,6 +223,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffled join:\n$p")
   }
 
+  test("e4 dashboard: all four families consume ONE cached scope, facts join it broadcast") {
+    // the reference re-resolves the politician scope in 10+ separate
+    // round-trips; the one-plan form must resolve it once — every
+    // family's subtree reads the cached scope (InMemoryTableScan), and
+    // every customer.parquet mention in the plan is the cached
+    // relation's self-description, never a direct re-scan
+    val (frame, scope) = graft.operators.Profile.dashboardFrames(
+      spark, sfDir, "BUILDING")
+    val p = plan(frame)
+    scope.unpersist(true)
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    val custScans = "customer\\.parquet".r.findAllIn(p).size
+    assert(inMem >= 4, s"expected every family on the cached scope:\n$p")
+    assert(custScans <= inMem,
+      s"customer scanned outside the cached scope ($custScans scans, $inMem cache reads):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"scope not broadcast into facts:\n$p")
+  }
+
   test("s19 release diff: the exchange carries digests, never the text payload") {
     // the full-outer compare must project (doc_id, digest) below its
     // exchange — text reaching the shuffle would defeat the design
