@@ -40,11 +40,22 @@ EOF
 
 echo "=== bench @ sf0.1 ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-  2>&1 | grep -oE '\{"metric".*\}$' | tee /tmp/check_bench.json | python3 -c "
-import sys, json
-d = json.loads(sys.stdin.read())
+  2>&1 | grep -oE '\{"metric".*\}$' > /tmp/check_bench.json
+python3 - <<'EOF'
+import json
+line = open('/tmp/check_bench.json').read().strip()
+# the stdout line must FIT the driver's 2000-char tail or the round
+# artifact records parsed:null (the r8 failure mode)
+assert len(line) <= 1900, f'compact bench line too long: {len(line)} chars'
+d = json.loads(line)
 errs = d.get('errors') or {}
 if errs:
-    print('BENCH FAILURES:', json.dumps(errs)); sys.exit(1)
-print('total %.1fs over %d queries' % (d['value'], len(d['queries'])))"
+    raise SystemExit('BENCH FAILURES: ' + json.dumps(errs))
+# the complete per-query map must exist in BENCH_full_latest.json and
+# cover the whole suite
+f = json.loads(open('BENCH_full_latest.json').read())
+assert len(f['queries']) == f['n_queries'] == d['n_queries'], 'full artifact incomplete'
+print('total %.1fs over %d queries (compact line %d chars, lists %d, omitted_max %.3fs)' % (
+    d['value'], d['n_queries'], len(line), len(d['queries']), d['omitted_max']))
+EOF
 echo "ALL GREEN"
