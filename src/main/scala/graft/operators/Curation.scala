@@ -437,8 +437,26 @@ object Curation {
     * path). */
   val SourceCap = 15
 
-  /** Salt fan-out for the two-phase top-K (see sourceCaps). */
+  /** Salt fan-out FLOOR for the two-phase top-K (see sourceCaps), and
+    * the per-(source, salt) cell size the derived fan-out targets. The
+    * fan-out is corpus-DERIVED (round-9: the df-cap/pack-shard
+    * treatment applied to the last constant parallelism knob): a
+    * mega-domain's phase-1 cells hold ≤ ~SaltCellDocs docs regardless
+    * of how hot the source is, so the per-task sort working set stays
+    * bounded as a domain grows — a constant fan-out would let one
+    * 10⁹-doc crawl host serialize through 4 tasks. Derivation costs
+    * ONE bounded driver scalar (max per-source count, read from the
+    * already-cached |sources|-row counts frame). Salting is exact at
+    * ANY fan-out (phase 2 re-ranks the ≤ cap×salts survivors), so the
+    * derivation changes parallelism, never results — CurationSpec
+    * asserts salt-invariance explicitly. */
   val CapSalts = 4
+  val SaltCellDocs = 5000L
+
+  /** Hottest-source size → salt fan-out (shared arithmetic; specs). */
+  def derivedCapSalts(maxPerSource: Long): Int =
+    math.max(CapSalts.toLong,
+      (maxPerSource + SaltCellDocs - 1) / SaltCellDocs).toInt
 
   /** c7: per-source document caps — the domain-mixing control a corpus
     * build applies so no single crawl domain dominates the training mix
@@ -460,14 +478,16 @@ object Curation {
     *      against the tiny over-cap list);
     *   3. over-cap documents run a SALTED two-phase top-K: rank within
     *      (source, salt) and keep ≤cap per salt — the per-task working
-    *      set is ~1/CapSalts of the hot source — then re-rank the
-    *      ≤ cap×CapSalts survivors per source for the exact global
+    *      set is ~1/salts of the hot source, with the fan-out DERIVED
+    *      from the hottest source's size — then re-rank the
+    *      ≤ cap×salts survivors per source for the exact global
     *      top-cap (union of per-salt top-K is a superset of global
     *      top-K, so phase 2 is exact).
     *
     *    On real corpora the over-cap set is a handful of mega-domains,
     *    so the expensive path touches a small fraction of rows and its
-    *    skew is split CapSalts ways (raise CapSalts with domain size;
+    *    skew is split across the DERIVED salt fan-out (one salt per
+    *    ~SaltCellDocs docs of the hottest source, [[derivedCapSalts]];
     *    AQE's skew splitting covers the rest).
     *
     * Output: per-source rollup — kept/dropped counts, the min kept
@@ -475,16 +495,18 @@ object Curation {
     * the kept set, which pins exact MEMBERSHIP in the hash compare,
     * not just cardinality. */
   def sourceCaps(spark: SparkSession, dir: String,
-      cap: Int = SourceCap, salts: Int = CapSalts): DataFrame = {
+      cap: Int = SourceCap, salts: Int = 0): DataFrame = {
     val (out, counts) = sourceCapsFrames(spark, dir, cap, salts)
     CacheOps.materializeAndRelease(out, counts)
   }
 
   /** The un-materialized (result, cached counts) pair — PlanSpec
     * asserts the physical shape on the result before checkpointing
-    * erases it; callers must release `counts`. */
+    * erases it; callers must release `counts`. `salts = 0` (the
+    * default) derives the fan-out from the hottest source via
+    * [[derivedCapSalts]]. */
   private[graft] def sourceCapsFrames(spark: SparkSession, dir: String,
-      cap: Int = SourceCap, salts: Int = CapSalts): (DataFrame, DataFrame) = {
+      cap: Int = SourceCap, salts: Int = 0): (DataFrame, DataFrame) = {
     val scored = graft.Tables.documents(spark, dir)
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
       .withColumn("n_stop", size(filter(TextOps.tokens(col("text")),
@@ -502,6 +524,14 @@ object Curation {
     val counts = CacheOps.shared(
       scored.groupBy(col("source")).agg(count(lit(1)).as("n_src")))
     val overCap = counts.filter(col("n_src") > cap).select(col("source"))
+    // derived fan-out: ONE bounded driver scalar off the cached
+    // |sources|-row counts frame (the I3/df-cap bounded-scalar class)
+    val nSalts =
+      if (salts > 0) salts
+      else {
+        val row = counts.agg(max(col("n_src"))).collect()(0)
+        derivedCapSalts(if (row.isNullAt(0)) 0L else row.getLong(0))
+      }
 
     // map-only pass-through for sources that never hit the cap: anti
     // probe against the broadcast over-cap list (tiny: one row per
@@ -513,7 +543,7 @@ object Curation {
     // doc_id (deterministic), so re-runs rank identically.
     val priority = Seq(col("quality_ppm").desc, col("doc_id").asc)
     val local = overDocs
-      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("salt", pmod(col("doc_id"), lit(nSalts.toLong)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"), col("salt")).orderBy(priority: _*)))
       .filter(col("rn") <= cap)

@@ -271,6 +271,11 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(out === oneSalt)
     assert(out === manySalts)
+    // derived fan-out arithmetic: fixture sources sit under the cell
+    // target (floor applies); a 10^9-doc mega-domain splits into
+    // size/SaltCellDocs cells
+    assert(Curation.derivedCapSalts(25L) === Curation.CapSalts)
+    assert(Curation.derivedCapSalts(Curation.SaltCellDocs * 40L) === 40)
     // kept + dropped accounts for every document of every source
     val srcCounts = Tables.documents(spark, sfDir01)
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
