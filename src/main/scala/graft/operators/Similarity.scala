@@ -399,13 +399,22 @@ object Similarity {
     * label, embedding) frame; the spec suite lands planted-geometry
     * corpora through it. */
   private[graft] def materializeIvfOf(e: DataFrame, outPath: String): String = {
-    centroidAssignment(e)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(outPath)
+    writeIndex(centroidAssignment(e), outPath)
     e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       .write.mode("overwrite").parquet(s"$outPath/_centroids")
     outPath
   }
+
+  /** Land the assignment partitioned by cell — falling back to a plain
+    * (schema-bearing) write when it is EMPTY: a partitioned write of
+    * zero rows creates no data file at all, so the probe's read could
+    * not infer the index schema and an empty corpus would throw
+    * instead of returning an empty page (EmptyInputSpec). The isEmpty
+    * check is one bounded job at ingest time. */
+  private def writeIndex(assigned: DataFrame, outPath: String): Unit =
+    if (assigned.isEmpty) assigned.write.mode("overwrite").parquet(outPath)
+    else assigned.write.mode("overwrite").partitionBy("cent_id").parquet(outPath)
 
   /** V9/V9b: IVF probe over the LANDED index — read the query's top
     * `nprobe` cells and nothing else. Cells are ranked by
@@ -585,10 +594,13 @@ object Similarity {
           col("cent_vec").as("old_vec"))
         .localCheckpoint(true)
       // the ONLY driver-side value: max component movement in ppm
-      moved = next
+      // (null on an EMPTY centroid set — a zero-row corpus — which is
+      // the fixpoint by definition)
+      val movedRow = next
         .select(aggregate(zip_with(col("cent_vec"), col("old_vec"),
             (a, b) => abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x)).as("m"))
-        .agg(max(col("m"))).collect()(0).getDouble(0)
+        .agg(max(col("m"))).collect()(0)
+      moved = if (movedRow.isNullAt(0)) 0.0 else movedRow.getDouble(0)
       cents = next.drop("old_vec")
       iter += 1
     }
@@ -616,13 +628,13 @@ object Similarity {
       embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding")),
       maxIters, 0.0)
     val cv = cents.select(col("cent_id"), col("cent_vec").as("cent_emb"))
-    e.crossJoin(broadcast(cv))
+    writeIndex(e.crossJoin(broadcast(cv))
       .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(outPath)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id")),
+      outPath)
     cv.write.mode("overwrite").parquet(s"$outPath/_centroids")
     e.unpersist(true)
     outPath

@@ -59,6 +59,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.kmeansStep(spark, emptyDir).count() === 0)
     assert(Similarity.quantizedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.batchTopK(spark, emptyDir).count() === 0)
+    // landed tiers: a zero-row partitioned write lands no parquet
+    // footer, so the index write falls back to a plain schema-bearing
+    // file and every probe variant returns an empty page (round 9:
+    // all three threw before)
+    assert(Similarity.ivfLandedTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfLandedTopK2(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfTrainedTopK2(spark, emptyDir).count() === 0)
+  }
+
+  test("dashboard fan-out returns zero families on an empty scope") {
+    assert(Profile.dashboard(spark, emptyDir).count() === 0)
   }
 
   test("range join returns empty rollups on empty orders") {
