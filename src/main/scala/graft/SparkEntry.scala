@@ -208,6 +208,10 @@ object SparkEntry {
     // probe + exact verify loses and invents nothing (the bloom stays
     // a pure physical optimization)
     "d8_incremental_dedup"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // d9: SEMANTIC dedup (SemDeDup) — embed, cluster coarsely, drop
+    // within-cell pairs over the cosine threshold; the paraphrase
+    // catcher the lexical tiers structurally miss
+    "d9_semantic_dedup"       -> ((s, d) => Dedup.semanticDedup(s, d)),
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
     // e2b: the generic profiler over a second table (more column types)
     "e2b_orders_profile"      -> ((s, d) => Profile.ordersProfile(s, d)),
@@ -389,6 +393,35 @@ object SparkEntry {
     * ordered-fold L2 norm, float32 rounding via CAST AS REAL — then the
     * v1w cosine folds. Emits a WITH chain ending in `hits` (doc_id,
     * full-precision sim, top-`k` by sim). */
+  /** DuckDB twins of the StubEmbed derivation (md5-window components,
+    * float32 unit-norm) — shared by the v4/x7c retrieval oracles and
+    * d9's semantic dedup. */
+  private def stubVecOf(comp: String, keyed: Boolean): String = {
+    val key = if (keyed) "doc_id, " else ""
+    s"""(SELECT ${key}list_transform(raw, v ->
+           CASE WHEN nrm = 0 THEN CAST(0.0 AS REAL) ELSE CAST(v / nrm AS REAL) END) AS emb
+         FROM (SELECT ${key}raw,
+                 sqrt(list_reduce(list_transform(raw, v -> v * v), (x, y) -> x + y)) AS nrm
+               FROM (SELECT ${key}list(s / 4294967296.0 ORDER BY j) AS raw
+                     FROM $comp GROUP BY ALL)))"""
+  }
+  private def stubCompOf(toks: String, keyed: Boolean,
+      dim: Int = graft.functions.StubEmbed.DefaultDim): String = {
+    val key = if (keyed) "doc_id, " else ""
+    s"""(SELECT ${key}x.j AS j,
+           SUM(CAST('0x' || substr(md5(tok || ':' || CAST(x.j // 4 AS VARCHAR)),
+                 CAST(1 + 8 * (x.j % 4) AS INTEGER), 8) AS BIGINT) - 2147483648) AS s
+         FROM $toks, unnest(range($dim)) AS x(j)
+         GROUP BY ALL)"""
+  }
+
+  /** The per-document stub-embedding CTE pair (dtoks + dvec). */
+  private def stubDocVecCtes: String =
+    s"""dtoks AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+         FROM documents),
+       dvec AS ${stubVecOf(stubCompOf("dtoks", keyed = true), keyed = true)}"""
+
   private def stubSearchSql(query: String, k: Int): String = {
     val dim = graft.functions.StubEmbed.DefaultDim
     // tokenize the query EXACTLY as StubEmbed does (Locale.ROOT lower,
@@ -397,23 +430,8 @@ object SparkEntry {
     val qToks = query.trim.toLowerCase(java.util.Locale.ROOT)
       .split("[\\t\\n\\f\\r ]+").filter(_.nonEmpty)
       .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-    def vecOf(comp: String, keyed: Boolean): String = {
-      val key = if (keyed) "doc_id, " else ""
-      s"""(SELECT ${key}list_transform(raw, v ->
-             CASE WHEN nrm = 0 THEN CAST(0.0 AS REAL) ELSE CAST(v / nrm AS REAL) END) AS emb
-           FROM (SELECT ${key}raw,
-                   sqrt(list_reduce(list_transform(raw, v -> v * v), (x, y) -> x + y)) AS nrm
-                 FROM (SELECT ${key}list(s / 4294967296.0 ORDER BY j) AS raw
-                       FROM $comp GROUP BY ALL)))"""
-    }
-    def compOf(toks: String, keyed: Boolean): String = {
-      val key = if (keyed) "doc_id, " else ""
-      s"""(SELECT ${key}x.j AS j,
-             SUM(CAST('0x' || substr(md5(tok || ':' || CAST(x.j // 4 AS VARCHAR)),
-                   CAST(1 + 8 * (x.j % 4) AS INTEGER), 8) AS BIGINT) - 2147483648) AS s
-           FROM $toks, unnest(range($dim)) AS x(j)
-           GROUP BY ALL)"""
-    }
+    def vecOf(comp: String, keyed: Boolean): String = stubVecOf(comp, keyed)
+    def compOf(toks: String, keyed: Boolean): String = stubCompOf(toks, keyed, dim)
     s"""WITH dtoks AS (
          SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
          FROM documents),
@@ -431,6 +449,38 @@ object SparkEntry {
          FROM dvec dv, qvec q
          ORDER BY sim DESC, doc_id LIMIT $k)"""
   }
+
+  /** d9: semantic dedup — the stub-embedding CTEs (StubEmbed mirrored
+    * exactly), first-8 coarse cells via the IVF argmax rule, the
+    * within-cell pair scan with the threshold drop, per-cell rollup.
+    * The whole tier is hash-checked end to end. */
+  private lazy val d9Sql: String =
+    s"""WITH $stubDocVecCtes,
+         cents AS (
+           SELECT doc_id AS cent_id, emb AS cent_emb FROM dvec
+           WHERE doc_id < ${operators.Similarity.IvfCentroids}),
+         assigned AS (
+           SELECT doc_id, emb, cent_id FROM (
+             SELECT d.doc_id, d.emb, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
+                 ${cosSql("d.emb", "c.cent_emb")} DESC, c.cent_id) AS rn
+             FROM dvec d CROSS JOIN cents c) t
+           WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.cent_id, b.doc_id
+           FROM assigned a JOIN assigned b
+             ON a.cent_id = b.cent_id AND a.doc_id < b.doc_id
+           WHERE ${cosSql("a.emb", "b.emb")} >= ${operators.Dedup.SemanticTau}),
+         agg AS (
+           SELECT cent_id, COUNT(*) AS n_dropped, SUM(doc_id) AS s
+           FROM drops GROUP BY cent_id),
+         tot AS (SELECT cent_id, COUNT(*) AS n_total FROM assigned GROUP BY cent_id)
+         SELECT t.cent_id, t.n_total,
+           t.n_total - COALESCE(g.n_dropped, 0) AS n_kept,
+           COALESCE(g.n_dropped, 0) AS n_dropped,
+           CAST(COALESCE(g.s, 0) AS BIGINT) AS dropped_id_sum
+         FROM tot t LEFT JOIN agg g ON t.cent_id = g.cent_id
+         ORDER BY t.cent_id"""
 
   /** The d7 component oracle — the d2 pair CTEs verbatim, then a
     * recursive transitive closure: an INDEPENDENT formulation of the
@@ -2097,6 +2147,7 @@ object SparkEntry {
                 ELSE 'new' END AS status
          FROM batch b JOIN firsts f USING (digest)
          ORDER BY b.doc_id""",
+    "d9_semantic_dedup" -> d9Sql,
     // d6: the winnowing tier end to end. The window hash reproduces
     // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
     // winnow encodes rightmost-tie argmin as MIN over a position-

@@ -766,4 +766,78 @@ object Dedup {
           .otherwise(lit("new")).as("status"))
       .orderBy(col("doc_id"))
   }
+
+  /** D9: SEMANTIC dedup — near-duplicate removal in embedding space
+    * (the SemDeDup recipe, Abbas et al. 2023, arXiv:2303.09540 —
+    * public method): embed every document, cluster the embeddings
+    * coarsely, compare only WITHIN a cluster, and drop the greater id
+    * of every pair above a cosine threshold. Catches what lexical
+    * tiers (d2/d3/d4) structurally miss — paraphrases and re-renders
+    * that share meaning but few shingles — which is why production
+    * corpus builds run both families.
+    *
+    * Embedder: the deterministic [[graft.functions.StubEmbed]] seam
+    * (X5's discipline — swap in a real model, the plan is unchanged).
+    * Because StubEmbed is mirrored component-for-component in the
+    * DuckDB oracle, the WHOLE tier — embedding, centroid assignment,
+    * within-cell pair scan, threshold, per-cell rollup — is
+    * hash-checked, not just row-counted. Clustering reuses the v5
+    * selection rule (first-8 docs as coarse centroids, argmax cosine,
+    * cent_id tie-break) so assignment stays SQL-expressible; a
+    * production run swaps in kmeansConverged centroids exactly as the
+    * IVF tier does ([[Similarity.materializeIvfTrained]]).
+    *
+    * Scale shape: the all-pairs comparison is gated entirely by CELL
+    * sizes — the corpus is never compared across cells (v2's blocking
+    * argument; a cell that outgrows an executor sub-buckets by LSH or
+    * splits its centroid). Assignment is k VecDots per row in the
+    * scan stage with the centroid set broadcast; the rollup is one
+    * |cells|-group partial agg. Output pins exact drop MEMBERSHIP
+    * per cell (dropped_id_sum), not just counts. */
+  /** d9's drop threshold — interpolated into the oracle, so the two
+    * sides can never drift. SemDeDup's production range is 0.9-0.97;
+    * 0.95 keeps fixture drops non-trivial at every SF. */
+  val SemanticTau = 0.95
+
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = SemanticTau): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = documents(spark, dir)
+      .select(col("doc_id"), graft.functions.StubEmbed(col("text")).as("emb"))
+    val cents = e.filter(col("doc_id") < Similarity.IvfCentroids)
+      .select(col("doc_id").as("cent_id"), col("emb").as("cent_emb"))
+    // assignment feeds both self-join sides and the totals rollup;
+    // the row's norm is computed ONCE here — the pair scan is the hot
+    // path (cells × members²) and per-pair cosine would recompute both
+    // norms per pair, tripling its VecDot count. Same doubles, same
+    // order: dot/(nrmA·nrmB) is bit-identical to Vectors.cosine, so
+    // the oracle's plain-cosine formulation still hash-matches.
+    val assigned = shared(e.crossJoin(broadcast(cents))
+      .withColumn("csim", graft.functions.Vectors.cosine(col("emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(org.apache.spark.sql.functions.desc("csim"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("emb"), col("cent_id"),
+        graft.functions.Vectors.norm(col("emb")).as("nrm")))
+    val a = assigned.select(col("cent_id"), col("doc_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cent_id"), col("doc_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    val denom = col("a_nrm") * col("b_nrm")
+    val pairSim = when(denom === 0, lit(0.0))
+      .otherwise(graft.functions.Vectors.dot(col("a_emb"), col("b_emb")) / denom)
+    val drops = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(pairSim >= tau)
+      .select(col("cent_id"), col("b_id")).distinct()
+    val dropAgg = drops.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_dropped"), sum(col("b_id")).as("dropped_id_sum"))
+    val result = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_total"))
+      .join(dropAgg, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_total"),
+        (col("n_total") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("dropped_id_sum"), lit(0L)).as("dropped_id_sum"))
+      .orderBy(col("cent_id"))
+    materializeAndRelease(result, assigned)
+  }
 }

@@ -226,4 +226,42 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("sized differently"))
   }
+
+  test("semantic dedup (d9) matches a driver-side assign/compare/drop mirror") {
+    import graft.operators.Similarity
+    // embeddings from the (separately spec'd) StubEmbed expression;
+    // assignment, pair scan, threshold, and rollup re-derived on the
+    // driver with the same left-to-right double arithmetic
+    val e = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.StubEmbed(col("text")).as("emb"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else d / den
+    }
+    val cents = e.filter(_._1 < Similarity.IvfCentroids)
+    // argmax cosine, ties to the LOWER cent_id (the plan's tie-break)
+    val cellOf = e.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), -cid) }.max._2 * -1
+    }.toMap
+    val dropSet = (for {
+      (ai, av) <- e.iterator
+      (bi, bv) <- e.iterator
+      if ai < bi && cellOf(ai) == cellOf(bi) && cos(av, bv) >= Dedup.SemanticTau
+    } yield (cellOf(bi), bi)).toSet
+    assert(dropSet.nonEmpty, "fixture must exercise the drop path")
+    val expected = e.groupBy { case (id, _) => cellOf(id) }.map { case (cell, members) =>
+      val dropped = dropSet.filter(_._1 == cell).map(_._2)
+      cell -> (members.length.toLong, (members.length - dropped.size).toLong,
+        dropped.size.toLong, dropped.sum)
+    }
+    val got = Dedup.semanticDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+  }
 }

@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.rollingFingerprintPairs(spark, emptyDir).count() === 0)
     assert(Dedup.dedupClusters(spark, emptyDir).count() === 0)
     assert(Dedup.incrementalDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.semanticDedup(spark, emptyDir).count() === 0)
   }
 
   test("curation tier returns empty frames on an empty corpus") {
