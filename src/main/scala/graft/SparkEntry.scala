@@ -212,6 +212,12 @@ object SparkEntry {
     // within-cell pairs over the cosine threshold; the paraphrase
     // catcher the lexical tiers structurally miss
     "d9_semantic_dedup"       -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // d10: duplicate-SPAN detection (Lee et al. substring dedup) — the
+    // "some gram occurs twice" test is a group-by, not a pair join
+    "d10_duplicate_spans"     -> ((s, d) => Dedup.duplicateSpans(s, d)),
+    // t7: CCNet-style perplexity bucketing with an integer-quantized
+    // corpus bigram LM (floor-log2 via bin-string length, both engines)
+    "t7_bigram_surprisal"     -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
     // e2b: the generic profiler over a second table (more column types)
     "e2b_orders_profile"      -> ((s, d) => Profile.ordersProfile(s, d)),
@@ -2148,6 +2154,71 @@ object SparkEntry {
          FROM batch b JOIN firsts f USING (digest)
          ORDER BY b.doc_id""",
     "d9_semantic_dedup" -> d9Sql,
+    // d10: the island rule mirrors the Scala window exactly — the
+    // first hit's NULL lag falls to the ELSE branch in both engines.
+    // SUMs over ints are cast back to BIGINT (DuckDB widens to
+    // HUGEINT); the ppm is the t2 floor'd-double convention.
+    "d10_duplicate_spans" ->
+      s"""WITH t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         g AS (
+           SELECT doc_id, x.i AS pos,
+             CAST('0x' || substr(md5(array_to_string(w[x.i+1:x.i+${operators.Dedup.SpanGram}], ' ')), 1, 15) AS BIGINT) AS gram_h
+           FROM t, unnest(range(len(w) - ${operators.Dedup.SpanGram - 1})) AS x(i)
+           WHERE len(w) >= ${operators.Dedup.SpanGram}),
+         dup AS (SELECT gram_h FROM g GROUP BY gram_h HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram_h)),
+         brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    <= ${operators.Dedup.SpanGram} THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         sp AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM brk),
+         spans AS (
+           SELECT doc_id, span_id,
+             MAX(pos) + ${operators.Dedup.SpanGram} - MIN(pos) AS span_len
+           FROM sp GROUP BY doc_id, span_id),
+         nt AS (SELECT doc_id, len(w) AS n_tokens FROM t)
+         SELECT s.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+           CAST(FLOOR(SUM(span_len) * 1000000.0 / nt.n_tokens) AS BIGINT) AS dup_ppm
+         FROM spans s JOIN nt USING (doc_id)
+         GROUP BY s.doc_id, nt.n_tokens
+         ORDER BY s.doc_id""",
+    // t7: the quantized-surprisal LM — length(bin(x))-1 is floor(log2)
+    // on both engines, so the score is exact integer math plus one
+    // floor'd double division; NTILE's tie behavior is pinned by the
+    // unique (surprisal, doc_id) order
+    "t7_bigram_surprisal" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang, $toksSql AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(w[x.i+1] || ' ' || w[x.i+2]), 1, 15) AS BIGINT) AS gram_h
+           FROM t, unnest(range(len(w) - 1)) AS x(i)
+           WHERE len(w) >= 2),
+         c AS (SELECT gram_h, COUNT(*) AS cnt FROM g GROUP BY gram_h),
+         tot AS (SELECT COUNT(*) AS n_total FROM g),
+         per AS (
+           SELECT g.doc_id, COUNT(*) AS n_bigrams,
+             CAST(FLOOR(SUM(length(bin(tot.n_total)) - length(bin(c.cnt))) * 1000.0
+               / COUNT(*)) AS BIGINT) AS surprisal_milli
+           FROM g JOIN c USING (gram_h) CROSS JOIN tot
+           GROUP BY g.doc_id),
+         alldocs AS (
+           SELECT t.doc_id, t.lang,
+             COALESCE(per.n_bigrams, 0) AS n_bigrams,
+             COALESCE(per.surprisal_milli, 0) AS surprisal_milli
+           FROM t LEFT JOIN per USING (doc_id))
+         SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(surprisal_milli AS BIGINT) AS surprisal_milli,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+             ORDER BY surprisal_milli, doc_id) AS INTEGER) AS ppl_bucket
+         FROM alldocs ORDER BY doc_id""",
     // d6: the winnowing tier end to end. The window hash reproduces
     // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
     // winnow encodes rightmost-tie argmin as MIN over a position-

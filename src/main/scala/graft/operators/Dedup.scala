@@ -840,4 +840,89 @@ object Dedup {
       .orderBy(col("cent_id"))
     materializeAndRelease(result, assigned)
   }
+
+  /** d10's gram width in tokens. Lee et al. use 50 BPE tokens on web
+    * crawl; 8 whitespace tokens keeps planted fixture spans (and the
+    * corpus' real shared sentences) detectable at every SF while the
+    * shape — and the oracle arithmetic — is width-independent. */
+  val SpanGram = 8
+
+  /** D10: duplicate-SPAN detection — substring-level dedup in the
+    * style of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2021, arXiv:2107.06499 — public method),
+    * which removes any ≥k-token run that appears more than once in
+    * the corpus. The doc-level tiers (d1-d4, d9) keep or drop WHOLE
+    * documents; this tier finds the duplicated text INSIDE kept
+    * documents — boilerplate headers, quoted replies, license
+    * blocks — which doc-level dedup structurally cannot touch.
+    *
+    * Spark-first shape — the published method builds a corpus-wide
+    * suffix array, a data structure with no distributed analog; the
+    * re-expression is that "some k-token gram occurs ≥2 times" is a
+    * GROUP-BY, not a join or a suffix sort:
+    *  1. explode each doc into its k-token rolling grams with their
+    *     token position (one md5Long per gram, computed in the scan
+    *     stage);
+    *  2. count occurrences per gram hash — a partial-aggregated
+    *     shuffle, so a boilerplate gram in every doc arrives at its
+    *     reducer as ~one count per map partition, never a posting
+    *     list;
+    *  3. semi-join the gram stream back to the ≥2-count hashes (the
+    *     second and last gram_h shuffle — fanout exactly 1 per hit);
+    *  4. merge each doc's hit positions into MAXIMAL spans (two hits
+    *     p<p' overlap or touch iff p'-p ≤ k) with one per-doc window —
+    *     the gaps-and-islands pass, partition size bounded by doc
+    *     length.
+    * No pair join appears anywhere: cost is linear in corpus grams at
+    * any duplication density, where d2's inverted-index join grows
+    * with the candidate-pair count. Unlike d2/d6 there is no df cap —
+    * a gram shared by ten thousand docs is exactly what this tier
+    * exists to flag, and it costs one count row, not a 10^8-row
+    * fanout.
+    *
+    * Output: per doc with ≥1 duplicated span — span count, duplicated
+    * token count, and the parts-per-million duplicated ratio (floor'd
+    * double math, the t2 portability convention). Every stage is
+    * mirrored exactly in the DuckDB oracle (same md5-derived gram
+    * hash, same island rule), so the tier is hash-checked end to end. */
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = SpanGram): DataFrame =
+    duplicateSpansOf(documents(spark, dir), k)
+
+  /** Frame-based form of [[duplicateSpans]] — the spec suite plants
+    * known-span corpora through it (the repetitionStatsOf pattern). */
+  private[graft] def duplicateSpansOf(input: DataFrame, k: Int = SpanGram): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = shared(input
+      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
+    val grams = shared(docs
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => md5Long(array_join(slice(col("w"), i + 1, lit(k)), " "))))
+        .as(Seq("pos", "gram_h"))))
+    val dup = grams.groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("gram_h"))
+    val hits = grams.join(dup, Seq("gram_h"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // first hit of a doc: pos - lag = null, null <= k is null → new
+    // span — the same three-valued CASE the oracle evaluates
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg((max(col("pos")) + k - min(col("pos"))).as("span_len"))
+    val result = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+      .join(docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .withColumn("dup_ppm",
+        floor(col("dup_tokens") * lit(1000000.0) / col("n_tokens")).cast("bigint"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"), col("dup_ppm"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, docs, grams)
+  }
 }

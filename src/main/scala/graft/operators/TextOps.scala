@@ -242,4 +242,75 @@ object TextOps {
 
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     repetitionStatsOf(documents(spark, dir), DupGramPpmMax, TopGramPpmMax)
+
+  /** T7: perplexity-style quality filtering — the CCNet recipe
+    * (Wenzek et al. 2020, arXiv:1911.00359 — public method): score
+    * every document against a language model and bucket each
+    * language's distribution into head/middle/tail; training corpora
+    * keep the head and middle, inspect or drop the tail. The LM here
+    * is the corpus' own bigram statistics (the self-supervised
+    * degenerate case — production swaps in Wikipedia-trained counts
+    * through the same join), and the per-bigram log-probability is
+    * QUANTIZED to its integer floor:
+    * `log2(cnt) ↓ = length(bin(cnt)) - 1`, so a document's surprisal
+    * `Σ (log2(N)↓ - log2(cnt)↓) / n_bigrams` is exact integer
+    * arithmetic plus one floor'd double division (the t2 ppm
+    * convention) — bit-identical across engines, where true
+    * floating-point `ln` is only ulp-close and would flake the hash
+    * gate. Rare-bigram documents (word salad, OCR noise, wrong-lang
+    * text) score high; formulaic text scores low — the ordering the
+    * filter needs, at integer precision.
+    *
+    * Plan shape for 100 TB: bigrams are built in the scan stage (t6's
+    * adjacent zip), counted with one partial-aggregated shuffle on the
+    * 60-bit gram hash, and joined back hash-to-hash (fanout exactly 1
+    * per occurrence — no posting lists); the corpus total broadcasts
+    * as a one-row frame. The per-language NTILE window makes the
+    * head/middle/tail cut exactly reproducible at fixture scale; a
+    * production corpus computes the two cutpoints per language from a
+    * sample (CCNet's own practice) and applies them map-side instead
+    * of sorting a language's every document. Docs with <2 tokens keep
+    * a zero-stats row (the t6 accounting rule) and land in the head
+    * bucket deterministically. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(documents(spark, dir))
+
+  /** Frame-based form of [[bigramSurprisal]] — the spec suite plants
+    * known-frequency corpora through it (the repetitionStatsOf pattern). */
+  private[graft] def bigramSurprisalOf(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CacheOps.{materializeAndRelease, shared}
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val grams2 = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val docs = shared(input
+      .repartition(col("doc_id")) // BEFORE hashing — see Dedup.ngramJaccardPairs
+      .select(col("doc_id"), col("lang"), grams2.as("grams")))
+    val g = shared(docs
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gram_h")))
+    val counts = g.groupBy(col("gram_h")).agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(count(lit(1)).as("n_total"))
+    val per = g.join(counts, Seq("gram_h"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q", length(bin(col("n_total"))) - length(bin(col("cnt"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("q")) * lit(1000.0) / count(lit(1))).cast("bigint")
+          .as("surprisal_milli"))
+    val all = docs.select(col("doc_id"), col("lang"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_milli"), lit(0L)).as("surprisal_milli"))
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("surprisal_milli"), col("doc_id"))
+    val result = all
+      .withColumn("ppl_bucket", ntile(3).over(byLang))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, docs, g)
+  }
 }

@@ -264,4 +264,58 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(got === expected)
   }
+
+  test("duplicate spans (d10) on planted docs: cross-doc, within-doc, island merge") {
+    import spark.implicits._
+    // k=3 keeps the plants readable; the arithmetic is width-generic
+    val planted = Seq(
+      (1L, "q1 q2 s1 s2 s3 s4 s5 q3"),     // shares s1..s5 with doc 2
+      (2L, "s1 s2 s3 s4 s5 r1 r2 r3"),
+      (3L, "x y z u1 u2 u3 u4 x y z"),     // self-repeat, two islands
+      (4L, "n1 n2 n3 n4 n5"),              // unique → no row
+      (5L, "a b"))                         // shorter than k → no grams, no crash
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansOf(planted, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // docs 1/2: hits at three consecutive positions merge into ONE
+    // 5-token span (the shared sentence, maximal, not three 3-grams)
+    assert(got(1L) === ((8L, 1L, 5L, 625000L)))
+    assert(got(2L) === ((8L, 1L, 5L, 625000L)))
+    // doc 3: "x y z" at pos 0 and 7 — gap 7 > k → TWO spans of 3
+    assert(got(3L) === ((10L, 2L, 6L, 600000L)))
+    assert(got.keySet === Set(1L, 2L, 3L), "unique and short docs emit no row")
+  }
+
+  test("duplicate spans (d10) match a driver-side suffix-scan mirror on the fixture") {
+    val k = Dedup.SpanGram
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    // mirror counts gram STRINGS, not hashes — agreement also proves the
+    // 60-bit md5 hashing introduced no collision on this corpus
+    val grams = docs.flatMap { case (id, w) =>
+      if (w.length >= k) (0 to w.length - k).map(i => (id, i, w.slice(i, i + k).mkString(" ")))
+      else Nil
+    }
+    val counts = grams.groupBy(_._3).map { case (g, o) => g -> o.size }
+    val expected = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).map { case (id, hs) =>
+        val pos = hs.map(_._2).sorted
+        // island merge: a hit extends the open span iff gap <= k
+        val spans = pos.tail.foldLeft(List((pos.head, pos.head))) {
+          case ((s, last) :: rest, p) =>
+            if (p - last <= k) (s, p) :: rest else (p, p) :: (s, last) :: rest
+          case (Nil, p) => List((p, p))
+        }
+        val dupTokens = spans.map { case (s, e) => e + k - s }.sum.toLong
+        val nTokens = docs.find(_._1 == id).get._2.length.toLong
+        id -> (nTokens, spans.size.toLong, dupTokens,
+          math.floor(dupTokens * 1000000.0 / nTokens).toLong)
+      }
+    assert(expected.nonEmpty, "fixture must contain duplicated spans")
+    val got = Dedup.duplicateSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+  }
 }

@@ -39,6 +39,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupClusters(spark, emptyDir).count() === 0)
     assert(Dedup.incrementalDedup(spark, emptyDir).count() === 0)
     assert(Dedup.semanticDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.duplicateSpans(spark, emptyDir).count() === 0)
+    assert(TextOps.bigramSurprisal(spark, emptyDir).count() === 0)
   }
 
   test("curation tier returns empty frames on an empty corpus") {

@@ -106,4 +106,59 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"no map-side partial aggregation in:\n$p")
   }
+
+  test("bigram surprisal (t7) on planted docs: quantized scores, buckets, zero row") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "en", "c c c c c"),   // 4× the corpus' hot bigram → low surprisal
+      (2L, "en", "c c r1 r2"),   // one hot + two singletons
+      (3L, "en", "z1 z2"),       // pure singleton → max surprisal
+      (4L, "en", "solo"))        // <2 tokens → zero row, head bucket
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.bigramSurprisalOf(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    // counts: "c c"×5, three singletons → N=8, ⌊log2 8⌋=3, ⌊log2 5⌋=2,
+    // ⌊log2 1⌋=0 → q(hot)=1, q(singleton)=3
+    // ntile over 4 docs ordered (score, id): tiles {4,1},{2},{3}
+    assert(got(1L) === ((4L, 1000L, 1)))             // 4×1/4
+    assert(got(2L) === ((3L, 2333L, 2)))             // (1+3+3)/3 floored
+    assert(got(3L) === ((1L, 3000L, 3)))
+    assert(got(4L) === ((0L, 0L, 1)))
+    // the ordering a perplexity filter needs: formulaic < mixed < salad
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2)
+  }
+
+  test("bigram surprisal (t7) matches a driver-side LM mirror on the fixture") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").filter(_.nonEmpty)))
+    // mirror counts bigram STRINGS — agreement also proves the 60-bit
+    // hash introduced no collision on this corpus
+    val bigrams = docs.flatMap { case (id, _, w) =>
+      if (w.length >= 2) w.sliding(2).map(p => (id, p.mkString(" "))).toSeq else Nil
+    }
+    val counts = bigrams.groupBy(_._2).map { case (g, o) => g -> o.size }
+    val n = bigrams.length
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val per = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val q = bs.map(b => bitlen(n) - bitlen(counts(b._2))).sum
+      id -> (bs.size.toLong, math.floor(q * 1000.0 / bs.size).toLong)
+    }
+    val scored = docs.map { case (id, lang, _) =>
+      (id, lang, per.get(id).map(_._1).getOrElse(0L), per.get(id).map(_._2).getOrElse(0L))
+    }
+    // ntile(3) mirror: first (n mod 3) tiles carry ceil(n/3) rows
+    val expected = scored.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(d => (d._4, d._1))
+      val (base, rem) = (sorted.length / 3, sorted.length % 3)
+      sorted.zipWithIndex.map { case ((id, _, nb, s), i) =>
+        val bucket = (0 until 3).scanLeft(0)((acc, t) =>
+          acc + base + (if (t < rem) 1 else 0)).tail.indexWhere(i < _) + 1
+        id -> (nb, s, bucket)
+      }
+    }.toMap
+    val got = TextOps.bigramSurprisal(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got === expected)
+  }
 }
