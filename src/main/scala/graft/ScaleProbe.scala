@@ -200,7 +200,16 @@ object ScaleProbe {
       // rows through the one wide exchange) while block size holds;
       // doc_id and vec_id salt identically, so the 1:1 pair join is
       // preserved across probe copies
-      "m3_paired_curation"   -> (operators.Multimodal.pairedCuration(_, _)))
+      "m3_paired_curation"   -> (operators.Multimodal.pairedCuration(_, _)),
+      // round-9 additions. d10: wall must track corpus GRAM count
+      // linearly — there is no pair join to go quadratic; the salted
+      // corpus multiplies within-copy duplicated spans k× (copies
+      // share no grams), the exact claimed regime. t7: the LM join is
+      // hash-to-hash fanout 1 and the vocabulary (distinct bigrams)
+      // grows k× under salting — wall must track occurrences, with
+      // the per-lang window bounded by docs per lang
+      "d10_duplicate_spans"  -> (operators.Dedup.duplicateSpans(_, _)),
+      "t7_bigram_surprisal"  -> (operators.TextOps.bigramSurprisal(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

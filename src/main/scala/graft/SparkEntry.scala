@@ -218,6 +218,9 @@ object SparkEntry {
     // t7: CCNet-style perplexity bucketing with an integer-quantized
     // corpus bigram LM (floor-log2 via bin-string length, both engines)
     "t7_bigram_surprisal"     -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    // t8: BPE merge learning — corpus collapses to the vocab table
+    // once, then every round is a vocab-sized argmax + framed replace
+    "t8_bpe_merges"           -> ((s, d) => Bpe.bpeMerges(s, d)),
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
     // e2b: the generic profiler over a second table (more column types)
     "e2b_orders_profile"      -> ((s, d) => Profile.ordersProfile(s, d)),
@@ -454,6 +457,45 @@ object SparkEntry {
                 j -> CAST(q.emb[j+1] AS DOUBLE) * CAST(q.emb[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
          FROM dvec dv, qvec q
          ORDER BY sim DESC, doc_id LIMIT $k)"""
+  }
+
+  /** t8: the BPE merge learner, unrolled — one (pairs → argmax →
+    * framed replace) CTE stage per round, exactly the loop
+    * operators.Bpe.learnMerges drives. The framed-string replace is
+    * greedy non-overlapping on both engines (see Bpe scaladoc); the
+    * LEFT JOIN ON TRUE keeps later stages alive if a round runs dry
+    * (mirroring the Scala early-stop). */
+  private lazy val t8Sql: String = {
+    val rounds = operators.Bpe.BpeRounds
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT s[x.i+1] AS lhs, s[x.i+2] AS rhs, SUM(freq) AS pair_count
+           FROM (SELECT regexp_extract_all(syms, '\\[([^\\]]*)\\]', 1) AS s, freq
+                 FROM v${r - 1}), unnest(range(len(s) - 1)) AS x(i)
+           GROUP BY 1, 2),
+         m$r AS (
+           SELECT lhs, rhs, pair_count FROM p$r
+           ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         v$r AS (
+           SELECT CASE WHEN m.lhs IS NULL THEN v.syms
+                  ELSE replace(v.syms, '[' || m.lhs || '][' || m.rhs || ']',
+                               '[' || m.lhs || m.rhs || ']') END AS syms, v.freq
+           FROM v${r - 1} v LEFT JOIN m$r m ON TRUE)"""
+    }.mkString(",\n         ")
+    val union = (1 to rounds).map { r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM m$r"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH v0 AS (
+           SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS syms, COUNT(*) AS freq
+           FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '')) AS word
+                 FROM documents)
+           WHERE word NOT LIKE '%[%' AND word NOT LIKE '%]%'
+           GROUP BY word),
+         $stages
+         SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, merged, pair_count
+         FROM ($union)
+         ORDER BY merge_rank"""
   }
 
   /** d9: semantic dedup — the stub-embedding CTEs (StubEmbed mirrored
@@ -2154,6 +2196,7 @@ object SparkEntry {
          FROM batch b JOIN firsts f USING (digest)
          ORDER BY b.doc_id""",
     "d9_semantic_dedup" -> d9Sql,
+    "t8_bpe_merges" -> t8Sql,
     // d10: the island rule mirrors the Scala window exactly — the
     // first hit's NULL lag falls to the ELSE branch in both engines.
     // SUMs over ints are cast back to BIGINT (DuckDB widens to
