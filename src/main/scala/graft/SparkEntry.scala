@@ -142,6 +142,9 @@ object SparkEntry {
     "s16b_compacted_read"     -> ((s, d) => Partitioned.compactedIncrementalCounts(s, d)),
     // range-clustered layout: disjoint per-file key ranges, footer-pruned read
     "s17_sorted_layout"       -> ((s, d) => Partitioned.sortedLayoutRollup(s, d)),
+    // s20: Morton-curve clustering — the multi-dim layout s17 can't
+    // express; pruning proofs live in PartitionedSpec footer stats
+    "s20_zorder_layout"       -> ((s, d) => Partitioned.zorderLayoutRollup(s, d)),
     // mergeSchema read across batches written before/after a column existed
     "s18_schema_evolution"    -> ((s, d) => Partitioned.schemaEvolutionRollup(s, d)),
     "j6b_salted_join"         -> ((s, d) => SkewJoin.saltedSegmentRevenue(s, d)),
@@ -221,6 +224,9 @@ object SparkEntry {
     // t8: BPE merge learning — corpus collapses to the vocab table
     // once, then every round is a vocab-sized argmax + framed replace
     "t8_bpe_merges"           -> ((s, d) => Bpe.bpeMerges(s, d)),
+    // t8b: the learned merge table applied corpus-wide — N replace
+    // literals folded into the scan, one per-doc partial-agg rollup
+    "t8b_bpe_tokenize"        -> ((s, d) => Bpe.bpeTokenize(s, d)),
     "e2_corpus_profile"       -> ((s, d) => Profile.corpusProfile(s, d)),
     // e2b: the generic profiler over a second table (more column types)
     "e2b_orders_profile"      -> ((s, d) => Profile.ordersProfile(s, d)),
@@ -465,7 +471,9 @@ object SparkEntry {
     * greedy non-overlapping on both engines (see Bpe scaladoc); the
     * LEFT JOIN ON TRUE keeps later stages alive if a round runs dry
     * (mirroring the Scala early-stop). */
-  private lazy val t8Sql: String = {
+  /** The learner CTE chain (v0 + one p/m/v stage per round) — shared
+    * by t8 (emit the merge table) and t8b (apply it corpus-wide). */
+  private lazy val t8Ctes: String = {
     val rounds = operators.Bpe.BpeRounds
     val stages = (1 to rounds).map { r =>
       s"""p$r AS (
@@ -482,20 +490,55 @@ object SparkEntry {
                                '[' || m.lhs || m.rhs || ']') END AS syms, v.freq
            FROM v${r - 1} v LEFT JOIN m$r m ON TRUE)"""
     }.mkString(",\n         ")
-    val union = (1 to rounds).map { r =>
-      s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM m$r"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
            SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS syms, COUNT(*) AS freq
            FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                                x -> x <> '')) AS word
                  FROM documents)
            WHERE word NOT LIKE '%[%' AND word NOT LIKE '%]%'
            GROUP BY word),
-         $stages
+         $stages"""
+  }
+
+  private lazy val t8Sql: String = {
+    val rounds = operators.Bpe.BpeRounds
+    val union = (1 to rounds).map { r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM m$r"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH $t8Ctes
          SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, merged, pair_count
          FROM ($union)
          ORDER BY merge_rank"""
+  }
+
+  /** t8b: the learned merges applied corpus-wide — the same m1..mN
+    * single-row CTEs, nested as framed replace() calls over every
+    * corpus token (COALESCE to a never-matching chr(1) pattern keeps a
+    * dry round a no-op, mirroring the Scala early stop). Symbol count
+    * per word is its bracket count — pure integer arithmetic. */
+  private lazy val t8bSql: String = {
+    val rounds = operators.Bpe.BpeRounds
+    val applied = (1 to rounds).foldLeft("regexp_replace(word, '(.)', '[\\1]', 'g')") {
+      (acc, r) =>
+        s"""replace($acc,
+             COALESCE('[' || (SELECT lhs FROM m$r) || '][' || (SELECT rhs FROM m$r) || ']', chr(1)),
+             COALESCE('[' || (SELECT lhs || rhs FROM m$r) || ']', chr(1)))"""
+    }
+    s"""WITH $t8Ctes,
+         tok AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                      x -> x <> '')) AS word
+             FROM documents)
+           WHERE word NOT LIKE '%[%' AND word NOT LIKE '%]%'),
+         ap AS (SELECT doc_id, word, $applied AS s FROM tok)
+         SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(s) - length(replace(s, '[', ''))) AS BIGINT) AS n_bpe_tokens,
+           CAST(FLOOR(SUM(length(s) - length(replace(s, '[', ''))) * 1000000.0
+             / SUM(length(word))) AS BIGINT) AS compression_ppm
+         FROM ap GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** d9: semantic dedup — the stub-embedding CTEs (StubEmbed mirrored
@@ -1782,6 +1825,16 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // s20: the z-ordered round-trip vs the raw table — layout changes
+    // bytes read, never results; the pruning proofs are footer-stat
+    // assertions in PartitionedSpec
+    "s20_zorder_layout" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_custkey >= 40 AND o_custkey < 100
+           AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // s18: the evolved-read frame reconstructed from the raw table —
     // pre-evolution rows (even keys, landed without the column) must
     // surface NULL-filled, evolved rows keep their values
@@ -2197,6 +2250,7 @@ object SparkEntry {
          ORDER BY b.doc_id""",
     "d9_semantic_dedup" -> d9Sql,
     "t8_bpe_merges" -> t8Sql,
+    "t8b_bpe_tokenize" -> t8bSql,
     // d10: the island rule mirrors the Scala window exactly — the
     // first hit's NULL lag falls to the ELSE branch in both engines.
     // SUMs over ints are cast back to BIGINT (DuckDB widens to

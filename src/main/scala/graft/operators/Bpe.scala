@@ -103,4 +103,44 @@ object Bpe {
   /** T8 gate form: the first [[BpeRounds]] merges over `documents`. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     learnMerges(spark, documents(spark, dir))
+
+  /** T8b: the learned tokenizer APPLIED corpus-wide — close the loop
+    * from training the artifact to running it: learn the merge table
+    * (bounded, ≤[[BpeRounds]] rows — this is what a tokenizer ships),
+    * then tokenize every document with it and report per-doc BPE token
+    * counts and the chars-per-token compression the merges bought.
+    *
+    * Scale shape: the merge table folds into the plan as N nested
+    * `replace` LITERALS — the application phase is pure codegen'd
+    * string work riding the corpus scan (no lambda, no join, no
+    * broadcast even), followed by one partial-aggregated per-doc
+    * rollup. This is the m1/x7 seam discipline with the artifact
+    * learned in-engine rather than stubbed: a production run swaps a
+    * bigger merge table through the same fold. Symbol count per word
+    * is its frame-bracket count — `length(s) - length(replace(s,'[',
+    * ''))` — exact integers on both engines. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOf(spark, documents(spark, dir))
+
+  private[graft] def bpeTokenizeOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val merges = learnMerges(spark, docs).collect()
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("word"))
+      .filter(!col("word").contains("[") && !col("word").contains("]"))
+    val framed = regexp_replace(col("word"), "(.)", "[$1]")
+    val applied = merges.sortBy(_.getInt(0)).foldLeft(framed) { (c, m) =>
+      call_function("replace", c,
+        lit(s"[${m.getString(1)}][${m.getString(2)}]"), lit(s"[${m.getString(3)}]"))
+    }
+    val nSyms = length(col("s")) - length(call_function("replace", col("s"), lit("["), lit("")))
+    tok
+      .select(col("doc_id"), col("word"), applied.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(nSyms).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression_ppm",
+        floor(col("n_bpe_tokens") * lit(1000000.0) / col("n_chars")).cast("bigint"))
+      .orderBy(col("doc_id"))
+  }
 }

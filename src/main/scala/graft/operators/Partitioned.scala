@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-partitioned table layout — the storage half of the 100 TB
@@ -242,5 +242,88 @@ object Partitioned {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
       .orderBy(col("priority"))
+  }
+
+  /** S20: Z-ORDER (Morton-curve) layout — multi-dimensional range
+    * clustering, the industry answer (Delta/Iceberg Z-ORDER BY) to the
+    * s17 limitation that a linear sort clusters ONE dimension: under
+    * `sortedWrite(date)` every file spans the full customer range, so
+    * a customer predicate prunes nothing. Interleaving the bits of two
+    * bucketized dimensions puts rows close in z-value when they are
+    * close in BOTH dimensions, so every file's footer min/max is
+    * narrow on each dimension and a reader prunes box queries on
+    * either or both.
+    *
+    * The interleave is pure integer shift/mask arithmetic (codegen'd
+    * columns; disjoint bits make OR = ADD). Buckets must be
+    * order-preserving — divide, never modulo — and saturate at the
+    * top bucket (`least`), so a key past the stats snapshot degrades
+    * pruning on the last bucket only, never correctness. The bucket
+    * divisors are DERIVED from the table's own max stats at write
+    * time (one bounded two-scalar aggregate — the c2/c7 derived-knob
+    * rule): both dimensions must fill their bit budget, because a
+    * dimension bucketized into a fraction of the range contributes
+    * only low-order z-bits and the curve degenerates to a linear sort
+    * on the other dimension (measured: custkey divisor sized for 10×
+    * this corpus left every file spanning the full custkey range).
+    *
+    * PartitionedSpec proves the layout physically with footer stats:
+    * a mid-range customer predicate skips files under z-order while
+    * the date-sorted layout can skip NONE (every file spans the full
+    * customer range), date stays prunable too, and the box-query
+    * result is byte-equal across layouts. */
+  def zValue(a: Column, b: Column, bits: Int = 8): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }
+
+  /** Land `df` clustered along the z-curve of two bucket columns. */
+  def zorderWrite(df: DataFrame, bucketA: Column, bucketB: Column,
+      path: String, nFiles: Int = 8, bits: Int = 8): Unit =
+    df.withColumn("_z", zValue(bucketA, bucketB, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Land `orders` z-ordered by (customer, order date), with both
+    * dimensions bucketized into a full 8 bits via divisors derived
+    * from the table's max stats. Shared by the s20 query and the
+    * footer-stat spec. */
+  def zorderLandOrders(spark: SparkSession, dir: String, path: String,
+      nFiles: Int = 8): Unit = {
+    val o = graft.Tables.orders(spark, dir)
+    val days = datediff(col("o_orderdate"), lit("1992-01-01"))
+    val row = o.agg(max(col("o_custkey")), max(days)).head
+    def div(mx: Long) = math.max(1L, (mx + 255) / 256)
+    val cDiv = if (row.isNullAt(0)) 1L else div(row.getLong(0))
+    val dDiv = if (row.isNullAt(1)) 1L else div(row.getInt(1).toLong)
+    zorderWrite(o,
+      least(floor(col("o_custkey") / cDiv), lit(255L)).cast("long"),
+      least(floor(days / dDiv), lit(255L)).cast("long"),
+      path, nFiles)
+  }
+
+  /** Driver-gated end-to-end form (s20): land `orders` z-ordered by
+    * (customer bucket, date bucket), then run a two-dimensional box
+    * rollup through the clustered table. The oracle computes the same
+    * rollup from the raw table — equality proves the z-clustered
+    * round-trip loses nothing; the pruning claims are PartitionedSpec's
+    * footer-stat proofs (layout never changes results, only bytes
+    * read). */
+  def zorderLayoutRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s20_$tag/orders_zorder"
+    zorderLandOrders(spark, dir, path)
+    spark.read.parquet(path)
+      .filter(col("o_custkey") >= 40 && col("o_custkey") < 100 &&
+        col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
   }
 }

@@ -71,4 +71,30 @@ class BpeSpec extends SparkSpec {
     val got = merges(Bpe.bpeMerges(spark, sfDir).collect())
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("t8b tokenize: planted doc collapses to one symbol per fully-merged word") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = Bpe.bpeTokenizeOf(spark, docs).collect()
+    assert(got.length === 1)
+    // all three learned merges apply: aaab → [aaab], ab → [ab] — three
+    // words, ten chars, three BPE tokens
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).getLong(4)) === ((1L, 3L, 10L, 3L, 300000L)))
+  }
+
+  test("t8b: the application phase is scan work — no join, partial-agg rollup") {
+    val p = Bpe.bpeTokenize(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"merge application must fold in as literals, not join the merge table:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial aggregation in:\n$p")
+    // sanity on the semantics: BPE tokens never exceed chars, never
+    // fewer than words
+    val rows = Bpe.bpeTokenize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) >= r.getLong(1))
+    }
+  }
 }

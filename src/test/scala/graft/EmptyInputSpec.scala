@@ -42,6 +42,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.duplicateSpans(spark, emptyDir).count() === 0)
     assert(TextOps.bigramSurprisal(spark, emptyDir).count() === 0)
     assert(Bpe.bpeMerges(spark, emptyDir).count() === 0)
+    assert(Bpe.bpeTokenize(spark, emptyDir).count() === 0)
   }
 
   test("curation tier returns empty frames on an empty corpus") {
@@ -84,6 +85,7 @@ class EmptyInputSpec extends SparkSpec {
   test("layout tier survives empty inputs (empty range write, empty evolved batches)") {
     assert(Partitioned.sortedLayoutRollup(spark, emptyDir).count() === 0)
     assert(Partitioned.schemaEvolutionRollup(spark, emptyDir).count() === 0)
+    assert(Partitioned.zorderLayoutRollup(spark, emptyDir).count() === 0)
   }
 
   test("text, events, and merge tiers survive empty inputs") {

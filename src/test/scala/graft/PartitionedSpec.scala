@@ -434,4 +434,58 @@ class PartitionedSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$base/b1").columns.contains("o_orderpriority"))
     assert(spark.read.parquet(s"$base/b2").columns.contains("o_orderpriority"))
   }
+
+  test("z-order layout: both dims prunable from footers; linear sort can't prune the second dim") {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fileRanges(path: String, column: String): Seq[(Long, Long)] = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val stats = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.filter(_.getPath.toDotString == column)
+                .map(_.getStatistics))
+            (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+              stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+          } finally r.close()
+        }
+    }
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_spec_s20"
+    val o = Tables.orders(spark, sfDir01)
+    Partitioned.zorderLandOrders(spark, sfDir01, s"$root/z", nFiles = 8)
+    Partitioned.sortedWrite(o, "o_orderdate", s"$root/linear", nFiles = 8)
+    // the s20 customer box, in footer units (custkey is int64)
+    val (cLo, cHi) = (40L, 99L)
+    def hits(rs: Seq[(Long, Long)]) = rs.count { case (mn, mx) => mx >= cLo && mn <= cHi }
+    val zCust = fileRanges(s"$root/z", "o_custkey")
+    val linCust = fileRanges(s"$root/linear", "o_custkey")
+    // z-order: a mid-range customer predicate skips files outright
+    assert(hits(zCust) < zCust.length,
+      s"no z-file was customer-prunable: $zCust")
+    // linear date sort: every file spans the full customer range — the
+    // limitation z-order exists to fix
+    assert(hits(linCust) === linCust.length,
+      s"date-sorted files unexpectedly customer-clustered: $linCust")
+    // the date dimension stays prunable under z-order too (timestamps
+    // land as int64 micros in the footer)
+    val dLo = java.time.LocalDate.parse("1994-01-01").toEpochDay * 86400L * 1000000L
+    val dHi = java.time.LocalDate.parse("1996-01-01").toEpochDay * 86400L * 1000000L - 1
+    val zDate = fileRanges(s"$root/z", "o_orderdate")
+    assert(zDate.count { case (mn, mx) => mx >= dLo && mn <= dHi } < zDate.length,
+      s"no z-file was date-prunable: $zDate")
+    // layout never changes results: the box rollup is equal over both
+    def rollup(path: String) = spark.read.parquet(path)
+      .filter(col("o_custkey") >= 40 && col("o_custkey") < 100 &&
+        col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(rollup(s"$root/z") === rollup(s"$root/linear"))
+  }
 }
