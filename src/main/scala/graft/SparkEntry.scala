@@ -113,6 +113,12 @@ object SparkEntry {
     // repair for Voronoi-boundary queries; still DPP-pruned (two cell
     // dirs read, never a scan)
     "v9b_ivf_nprobe2"         -> ((s, d) => Similarity.ivfLandedTopK2(s, d)),
+    // v10: product quantization + ADC — 8 codes per vector (32x under
+    // float32), query scored via a 128-entry LUT, corpus floats never
+    // read at query time
+    "v10_pq_adc"              -> ((s, d) => Similarity.pqTopK(s, d)),
+    // v10b: ADC shortlist + exact re-rank (the FAISS refine pattern)
+    "v10b_pq_rerank"          -> ((s, d) => Similarity.pqTopKReranked(s, d)),
     // winnowing fingerprints: oracle mirrors the Mersenne-61 polynomial
     // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
     // additionally pins the tier against exact jaccard
@@ -539,6 +545,69 @@ object SparkEntry {
            CAST(FLOOR(SUM(length(s) - length(replace(s, '[', ''))) * 1000000.0
              / SUM(length(word))) AS BIGINT) AS compression_ppm
          FROM ap GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** v10: the PQ tier — first-16 codebook, per-subspace L2 argmin
+    * encode (rn=1 with the (dist, code) tie-break), query LUT, ADC as
+    * a left-to-right add of 8 correlated scalar lookups (no float sum
+    * crosses an aggregation). */
+  private lazy val v10Ctes: String = {
+    import operators.Similarity.{PqCodebook, PqSubDim, PqSubspaces}
+    def fold(expr: String) =
+      s"list_reduce(list_transform(range($PqSubDim), j -> $expr), (a, b) -> a + b)"
+    val l2 = fold(
+      """(CAST(e.embedding[x.m*8+j+1] AS DOUBLE) - CAST(cb.cb_emb[x.m*8+j+1] AS DOUBLE))
+         * (CAST(e.embedding[x.m*8+j+1] AS DOUBLE) - CAST(cb.cb_emb[x.m*8+j+1] AS DOUBLE))""")
+    val dot = fold(
+      "CAST(q.q_emb[x.m*8+j+1] AS DOUBLE) * CAST(cb.cb_emb[x.m*8+j+1] AS DOUBLE)")
+    val wideCols = (0 until PqSubspaces)
+      .map(m => s"MAX(CASE WHEN m = $m THEN cb_k END) AS c$m").mkString(",\n           ")
+    val adc = (0 until PqSubspaces)
+      .map(m => s"(SELECT val FROM lut WHERE m = $m AND cb_k = w.c$m)")
+      .mkString("\n             + ")
+    s"""cb AS (
+           SELECT CAST(vec_id AS INTEGER) AS cb_k, embedding AS cb_emb
+           FROM embeddings WHERE vec_id < $PqCodebook),
+         dists AS (
+           SELECT e.vec_id, e.label, cb.cb_k, x.m AS m, $l2 AS dist
+           FROM embeddings e CROSS JOIN cb, unnest(range($PqSubspaces)) AS x(m)),
+         codes AS (
+           SELECT vec_id, label, m, cb_k FROM (
+             SELECT vec_id, label, m, cb_k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cb_k) AS rn
+             FROM dists) WHERE rn = 1),
+         q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         lut AS (
+           SELECT cb.cb_k, x.m AS m, $dot AS val
+           FROM cb CROSS JOIN q, unnest(range($PqSubspaces)) AS x(m)),
+         wide AS (
+           SELECT vec_id, label, $wideCols
+           FROM codes GROUP BY vec_id, label),
+         scored AS (
+           SELECT w.vec_id, w.label,
+             $adc AS adc
+           FROM wide w WHERE w.vec_id <> 0)"""
+  }
+
+  private lazy val v10Sql: String =
+    s"""WITH $v10Ctes
+         SELECT vec_id, label, ROUND(adc, 6) AS adc_r FROM scored
+         ORDER BY adc DESC, vec_id LIMIT 10"""
+
+  /** v10b: the ADC shortlist re-ranked by the exact 64-dim inner
+    * product (same left-to-right fold as the cosine family). */
+  private lazy val v10bSql: String = {
+    val dot64 = """list_reduce(list_transform(range(64),
+             j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.q_emb[j+1] AS DOUBLE)),
+             (a, b) -> a + b)"""
+    s"""WITH $v10Ctes,
+         short AS (
+           SELECT vec_id FROM scored ORDER BY adc DESC, vec_id LIMIT 50),
+         rer AS (
+           SELECT e.vec_id, e.label, $dot64 AS ip
+           FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q)
+         SELECT vec_id, label, ROUND(ip, 6) AS ip_r FROM rer
+         ORDER BY ip DESC, vec_id LIMIT 10"""
   }
 
   /** d9: semantic dedup — the stub-embedding CTEs (StubEmbed mirrored
@@ -1263,6 +1332,8 @@ object SparkEntry {
     // verbatim — the layout changes bytes read, never results
     "v9_ivf_landed" -> ivfTopKSql,
     "v9b_ivf_nprobe2" -> ivfNprobe2Sql,
+    "v10_pq_adc" -> v10Sql,
+    "v10b_pq_rerank" -> v10bSql,
     "m1_decode_features" ->
       """SELECT doc_id AS asset_id, source,
            strlen(text) AS n_bytes,

@@ -71,6 +71,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfLandedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfLandedTopK2(spark, emptyDir).count() === 0)
     assert(Similarity.ivfTrainedTopK2(spark, emptyDir).count() === 0)
+    assert(Similarity.pqTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.pqTopKReranked(spark, emptyDir).count() === 0)
   }
 
   test("dashboard fan-out returns zero families on an empty scope") {

@@ -497,4 +497,49 @@ class SimilaritySpec extends SparkSpec {
     // integers — any drift means the assignment or the floor diverged
     expected.foreach { case (k, v) => assert(got(k) === v, s"cell $k") }
   }
+
+  test("PQ (v10): codes in range, every subspace discriminates, 8 bytes per vector") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val codes = Similarity.pqEncode(e, Similarity.pqCodebook(e)).collect()
+    assert(codes.length === e.count())
+    (0 until Similarity.PqSubspaces).foreach { m =>
+      val cs = codes.map(_.getInt(2 + m))
+      assert(cs.forall(c => c >= 0 && c < Similarity.PqCodebook),
+        s"subspace $m code out of range")
+      assert(cs.distinct.length > 1,
+        s"subspace $m assigns one code to everything — not discriminating")
+    }
+  }
+
+  test("PQ re-rank (v10b): exact order within the shortlist, recall above ADC alone") {
+    import graft.operators.Similarity
+    // exact inner-product ranking, driver-side
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val q = e.find(_._1 == 0L).get._2
+    def ip(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * q(i); i += 1 }; s
+    }
+    val exactTop = e.filter(_._1 != 0L).sortBy { case (id, v) => (-ip(v), id) }
+      .take(10).map(_._1).toSet
+    val shortlist = Similarity.pqTopK(spark, sfDir, 0L, 50).collect()
+      .map(_.getLong(0)).toSet
+    val rer = Similarity.pqTopKReranked(spark, sfDir).collect().map(_.getLong(0))
+    // structural: the re-rank IS the exact ranking restricted to the
+    // ADC shortlist — quantization error can only cost recall via
+    // shortlist membership, never via final ordering
+    val expected = e.filter(p => shortlist.contains(p._1))
+      .sortBy { case (id, v) => (-ip(v), id) }.take(10).map(_._1).toSeq
+    assert(rer.toSeq === expected)
+    // fixture-measured floors on WORST-CASE (near-uniform) embeddings:
+    // ADC alone 7/10 here; the refine recovers strictly more
+    val adcTop = Similarity.pqTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val adcRecall = adcTop.intersect(exactTop).size
+    val rerRecall = rer.toSet.intersect(exactTop).size
+    assert(rerRecall >= adcRecall, s"refine lost recall: $rerRecall < $adcRecall")
+    assert(rerRecall >= 7, s"re-ranked recall@10 = $rerRecall/10")
+  }
 }
