@@ -247,6 +247,17 @@ object SparkEntry {
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
     "a15_cube_totals"         -> ((s, d) => Relational.cubeTotals(s, d)),
     "w7_moving_average"       -> ((s, d) => Relational.movingAverage(s, d)),
+    // c8: DSIR data selection (Xie et al.) — hashed-bigram importance
+    // weights, both LMs integer-quantized (floor-log2), one count pass
+    // + one broadcast-scored pass; selection is the ratio ≥ 1 gate
+    "c8_dsir_selection"       -> ((s, d) => Curation.dsirSelection(s, d)),
+    // t9: RAG chunking — overlapping token windows, map-only explode;
+    // chunk contents pinned cross-engine by md5 of the token slice
+    "t9_chunk_windows"        -> ((s, d) => TextOps.chunkWindows(s, d)),
+    // i6/i6b: SCD2 dimension build (no-op updates collapsed, validity
+    // intervals per change) + point-in-time fact annotation
+    "i6_scd2_build"           -> ((s, d) => Scd2.scd2Build(s, d)),
+    "i6b_point_in_time"       -> ((s, d) => Scd2.pointInTime(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2504,5 +2515,112 @@ object SparkEntry {
          SELECT day, CAST(day_total AS DOUBLE) AS day_total, ma7_cents,
            CAST(COALESCE(delta, 0) AS DOUBLE) AS delta
          FROM win ORDER BY day""",
+    // c8: DSIR importance weights — both LMs integer-quantized via
+    // floor-log2 (bin-string length, the t7 discipline), so the whole
+    // selection is exact integer arithmetic on both engines. The ONE
+    // count pass yields raw and target counts together (target is a
+    // filtered sum of the same frame).
+    "c8_dsir_selection" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, lang, $toksSql AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+             source IN ('src0','src1','src2','src3') AS is_t,
+             CAST('0x' || substr(md5(w[x.i+1] || ' ' || w[x.i+2]), 1, 15) AS BIGINT)
+               % 256 AS b
+           FROM t, unnest(range(len(w) - 1)) AS x(i)
+           WHERE len(w) >= 2),
+         lm AS (
+           SELECT b,
+             (length(bin(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1)) - 1)
+               - (length(bin(COUNT(*) + 1)) - 1) AS qdiff
+           FROM g GROUP BY b),
+         norm AS (
+           SELECT (length(bin(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 256)) - 1)
+                - (length(bin(COUNT(*) + 256)) - 1) AS cnorm
+           FROM g),
+         per AS (
+           SELECT g.doc_id, COUNT(*) AS n_grams, SUM(lm.qdiff) AS qsum
+           FROM g JOIN lm USING (b) GROUP BY g.doc_id)
+         SELECT t.doc_id, t.source, t.lang,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.qsum, 0)
+             - COALESCE(per.n_grams, 0) * norm.cnorm AS BIGINT) AS dsir_weight,
+           (COALESCE(per.qsum, 0)
+             - COALESCE(per.n_grams, 0) * norm.cnorm) >= 0 AS selected
+         FROM t LEFT JOIN per USING (doc_id) CROSS JOIN norm
+         ORDER BY t.doc_id""",
+    // t9: chunk geometry is pure integer arithmetic (W=32, S=24); the
+    // chunk CONTENTS are pinned by md5 of the space-rejoined slice —
+    // DuckDB list slicing is 1-based inclusive [a:b], Spark slice is
+    // (start, length), so b = start + len - 1.
+    "t9_chunk_windows" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang, $toksSql AS w FROM documents),
+         n AS (
+           SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n
+           FROM t WHERE len(w) >= 1),
+         c AS (
+           SELECT doc_id, lang, w, n,
+             CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+           FROM n)
+         SELECT doc_id, CAST(x.i AS BIGINT) AS chunk_id, lang,
+           CAST(1 + x.i * 24 AS BIGINT) AS start_tok,
+           CAST(least(32, n - (1 + x.i * 24) + 1) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+             w[(1 + x.i * 24):(x.i * 24 + least(32, n - (1 + x.i * 24) + 1))],
+             ' ')) AS chunk_md5
+         FROM c, unnest(range(n_chunks)) AS x(i)
+         ORDER BY doc_id, chunk_id""",
+    // i6: SCD2 build — no-op updates collapsed by the lag filter, then
+    // version numbering + interval close over the surviving changes;
+    // (ts, event_id) ordering resolves timestamp ties deterministically
+    "i6_scd2_build" ->
+      """WITH upd AS (
+           SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events WHERE event_type = 'click'),
+         chg AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT user_id, ts, event_id, k,
+               LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+             FROM upd)
+           WHERE prev_k IS NULL OR k <> prev_k)
+         SELECT user_id,
+           CAST(ROW_NUMBER() OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+           k, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM chg ORDER BY user_id, version""",
+    // i6b: point-in-time join — SCD2 intervals are disjoint per user,
+    // so the interval predicate yields at most one match per purchase;
+    // purchases before the first version keep NULLs
+    "i6b_point_in_time" ->
+      """WITH upd AS (
+           SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events WHERE event_type = 'click'),
+         chg AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT user_id, ts, event_id, k,
+               LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+             FROM upd)
+           WHERE prev_k IS NULL OR k <> prev_k),
+         dim AS (
+           SELECT user_id,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+             k, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM chg),
+         p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts,
+           dim.version AS k_version, dim.k AS k_at_purchase
+         FROM p LEFT JOIN dim
+           ON p.user_id = dim.user_id AND dim.valid_from <= p.ts
+             AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+         ORDER BY p.event_id""",
   )
 }

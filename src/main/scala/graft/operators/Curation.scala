@@ -566,4 +566,95 @@ object Curation {
       .orderBy(col("source"))
     (out, counts)
   }
+
+  /** DSIR feature-space width: hashed bigrams land in this many
+    * buckets. Xie et al. use 10⁴; 256 keeps the bucket LM table
+    * broadcastable-trivially at ANY corpus size (it is CONSTANT-size,
+    * the property that makes DSIR corpus-scale: the corpus is touched
+    * twice — once to count, once to score — and both passes are
+    * map-side against a 256-row broadcast). */
+  val DsirBuckets = 256
+
+  /** The DSIR target domain: the curated sources whose distribution
+    * the selection steers toward (the paper's Wikipedia/books seam —
+    * here the deterministic source-name analog). */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** c8: data selection via importance resampling (DSIR, Xie et al.
+    * 2023) — score every raw document by how much more likely its
+    * hashed-bigram features are under the TARGET domain's bag-of-
+    * features LM than under the RAW corpus LM, then keep the docs the
+    * target distribution up-weights.
+    *
+    *   w(x) = Σ_b c_b(x)·(log p̂_T(b) − log p̂_R(b)),
+    *   p̂(b) = (cnt_b + 1) / (total + B)   (add-1 smoothing)
+    *
+    * Engine-portability is the t7 discipline: true `log` is libm-
+    * dependent, so both LMs are quantized to integer floor-log2
+    * (`length(bin(cnt+1)) − 1`) and the per-doc weight becomes exact
+    * integer arithmetic — Σ qdiff(b) over the doc's grams minus
+    * n_grams × the (floor-log2) normalizer gap. Quantization preserves
+    * what selection needs: docs whose features are target-heavy score
+    * high. `selected = weight ≥ 0` is the likelihood-ratio ≥ 1 gate.
+    *
+    * Plan shape: grams hash→bucket in the scan stage; ONE partial-agged
+    * count per LM (the target count filters the same frame — no second
+    * scan); the 256-row bucket table broadcasts into the per-gram frame
+    * (map-side); one groupBy(doc_id) sum. No window, no self-join, no
+    * whole-corpus sort. */
+  def dsirSelection(spark: SparkSession, dir: String): DataFrame =
+    dsirOf(graft.Tables.documents(spark, dir))
+
+  private[graft] def dsirOf(input: DataFrame): DataFrame =
+    dsirFrame(input, persist = true)
+
+  private[graft] def dsirFrame(input: DataFrame, persist: Boolean): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val grams2 = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // floor-log2 of a POSITIVE integer column, engine-exact both sides
+    def flog2(c: Column): Column = length(bin(c)) - lit(1)
+
+    val docs0 = input
+      .repartition(col("doc_id")) // before hashing — see Dedup.ngramJaccardPairs
+      .select(col("doc_id"), col("source"), col("lang"), grams2.as("grams"))
+    val docs = if (persist) CacheOps.shared(docs0) else docs0
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    val feats0 = docs
+      .select(col("doc_id"), isTarget.as("is_t"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(Dedup.md5Long(col("gram")), lit(DsirBuckets.toLong)).as("b"))
+    val feats = if (persist) CacheOps.shared(feats0) else feats0
+
+    // both LMs from ONE pass: raw = every occurrence, target = the flagged ones
+    val lm = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("r_cnt"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("t_cnt"))
+      .select(col("b"),
+        (flog2(col("t_cnt") + 1) - flog2(col("r_cnt") + 1)).as("qdiff"))
+    // normalizer gap: floor-log2(T_T + B) − floor-log2(T_R + B), one row
+    val norm = feats.agg(
+      (flog2(sum(when(col("is_t"), 1L).otherwise(0L)) + lit(DsirBuckets)) -
+        flog2(count(lit(1)) + lit(DsirBuckets))).as("cnorm"))
+
+    val perDoc = feats
+      .join(broadcast(lm), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("qdiff")).as("qsum"))
+    val result = docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(norm))
+      .select(col("doc_id"), col("source"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("qsum"), lit(0L)) -
+          coalesce(col("n_grams"), lit(0L)) * col("cnorm")).cast("bigint")
+          .as("dsir_weight"))
+      .withColumn("selected", col("dsir_weight") >= 0)
+      .orderBy(col("doc_id"))
+    if (persist) CacheOps.materializeAndRelease(result, docs, feats)
+    else result
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) construction and point-in-time
+  * lookup over the event log — the warehouse-side dual of the
+  * reference's keep-last master tables (ingest_politicians.py keeps
+  * only the CURRENT row per candidate; an SCD2 build keeps every
+  * version with its validity interval, which is what an auditable
+  * donations/voting timeline actually needs).
+  *
+  * 100 TB plan: both operators are keyed by the dimension's natural
+  * key (`user_id`). The build is ONE hash exchange on that key
+  * followed by per-key windows (version numbering, interval close) —
+  * no whole-table window, no self-join. The point-in-time join is a
+  * plain hash equi-join on the same key with the interval predicate
+  * as a residual; fanout per probe row is the entity's version count
+  * (bounded, typically small), never a time-band cross product. The
+  * dimension side is the small one by construction (change rows only,
+  * no-op updates collapsed), so at scale it broadcasts.
+  */
+object Scd2 {
+
+  /** The attribute feed: `click` events carry `props = {"k": <int>}` —
+    * treated as updates to the user's `k` attribute, ordered by
+    * (ts, event_id) so timestamp ties resolve deterministically. */
+  private def updates(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  private def byUser: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  /** i6: build the SCD2 dimension. No-op updates (same `k` as the
+    * previous version) are collapsed FIRST — true SCD2 discipline:
+    * a version row exists only where the attribute actually changed —
+    * then each surviving change opens an interval `[valid_from,
+    * valid_to)` closed by the next change (NULL = current version).
+    *
+    * Two window passes over the same (user_id → ts, event_id) sort:
+    * Catalyst plans ONE exchange + one sort, with the lag-collapse
+    * filter and the lead/row_number close in the same sorted scan. */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(graft.Tables.events(spark, dir))
+
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    val changed = updates(events)
+      .withColumn("prev_k", lag(col("k"), 1).over(byUser))
+      .filter(col("prev_k").isNull || col("k") =!= col("prev_k"))
+    changed
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version").cast("int").as("version"),
+        col("k"), col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** i6b: point-in-time attribute lookup — each `purchase` event is
+    * annotated with the `k` version valid at its timestamp
+    * (`valid_from <= ts < valid_to`, open-ended current version).
+    * Purchases before the user's first change (or for users with no
+    * changes) keep NULLs: at scale those are the "dimension lagging
+    * the fact feed" rows a pipeline must surface, not drop.
+    *
+    * SCD2 intervals are disjoint per user by construction, so the
+    * equi-join on user_id plus the residual interval predicate yields
+    * AT MOST one match per purchase — a left join, not an argmax. */
+  def pointInTime(spark: SparkSession, dir: String): DataFrame =
+    pointInTimeOf(graft.Tables.events(spark, dir))
+
+  private[graft] def pointInTimeOf(events: DataFrame): DataFrame = {
+    val dim = scd2Of(events)
+      .select(col("user_id").as("d_user_id"), col("version"),
+        col("k"), col("valid_from"), col("valid_to"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    purchases
+      .join(dim,
+        purchases("user_id") === dim("d_user_id") &&
+          dim("valid_from") <= purchases("ts") &&
+          (dim("valid_to").isNull || purchases("ts") < dim("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version").as("k_version"), col("k").as("k_at_purchase"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -313,4 +313,51 @@ object TextOps {
       .orderBy(col("doc_id"))
     materializeAndRelease(result, docs, g)
   }
+
+  /** t9 chunk geometry: window of 32 tokens, stride 24 (8-token
+    * overlap) — the RAG-ingestion shape (chunk ≈ retrieval unit,
+    * overlap so no sentence straddles a boundary unseen). */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** t9: RAG chunking — split every document into overlapping
+    * token-window chunks with exact offsets. Chunk count is
+    * 1 + ceil((n − W)/S) (pure integer arithmetic, engine-exact);
+    * chunk i covers tokens [1 + i·S, …] for min(W, remaining) tokens;
+    * the final chunk is allowed short so every token is covered.
+    * The chunk TEXT itself is pinned cross-engine via md5 of the
+    * space-rejoined token slice — proving the actual chunk contents,
+    * not just the geometry. Zero-token docs produce zero chunks.
+    *
+    * Plan shape: project → explode — MAP-ONLY, no exchange anywhere
+    * (asserted in PlanSpec). At 100 TB this is the property that
+    * matters: chunking is a scan-stage transform that pipelines into
+    * whatever consumes it (embedding, indexing) with no barrier. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    chunkWindowsOf(documents(spark, dir))
+
+  private[graft] def chunkWindowsOf(input: DataFrame): DataFrame = {
+    val W = ChunkWindow
+    val S = ChunkStride
+    val toks = tokens(col("text"))
+    val withN = input
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .withColumn("n", size(col("w")).cast("bigint"))
+      .filter(col("n") >= 1)
+      .withColumn("n_chunks",
+        when(col("n") <= W, lit(1L))
+          .otherwise(lit(1L) + floor((col("n") - W + (S - 1)) / lit(S))))
+    withN
+      .select(col("doc_id"), col("lang"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", lit(1L) + col("chunk_id") * S)
+      .withColumn("chunk_len",
+        least(lit(W.toLong), col("n") - col("start_tok") + 1))
+      .select(col("doc_id"), col("chunk_id"), col("lang"),
+        col("start_tok"), col("chunk_len"),
+        md5(array_join(
+          slice(col("w"), col("start_tok").cast("int"), col("chunk_len").cast("int")),
+          " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

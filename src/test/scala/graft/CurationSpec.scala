@@ -321,4 +321,51 @@ class CurationSpec extends SparkSpec {
     m.foreach(r => assert(shardOf(r.getLong(3)) === r.getLong(0),
       s"first_doc ${r.getLong(3)} not in shard ${r.getLong(0)}"))
   }
+
+  test("dsir weights match a driver-side mirror and favor target-heavy docs") {
+    import spark.implicits._
+    def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def bucketOf(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Curation.DsirBuckets
+    }
+    // target sources speak "alpha beta"; raw-only sources speak
+    // "gamma delta"; the probe docs mix them
+    val planted = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "src0", "en"),
+      (2L, "alpha beta alpha beta", "src1", "en"),
+      (3L, "gamma delta gamma delta gamma delta", "src9", "en"),
+      (4L, "gamma delta gamma delta", "src8", "en"),
+      (5L, "alpha beta alpha beta alpha beta alpha", "src7", "en"), // target-like raw doc
+      (6L, "gamma delta gamma delta gamma", "src6", "en"), // raw-like raw doc
+      (7L, "", "src5", "en") // zero grams
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = Curation.dsirOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+
+    // driver mirror of the exact quantized arithmetic
+    val grams = planted.collect().map(r => (r.getLong(0), r.getString(2),
+      r.getString(1).trim.split("\\s+").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")).toSeq))
+    val occ = grams.flatMap { case (id, src, gs) =>
+      gs.map(g => (id, Curation.DsirTargetSources.contains(src), bucketOf(g)))
+    }
+    val byB = occ.groupBy(_._3)
+    val qdiff = byB.map { case (b, os) =>
+      b -> (flog2(os.count(_._2) + 1L) - flog2(os.length + 1L))
+    }
+    val cnorm = flog2(occ.count(_._2) + Curation.DsirBuckets.toLong) -
+      flog2(occ.length + Curation.DsirBuckets.toLong)
+    val expected = grams.map { case (id, _, gs) =>
+      val w = gs.map(g => qdiff(bucketOf(g))).sum - gs.length * cnorm
+      (id, gs.length.toLong, w, w >= 0)
+    }.sortBy(_._1).toSeq
+    assert(got === expected)
+    // the selection gate orders docs the way DSIR promises: the
+    // target-heavy probe doc outscores the raw-heavy one
+    val w = got.map(r => r._1 -> r._3).toMap
+    assert(w(5L) > w(6L), "target-like doc must outweigh raw-like doc")
+    assert(got.find(_._1 == 7L).get._2 === 0L, "zero-gram doc accounted")
+  }
 }

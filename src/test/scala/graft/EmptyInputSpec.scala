@@ -96,6 +96,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.repetitionStats(spark, emptyDir).count() === 0)
     assert(AsofJoin.viewBeforePurchase(spark, emptyDir).count() === 0)
     assert(AsofJoin.viewBeforePurchaseMerged(spark, emptyDir).count() === 0)
+    assert(Scd2.scd2Build(spark, emptyDir).count() === 0)
+    assert(Scd2.pointInTime(spark, emptyDir).count() === 0)
+    assert(TextOps.chunkWindows(spark, emptyDir).count() === 0)
+    assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

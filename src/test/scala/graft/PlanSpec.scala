@@ -250,4 +250,33 @@ class PlanSpec extends SparkSpec {
     assert(exchangeIdx >= 0, s"no key exchange for the compare:\n$p")
     assert(p.contains("md5"), s"digest not computed in-plan:\n$p")
   }
+
+  test("chunk windows stay map-only — no hash exchange anywhere") {
+    // chunking must pipeline into its consumer: the only exchange the
+    // plan may contain is the presentation orderBy's rangepartitioning
+    val p = plan(graft.operators.TextOps.chunkWindows(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking hash-shuffles:\n$p")
+    assert(p.contains("Generate explode"), s"no explode in:\n$p")
+  }
+
+  test("dsir scores through a broadcast of the constant-size bucket LM") {
+    // the corpus-side gram frame must join the 256-row LM map-side;
+    // a hash-shuffled LM join would re-shuffle every gram occurrence
+    val p = plan(graft.operators.Curation.dsirFrame(
+      graft.Tables.documents(spark, sfDir), persist = false))
+    assert(p.contains("BroadcastHashJoin"), s"bucket LM not broadcast:\n$p")
+  }
+
+  test("scd2 build plans one user exchange; point-in-time joins on the user key") {
+    val pb = plan(graft.operators.Scd2.scd2Build(spark, sfDir))
+    val exchanges = pb.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"SCD2 build should shuffle ONCE on user_id, saw $exchanges:\n$pb")
+    val pp = plan(graft.operators.Scd2.pointInTime(spark, sfDir))
+    assert(pp.contains("user_id"), s"point-in-time join not keyed:\n$pp")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the equi join as a residual:\n$pp")
+  }
 }

@@ -161,4 +161,62 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
     assert(got === expected)
   }
+
+  test("chunk windows: geometry and contents on planted docs + fixture coverage") {
+    import spark.implicits._
+    val w = TextOps.ChunkWindow
+    val s = TextOps.ChunkStride
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, "", "en"), // zero tokens -> zero chunks
+      (2L, "solo", "en"), // one short chunk
+      (3L, words(w), "en"), // exactly one full window
+      (4L, words(w + 1), "en"), // spills into a 2nd chunk
+      (5L, words(2 * s + w), "en"), // exactly three full-coverage chunks
+      (6L, words(100), "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.chunkWindowsOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getString(5)))
+
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = planted.collect().flatMap { r =>
+      val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      if (n == 0) Seq.empty
+      else {
+        val nChunks = if (n <= w) 1 else 1 + (n - w + s - 1) / s
+        (0 until nChunks).map { i =>
+          val start = i * s // 0-based here, 1-based in the frame
+          val len = math.min(w, n - start)
+          (r.getLong(0), i.toLong, start + 1L, len.toLong,
+            md5hex(toks.slice(start, start + len).mkString(" ")))
+        }
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got.toSeq === expected)
+    // every token is covered: chunk i+1 starts inside chunk i's span
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 <= a._3 + a._4, s"doc $id: gap between chunks ${a._2},${b._2}")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 ===
+        expected.filter(_._1 == id).map(e => e._3 + e._4 - 1).max)
+    }
+    // fixture: n_chunks per doc matches the closed form, all docs present
+    val fixture = TextOps.chunkWindows(spark, sfDir)
+    val perDoc = fixture.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens.foreach { case (id, n) =>
+      val exp = if (n == 0) 0L else if (n <= w) 1L else 1L + (n - w + s - 1) / s
+      assert(perDoc.getOrElse(id, 0L) === exp, s"doc $id with $n tokens")
+    }
+  }
 }
