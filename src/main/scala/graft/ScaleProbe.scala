@@ -209,7 +209,19 @@ object ScaleProbe {
       // grows k× under salting — wall must track occurrences, with
       // the per-lang window bounded by docs per lang
       "d10_duplicate_spans"  -> (operators.Dedup.duplicateSpans(_, _)),
-      "t7_bigram_surprisal"  -> (operators.TextOps.bigramSurprisal(_, _)))
+      "t7_bigram_surprisal"  -> (operators.TextOps.bigramSurprisal(_, _)),
+      // round-9 third wave. c8: the LM table is CONSTANT-size (256
+      // rows) at every factor — wall must track gram occurrences
+      // through the two passes with no vocabulary-shaped term (salted
+      // grams multiply the vocab k× but buckets absorb it). t9 is
+      // map-only — wall tracks chunk count. i6/i6b: default regime
+      // grows users k× (linear claim); the dense regime multiplies
+      // per-user update history — version count per user grows k×, the
+      // adversarial case for the PIT join's residual fanout
+      "c8_dsir_selection"    -> (operators.Curation.dsirSelection(_, _)),
+      "t9_chunk_windows"     -> (operators.TextOps.chunkWindows(_, _)),
+      "i6_scd2_build"        -> (operators.Scd2.scd2Build(_, _)),
+      "i6b_point_in_time"    -> (operators.Scd2.pointInTime(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
