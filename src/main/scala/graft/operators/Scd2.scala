@@ -26,7 +26,7 @@ object Scd2 {
   /** The attribute feed: `click` events carry `props = {"k": <int>}` —
     * treated as updates to the user's `k` attribute, ordered by
     * (ts, event_id) so timestamp ties resolve deterministically. */
-  private def updates(events: DataFrame): DataFrame =
+  private[graft] def updates(events: DataFrame): DataFrame =
     events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -70,6 +70,51 @@ object Scd2 {
     * AT MOST one match per purchase — a left join, not an argmax. */
   def pointInTime(spark: SparkSession, dir: String): DataFrame =
     pointInTimeOf(graft.Tables.events(spark, dir))
+
+  /** Incremental SCD2 maintenance: apply one batch of updates to an
+    * already-built dimension (the per-micro-batch core of
+    * [[graft.streaming.Scd2Stream]], and the shape a warehouse MERGE
+    * runs nightly). Closed versions are immutable and pass through
+    * untouched; each user's OPEN version re-enters the window as a
+    * seed row (sentinel event_id sorts it first at ts ties), so the
+    * no-op collapse and interval close treat resumed history and new
+    * updates identically — a batch whose first update repeats the open
+    * version's `k` collapses into it, exactly as the full rebuild
+    * would.
+    *
+    * Ordering contract (standard for streaming SCD2): updates arrive
+    * in event-time order per user ACROSS batches — every batch ts ≥
+    * the user's open `valid_from`. Late (out-of-order) updates need
+    * the changelog-replica path, not in-place maintenance.
+    *
+    * Scale shape: |open versions| + |batch| shuffle once on user_id;
+    * closed history is never read into the window. */
+  private[graft] def applyUpdates(dim: DataFrame, upd: DataFrame): DataFrame = {
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val open = dim.filter(col("valid_to").isNull)
+    val seed = open.select(col("user_id"), col("valid_from").as("ts"),
+      lit(Long.MinValue).as("event_id"), col("k"), col("version"))
+    val incoming = upd
+      .select(col("user_id"), col("ts"), col("event_id"), col("k"))
+      .withColumn("version", lit(null).cast("int"))
+    val all = seed.unionByName(incoming)
+    val perUser = Window.partitionBy(col("user_id"))
+    val changed = all
+      .withColumn("prev_k", lag(col("k"), 1).over(byUser))
+      .filter(col("prev_k").isNull || col("k") =!= col("prev_k"))
+    val renum = changed
+      .withColumn("rn", row_number().over(byUser))
+      // the surviving seed (if any) carries the user's version base;
+      // new users start at 1
+      .withColumn("seedv", max(col("version")).over(perUser))
+      .withColumn("version",
+        (coalesce(col("seedv"), lit(1)) + col("rn") - 1).cast("int"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("k"),
+        col("ts").as("valid_from"), col("valid_to"))
+    closed.unionByName(renum)
+      .orderBy(col("user_id"), col("version"))
+  }
 
   private[graft] def pointInTimeOf(events: DataFrame): DataFrame = {
     val dim = scd2Of(events)
