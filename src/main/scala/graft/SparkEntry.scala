@@ -258,6 +258,9 @@ object SparkEntry {
     // intervals per change) + point-in-time fact annotation
     "i6_scd2_build"           -> ((s, d) => Scd2.scd2Build(s, d)),
     "i6b_point_in_time"       -> ((s, d) => Scd2.pointInTime(s, d)),
+    // e5: feed-volume anomaly screen — 2σ outlier days per event type,
+    // evaluated in exact integer arithmetic (DECIMAL38 / HUGEINT)
+    "e5_volume_anomaly"       -> ((s, d) => Profile.volumeAnomaly(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2622,5 +2625,23 @@ object SparkEntry {
            ON p.user_id = dim.user_id AND dim.valid_from <= p.ts
              AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
          ORDER BY p.event_id""",
+    // e5: the 2σ screen as exact integer arithmetic — HUGEINT carries
+    // the squared products that DECIMAL(38,0) carries on the Spark side
+    "e5_volume_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS nd,
+             SUM(CAST(n_events AS HUGEINT)) AS sx,
+             SUM(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+           (s.nd * d.n_events - s.sx) * (s.nd * d.n_events - s.sx)
+             > (s.nd * s.sxx - s.sx * s.sx) * 4 AS is_anomaly
+         FROM daily d JOIN stats s USING (event_type)
+         ORDER BY d.event_type, d.day""",
   )
 }

@@ -238,4 +238,43 @@ object Profile {
       .reduce(_ unionByName _)
       .orderBy(col("relation"))
   }
+
+  /** e5: feed-volume anomaly screen — the monitoring query every
+    * ingest pipeline runs before trusting a day's data: per
+    * (event_type, day) arrival counts, with days whose volume deviates
+    * more than 2σ from the type's own distribution flagged. A source
+    * that silently halves (upstream outage) or doubles (replay bug)
+    * trips the flag before the bad day pollutes downstream tables.
+    *
+    * The 2σ rule is evaluated WITHOUT floats: |x−μ| > 2σ with
+    * μ = Σx/n, σ² = (n·Σx² − (Σx)²)/n² is equivalent to
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — all integer products, carried
+    * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the comparison is
+    * exact on both engines at any daily volume, and the whole monitor
+    * hash-checks.
+    *
+    * Scale shape: one partial-agged shuffle collapses the feed to
+    * |types × days| rows; the stats window runs over that tiny frame,
+    * never the raw events. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeAnomalyOf(graft.Tables.events(spark, dir))
+
+  private[graft] def volumeAnomalyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("nd", count(lit(1)).over(w).cast(d38))
+      .withColumn("x", col("n_events").cast(d38))
+      .withColumn("sx", sum(col("n_events")).over(w).cast(d38))
+      .withColumn("sxx",
+        sum((col("n_events") * col("n_events")).cast(d38)).over(w))
+      .select(col("event_type"), col("day"), col("n_events"),
+        ((col("nd") * col("x") - col("sx")) * (col("nd") * col("x") - col("sx")) >
+          (col("nd") * col("sxx") - col("sx") * col("sx")) * 4).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -98,6 +98,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(AsofJoin.viewBeforePurchaseMerged(spark, emptyDir).count() === 0)
     assert(Scd2.scd2Build(spark, emptyDir).count() === 0)
     assert(Scd2.pointInTime(spark, emptyDir).count() === 0)
+    assert(Profile.volumeAnomaly(spark, emptyDir).count() === 0)
     assert(TextOps.chunkWindows(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
