@@ -179,4 +179,80 @@ object Multimodal {
         sum(when(col("q_ok") && col("v_ok"), col("doc_id"))).as("kept_id_sum"))
       .orderBy(col("label"))
   }
+
+  /** m4 banding geometry: 60-bit block hash split into 4 bands of 15
+    * bits, candidates verified at hamming ≤ 3. The threshold is chosen
+    * BELOW the band count on purpose: ≤3 differing bits across 4 bands
+    * leave at least one band untouched (pigeonhole), so the banding is
+    * provably LOSSLESS for the admitted pairs — every qualifying pair
+    * is a candidate, never just probably (the j11b/v2c discipline:
+    * blocking must be an optimization, not a semantics change). */
+  val PhashBits = 60
+  val PhashBands = 4
+  val PhashBandBits = 15 // PhashBits / PhashBands
+  val PhashMaxHamming = 3
+
+  /** M4: perceptual near-dup pairs over the asset payloads — the
+    * image-dedup tier of the multimodal pipeline (blockhash/aHash
+    * family): hash each decoded sample stream with
+    * [[graft.functions.BlockHash60]], generate candidates by exact
+    * match on any 15-bit band, verify hamming over the full hash.
+    * Catches payloads the EXACT tiers miss (any localized edit flips
+    * few blocks) without text semantics — it runs on bytes, which is
+    * the property the image/audio swap-in needs.
+    *
+    * Scale shape: hashing is map-side (one pass per payload); the
+    * band self-join is on constant-size keys (the d3/d4 discipline —
+    * never all-pairs); verification is bit_count over candidate rows
+    * only. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOf(documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The m4 QUERY surface: per-hamming rollup of the qualifying pairs,
+    * one row per admitted distance 0..maxHamming with pair count and
+    * an id-sum membership pin (the s19/e3 discipline). Always
+    * |maxHamming+1| rows — a corpus with no perceptual dups reports
+    * zero counts rather than an empty frame, so "nothing found" is a
+    * positive, hash-checked verdict (sf0.001/sf0.01 contain only
+    * permuted near-dups, which an alignment-sensitive hash correctly
+    * rejects; sf0.1's 8 exact-dup pairs land in the hamming-0 row). */
+  def phashNeardupRollup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = phashPairs(spark, dir)
+    val frame = spark.range(0, PhashMaxHamming + 1L)
+      .select(col("id").cast("int").as("hamming"))
+    frame.join(
+        pairs.groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n"), sum(col("a_id") + col("b_id")).as("s")),
+        Seq("hamming"), "left")
+      .select(col("hamming"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"),
+        coalesce(col("s"), lit(0L)).as("pair_id_sum"))
+      .orderBy(col("hamming"))
+  }
+
+  private[graft] def phashPairsOf(input: DataFrame): DataFrame = {
+    import graft.operators.CacheOps.{materializeAndRelease, shared}
+    val hashed = shared(input
+      .filter(length(col("text")) > 0)
+      .repartition(col("doc_id")) // see Dedup.ngramJaccardPairs
+      .select(col("doc_id"),
+        graft.functions.BlockHash60(col("text"), PhashBits).as("h")))
+    val bandArr = array((0 until PhashBands).map(k =>
+      struct(lit(k).as("band"),
+        (shiftright(col("h"), k * PhashBandBits) % lit(1 << PhashBandBits)).as("bv"))): _*)
+    val bands = hashed.select(col("doc_id"), col("h"), explode(bandArr).as("s"))
+      .select(col("doc_id"), col("h"), col("s.band").as("band"), col("s.bv").as("bv"))
+    val cands = bands.select(col("band"), col("bv"), col("doc_id").as("a_id"), col("h").as("ha"))
+      .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id"), col("h").as("hb")),
+        Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+      .distinct()
+    val result = cands
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(result, hashed)
+  }
 }

@@ -90,4 +90,58 @@ class MultimodalSpec extends SparkSpec {
     val overlap = orig.intersect(shifted).size.toDouble / orig.size
     assert(overlap >= 0.7, s"fingerprints unstable under prefix insertion: $overlap")
   }
+
+  test("phash near-dup (m4): localized edits pair, permutations don't, banding lossless") {
+    import spark.implicits._
+    // a long "payload" with structure (ramping sample values so block
+    // means carry signal), plus: a copy with one localized edit (few
+    // blocks flip), a token PERMUTATION of it (alignment destroyed —
+    // the blockhash must NOT pair it), and an unrelated payload
+    val base = (1 to 300).map(i => ('a' + i % 26).toChar.toString * 2).mkString(" ")
+    val edited = base.updated(40, 'z').updated(41, 'z').updated(42, 'z')
+    val permuted = base.split(" ").reverse.mkString(" ")
+    val unrelated = (1 to 300).map(i => ('a' + (i * 17) % 26).toChar).mkString(" ")
+    val planted = Seq((1L, base), (2L, edited), (3L, permuted), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashPairsOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"expected exactly the edited copy to pair: $got")
+    assert(got.head._3 <= Multimodal.PhashMaxHamming)
+
+    // driver mirror of the hash + brute-force losslessness on the
+    // fixture: banding must produce EXACTLY the ≤maxHamming pairs
+    def blockHash(s: String): Long = {
+      val cps = s.codePoints().toArray
+      val n = cps.length.toLong
+      if (n == 0) return 0L
+      val bits = Multimodal.PhashBits
+      val sums = new Array[Long](bits); val cnts = new Array[Long](bits)
+      var total = 0L
+      cps.zipWithIndex.foreach { case (v, i) =>
+        val b = ((i.toLong * bits) / n).toInt
+        sums(b) += v; cnts(b) += 1; total += v
+      }
+      (0 until bits).foldLeft(0L)((h, j) =>
+        if (sums(j) * n > total * cnts(j)) h | (1L << j) else h)
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    val hashes = docs.map { case (id, t) => (id, blockHash(t)) }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Multimodal.PhashMaxHamming
+    } yield (a, b, d)).sortBy(p => (p._1, p._2)).toSeq
+    val fx = Multimodal.phashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(fx === brute, "banding must equal the brute-force pair set")
+    // and the Spark expression equals the mirror hash everywhere
+    val sparkHashes = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), graft.functions.BlockHash60(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    hashes.foreach { case (id, h) =>
+      assert(sparkHashes(id) === h, s"hash mismatch on doc $id")
+    }
+  }
 }
