@@ -132,4 +132,44 @@ object Scd2 {
         col("version").as("k_version"), col("k").as("k_at_purchase"))
       .orderBy(col("event_id"))
   }
+
+  /** j13: interval-OVERLAP join — every attribute version active at
+    * any point during each of the user's activity sessions (the
+    * temporal-join shape i6b's point lookup can't express: a long
+    * session spans MULTIPLE versions and must report all of them —
+    * which scopes were in force while the user was active).
+    *
+    * Sessions are st2's 5-minute-gap windows ([session_start,
+    * last_event], both endpoints event instants, so both inclusive);
+    * versions are i6's [valid_from, valid_to) intervals. Overlap:
+    * valid_from ≤ last_event AND (valid_to IS NULL OR valid_to >
+    * session_start). Left join keeps version-less sessions (activity
+    * before the first attribute change) as NULLs — the i6b rule.
+    *
+    * Scale shape: both sides are per-user frames keyed on user_id —
+    * the overlap predicate rides the equi join as a residual, fanout
+    * = versions overlapping the session (bounded by version count),
+    * never a time-band cross product. Sessionization itself is the
+    * same partial-agged session_window st2 runs. */
+  def sessionVersions(spark: SparkSession, dir: String): DataFrame =
+    sessionVersionsOf(graft.Tables.events(spark, dir))
+
+  private[graft] def sessionVersionsOf(events: DataFrame): DataFrame = {
+    val sessions = events
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("last_event"))
+      .select(col("user_id"), col("session_start"), col("last_event"))
+    val dim = scd2Of(events)
+      .select(col("user_id").as("d_user_id"), col("version"),
+        col("k"), col("valid_from"), col("valid_to"))
+    sessions
+      .join(dim,
+        sessions("user_id") === dim("d_user_id") &&
+          dim("valid_from") <= sessions("last_event") &&
+          (dim("valid_to").isNull || dim("valid_to") > sessions("session_start")),
+        "left")
+      .select(col("user_id"), col("session_start"), col("last_event"),
+        col("version"), col("k"))
+      .orderBy(col("user_id"), col("session_start"), col("version"))
+  }
 }

@@ -69,6 +69,35 @@ class Scd2Spec extends SparkSpec {
     ))
   }
 
+  test("session-version overlap (j13): a session spanning versions reports all of them") {
+    import org.apache.spark.sql.functions._
+    // one session (1-min gaps) crossing two k-changes -> 3 versions
+    // overlap it; a later isolated session sits inside version 3 only;
+    // user 5 has sessions but no clicks -> NULL row per session
+    val planted = {
+      import spark.implicits._
+      Seq(
+        (1L, ts(0), 6L, "view", 0.0, "{}"),
+        (2L, ts(1), 6L, "click", 0.0, """{"k": 1}"""),
+        (3L, ts(2), 6L, "click", 0.0, """{"k": 2}"""),
+        (4L, ts(3), 6L, "click", 0.0, """{"k": 3}"""),
+        (5L, ts(4), 6L, "view", 0.0, "{}"),
+        (6L, ts(60), 6L, "view", 0.0, "{}"), // isolated later session
+        (7L, ts(9), 5L, "view", 0.0, "{}")
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    val got = Scd2.sessionVersionsOf(planted).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSeq
+    assert(got === Seq(
+      (5L, ts(9), None, None),
+      (6L, ts(0), Some(1), Some(1)),
+      (6L, ts(0), Some(2), Some(2)),
+      (6L, ts(0), Some(3), Some(3)),
+      (6L, ts(60), Some(3), Some(3))))
+  }
+
   test("fixture scd2 matches a driver-side brute force") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
