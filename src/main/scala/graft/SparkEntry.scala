@@ -261,6 +261,14 @@ object SparkEntry {
     // e5: feed-volume anomaly screen — 2σ outlier days per event type,
     // evaluated in exact integer arithmetic (DECIMAL38 / HUGEINT)
     "e5_volume_anomaly"       -> ((s, d) => Profile.volumeAnomaly(s, d)),
+    // m4: perceptual (blockhash) near-dup over asset payloads — band
+    // candidates, hamming-verified (banding provably lossless, ≤3 of
+    // 4); emitted as the per-hamming rollup with id-sum pins so a
+    // clean corpus is a positive hash-checked verdict, not 0 rows
+    "m4_phash_neardup"        -> ((s, d) => Multimodal.phashNeardupRollup(s, d)),
+    // j13: interval-OVERLAP join — all versions active during each
+    // session (a long session spans several; i6b's point lookup can't)
+    "j13_session_versions"    -> ((s, d) => Scd2.sessionVersions(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -2643,5 +2651,94 @@ object SparkEntry {
              > (s.nd * s.sxx - s.sx * s.sx) * 4 AS is_anomaly
          FROM daily d JOIN stats s USING (event_type)
          ORDER BY d.event_type, d.day""",
+    // m4: the block hash mirrored sample-for-sample — ord()/length()
+    // count code points exactly like the expression's codePointAt
+    // loop; bit j = (sum_j·n > total·cnt_j), block of sample i =
+    // i·60 div n; bands and the hamming verify reproduce the same
+    // candidate set (lossless at ≤3 of 4 bands by pigeonhole)
+    "m4_phash_neardup" ->
+      """WITH t AS (
+           SELECT doc_id, text FROM documents WHERE length(text) > 0),
+         cp AS (
+           SELECT doc_id, x.i AS i,
+             ord(substr(text, CAST(x.i + 1 AS INT), 1)) AS v,
+             length(text) AS n
+           FROM t, unnest(range(length(text))) AS x(i)),
+         agg AS (
+           SELECT doc_id, (i * 60) // n AS b,
+             SUM(CAST(v AS BIGINT)) AS bs, COUNT(*) AS bc
+           FROM cp GROUP BY 1, 2),
+         tot AS (
+           SELECT doc_id, SUM(CAST(v AS BIGINT)) AS total, COUNT(*) AS n
+           FROM cp GROUP BY 1),
+         bits AS (
+           SELECT a.doc_id, a.b
+           FROM agg a JOIN tot ON a.doc_id = tot.doc_id
+           WHERE a.bs * tot.n > tot.total * a.bc),
+         hash AS (
+           SELECT t.doc_id, COALESCE(bh.h, 0) AS h
+           FROM t LEFT JOIN (
+             SELECT doc_id, SUM(CAST(1 AS BIGINT) << CAST(b AS INT)) AS h
+             FROM bits GROUP BY 1) bh ON t.doc_id = bh.doc_id),
+         bands AS (
+           SELECT doc_id, h, x.k AS band,
+             (h >> CAST(x.k * 15 AS INT)) % 32768 AS bv
+           FROM hash, unnest(range(4)) AS x(k)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.h AS ha, b.h AS hb
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+           FROM cand WHERE bit_count(xor(ha, hb)) <= 3)
+         SELECT CAST(x.h AS INT) AS hamming,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(p.s, 0) AS BIGINT) AS pair_id_sum
+         FROM range(4) x(h) LEFT JOIN (
+           SELECT hamming, COUNT(*) AS n, SUM(a_id + b_id) AS s
+           FROM pairs GROUP BY 1) p ON x.h = p.hamming
+         ORDER BY hamming""",
+    // j13: st2's session formulation × i6's dimension, overlap-joined;
+    // session endpoints are event instants (inclusive), versions are
+    // half-open [valid_from, valid_to)
+    "j13_session_versions" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked),
+         sessions AS (
+           SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event
+           FROM numbered GROUP BY user_id, session_id),
+         upd AS (
+           SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events WHERE event_type = 'click'),
+         chg AS (
+           SELECT user_id, ts, event_id, k FROM (
+             SELECT user_id, ts, event_id, k,
+               LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+             FROM upd)
+           WHERE prev_k IS NULL OR k <> prev_k),
+         dim AS (
+           SELECT user_id,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+             k, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM chg)
+         SELECT s.user_id, s.session_start, s.last_event, d.version, d.k
+         FROM sessions s LEFT JOIN dim d
+           ON s.user_id = d.user_id AND d.valid_from <= s.last_event
+             AND (d.valid_to IS NULL OR d.valid_to > s.session_start)
+         ORDER BY s.user_id, s.session_start, d.version""",
   )
 }

@@ -98,7 +98,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(AsofJoin.viewBeforePurchaseMerged(spark, emptyDir).count() === 0)
     assert(Scd2.scd2Build(spark, emptyDir).count() === 0)
     assert(Scd2.pointInTime(spark, emptyDir).count() === 0)
+    assert(Scd2.sessionVersions(spark, emptyDir).count() === 0)
     assert(Profile.volumeAnomaly(spark, emptyDir).count() === 0)
+    assert(Multimodal.phashPairs(spark, emptyDir).count() === 0)
+    // the rollup form reports a zero row per admitted distance instead
+    val phr = Multimodal.phashNeardupRollup(spark, emptyDir).collect()
+    assert(phr.length === Multimodal.PhashMaxHamming + 1)
+    phr.foreach(r => assert(r.getLong(1) === 0L && r.getLong(2) === 0L))
     assert(TextOps.chunkWindows(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
