@@ -221,7 +221,19 @@ object ScaleProbe {
       "c8_dsir_selection"    -> (operators.Curation.dsirSelection(_, _)),
       "t9_chunk_windows"     -> (operators.TextOps.chunkWindows(_, _)),
       "i6_scd2_build"        -> (operators.Scd2.scd2Build(_, _)),
-      "i6b_point_in_time"    -> (operators.Scd2.pointInTime(_, _)))
+      "i6b_point_in_time"    -> (operators.Scd2.pointInTime(_, _)),
+      // fourth wave. m4: hashing is map-side and the band join is on
+      // constant-size keys — salted copies share no band values (the
+      // per-token suffix shifts every block mean), so candidates track
+      // within-copy structure k×. j13: sessions and versions both grow
+      // with users (default regime); the dense regime multiplies
+      // per-user history — sessions MERGE (micro-offsets fall in the
+      // same gap window) while versions collapse, the two mechanisms
+      // that keep overlap fanout bounded. e5: the feed collapses to
+      // |types×days| rows in one partial-agged pass at any volume.
+      "m4_phash_neardup"     -> (operators.Multimodal.phashNeardupRollup(_, _)),
+      "j13_session_versions" -> (operators.Scd2.sessionVersions(_, _)),
+      "e5_volume_anomaly"    -> (operators.Profile.volumeAnomaly(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
