@@ -231,6 +231,10 @@ object ScaleProbe {
       // same gap window) while versions collapse, the two mechanisms
       // that keep overlap fanout bounded. e5: the feed collapses to
       // |types×days| rows in one partial-agged pass at any volume.
+      // t7b vs t7: same score chain, bucketing via sampled cutpoints —
+      // the window runs over the 1/4 sample and assignment is map-side,
+      // so the gap vs t7 is the whole-language sort's cost
+      "t7b_sampled_buckets"  -> (operators.TextOps.bigramSurprisalSampled(_, _)),
       "m4_phash_neardup"     -> (operators.Multimodal.phashNeardupRollup(_, _)),
       "j13_session_versions" -> (operators.Scd2.sessionVersions(_, _)),
       "e5_volume_anomaly"    -> (operators.Profile.volumeAnomaly(_, _)))

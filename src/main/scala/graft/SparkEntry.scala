@@ -227,6 +227,9 @@ object SparkEntry {
     // t7: CCNet-style perplexity bucketing with an integer-quantized
     // corpus bigram LM (floor-log2 via bin-string length, both engines)
     "t7_bigram_surprisal"     -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    // t7b: the production form — cutpoints from a hash sample, applied
+    // map-side; the whole-language NTILE sort disappears
+    "t7b_sampled_buckets"     -> ((s, d) => TextOps.bigramSurprisalSampled(s, d)),
     // t8: BPE merge learning — corpus collapses to the vocab table
     // once, then every round is a vocab-sized argmax + framed replace
     "t8_bpe_merges"           -> ((s, d) => Bpe.bpeMerges(s, d)),
@@ -2409,6 +2412,53 @@ object SparkEntry {
            CAST(NTILE(3) OVER (PARTITION BY lang
              ORDER BY surprisal_milli, doc_id) AS INTEGER) AS ppl_bucket
          FROM alldocs ORDER BY doc_id""",
+    // t7b: the same score chain, bucketed by SAMPLED cutpoints — rank
+    // statistics of a hash-membership sample (no rand(), no doubles),
+    // applied as two integer comparisons per doc
+    "t7b_sampled_buckets" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang, $toksSql AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(w[x.i+1] || ' ' || w[x.i+2]), 1, 15) AS BIGINT) AS gram_h
+           FROM t, unnest(range(len(w) - 1)) AS x(i)
+           WHERE len(w) >= 2),
+         c AS (SELECT gram_h, COUNT(*) AS cnt FROM g GROUP BY gram_h),
+         tot AS (SELECT COUNT(*) AS n_total FROM g),
+         per AS (
+           SELECT g.doc_id, COUNT(*) AS n_bigrams,
+             CAST(FLOOR(SUM(length(bin(tot.n_total)) - length(bin(c.cnt))) * 1000.0
+               / COUNT(*)) AS BIGINT) AS surprisal_milli
+           FROM g JOIN c USING (gram_h) CROSS JOIN tot
+           GROUP BY g.doc_id),
+         alldocs AS (
+           SELECT t.doc_id, t.lang,
+             COALESCE(per.n_bigrams, 0) AS n_bigrams,
+             COALESCE(per.surprisal_milli, 0) AS surprisal_milli
+           FROM t LEFT JOIN per USING (doc_id)),
+         smp AS (
+           SELECT * FROM alldocs
+           WHERE CAST('0x' || substr(md5('t7b:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+             < 16384),
+         ranked AS (
+           SELECT lang, surprisal_milli, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY surprisal_milli, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS ns
+           FROM smp),
+         cuts AS (
+           SELECT lang, MIN(surprisal_milli) AS c1, MAX(surprisal_milli) AS c2
+           FROM ranked
+           WHERE rn = (ns + 2) // 3 OR rn = (ns * 2 + 2) // 3
+           GROUP BY lang)
+         SELECT a.doc_id, a.lang, CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(a.surprisal_milli AS BIGINT) AS surprisal_milli,
+           CAST(CASE WHEN cuts.c1 IS NULL THEN 2
+             WHEN a.surprisal_milli <= cuts.c1 THEN 1
+             WHEN a.surprisal_milli <= cuts.c2 THEN 2
+             ELSE 3 END AS INT) AS ppl_bucket
+         FROM alldocs a LEFT JOIN cuts USING (lang)
+         ORDER BY a.doc_id""",
     // d6: the winnowing tier end to end. The window hash reproduces
     // RollingFingerprint's Rabin-Karp values exactly in HUGEINT; the
     // winnow encodes rightmost-tie argmin as MIN over a position-

@@ -279,7 +279,22 @@ object TextOps {
     * known-frequency corpora through it (the repetitionStatsOf pattern). */
   private[graft] def bigramSurprisalOf(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import CacheOps.{materializeAndRelease, shared}
+    import CacheOps.materializeAndRelease
+    val (all, cached) = surprisalScoresOf(input)
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("surprisal_milli"), col("doc_id"))
+    val result = all
+      .withColumn("ppl_bucket", ntile(3).over(byLang))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, cached: _*)
+  }
+
+  /** The t7 per-doc score frame (doc_id, lang, n_bigrams,
+    * surprisal_milli) BEFORE any bucketing — shared by the exact-NTILE
+    * (t7) and sampled-cutpoint (t7b) assignment tiers. Returns the
+    * frame plus the persisted inputs the caller must release. */
+  private def surprisalScoresOf(input: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import CacheOps.shared
     val toks = tokens(col("text"))
     val n = size(toks)
     val grams2 = zip_with(
@@ -306,12 +321,64 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("surprisal_milli"), lit(0L)).as("surprisal_milli"))
-    val byLang = Window.partitionBy(col("lang"))
+    (all, Seq(docs, g))
+  }
+
+  /** t7b sample rate: keep a doc in the cutpoint sample when its
+    * 16-bit md5 bucket falls under 16384/65536 = 1/4 (the c4 exact
+    * power-of-two hash-membership rule, "t7b:"-salted so the sample is
+    * independent of every other hash-derived decision). */
+  val SampleCutBuckets = 16384
+
+  /** t7b: CCNet's production bucketing — head/middle/tail CUTPOINTS
+    * derived from a deterministic hash sample, then applied MAP-SIDE
+    * to every doc. This is the swap t7's scaladoc names: the exact
+    * per-lang NTILE is a whole-language sort, the one part of t7 that
+    * doesn't scale past a shuffle; cutpoints from a sample cost a
+    * window over the SAMPLE only, and assignment becomes a broadcast
+    * of |langs|×2 cut rows into the score scan.
+    *
+    * Exactness: the sample is hash-membership (not rand()), the
+    * cutpoints are rank-statistics of the sample (value at positions
+    * ceil(n/3), ceil(2n/3) under (score, doc_id) order — no
+    * interpolation, no doubles), and assignment is two integer
+    * comparisons — all mirrored verbatim in the oracle, so t7b is
+    * hash-checked end to end. A lang with zero sampled docs falls to
+    * the middle bucket (any lang with ≥1 sample has both cuts). */
+  def bigramSurprisalSampled(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalSampledOf(documents(spark, dir))
+
+  private[graft] def bigramSurprisalSampledOf(input: DataFrame,
+      persist: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CacheOps.{materializeAndRelease, shared}
+    val (allRaw, cached) = surprisalScoresOf(input)
+    val all = if (persist) shared(allRaw) else allRaw
+    val sample = all.filter(
+      conv(substring(md5(concat(lit("t7b:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("int") < SampleCutBuckets)
+    val bySample = Window.partitionBy(col("lang"))
       .orderBy(col("surprisal_milli"), col("doc_id"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(bySample))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    // ceil(n/3) = (n+2) div 3 — integer on both engines, no doubles
+    val cuts = ranked
+      .filter(col("rn") === expr("(ns + 2) div 3") ||
+        col("rn") === expr("(ns * 2 + 2) div 3"))
+      .groupBy(col("lang"))
+      .agg(min(col("surprisal_milli")).as("c1"),
+        max(col("surprisal_milli")).as("c2"))
     val result = all
-      .withColumn("ppl_bucket", ntile(3).over(byLang))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("surprisal_milli"),
+        when(col("c1").isNull, lit(2))
+          .when(col("surprisal_milli") <= col("c1"), lit(1))
+          .when(col("surprisal_milli") <= col("c2"), lit(2))
+          .otherwise(lit(3)).as("ppl_bucket"))
       .orderBy(col("doc_id"))
-    materializeAndRelease(result, docs, g)
+    if (persist) materializeAndRelease(result, (cached :+ all): _*)
+    else { cached.foreach(_.unpersist(true)); result }
   }
 
   /** t9 chunk geometry: window of 32 tokens, stride 24 (8-token

@@ -41,6 +41,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.semanticDedup(spark, emptyDir).count() === 0)
     assert(Dedup.duplicateSpans(spark, emptyDir).count() === 0)
     assert(TextOps.bigramSurprisal(spark, emptyDir).count() === 0)
+    assert(TextOps.bigramSurprisalSampled(spark, emptyDir).count() === 0)
     assert(Bpe.bpeMerges(spark, emptyDir).count() === 0)
     assert(Bpe.bpeTokenize(spark, emptyDir).count() === 0)
   }

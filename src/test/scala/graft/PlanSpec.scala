@@ -268,6 +268,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket LM not broadcast:\n$p")
   }
 
+  test("t7b assigns buckets through broadcast cuts, window only over the sample") {
+    // the production claim: the per-lang NTILE's whole-language sort is
+    // replaced by a window over the hash SAMPLE and a broadcast of the
+    // |langs|×2 cut rows into the score scan
+    val p = plan(graft.operators.TextOps.bigramSurprisalSampledOf(
+      graft.Tables.documents(spark, sfDir), persist = false))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"cuts not broadcast:\n$p")
+    // every Window in the plan sits above the sample filter (the md5
+    // membership predicate), never the full score frame
+    val winIdx = p.linesIterator.zipWithIndex.filter(_._1.contains("Window")).map(_._2)
+    assert(winIdx.nonEmpty, s"no sample window found:\n$p")
+    assert(p.contains("md5"), s"hash-membership sample filter missing:\n$p")
+  }
+
   test("scd2 build plans one user exchange; point-in-time joins on the user key") {
     val pb = plan(graft.operators.Scd2.scd2Build(spark, sfDir))
     val exchanges = pb.linesIterator.count(_.contains("Exchange hashpartitioning"))

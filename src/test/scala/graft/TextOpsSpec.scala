@@ -162,6 +162,41 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sampled buckets (t7b): cuts mirror rank statistics of the hash sample") {
+    // scores are already hash-checked and driver-mirrored (t7 tests);
+    // here the sampling/cut/assignment step is recomputed driver-side
+    // from t7b's own score columns
+    val rows = TextOps.bigramSurprisalSampled(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getInt(4)))
+    def inSample(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t7b:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) < TextOps.SampleCutBuckets
+    }
+    val byLang = rows.groupBy(_._2)
+    byLang.foreach { case (lang, docs) =>
+      val sample = docs.filter(d => inSample(d._1)).sortBy(d => (d._3, d._1))
+      val expectBucket: Long => Int =
+        if (sample.isEmpty) _ => 2
+        else {
+          val n = sample.length
+          val c1 = sample((n + 2) / 3 - 1)._3
+          val c2 = sample((n * 2 + 2) / 3 - 1)._3
+          s => if (s <= c1) 1 else if (s <= c2) 2 else 3
+        }
+      docs.foreach { d =>
+        assert(d._4 === expectBucket(d._3), s"doc ${d._1} ($lang, score ${d._3})")
+      }
+      // buckets are monotone in score within a language by construction
+      val sorted = docs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4 || a._3 == b._3)
+        case _ => ()
+      }
+    }
+    assert(rows.length === Tables.documents(spark, sfDir).count())
+  }
+
   test("chunk windows: geometry and contents on planted docs + fixture coverage") {
     import spark.implicits._
     val w = TextOps.ChunkWindow
