@@ -594,6 +594,43 @@ object Similarity {
       queryId: Long = 0L, k: Int = 10): DataFrame =
     ivfTopKOverIndex(spark, landIvf(spark, dir), queryId, k, nprobe = 2)
 
+  /** v11: FILTERED ANN — top-k under a metadata predicate, the
+    * vector-store operation every RAG deployment hits ("nearest
+    * neighbors among docs the user may read / in this language / from
+    * this source"). The design decision that matters is PRE-filter:
+    * the predicate is applied to the index scan BEFORE any scoring, so
+    * (a) k survivors are guaranteed (post-filtering a top-k shortlist
+    * returns < k when the predicate is selective — the classic recall
+    * hole), and (b) the filter is a plain comparison that reaches the
+    * parquet scan as a pushed filter (plan-asserted), composing with
+    * the cell-directory DPP prune: the scan reads only the probed
+    * cells' files AND skips row groups by the label stats.
+    *
+    * At 100 TB the contrast is stark: post-filter pays full scoring
+    * over the probed cells then discards; pre-filter scores only the
+    * qualifying fraction. (A very selective predicate wants nprobe
+    * raised — same knob as v9b, orthogonal.) */
+  def ivfFilteredTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, maxLabel: Int = 2, k: Int = 10): DataFrame = {
+    val path = landIvf(spark, dir)
+    val idx = spark.read.parquet(path)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val q = idx.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.cosine(col("q_embedding"), col("cent_emb")))
+      .orderBy(desc("csim"), col("cent_id"))
+      .limit(2)
+      .select(col("cent_id"), col("q_embedding"))
+    idx.filter(col("vec_id") =!= queryId)
+      .filter(col("label") <= maxLabel) // BEFORE scoring — pre-filter
+      .join(broadcast(qcells), Seq("cent_id"))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** V6: one distributed k-means (Lloyd) iteration — the step v5's
     * scaladoc defers to ("a real deployment trains k-means offline").
     * Assignment reuses the v5 subtree (broadcast centroids, argmax in

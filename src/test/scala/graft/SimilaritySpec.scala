@@ -542,4 +542,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rerRecall >= adcRecall, s"refine lost recall: $rerRecall < $adcRecall")
     assert(rerRecall >= 7, s"re-ranked recall@10 = $rerRecall/10")
   }
+
+  test("filtered ANN (v11): pre-filter fills k, post-filter has the recall hole, filter is pushed") {
+    val k = 10
+    val pre = Similarity.ivfFilteredTopK(spark, sfDir01, maxLabel = 2, k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(pre.length === k, s"pre-filter must fill k, got ${pre.length}")
+    assert(pre.forall(_._2 <= 2), "a row escaped the predicate")
+    // the classic hole: filtering AFTER a top-k shortlist keeps only
+    // the qualifying fraction of k — strictly fewer than pre-filter
+    val post = Similarity.ivfLandedTopK2(spark, sfDir01, k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).filter(_._2 <= 2)
+    assert(post.length < pre.length,
+      s"fixture too uniform to show the hole: post=${post.length}, pre=${pre.length}")
+    // every post-filter survivor is also a pre-filter hit (pre-filter
+    // dominates: same candidates minus the discarded non-qualifiers)
+    post.foreach(p => assert(pre.contains(p), s"post-filter hit $p missing from pre"))
+    // the predicate reaches the index parquet scan as a pushed filter,
+    // composing with the cell DPP prune
+    val p = Similarity.ivfFilteredTopK(spark, sfDir01, maxLabel = 2, k = k)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.matches("(?s).*label.*2.*"),
+      s"label predicate not pushed to the index scan:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"filtered probe lost dynamic partition pruning:\n$p")
+  }
 }
