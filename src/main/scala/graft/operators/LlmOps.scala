@@ -60,8 +60,85 @@ object LlmOps {
     }
   }
 
+  /** Structured-output model: the keyword stub wrapped in the JSON
+    * envelope a production extraction prompt demands — WITH the
+    * failure modes a real model exhibits, made deterministic so the
+    * whole validation tier is oracle-checkable. Keyed off md5 of the
+    * prompt (the only thing a model sees): first hex nibble '0' →
+    * TRUNCATED output (the context-length / stop-token failure —
+    * invalid JSON), '1' → SCHEMA DRIFT (valid JSON, wrong field name —
+    * the "the model renamed my key" failure), else well-formed. ~1/8
+    * of outputs are bad, the realistic regime where silent dropping
+    * would poison a corpus. */
+  final class StubJsonModel(k: Int) extends CompletionModel {
+    private val inner = new StubKeywordModel(k)
+    def completeBatch(prompts: Seq[String]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      inner.completeBatch(prompts).zip(prompts).map { case (kw, p) =>
+        val h1 = md.digest(p.getBytes("UTF-8")).head
+        // first hex char: high nibble of byte 0
+        ((h1 >> 4) & 0xf) match {
+          case 0 => s"""{"keywords": "$kw""" // truncated: unterminated
+          case 1 => s"""{"topics": "$kw"}""" // drift: field renamed
+          case _ => s"""{"keywords": "$kw"}"""
+        }
+      }
+    }
+  }
+
   private def documents(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir)
+
+  /** x7d: extraction with OUTPUT VALIDATION and quarantine — the
+    * etl1b reject discipline applied to the model seam. Model output
+    * is untrusted input: every completion is parsed against the
+    * expected schema, failures are classified (malformed JSON vs
+    * schema drift) and QUARANTINED with a reason rather than dropped,
+    * and the rollup reconciles exactly — every document is valid or
+    * quarantined, id-sums pinning membership of each class. The valid
+    * class additionally carries a content hash-sum of the extracted
+    * keywords, so the gate proves the surviving extractions equal the
+    * x7 rule, not merely that counts add up.
+    *
+    * Scale shape: the model pass is x7b's batched mapPartitions;
+    * validation is from_json + two null checks in the same scan; the
+    * rollup is one partial-agged groupBy over 3 status values. Nothing
+    * about failure handling adds an exchange. */
+  def extractWithQuarantine(spark: SparkSession, dir: String, k: Int = 5,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val in = documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val raw = in.mapPartitions { rows =>
+      val model = new StubJsonModel(k)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(_._1).zip(model.completeBatch(batch.map(_._2)))
+      }
+    }.toDF("doc_id", "raw")
+    // from_json never yields a null struct for bad input — it fills
+    // the fields with nulls — so malformed JSON is detected via the
+    // PERMISSIVE corrupt-record column, distinguishing "unparseable"
+    // from "parsed but the field is missing"
+    val schema = StructType(Seq(
+      StructField("keywords", StringType), StructField("_corrupt", StringType)))
+    val parsed = raw.withColumn("p",
+      from_json(col("raw"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+    parsed
+      .select(col("doc_id"),
+        when(col("p._corrupt").isNotNull, "malformed_json")
+          .when(col("p.keywords").isNull, "missing_field")
+          .otherwise("valid").as("status"),
+        coalesce(col("p.keywords"), lit("")).as("keywords"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(when(col("status") === "valid",
+          conv(substring(md5(col("keywords")), 1, 8), 16, 10).cast("bigint"))
+          .otherwise(0L)).as("kw_hash_sum"))
+      .orderBy(col("status"))
+  }
 
   /** X7 as a column plan: per-document top-k keyword extraction.
     * Output: (doc_id, keywords) with keywords comma-joined in rank

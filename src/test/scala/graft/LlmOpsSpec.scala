@@ -66,4 +66,49 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[String]("answer").contains(s"doc ${r.getLong(0)}"))
     }
   }
+
+  test("quarantine (x7d): failure classes reconcile and valid content matches x7") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the stub's failure modes, pinned on synthesized prompts of each class
+    val model = new LlmOps.StubJsonModel(5)
+    def promptWithNibble(c: Char): String =
+      Iterator.from(0).map(i => s"alpha beta gamma probe$i")
+        .find(p => md5hex(p).head == c).get
+    val Seq(bad, drift, ok) =
+      model.completeBatch(Seq(promptWithNibble('0'), promptWithNibble('1'),
+        promptWithNibble('7')))
+    assert(bad.startsWith("""{"keywords": """) && !bad.endsWith("}"),
+      s"truncation class broken: $bad")
+    assert(drift.startsWith("""{"topics":"""), s"drift class broken: $drift")
+    assert(ok.matches("""\{"keywords": "[a-z,0-9]*"\}"""), s"valid class broken: $ok")
+
+    // fixture: the three classes PARTITION the corpus exactly
+    val roll = LlmOps.extractWithQuarantine(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(roll.values.map(_._1).sum === docs.length)
+    assert(roll.values.map(_._2).sum === docs.map(_._1).sum)
+    // class membership equals the stub's md5 rule
+    def statusOf(text: String): String = md5hex(text).head match {
+      case '0' => "malformed_json"
+      case '1' => "missing_field"
+      case _ => "valid"
+    }
+    val expected = docs.groupBy(d => statusOf(d._2))
+      .map { case (s, ds) => s -> (ds.length.toLong, ds.map(_._1).sum) }
+    expected.foreach { case (s, (n, idSum)) =>
+      assert(roll(s)._1 === n && roll(s)._2 === idSum, s"class $s membership")
+    }
+    // valid-content hash: recompute from x7's own (oracle-checked) output
+    val kw = LlmOps.extractKeywords(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val validIds = docs.filter(d => statusOf(d._2) == "valid").map(_._1)
+    val expHash = validIds.map { id =>
+      java.lang.Long.parseLong(md5hex(kw.getOrElse(id, "")).take(8), 16)
+    }.sum
+    assert(roll("valid")._3 === expHash, "valid keyword content drifted from x7")
+  }
 }
