@@ -113,6 +113,12 @@ object SparkEntry {
     // repair for Voronoi-boundary queries; still DPP-pruned (two cell
     // dirs read, never a scan)
     "v9b_ivf_nprobe2"         -> ((s, d) => Similarity.ivfLandedTopK2(s, d)),
+    // v11: filtered ANN — metadata predicate PRE-applied to the index
+    // scan (pushed filter + DPP compose); k survivors guaranteed
+    "v11_filtered_ann"        -> ((s, d) => Similarity.ivfFilteredTopK(s, d)),
+    // x7d: model-output validation — malformed/drifted completions
+    // quarantined with reasons, valid extractions content-hash-pinned
+    "x7d_extract_quarantine"  -> ((s, d) => LlmOps.extractWithQuarantine(s, d)),
     // v10: product quantization + ADC — 8 codes per vector (32x under
     // float32), query scored via a 128-entry LUT, corpus floats never
     // read at query time
@@ -313,6 +319,24 @@ object SparkEntry {
              ${cosSql("e.embedding", "q.qe")} AS sim
            FROM assigned e JOIN q ON e.cent_id = q.cent_id
            WHERE e.vec_id <> 0)
+         SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+
+  /** v11: the nprobe=2 probe under a metadata predicate — the filter
+    * applies to the ASSIGNED rows before scoring, exactly where the
+    * Spark plan pushes it. */
+  private val ivfFilteredSql: String =
+    s"""WITH $ivfAssignedCte,
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qcells AS (
+           SELECT c.cent_id FROM cents c CROSS JOIN q
+           ORDER BY ${cosSql("c.cent_emb", "q.qe")} DESC, c.cent_id LIMIT 2),
+         scored AS (
+           SELECT e.vec_id, e.label,
+             ${cosSql("e.embedding", "q.qe")} AS sim
+           FROM assigned e CROSS JOIN q
+           WHERE e.vec_id <> 0 AND e.label <= 2
+             AND e.cent_id IN (SELECT cent_id FROM qcells))
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10"""
 
@@ -1357,6 +1381,37 @@ object SparkEntry {
     // verbatim — the layout changes bytes read, never results
     "v9_ivf_landed" -> ivfTopKSql,
     "v9b_ivf_nprobe2" -> ivfNprobe2Sql,
+    "v11_filtered_ann" -> ivfFilteredSql,
+    "x7d_extract_quarantine" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+           FROM documents),
+         filt AS (
+           SELECT doc_id, token FROM toks
+           WHERE length(token) >= 4
+             AND token NOT IN ('that','with','this','from','have','were','they','their')),
+         counted AS (
+           SELECT doc_id, token, COUNT(*) AS cnt FROM filt GROUP BY doc_id, token),
+         ranked AS (
+           SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rk
+           FROM counted),
+         kws AS (
+           SELECT doc_id, string_agg(token, ',' ORDER BY rk) AS keywords
+           FROM ranked WHERE rk <= 5 GROUP BY doc_id),
+         cls AS (
+           SELECT d.doc_id,
+             CASE WHEN substr(md5(d.text), 1, 1) = '0' THEN 'malformed_json'
+                  WHEN substr(md5(d.text), 1, 1) = '1' THEN 'missing_field'
+                  ELSE 'valid' END AS status,
+             COALESCE(k.keywords, '') AS keywords
+           FROM documents d LEFT JOIN kws k USING (doc_id))
+         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN status = 'valid'
+             THEN CAST('0x' || substr(md5(keywords), 1, 8) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS kw_hash_sum
+         FROM cls GROUP BY status ORDER BY status""",
     "v10_pq_adc" -> v10Sql,
     "v10b_pq_rerank" -> v10bSql,
     "m1_decode_features" ->

@@ -74,6 +74,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfTrainedTopK2(spark, emptyDir).count() === 0)
     assert(Similarity.pqTopK(spark, emptyDir).count() === 0)
     assert(Similarity.pqTopKReranked(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfFilteredTopK(spark, emptyDir).count() === 0)
   }
 
   test("dashboard fan-out returns zero families on an empty scope") {
@@ -108,6 +109,7 @@ class EmptyInputSpec extends SparkSpec {
     phr.foreach(r => assert(r.getLong(1) === 0L && r.getLong(2) === 0L))
     assert(TextOps.chunkWindows(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
+    assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)
