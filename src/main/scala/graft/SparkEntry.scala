@@ -120,7 +120,7 @@ object SparkEntry {
     // quarantined with reasons, valid extractions content-hash-pinned
     "x7d_extract_quarantine"  -> ((s, d) => LlmOps.extractWithQuarantine(s, d)),
     // v10: product quantization + ADC — 8 codes per vector (32x under
-    // float32), query scored via a 128-entry LUT, corpus floats never
+    // float32), query scored via a 256-entry LUT, corpus floats never
     // read at query time
     "v10_pq_adc"              -> ((s, d) => Similarity.pqTopK(s, d)),
     // v10b: ADC shortlist + exact re-rank (the FAISS refine pattern)
@@ -596,7 +596,7 @@ object SparkEntry {
          FROM ap GROUP BY doc_id ORDER BY doc_id"""
   }
 
-  /** v10: the PQ tier — first-16 codebook, per-subspace L2 argmin
+  /** v10: the PQ tier — first-32 codebook, per-subspace L2 argmin
     * encode (rn=1 with the (dist, code) tie-break), query LUT, ADC as
     * a left-to-right add of 8 correlated scalar lookups (no float sum
     * crosses an aggregation). */

@@ -71,29 +71,38 @@ object Curation {
   // recomputes, one-time cost on stderr, compute() serializing
   // concurrent first callers.
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame, DataFrame)]()
 
-  /** Qualifying near-dup pairs (a_id < b_id, jaccard ≥ 0.8) over the
-    * exact-dedup survivors — memoized per (session, corpus). */
-  private def survivorPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The memoized (survivors, pairs) landing: qualifying near-dup
+    * pairs (a_id < b_id, jaccard >= 0.8) over the exact-dedup
+    * survivors, PLUS the survivor frame itself — both materialized
+    * once per (session, corpus). The survivor frame rides along
+    * (review finding, round 9): c1/c1b each need it again for the
+    * kept anti-join, and without the memo every call re-ran the
+    * quality-gate scan + md5 dedup window the pair memo was
+    * introduced to stop re-billing. */
+  private def survivorsAndPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = s"${System.identityHashCode(spark.sparkContext)}:$dir"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    pairsMemo.compute(key, (_, cur) => {
+    val v = pairsMemo.compute(key, (_, cur) => {
       if (cur != null && cur._1 == fp) cur
       else {
         val t0 = System.nanoTime()
         // persisted: ngramJaccardPairsOf reads its input twice (df-cap
         // count + posting-list build)
         val exact = CacheOps.shared(exactSurvivors(spark, dir))
-        val pairs = CacheOps.materializeAndRelease(
-          Dedup.ngramJaccardPairsOf(exact.select(col("doc_id"), col("text")))
-            .select(col("a_id"), col("b_id")),
-          exact)
+        // ngramJaccardPairsOf returns an eagerly-materialized frame;
+        // the narrow select on top needs no second checkpoint
+        val pairs = Dedup.ngramJaccardPairsOf(
+            exact.select(col("doc_id"), col("text")))
+          .select(col("a_id"), col("b_id"))
+        val survivors = CacheOps.materializeAndRelease(exact, exact)
         System.err.println(f"[c1] one-time survivor pair frame ($dir): " +
           f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-        (fp, pairs)
+        (fp, survivors, pairs)
       }
-    })._2
+    })
+    (v._2, v._3)
   }
 
   /** c1: the curated-corpus rollup — (lang, split) → docs + tokens.
@@ -106,10 +115,10 @@ object Curation {
     * signatures decouple join width from document length); d2 is used
     * here because its exact Jaccard formulation chains into the
     * single-statement oracle. Pair generation is the memoized
-    * [[survivorPairs]] frame shared with c1b. */
+    * [[survivorsAndPairs]] frame shared with c1b. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val exact = exactSurvivors(spark, dir)
-    val nearDupIds = survivorPairs(spark, dir)
+    val (exact, pairs) = survivorsAndPairs(spark, dir)
+    val nearDupIds = pairs
       .select(col("b_id").as("doc_id")).distinct()
     val kept = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
     kept
@@ -132,7 +141,7 @@ object Curation {
     * member of a cycle-free chain except its head twice over, but
     * cannot name a canonical representative; the component rule can,
     * and it is what dedup pipelines ship). The pair subplan is the
-    * memoized [[survivorPairs]] materialization (billed once per
+    * memoized [[survivorsAndPairs]] materialization (billed once per
     * corpus per session, shared with c1); the CC loop reads it and
     * survivor selection consumes the LABELS (doc_id != label ⇒ drop),
     * not the pairs.
@@ -141,10 +150,10 @@ object Curation {
     * transitive closure + keep-min + rollup, all in ONE DuckDB
     * statement — the strongest composition check in the suite. */
   def curateClustered(spark: SparkSession, dir: String): DataFrame = {
-    val exact = exactSurvivors(spark, dir)
-    // the pair frame: the memoized [[survivorPairs]] materialization,
-    // fed to CC; labels drive the survivor drop
-    val dropIds = Dedup.connectedComponents(survivorPairs(spark, dir))
+    val (exact, pairs) = survivorsAndPairs(spark, dir)
+    // the pair frame: the memoized materialization, fed to CC; labels
+    // drive the survivor drop
+    val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id"))
     val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")

@@ -315,7 +315,7 @@ object Partitioned {
     * read). */
   def zorderLayoutRollup(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_s20_$tag/orders_zorder"
+    val path = s"${graft.Tables.scratchDir.getOrElse(System.getProperty("java.io.tmpdir"))}/graft_s20_$tag/orders_zorder"
     zorderLandOrders(spark, dir, path)
     spark.read.parquet(path)
       .filter(col("o_custkey") >= 40 && col("o_custkey") < 100 &&

@@ -155,7 +155,7 @@ object Similarity {
     * PQ keeps one code per SUBSPACE — 8 codes per 64-dim vector here,
     * 32× under float32 — and still scores against the FULL-precision
     * query: ADC precomputes the query's dot with every codebook
-    * centroid per subspace (a 128-entry lookup table) and a corpus
+    * centroid per subspace (a 32x8 = 256-entry lookup table) and a corpus
     * row's approximate dot is the sum of its 8 looked-up entries —
     * the corpus' floats are never touched at query time.
     *
@@ -552,7 +552,8 @@ object Similarity {
     * (thousands, not 8) nprobe=1 is a recall cliff — the second cell
     * costs one more pruned directory read, still never a corpus scan. */
   def ivfTopKOverIndex(spark: SparkSession, path: String,
-      queryId: Long = 0L, k: Int = 10, nprobe: Int = 1): DataFrame = {
+      queryId: Long = 0L, k: Int = 10, nprobe: Int = 1,
+      preFilter: Option[Column] = None): DataFrame = {
     val idx = spark.read.parquet(path)
     val cents = spark.read.parquet(s"$path/_centroids")
     val q = idx.filter(col("vec_id") === queryId)
@@ -563,6 +564,10 @@ object Similarity {
       .limit(nprobe)
       .select(col("cent_id"), col("q_embedding"))
     idx.filter(col("vec_id") =!= queryId)
+      // v11's pre-filter seam: the metadata predicate lands here, on
+      // the index scan BEFORE scoring, so it pushes to parquet and
+      // composes with the cell DPP prune
+      .filter(preFilter.getOrElse(lit(true)))
       .join(broadcast(qcells), Seq("cent_id"))
       .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
       .orderBy(desc("sim"), col("vec_id"))
@@ -608,28 +613,13 @@ object Similarity {
     *
     * At 100 TB the contrast is stark: post-filter pays full scoring
     * over the probed cells then discards; pre-filter scores only the
-    * qualifying fraction. (A very selective predicate wants nprobe
-    * raised — same knob as v9b, orthogonal.) */
+    * qualifying fraction. A very selective predicate wants `nprobe`
+    * raised — the v9b knob, which this form exposes. */
   def ivfFilteredTopK(spark: SparkSession, dir: String,
-      queryId: Long = 0L, maxLabel: Int = 2, k: Int = 10): DataFrame = {
-    val path = landIvf(spark, dir)
-    val idx = spark.read.parquet(path)
-    val cents = spark.read.parquet(s"$path/_centroids")
-    val q = idx.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
-    val qcells = q.crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.cosine(col("q_embedding"), col("cent_emb")))
-      .orderBy(desc("csim"), col("cent_id"))
-      .limit(2)
-      .select(col("cent_id"), col("q_embedding"))
-    idx.filter(col("vec_id") =!= queryId)
-      .filter(col("label") <= maxLabel) // BEFORE scoring — pre-filter
-      .join(broadcast(qcells), Seq("cent_id"))
-      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
-      .orderBy(desc("sim"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
-  }
+      queryId: Long = 0L, maxLabel: Int = 2, k: Int = 10,
+      nprobe: Int = 2): DataFrame =
+    ivfTopKOverIndex(spark, landIvf(spark, dir), queryId, k, nprobe,
+      preFilter = Some(col("label") <= maxLabel))
 
   /** V6: one distributed k-means (Lloyd) iteration — the step v5's
     * scaladoc defers to ("a real deployment trains k-means offline").

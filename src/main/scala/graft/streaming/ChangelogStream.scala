@@ -28,7 +28,8 @@ import org.apache.spark.sql.streaming.Trigger
   * Scale: each batch shuffles |state| + |changes| on the key — the
   * incremental-sync cost the batch applyChanges scaladoc names, paid
   * per batch instead of per release. Retention keeps the two newest
-  * committed versions (current + crash-recovery), GC'd marker-last. */
+  * committed versions (current + crash-recovery), GC'd marker-FIRST
+  * so a marker always implies readable version data. */
 object ChangelogStream {
 
   def applyChangelogStreaming(spark: SparkSession, srcDir: String,
@@ -36,36 +37,14 @@ object ChangelogStream {
       keyCols: Seq[String], valueCols: Seq[String],
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val cols = (keyCols ++ valueCols).map(col)
-    // state-version markers and listing go through the Hadoop
-    // FileSystem API, the SAME api the version data is written/deleted
-    // with (round-8 ADVICE: java.io.File silently returns nothing on a
-    // non-local stateDir, so committed() was always empty there — the
-    // initial state was rewritten every call and marker creation failed
-    // unchecked). Marker creation/deletion results are CHECKED: a
-    // marker that didn't land means the commit protocol is broken, and
-    // continuing would replay or GC the wrong version.
-    val statePath = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def marker(id: Long) = new org.apache.hadoop.fs.Path(statePath, s"_committed_$id")
-    def committed(): Seq[Long] = {
-      val statuses =
-        try fs.listStatus(statePath)
-        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-      statuses.map(_.getPath.getName).collect {
-        case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
-      }.toSeq.sorted
-    }
-    def writeMarker(id: Long): Unit =
-      // create(overwrite=false): a pre-existing marker is a protocol
-      // violation (the batch-skip check above it should have fired)
-      fs.create(marker(id), false).close()
-    def versionPath(id: Long) = s"$stateDir/v_$id"
+    // state versioning + crash protocol: see VersionedState (shared
+    // with Scd2Stream — one implementation of the marker discipline)
+    val state = new VersionedState(spark, stateDir, "changelog-stream")
+    import state.{committed, versionPath, writeMarker}
 
     // v_-1: the initial replica state, committed before the stream runs
-    if (committed().isEmpty) {
-      initial.select(cols: _*).write.mode("overwrite").parquet(versionPath(-1L))
-      writeMarker(-1L)
-    }
+    state.ensureInitial(p =>
+      initial.select(cols: _*).write.mode("overwrite").parquet(p))
 
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream
@@ -82,14 +61,7 @@ object ChangelogStream {
             cur, batch, keyCols, valueCols)
           next.write.mode("overwrite").parquet(versionPath(batchId))
           writeMarker(batchId)
-          // GC old versions MARKER-LAST (data first): a crash between
-          // the two deletes leaves an unmarked data dir, which is
-          // ignored — never a marker pointing at deleted data
-          committed().dropRight(2).foreach { old =>
-            fs.delete(new org.apache.hadoop.fs.Path(versionPath(old)), true)
-            if (!fs.delete(marker(old), false))
-              System.err.println(s"[changelog-stream] WARNING: stale marker _committed_$old not deleted")
-          }
+          state.gcOldVersions() // marker-first: see VersionedState
         }
         ()
       }

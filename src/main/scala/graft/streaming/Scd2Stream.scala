@@ -37,26 +37,15 @@ object Scd2Stream {
 
   def scd2MaintenanceStreaming(spark: SparkSession, srcDir: String,
       stateDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
-    val statePath = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def marker(id: Long) = new org.apache.hadoop.fs.Path(statePath, s"_committed_$id")
-    def committed(): Seq[Long] = {
-      val statuses =
-        try fs.listStatus(statePath)
-        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-      statuses.map(_.getPath.getName).collect {
-        case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
-      }.toSeq.sorted
-    }
-    def writeMarker(id: Long): Unit = fs.create(marker(id), false).close()
-    def versionPath(id: Long) = s"$stateDir/v_$id"
+    // state versioning + crash protocol: see VersionedState (shared
+    // with ChangelogStream — one implementation of the marker discipline)
+    val state = new VersionedState(spark, stateDir, "scd2-stream")
+    import state.{committed, versionPath, writeMarker}
 
     // v_-1: the empty dimension, committed before the stream runs
-    if (committed().isEmpty) {
+    state.ensureInitial(p =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DimSchema)
-        .write.mode("overwrite").parquet(versionPath(-1L))
-      writeMarker(-1L)
-    }
+        .write.mode("overwrite").parquet(p))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
@@ -74,12 +63,7 @@ object Scd2Stream {
           val next = Scd2.applyUpdates(cur, upd)
           next.write.mode("overwrite").parquet(versionPath(batchId))
           writeMarker(batchId)
-          // GC old versions marker-last (ChangelogStream's rule)
-          committed().dropRight(2).foreach { old =>
-            fs.delete(new org.apache.hadoop.fs.Path(versionPath(old)), true)
-            if (!fs.delete(marker(old), false))
-              System.err.println(s"[scd2-stream] WARNING: stale marker _committed_$old not deleted")
-          }
+          state.gcOldVersions() // marker-first: see VersionedState
         }
         ()
       }
