@@ -125,6 +125,9 @@ object SparkEntry {
     "v10_pq_adc"              -> ((s, d) => Similarity.pqTopK(s, d)),
     // v10b: ADC shortlist + exact re-rank (the FAISS refine pattern)
     "v10b_pq_rerank"          -> ((s, d) => Similarity.pqTopKReranked(s, d)),
+    // v12: IVF+PQ — cell DPP prune x code-only ADC x exact refine, the
+    // billion-scale composition (FAISS IndexIVFPQ) over a landed index
+    "v12_ivfpq"               -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // winnowing fingerprints: oracle mirrors the Mersenne-61 polynomial
     // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
     // additionally pins the tier against exact jaccard
@@ -263,6 +266,9 @@ object SparkEntry {
     // t9: RAG chunking — overlapping token windows, map-only explode;
     // chunk contents pinned cross-engine by md5 of the token slice
     "t9_chunk_windows"        -> ((s, d) => TextOps.chunkWindows(s, d)),
+    // t10: exact heavy hitters via count-min prefilter — the vocabulary
+    // never shuffles; only CMS-qualified occurrences reach the groupBy
+    "t10_heavy_hitters"       -> ((s, d) => TextOps.heavyHitters(s, d)),
     // i6/i6b: SCD2 dimension build (no-op updates collapsed, validity
     // intervals per change) + point-in-time fact annotation
     "i6_scd2_build"           -> ((s, d) => Scd2.scd2Build(s, d)),
@@ -652,6 +658,32 @@ object SparkEntry {
     s"""WITH $v10Ctes,
          short AS (
            SELECT vec_id FROM scored ORDER BY adc DESC, vec_id LIMIT 50),
+         rer AS (
+           SELECT e.vec_id, e.label, $dot64 AS ip
+           FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q)
+         SELECT vec_id, label, ROUND(ip, 6) AS ip_r FROM rer
+         ORDER BY ip DESC, vec_id LIMIT 10"""
+  }
+
+  /** v12: IVF+PQ — the v10 code/LUT/ADC CTEs composed with the IVF
+    * assignment + nprobe=2 cell ranking: ADC candidates restricted to
+    * the probed cells, shortlist of 50 by ADC, exact inner-product
+    * re-rank. ADC doubles are fold-order-identical to the Spark plan
+    * (the v10 argument), so shortlist membership — the only thing the
+    * ADC decides here — matches exactly. */
+  private lazy val v12Sql: String = {
+    val dot64 = """list_reduce(list_transform(range(64),
+             j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.q_emb[j+1] AS DOUBLE)),
+             (a, b) -> a + b)"""
+    s"""WITH $ivfAssignedCte,
+         $v10Ctes,
+         qcells AS (
+           SELECT c.cent_id FROM cents c CROSS JOIN q
+           ORDER BY ${cosSql("c.cent_emb", "q.q_emb")} DESC, c.cent_id LIMIT 2),
+         probed AS (
+           SELECT s.vec_id, s.adc FROM scored s JOIN assigned a USING (vec_id)
+           WHERE a.cent_id IN (SELECT cent_id FROM qcells)),
+         short AS (SELECT vec_id FROM probed ORDER BY adc DESC, vec_id LIMIT 50),
          rer AS (
            SELECT e.vec_id, e.label, $dot64 AS ip
            FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q)
@@ -1060,6 +1092,16 @@ object SparkEntry {
          CAST(SUM(len($toksSql)) AS BIGINT) AS ws_tokens,
          CAST(SUM(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}'))) AS BIGINT) AS bpe_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+    // t10: the answer is sketch-independent — the CMS only PRUNES
+    // (superset guarantee), so the oracle is plain GROUP BY/HAVING
+    "t10_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM tok),
+         cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+         SELECT token, CAST(cnt AS BIGINT) AS cnt
+         FROM cnt CROSS JOIN tot
+         WHERE cnt >= GREATEST(1, CAST(FLOOR(n / ${TextOps.HhSupportDiv}.0) AS BIGINT))
+         ORDER BY cnt DESC, token""",
     "t2_quality_score" ->
       s"""WITH f AS (
            SELECT doc_id,
@@ -1414,6 +1456,7 @@ object SparkEntry {
          FROM cls GROUP BY status ORDER BY status""",
     "v10_pq_adc" -> v10Sql,
     "v10b_pq_rerank" -> v10bSql,
+    "v12_ivfpq" -> v12Sql,
     "m1_decode_features" ->
       """SELECT doc_id AS asset_id, source,
            strlen(text) AS n_bytes,

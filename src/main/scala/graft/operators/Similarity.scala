@@ -804,6 +804,93 @@ object Similarity {
     ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
   }
 
+  // landing memo for the IVF+PQ index (v12) — fingerprint discipline
+  private val ivfPqLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land the IVF+PQ index — the billion-scale composition (FAISS
+    * IndexIVFPQ): each assignment row carries its PQ codes (c0..c7)
+    * NEXT TO its cell id and full-precision vector, partitioned by
+    * cell, with `_centroids/` and `_codebook/` side tables. The probe
+    * then composes BOTH compressions: the cell prune reads ~nprobe/K of
+    * the corpus DIRECTORIES, and within the probed cells the ADC pass
+    * projects only the 8 int code columns — parquet's columnar layout
+    * means the float vectors are not read until the exact re-rank
+    * touches `shortlist` rows. Codebook and coarse centroids reuse the
+    * first-K-by-id selection rule so the whole tier stays
+    * SQL-expressible and driver-hash-checked (swap kmeans-trained
+    * tables through the same frames for production, as
+    * [[materializeIvfTrained]] does for the coarse quantizer). */
+  def materializeIvfPq(spark: SparkSession, dir: String, outPath: String): String = {
+    val e = embeddings(spark, dir)
+    val cb = pqCodebook(e)
+    val codes = pqEncode(e, cb).drop("label")
+    writeIndex(centroidAssignment(e).join(codes, Seq("vec_id")), outPath)
+    e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .write.mode("overwrite").parquet(s"$outPath/_centroids")
+    cb.write.mode("overwrite").parquet(s"$outPath/_codebook")
+    outPath
+  }
+
+  /** v12 probe: rank cells against `_centroids` (nprobe-row broadcast,
+    * DPP-pruned directory read), ADC-score the probed cells from codes
+    * alone (8 broadcast LUT joins, left-to-right add — the v10
+    * discipline), exact-re-rank the ADC shortlist with the full inner
+    * product (the v10b refine). Nothing outside the probed cells is
+    * ever read, and the probed cells' floats are only read for the
+    * shortlist rows. */
+  def ivfPqTopKOverIndex(spark: SparkSession, path: String,
+      queryId: Long = 0L, k: Int = 10, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val cb = spark.read.parquet(s"$path/_codebook")
+    val q = idx.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.cosine(col("q_emb"), col("cent_emb")))
+      .orderBy(desc("csim"), col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id"))
+    val lut = cb.crossJoin(broadcast(q))
+      .select(Seq(col("cb_k")) ++
+        (0 until PqSubspaces).map(m =>
+          subDot(col("q_emb"), col("cb_emb"), m).as(s"lut$m")): _*)
+    val probed = idx.filter(col("vec_id") =!= queryId)
+      .select(Seq(col("vec_id"), col("cent_id")) ++
+        (0 until PqSubspaces).map(m => col(s"c$m")): _*)
+      .join(broadcast(qcells), Seq("cent_id"))
+    val withLut = (0 until PqSubspaces).foldLeft(probed) { (acc, m) =>
+      acc.join(broadcast(lut.select(col("cb_k").as(s"c$m"), col(s"lut$m"))), Seq(s"c$m"))
+    }
+    val adc = (1 until PqSubspaces).foldLeft(col("lut0"))((acc, m) => acc + col(s"lut$m"))
+    val short = withLut.withColumn("adc", adc)
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+    idx.join(short, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .withColumn("ip", Vectors.dot(col("embedding"), col("q_emb")))
+      .orderBy(desc("ip"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("ip"), 6).as("ip_r"))
+  }
+
+  /** v12 gate form: land the IVF+PQ index once, probe at nprobe=2 with
+    * an ADC shortlist of 50. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.Tables.scratchDir.getOrElse(
+      System.getProperty("java.io.tmpdir")) + s"/graft_ivfpq_idx_$tag"
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    ivfPqLanded.compute(path, (_, cur) => {
+      if (cur != fp) materializeIvfPq(spark, dir, path)
+      fp
+    })
+    ivfPqTopKOverIndex(spark, path, queryId, k)
+  }
+
   /** The flagship retrieval query string — shared by v4, x7c and their
     * oracles (interpolated into the SQL so both engines embed the SAME
     * tokens). */

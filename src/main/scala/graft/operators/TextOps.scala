@@ -427,4 +427,76 @@ object TextOps {
           " ")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** Count-min sketch geometry for [[heavyHitters]]: 3 hash rows of
+    * 1024 buckets. At the 1/[[HhSupportDiv]] support threshold the
+    * sketch's overcount (≤ N/1024 per row w.h.p., and the MIN over 3
+    * rows in practice far less) stays well under the N/256 bar, so the
+    * candidate set stays close to the true heavy-hitter set. */
+  val HhSeeds: Seq[Int] = Seq(17, 41, 97)
+  val HhWidth = 1024
+  val HhSupportDiv = 256
+
+  /** T10: vocabulary heavy hitters — every token whose corpus frequency
+    * is ≥ 1/256 of all token occurrences, EXACTLY, without ever
+    * shuffling the full vocabulary. The classic two-pass sketch
+    * discipline:
+    *
+    * pass 1 builds a count-min sketch: each occurrence maps to 3
+    * (hash-row, bucket) cells; the groupBy's PARTIAL aggregate collapses
+    * a task's occurrences to ≤ 3×1024 cells before the single exchange,
+    * so the shuffle carries O(sketch) rows per task regardless of corpus
+    * size. pass 2 re-scans, looks each token's 3 cells up in the
+    * BROADCAST sketch (3 map-side joins, no shuffle), and keeps
+    * occurrences whose MIN cell count clears the threshold — CMS never
+    * undercounts, so the surviving candidates are a SUPERSET of the true
+    * heavy hitters. Only those occurrences reach the exact groupBy; the
+    * final HAVING trims sketch overcounts. The emitted counts are
+    * therefore EXACT (the oracle is a plain GROUP BY/HAVING, no sketch),
+    * while the vocabulary-sized shuffle a naive exact plan pays — the
+    * scale killer on a 100 TB corpus where |vocab| grows into the
+    * billions of rare strings — never happens: rare tokens die at the
+    * broadcast filter, on the map side.
+    *
+    * Contrast with a5b (HLL): there the SKETCH VALUE is the answer
+    * (tolerance oracle); here the sketch only prunes and the answer is
+    * exact (hash oracle). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(documents(spark, dir))
+
+  private[graft] def heavyHittersOf(docs: DataFrame): DataFrame = {
+    val (cand, thresh) = heavyHitterCandidates(docs)
+    cand
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thresh)
+      .select(col("token"), col("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  /** The candidate-occurrence frame (pass 2's output, pre-exact-count)
+    * plus the threshold column expression over its `n` column — split
+    * out so the spec can assert the prune is both EFFECTIVE (candidates
+    * ≪ vocabulary) and SAFE (superset of the truth). */
+  private[graft] def heavyHitterCandidates(docs: DataFrame): (DataFrame, Column) = {
+    val tok = docs.select(explode(tokens(col("text"))).as("token"))
+    def bkt(seed: Int): Column = pmod(xxhash64(lit(seed), col("token")), lit(HhWidth))
+    // pass 1: one aggregation over (hash-row, bucket) — ≤ 3*1024 rows out
+    val sketch = tok
+      .select(posexplode(array(HhSeeds.map(bkt): _*)).as(Seq("si", "bucket")))
+      .groupBy(col("si"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val thresh = greatest(lit(1L), floor(col("n") / lit(HhSupportDiv.toDouble)).cast("long"))
+    // pass 2: 3 broadcast lookups pin each occurrence's cells as columns
+    val looked = HhSeeds.zipWithIndex.foldLeft(
+      tok.crossJoin(broadcast(tot))) { case (acc, (seed, i)) =>
+      acc.join(
+        broadcast(sketch.filter(col("si") === i)
+          .select(col("bucket").as(s"b$i"), col("c").as(s"c$i"))),
+        bkt(seed) === col(s"b$i"))
+    }
+    val est = least(HhSeeds.indices.map(i => col(s"c$i")): _*)
+    (looked.filter(est >= thresh).select(col("token"), col("n")), thresh)
+  }
 }

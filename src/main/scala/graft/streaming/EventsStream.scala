@@ -195,14 +195,9 @@ object EventsStream {
     * per-table (ARCHITECTURE §MERGE). */
   def streamingMergeUpsert(spark: SparkSession, srcDir: String, stateDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    def committed(): Seq[Long] = {
-      val d = new java.io.File(stateDir)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .map(_.getName).collect {
-          case n if n.startsWith("_committed_") => n.stripPrefix("_committed_").toLong
-        }.toSeq.sorted
-    }
-    def versionPath(id: Long) = s"$stateDir/v_$id"
+    val state = new VersionedState(spark, stateDir, "streamingMergeUpsert")
+    def committed(): Seq[Long] = state.committed()
+    def versionPath(id: Long) = state.versionPath(id)
 
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream
@@ -235,18 +230,13 @@ object EventsStream {
           // copy-on-write: the new version is complete on disk BEFORE
           // the commit marker appears
           merged.write.mode("overwrite").parquet(versionPath(batchId))
-          new java.io.File(s"$stateDir/_committed_$batchId").createNewFile()
+          state.writeMarker(batchId)
           // retention: a long-running stream must not keep v_0..v_N
           // forever. Keep the two newest committed versions (current +
-          // one for crash recovery: a reader that resolved the previous
-          // version before this commit can still finish); GC the rest,
-          // marker last so a half-deleted version is never resolvable.
-          committed().dropRight(2).foreach { old =>
-            val fs = new org.apache.hadoop.fs.Path(versionPath(old))
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.delete(new org.apache.hadoop.fs.Path(versionPath(old)), true)
-            new java.io.File(s"$stateDir/_committed_$old").delete()
-          }
+          // one for crash recovery); GC marker-FIRST so a crash between
+          // the deletes leaves an unmarked dir readers ignore, never a
+          // marker pointing at half-deleted data (VersionedState scaladoc).
+          state.gcOldVersions()
         }
         ()
       }

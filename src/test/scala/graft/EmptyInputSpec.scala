@@ -75,6 +75,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.pqTopK(spark, emptyDir).count() === 0)
     assert(Similarity.pqTopKReranked(spark, emptyDir).count() === 0)
     assert(Similarity.ivfFilteredTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfPqTopK(spark, emptyDir).count() === 0)
   }
 
   test("dashboard fan-out returns zero families on an empty scope") {
@@ -108,6 +109,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(phr.length === Multimodal.PhashMaxHamming + 1)
     phr.foreach(r => assert(r.getLong(1) === 0L && r.getLong(2) === 0L))
     assert(TextOps.chunkWindows(spark, emptyDir).count() === 0)
+    assert(TextOps.heavyHitters(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)

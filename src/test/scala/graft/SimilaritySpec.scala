@@ -567,4 +567,51 @@ class SimilaritySpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"filtered probe lost dynamic partition pruning:\n$p")
   }
+
+  test("IVF+PQ (v12): shortlist within probed cells, exact refine order, pruned code-only ADC scan") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val q = e.find(_._1 == 0L).get._2
+    def ip(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      ip(a, b) / (math.sqrt(ip(a, a)) * math.sqrt(ip(b, b)))
+    // driver-side coarse geometry: first-8 centroids, argmax assignment
+    // (cosine desc, cent_id asc), query's top-2 cells
+    val cents = e.filter(_._1 < Similarity.IvfCentroids)
+    def cell(v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val qcells = cents.map { case (cid, cv) => (-cos(q, cv), cid) }
+      .sorted.take(2).map(_._2).toSet
+    // k=shortlist returns the WHOLE shortlist exact-ranked — recovers
+    // shortlist membership without re-deriving the ADC in the driver
+    val shortIds = Similarity.ivfPqTopK(spark, sfDir, 0L, k = 50)
+      .collect().map(_.getLong(0))
+    assert(shortIds.nonEmpty && shortIds.length <= 50)
+    shortIds.foreach(id => assert(qcells.contains(cell(e.find(_._1 == id).get._2)),
+      s"shortlist member $id lies outside the probed cells"))
+    // the refine is the exact ip ranking restricted to the shortlist
+    val out = Similarity.ivfPqTopK(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val expected = e.filter(p => shortIds.contains(p._1))
+      .sortBy { case (id, v) => (-ip(v, q), id) }.take(10).map(_._1).toSeq
+    assert(out === expected)
+    // recall floor vs the unrestricted exact top-10 (worst-case
+    // near-uniform fixture: cell prune + ADC shortlist; measured 6/10)
+    val exactTop = e.filter(_._1 != 0L).sortBy { case (id, v) => (-ip(v, q), id) }
+      .take(10).map(_._1).toSet
+    assert(out.toSet.intersect(exactTop).size >= 5,
+      s"IVF+PQ recall@10 collapsed: ${out.toSet.intersect(exactTop).size}/10")
+    // plan: cell DPP prune present, and the ADC pass scans the index
+    // projecting codes WITHOUT the float vectors (columnar win)
+    val p = Similarity.ivfPqTopK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"IVF+PQ probe lost dynamic partition pruning:\n$p")
+    val codeOnlyScan = p.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("c0") && !l.contains("embedding"))
+    assert(codeOnlyScan, s"no code-only (embedding-free) index scan in plan:\n$p")
+  }
 }

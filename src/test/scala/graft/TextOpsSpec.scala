@@ -254,4 +254,43 @@ class TextOpsSpec extends SparkSpec {
       assert(perDoc.getOrElse(id, 0L) === exp, s"doc $id with $n tokens")
     }
   }
+
+  test("heavy hitters (t10): exact answer, candidate prune is safe AND effective") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sfDir)
+    // ground truth: plain exact count + threshold, driver-side
+    val allToks = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .collect().map(_.getString(0))
+    val n = allToks.length.toLong
+    val thresh = math.max(1L, math.floor(n / TextOps.HhSupportDiv.toDouble).toLong)
+    val exact = allToks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= thresh).toMap
+    val out = TextOps.heavyHitters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === exact, "sketch-prefiltered result diverged from exact truth")
+    assert(out.nonEmpty, "fixture yields no heavy hitters — threshold miscalibrated")
+    // sorted desc with token tie-break
+    val rows = TextOps.heavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sortBy { case (t, c) => (-c, t) }.toSeq === rows.toSeq)
+    // prune safety on the fixture: candidates ⊇ truth (CMS never
+    // undercounts)
+    val (candF, _) = TextOps.heavyHitterCandidates(docs)
+    val cand = candF.select(col("token")).distinct().collect().map(_.getString(0)).toSet
+    assert(exact.keySet.subsetOf(cand), "a true heavy hitter was pruned — CMS broken")
+    // prune EFFECTIVENESS needs a long-tail vocabulary (the sf0.001
+    // fixture has ~31 distinct tokens, nearly all genuinely heavy):
+    // planted Zipf-ish corpus — 2 hot tokens, 2000 singletons
+    import spark.implicits._
+    val planted = (0 until 2000).map(i => s"hot common rare$i").toDF("text")
+    val (candP, _) = TextOps.heavyHitterCandidates(planted)
+    val candSet = candP.select(col("token")).distinct().collect().map(_.getString(0)).toSet
+    assert(Set("hot", "common").subsetOf(candSet), "hot tokens pruned")
+    assert(candSet.size < 2002 / 10,
+      s"prune ineffective on long tail: ${candSet.size} candidates of 2002 vocab")
+    // and the exact verify trims any colliding singletons to the truth
+    val outP = TextOps.heavyHittersOf(planted).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outP === Map("hot" -> 2000L, "common" -> 2000L))
+  }
 }
