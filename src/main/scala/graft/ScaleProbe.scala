@@ -237,7 +237,18 @@ object ScaleProbe {
       "t7b_sampled_buckets"  -> (operators.TextOps.bigramSurprisalSampled(_, _)),
       "m4_phash_neardup"     -> (operators.Multimodal.phashNeardupRollup(_, _)),
       "j13_session_versions" -> (operators.Scd2.sessionVersions(_, _)),
-      "e5_volume_anomaly"    -> (operators.Profile.volumeAnomaly(_, _)))
+      "e5_volume_anomaly"    -> (operators.Profile.volumeAnomaly(_, _)),
+      // sixth wave. v12: the landed IVF+PQ probe — wall must track the
+      // probed-cell population (nprobe/K of the corpus; cells grow k×
+      // under salting since centroids stay the first 8), the ADC pass
+      // reads codes only, and the refine stays constant at |shortlist|.
+      // Index landing bills to rep 1; min-over-reps reports the warm
+      // probe. t10: the sketch is CONSTANT 3×1024 cells at every factor
+      // while the salted vocabulary grows k× — wall must track token
+      // occurrences through the two passes with no vocabulary-sized
+      // exchange (rarer-than-threshold salted tokens die map-side)
+      "v12_ivfpq"            -> (operators.Similarity.ivfPqTopK(_, _)),
+      "t10_heavy_hitters"    -> (operators.TextOps.heavyHitters(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
