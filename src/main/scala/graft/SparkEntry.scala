@@ -142,6 +142,11 @@ object SparkEntry {
     "a13_rollup_timeline"     -> ((s, d) => Relational.rollupTimeline(s, d)),
     "a14_group_percentiles"   -> ((s, d) => Relational.groupPercentiles(s, d)),
     "st2_session_windows"     -> ((s, d) => graft.streaming.EventsStream.sessionWindows(s, d)),
+    // st3: a REAL Structured Streaming stream-stream interval join under
+    // the driver's oracle — both sides watermarked, inner join in append
+    // mode; single-file source = one micro-batch, so the emitted pair
+    // set provably equals the batch band join the oracle computes
+    "st3_stream_stream_join"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseJoinStreaming(s, d)),
     "j9b_self_hierarchy"      -> ((s, d) => Relational.selfHierarchy(s, d)),
     "etl1_donation_pipeline"  -> ((s, d) => graft.sources.ReferenceSources.donationPipelineOverOrders(s, d)),
     "s4_vote_scan"            -> ((s, d) => graft.sources.ReferenceSources.voteScanOverEvents(s, d)),
@@ -2363,6 +2368,17 @@ object SparkEntry {
     // equality proves the time-bucket second join key loses nothing.
     "j11b_bucketed_asof" -> j11Sql,
     "j11_asof_join" -> j11Sql,
+    // st3: the streaming join's emitted pairs vs the plain batch band
+    // join — equality holds because the single-file source arrives as
+    // ONE micro-batch (enforced by the operator's require)
+    "st3_stream_stream_join" ->
+      s"""SELECT p.event_id AS p_id, v.event_id AS v_id
+         FROM events p JOIN events v
+           ON p.user_id = v.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.ts <= p.ts
+          AND v.ts >= p.ts - INTERVAL ${operators.AsofJoin.HorizonMinutes} MINUTE
+         ORDER BY p_id, v_id""",
     // j11c: the custom physical operator answers to the same oracle too
     "j11c_merge_asof" -> j11Sql,
     // t5: patterns interpolated from the shared Scala constants; DuckDB

@@ -132,7 +132,10 @@ object EventsStream {
     * feed instead sizes the watermark delay to its cross-file event-time
     * disorder (and orders file arrival), trading state for tolerance. */
   def viewPurchaseJoinStreaming(spark: SparkSession, dir: String,
-      queryName: String = "events_ss_join"): DataFrame = {
+      // unique default so repeated gate/bench invocations in one JVM
+      // don't collide on the memory sink's registered view name
+      queryName: String = "events_ss_join_" +
+        java.util.UUID.randomUUID().toString.take(8)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     require(srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,14 +159,24 @@ object EventsStream {
         col("v_ts") >= col("p_ts") -
           expr(s"INTERVAL ${graft.operators.AsofJoin.HorizonMinutes} MINUTES"))
 
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // a stream-stream join creates 4 state stores PER shuffle
+    // partition; at the session's CPU-count partitioning that is >100
+    // on-disk store initializations for a one-batch drain — harness
+    // cost, not plan cost (measured 7.9 s → 2.6 s at 4 partitions; 1 partition only reaches 2.4 s — the floor is offset-log + microbatch planning, not stores).
+    // State keys partition by user_id, so a production deployment
+    // sizes this to state VOLUME per partition, not core count.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(queryName)
       .select(col("p_id"), col("v_id"))
       .orderBy(col("p_id"), col("v_id"))
