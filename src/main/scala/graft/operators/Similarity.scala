@@ -575,19 +575,30 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
   }
 
-  /** Land the first-8-centroid index into session scratch once
-    * (fingerprint-memoized) and return its path. */
-  private def landIvf(spark: SparkSession, dir: String): String = {
+  /** One-time-per-session landing shared by every landed-index tier:
+    * scratch path from prefix + dir tag, SOURCE-content fingerprint as
+    * the memo value (a regenerated fixture under the same dir
+    * re-lands), per-key compute() lock serializing concurrent first
+    * callers. One implementation so a landing-protocol fix can't drift
+    * across the index families (round-9 review). */
+  private def landOnce(spark: SparkSession, dir: String, prefix: String,
+      memo: java.util.concurrent.ConcurrentHashMap[String, String])(
+      materialize: String => Unit): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = graft.Tables.scratchDir.getOrElse(
-      System.getProperty("java.io.tmpdir")) + s"/graft_ivf_idx_$tag"
+      System.getProperty("java.io.tmpdir")) + s"/${prefix}_$tag"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/embeddings.parquet")
-    ivfLanded.compute(path, (_, cur) => {
-      if (cur != fp) materializeIvf(spark, dir, path)
+    memo.compute(path, (_, cur) => {
+      if (cur != fp) materialize(path)
       fp
     })
     path
   }
+
+  /** Land the first-8-centroid index into session scratch once
+    * (fingerprint-memoized) and return its path. */
+  private def landIvf(spark: SparkSession, dir: String): String =
+    landOnce(spark, dir, "graft_ivf_idx", ivfLanded)(materializeIvf(spark, dir, _))
 
   /** v9 gate form: land the index once, probe the query's cell. */
   def ivfLandedTopK(spark: SparkSession, dir: String,
@@ -792,17 +803,11 @@ object Similarity {
     * first-8 tier's); the probe plan — and its dynamic partition
     * pruning — is identical to v9b's. */
   def ivfTrainedTopK2(spark: SparkSession, dir: String,
-      queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = graft.Tables.scratchDir.getOrElse(
-      System.getProperty("java.io.tmpdir")) + s"/graft_ivf_trained_$tag"
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/embeddings.parquet")
-    ivfTrainedLanded.compute(path, (_, cur) => {
-      if (cur != fp) materializeIvfTrained(spark, dir, path)
-      fp
-    })
-    ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
-  }
+      queryId: Long = 0L, k: Int = 10): DataFrame =
+    ivfTopKOverIndex(spark,
+      landOnce(spark, dir, "graft_ivf_trained", ivfTrainedLanded)(
+        materializeIvfTrained(spark, dir, _)),
+      queryId, k, nprobe = 2)
 
   // landing memo for the IVF+PQ index (v12) — fingerprint discipline
   private val ivfPqLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -868,7 +873,13 @@ object Similarity {
       .orderBy(desc("adc"), col("vec_id"))
       .limit(shortlist)
       .select(col("vec_id"))
-    idx.join(short, Seq("vec_id"), "left_semi")
+    // refine scan rides the SAME qcells join as the ADC pass so DPP
+    // prunes it to the probed cell directories too — a bare vec_id
+    // semi-join would read every cell's float vectors, nullifying the
+    // prune exactly where the bytes are biggest (shortlist ⊆ probed
+    // cells, so the extra cent_id join drops nothing)
+    idx.join(broadcast(qcells), Seq("cent_id"))
+      .join(broadcast(short), Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q))
       .withColumn("ip", Vectors.dot(col("embedding"), col("q_emb")))
       .orderBy(desc("ip"), col("vec_id"))
@@ -879,17 +890,11 @@ object Similarity {
   /** v12 gate form: land the IVF+PQ index once, probe at nprobe=2 with
     * an ADC shortlist of 50. */
   def ivfPqTopK(spark: SparkSession, dir: String,
-      queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = graft.Tables.scratchDir.getOrElse(
-      System.getProperty("java.io.tmpdir")) + s"/graft_ivfpq_idx_$tag"
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/embeddings.parquet")
-    ivfPqLanded.compute(path, (_, cur) => {
-      if (cur != fp) materializeIvfPq(spark, dir, path)
-      fp
-    })
-    ivfPqTopKOverIndex(spark, path, queryId, k)
-  }
+      queryId: Long = 0L, k: Int = 10): DataFrame =
+    ivfPqTopKOverIndex(spark,
+      landOnce(spark, dir, "graft_ivfpq_idx", ivfPqLanded)(
+        materializeIvfPq(spark, dir, _)),
+      queryId, k)
 
   /** The flagship retrieval query string — shared by v4, x7c and their
     * oracles (interpolated into the SQL so both engines embed the SAME

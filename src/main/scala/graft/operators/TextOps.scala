@@ -479,14 +479,20 @@ object TextOps {
     * out so the spec can assert the prune is both EFFECTIVE (candidates
     * ≪ vocabulary) and SAFE (superset of the truth). */
   private[graft] def heavyHitterCandidates(docs: DataFrame): (DataFrame, Column) = {
+    import CacheOps.{materializeAndRelease, shared}
     val tok = docs.select(explode(tokens(col("text"))).as("token"))
     def bkt(seed: Int): Column = pmod(xxhash64(lit(seed), col("token")), lit(HhWidth))
-    // pass 1: one aggregation over (hash-row, bucket) — ≤ 3*1024 rows out
-    val sketch = tok
+    // pass 1: one aggregation over (hash-row, bucket) — ≤ 3*1024 rows
+    // out. Persisted: it feeds three probe joins plus the total, and
+    // unpersisted each consumer would re-run the corpus aggregation
+    // (the self-join pathology measured on the minhash bucket join).
+    val sketch = shared(tok
       .select(posexplode(array(HhSeeds.map(bkt): _*)).as(Seq("si", "bucket")))
       .groupBy(col("si"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("c")))
+    // N = Σ cells of any single hash row — already in the sketch; a
+    // separate tok.count() would be a third corpus scan (round-9 review)
+    val tot = sketch.filter(col("si") === 0).agg(sum(col("c")).as("n"))
     val thresh = greatest(lit(1L), floor(col("n") / lit(HhSupportDiv.toDouble)).cast("long"))
     // pass 2: 3 broadcast lookups pin each occurrence's cells as columns
     val looked = HhSeeds.zipWithIndex.foldLeft(
@@ -497,6 +503,8 @@ object TextOps {
         bkt(seed) === col(s"b$i"))
     }
     val est = least(HhSeeds.indices.map(i => col(s"c$i")): _*)
-    (looked.filter(est >= thresh).select(col("token"), col("n")), thresh)
+    val cand = materializeAndRelease(
+      looked.filter(est >= thresh).select(col("token"), col("n")), sketch)
+    (cand, thresh)
   }
 }

@@ -136,15 +136,20 @@ object EventsStream {
       // don't collide on the memory sink's registered view name
       queryName: String = "events_ss_join_" +
         java.util.UUID.randomUUID().toString.take(8)): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the drain runs in its OWN child session (shared SparkContext,
+    // separate SQLConf + catalog): the partition scoping below must not
+    // leak to concurrent queries in the caller's session, and the
+    // memory-sink view registers in the child catalog
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    require(srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(srcPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
         .getFileStatus(srcPath).isFile,
       s"viewPurchaseJoinStreaming needs a single-file source (one micro-batch); " +
         s"$srcPath is a directory — size the watermark to its cross-file disorder first")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
     def src(): DataFrame = Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
+      ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
     val purchases = src().filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
@@ -162,24 +167,30 @@ object EventsStream {
     // a stream-stream join creates 4 state stores PER shuffle
     // partition; at the session's CPU-count partitioning that is >100
     // on-disk store initializations for a one-batch drain — harness
-    // cost, not plan cost (measured 7.9 s → 2.6 s at 4 partitions; 1 partition only reaches 2.4 s — the floor is offset-log + microbatch planning, not stores).
-    // State keys partition by user_id, so a production deployment
-    // sizes this to state VOLUME per partition, not core count.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(queryName)
+    // cost, not plan cost (measured 7.9 s → 2.6 s at 4 partitions; 1
+    // partition only reaches 2.4 s, locating the floor in offset-log +
+    // micro-batch planning, not stores). State keys partition by
+    // user_id, so a production deployment sizes this to state VOLUME
+    // per partition, not core count. Child-session conf: never visible
+    // to concurrent queries in the caller's session.
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // localCheckpoint detaches the result from the memory-sink view so
+    // the view can be dropped — otherwise every invocation leaks a
+    // driver-resident copy of the pair set for the session lifetime
+    val out = ss.table(queryName)
       .select(col("p_id"), col("v_id"))
       .orderBy(col("p_id"), col("v_id"))
+      .localCheckpoint(true)
+    ss.catalog.dropTempView(queryName)
+    out
   }
 
   /** S10 in streaming form: continuous MERGE — every micro-batch
