@@ -100,27 +100,45 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
       i += 1
     }
 
-    // winnow: min of each w-window of hashes, rightmost wins ties
-    val out = new java.util.TreeSet[java.lang.Long]()
+    // winnow: min of each w-window of hashes, rightmost wins ties.
+    // Monotonic-deque sliding minimum (O(n), vs the naive O(n·w) scan)
+    // into a primitive array, sorted + deduped in place — the TreeSet
+    // this replaces boxed one Long per window and rebalanced per add,
+    // measurable on a map-heavy operator where fingerprinting is ~all
+    // of d6's cost. Tie POSITION is irrelevant to the output (equal
+    // hashes contribute the same VALUE to the distinct set), so the
+    // deque's pop-equal policy emits the identical fingerprint set.
+    val mins = new Array[Long](if (nWin <= w) 1 else nWin - w + 1)
     if (nWin <= w) {
       var mi = 0
       var j = 1
       while (j < nWin) { if (hashes(j) <= hashes(mi)) mi = j; j += 1 }
-      out.add(hashes(mi))
+      mins(0) = hashes(mi)
     } else {
-      var start = 0
-      while (start + w <= nWin) {
-        var mi = start
-        var j = start + 1
-        while (j < start + w) { if (hashes(j) <= hashes(mi)) mi = j; j += 1 }
-        out.add(hashes(mi))
-        start += 1
+      val dq = new Array[Int](nWin) // index deque, values increasing head→tail
+      var head = 0
+      var tail = 0
+      var j = 0
+      var oi = 0
+      while (j < nWin) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
+        if (dq(head) <= j - w) head += 1
+        if (j >= w - 1) { mins(oi) = hashes(dq(head)); oi += 1 }
+        j += 1
       }
     }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
+    java.util.Arrays.sort(mins)
+    var m = 0
+    var t = 0
+    while (t < mins.length) {
+      if (t == 0 || mins(t) != mins(t - 1)) { mins(m) = mins(t); m += 1 }
+      t += 1
+    }
+    val arr = new Array[Any](m)
     var idx = 0
-    while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
+    while (idx < m) { arr(idx) = mins(idx); idx += 1 }
     new GenericArrayData(arr)
   }
 

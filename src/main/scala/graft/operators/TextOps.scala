@@ -478,7 +478,8 @@ object TextOps {
     * plus the threshold column expression over its `n` column — split
     * out so the spec can assert the prune is both EFFECTIVE (candidates
     * ≪ vocabulary) and SAFE (superset of the truth). */
-  private[graft] def heavyHitterCandidates(docs: DataFrame): (DataFrame, Column) = {
+  private[graft] def heavyHitterCandidates(docs: DataFrame,
+      persist: Boolean = true): (DataFrame, Column) = {
     import CacheOps.{materializeAndRelease, shared}
     val tok = docs.select(explode(tokens(col("text"))).as("token"))
     def bkt(seed: Int): Column = pmod(xxhash64(lit(seed), col("token")), lit(HhWidth))
@@ -486,10 +487,12 @@ object TextOps {
     // out. Persisted: it feeds three probe joins plus the total, and
     // unpersisted each consumer would re-run the corpus aggregation
     // (the self-join pathology measured on the minhash bucket join).
-    val sketch = shared(tok
+    // persist=false keeps the whole plan lazy for PlanSpec introspection.
+    val sketch0 = tok
       .select(posexplode(array(HhSeeds.map(bkt): _*)).as(Seq("si", "bucket")))
       .groupBy(col("si"), col("bucket"))
-      .agg(count(lit(1)).as("c")))
+      .agg(count(lit(1)).as("c"))
+    val sketch = if (persist) shared(sketch0) else sketch0
     // N = Σ cells of any single hash row — already in the sketch; a
     // separate tok.count() would be a third corpus scan (round-9 review)
     val tot = sketch.filter(col("si") === 0).agg(sum(col("c")).as("n"))
@@ -503,8 +506,8 @@ object TextOps {
         bkt(seed) === col(s"b$i"))
     }
     val est = least(HhSeeds.indices.map(i => col(s"c$i")): _*)
-    val cand = materializeAndRelease(
-      looked.filter(est >= thresh).select(col("token"), col("n")), sketch)
+    val cand0 = looked.filter(est >= thresh).select(col("token"), col("n"))
+    val cand = if (persist) materializeAndRelease(cand0, sketch) else cand0
     (cand, thresh)
   }
 }

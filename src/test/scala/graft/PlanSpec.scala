@@ -283,6 +283,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), s"hash-membership sample filter missing:\n$p")
   }
 
+  test("t10 heavy hitters: sketch probes broadcast; at most one token-keyed exchange") {
+    // the scale claim: rare tokens die at the map-side broadcast
+    // filter, so the only token-keyed exchange is the final exact
+    // count over CANDIDATES — a vocabulary-shaped shuffle of raw
+    // occurrences must never appear
+    val (cand, _) = graft.operators.TextOps.heavyHitterCandidates(
+      graft.Tables.documents(spark, sfDir), persist = false)
+    val p = plan(cand)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast sketch probes, saw $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sketch probe fell back to a shuffled join:\n$p")
+    val tokEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("token"))
+    assert(tokEx === 0,
+      s"candidate generation must not shuffle on token, saw $tokEx:\n$p")
+  }
+
   test("scd2 build plans one user exchange; point-in-time joins on the user key") {
     val pb = plan(graft.operators.Scd2.scd2Build(spark, sfDir))
     val exchanges = pb.linesIterator.count(_.contains("Exchange hashpartitioning"))
