@@ -116,6 +116,10 @@ object SparkEntry {
     // v11: filtered ANN — metadata predicate PRE-applied to the index
     // scan (pushed filter + DPP compose); k survivors guaranteed
     "v11_filtered_ann"        -> ((s, d) => Similarity.ivfFilteredTopK(s, d)),
+    // v9d: incremental index MAINTENANCE — a held-out delta appended
+    // into the landed cells (landed files untouched); answers to v9b's
+    // oracle verbatim, proving append-maintenance lossless
+    "v9d_incremental_index"   -> ((s, d) => Similarity.ivfIncrementalTopK(s, d)),
     // x7d: model-output validation — malformed/drifted completions
     // quarantined with reasons, valid extractions content-hash-pinned
     "x7d_extract_quarantine"  -> ((s, d) => LlmOps.extractWithQuarantine(s, d)),
@@ -1428,6 +1432,10 @@ object SparkEntry {
     // verbatim — the layout changes bytes read, never results
     "v9_ivf_landed" -> ivfTopKSql,
     "v9b_ivf_nprobe2" -> ivfNprobe2Sql,
+    // v9d: the incrementally-maintained index answers to the SAME
+    // nprobe=2 oracle — hash equality proves the append path holds
+    // row-for-row what a full rebuild holds
+    "v9d_incremental_index" -> ivfNprobe2Sql,
     "v11_filtered_ann" -> ivfFilteredSql,
     "x7d_extract_quarantine" ->
       """WITH toks AS (

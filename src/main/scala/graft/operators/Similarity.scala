@@ -809,6 +809,50 @@ object Similarity {
         materializeIvfTrained(spark, dir, _)),
       queryId, k, nprobe = 2)
 
+  // landing memo for the incrementally-MAINTAINED index (v9d)
+  private val ivfIncrementalLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** v9d support: append a day-2 delta into a landed IVF index WITHOUT
+    * rebuilding. The delta assigns against the index's OWN `_centroids`
+    * table — never recomputed, the invariant that makes incremental
+    * assignment bit-equal to what a full rebuild would have produced —
+    * and lands via mode=append partitionBy(cent_id): new files appear
+    * INSIDE the existing cell directories, landed files are never
+    * opened or rewritten (the s10b untouched-partition discipline,
+    * spec-asserted by byte identity). At 100 TB this is the operation
+    * that keeps an ANN index serving while the corpus grows: per-batch
+    * cost is |delta| × K scoring plus |delta| rows written, independent
+    * of index size. */
+  def ivfIndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val assigned = delta.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    assigned.write.mode("append").partitionBy("cent_id").parquet(path)
+  }
+
+  /** v9d gate form: land the index from the corpus MINUS a held-out
+    * delta (every 5th vector above the centroid range), append the
+    * delta through [[ivfIndexAppend]], probe at nprobe=2. Because the
+    * centroid table is identical to the full build's (first 8 by id,
+    * all in the base split) and the delta assigns against it, the
+    * maintained index holds row-for-row what a full rebuild holds —
+    * the probe answers to v9b's oracle VERBATIM, and the hash equality
+    * proves append-maintenance lossless. */
+  def ivfIncrementalTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = landOnce(spark, dir, "graft_ivf_incr", ivfIncrementalLanded) { p =>
+      val e = embeddings(spark, dir)
+      val isDelta = col("vec_id") >= IvfCentroids && col("vec_id") % 5 === 4
+      materializeIvfOf(e.filter(!isDelta), p)
+      ivfIndexAppend(spark, p, e.filter(isDelta))
+    }
+    ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
+  }
+
   // landing memo for the IVF+PQ index (v12) — fingerprint discipline
   private val ivfPqLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -568,6 +568,51 @@ class SimilaritySpec extends SparkSpec {
       s"filtered probe lost dynamic partition pruning:\n$p")
   }
 
+  test("incremental index (v9d): landed files untouched by append, probe equals full rebuild") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, not}
+    val e = Tables.embeddings(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_incr_spec").toFile
+    tmp.deleteOnExit()
+    val path = tmp.getAbsolutePath + "/idx"
+    val isDelta = col("vec_id") >= Similarity.IvfCentroids && col("vec_id") % 5 === 4
+    Similarity.materializeIvfOf(e.filter(not(isDelta)), path)
+    // snapshot every base data file (path -> (length, mtime))
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    Similarity.ivfIndexAppend(spark, path, e.filter(isDelta))
+    val after = files()
+    // every pre-existing file survives byte-identical (never rewritten)
+    before.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"landed file rewritten by append: $p")
+    }
+    // the delta landed as NEW files inside cent_id=... cell directories
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty, "append landed no files for a non-empty delta")
+    added.foreach(p => assert(p.contains("cent_id="),
+      s"appended file outside a cell directory: $p"))
+    // the maintained index holds row-for-row what a full rebuild holds
+    val maintained = spark.read.parquet(path)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fullPath = tmp.getAbsolutePath + "/idx_full"
+    Similarity.materializeIvfOf(e, fullPath)
+    val full = spark.read.parquet(fullPath)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(maintained === full, "incremental assignment diverged from full rebuild")
+    // and the gate probe equals the full-rebuild probe (v9b) exactly
+    val incr = Similarity.ivfIncrementalTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val rebuilt = Similarity.ivfLandedTopK2(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(incr === rebuilt)
+  }
+
   test("IVF+PQ (v12): shortlist within probed cells, exact refine order, pruned code-only ADC scan") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sfDir).collect()
