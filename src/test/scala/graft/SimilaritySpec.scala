@@ -613,6 +613,39 @@ class SimilaritySpec extends SparkSpec {
     assert(incr === rebuilt)
   }
 
+  test("index maintenance composes with compaction: fragmented cells compact, probe unchanged") {
+    import graft.operators.{Partitioned, Similarity}
+    import org.apache.spark.sql.functions.{col, not}
+    val e = Tables.embeddings(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_compact_spec").toFile
+    tmp.deleteOnExit()
+    val path = tmp.getAbsolutePath + "/idx"
+    val d1 = col("vec_id") >= Similarity.IvfCentroids && col("vec_id") % 5 === 3
+    val d2 = col("vec_id") >= Similarity.IvfCentroids && col("vec_id") % 5 === 4
+    Similarity.materializeIvfOf(e.filter(not(d1 || d2)), path)
+    // two ingest batches fragment the cells (one new file per batch per cell)
+    Similarity.ivfIndexAppend(spark, path, e.filter(d1))
+    Similarity.ivfIndexAppend(spark, path, e.filter(d2))
+    def cellFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .count(f => f.getName.endsWith(".parquet") && f.getAbsolutePath.contains("cent_id="))
+    }
+    val before = Similarity.ivfTopKOverIndex(spark, path, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val filesBefore = cellFiles()
+    // the s16b compaction operator runs UNCHANGED over the index —
+    // cells are just partitions; `_centroids` is invisible to it
+    val compacted = Partitioned.compact(spark, path, partitionKey = "cent_id")
+    assert(compacted.nonEmpty, "appends should have left multi-file cells to compact")
+    assert(cellFiles() < filesBefore,
+      s"compaction did not reduce cell files: $filesBefore -> ${cellFiles()}")
+    val after = Similarity.ivfTopKOverIndex(spark, path, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction changed probe results")
+  }
+
   test("IVF+PQ (v12): shortlist within probed cells, exact refine order, pruned code-only ADC scan") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sfDir).collect()
