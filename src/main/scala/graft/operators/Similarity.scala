@@ -462,20 +462,26 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
     ivfTopKOf(embeddings(spark, dir), queryId, k)
 
-  /** The IVF assignment subtree, shared by v5 (search) and v6 (the
-    * Lloyd re-estimation step): broadcast the centroid set, score every
-    * vector against all centroids in the scan stage, keep the argmax
-    * (deterministic cent_id tie-break). */
-  private def centroidAssignment(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    e.crossJoin(broadcast(cents))
+  /** The ONE assignment argmax every IVF tier shares — broadcast the
+    * (cent_id, cent_emb) table, score in the scan stage, keep the
+    * argmax with the deterministic (csim desc, cent_id asc) tie-break.
+    * v9d's losslessness proof (incremental assignment ≡ full rebuild)
+    * rests on the append path and the build path running THIS code —
+    * a drifted second copy would break append==rebuild equality on tie
+    * cases while looking locally correct (round-9 review). */
+  private def assignAgainst(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
-  }
+
+  /** The IVF assignment subtree, shared by v5 (search) and v6 (the
+    * Lloyd re-estimation step): first-K-by-id centroids. */
+  private def centroidAssignment(e: DataFrame): DataFrame =
+    assignAgainst(e, e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
 
   private[graft] def ivfTopKOf(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     import CacheOps.{materializeAndRelease, shared}
@@ -785,13 +791,7 @@ object Similarity {
       embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding")),
       maxIters, 0.0)
     val cv = cents.select(col("cent_id"), col("cent_vec").as("cent_emb"))
-    writeIndex(e.crossJoin(broadcast(cv))
-      .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id")),
-      outPath)
+    writeIndex(assignAgainst(e, cv), outPath)
     cv.write.mode("overwrite").parquet(s"$outPath/_centroids")
     e.unpersist(true)
     outPath
@@ -823,16 +823,14 @@ object Similarity {
     * that keeps an ANN index serving while the corpus grows: per-batch
     * cost is |delta| × K scoring plus |delta| rows written, independent
     * of index size. */
-  def ivfIndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$path/_centroids")
-    val assigned = delta.crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
-    assigned.write.mode("append").partitionBy("cent_id").parquet(path)
-  }
+  def ivfIndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit =
+    assignAgainst(delta, spark.read.parquet(s"$path/_centroids"))
+      .write.mode("append").partitionBy("cent_id").parquet(path)
+
+  /** v9d's held-out delta — shared with the spec so the split the spec
+    * byte-checks is always the split the operator ships. */
+  private[graft] def incrementalHoldout: Column =
+    col("vec_id") >= IvfCentroids && col("vec_id") % 5 === 4
 
   /** v9d gate form: land the index from the corpus MINUS a held-out
     * delta (every 5th vector above the centroid range), append the
@@ -846,9 +844,8 @@ object Similarity {
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val path = landOnce(spark, dir, "graft_ivf_incr", ivfIncrementalLanded) { p =>
       val e = embeddings(spark, dir)
-      val isDelta = col("vec_id") >= IvfCentroids && col("vec_id") % 5 === 4
-      materializeIvfOf(e.filter(!isDelta), p)
-      ivfIndexAppend(spark, p, e.filter(isDelta))
+      materializeIvfOf(e.filter(!incrementalHoldout), p)
+      ivfIndexAppend(spark, p, e.filter(incrementalHoldout))
     }
     ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
   }

@@ -6,6 +6,16 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
 
+  private def walkFiles(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) f.listFiles().toSeq.flatMap(walkFiles) else Seq(f)
+
+  // deleteOnExit only removes EMPTY dirs — recursive delete or the
+  // temp index trees leak a parquet forest per suite run
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0, zero-vector guarded") {
     val df = spark.createDataFrame(Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
@@ -573,18 +583,16 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, not}
     val e = Tables.embeddings(spark, sfDir)
     val tmp = java.nio.file.Files.createTempDirectory("ivf_incr_spec").toFile
-    tmp.deleteOnExit()
     val path = tmp.getAbsolutePath + "/idx"
-    val isDelta = col("vec_id") >= Similarity.IvfCentroids && col("vec_id") % 5 === 4
+    // the OPERATOR's own holdout predicate — if the split ever changes,
+    // this spec follows it instead of silently checking a stale split
+    val isDelta = Similarity.incrementalHoldout
     Similarity.materializeIvfOf(e.filter(not(isDelta)), path)
     // snapshot every base data file (path -> (length, mtime))
-    def files(): Map[String, (Long, Long)] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(path))
+    def files(): Map[String, (Long, Long)] =
+      walkFiles(new java.io.File(path))
         .filter(f => f.getName.endsWith(".parquet"))
         .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
-    }
     val before = files()
     Similarity.ivfIndexAppend(spark, path, e.filter(isDelta))
     val after = files()
@@ -611,6 +619,7 @@ class SimilaritySpec extends SparkSpec {
     val incr = Similarity.ivfIncrementalTopK(spark, sfDir).collect().map(_.toSeq).toSeq
     val rebuilt = Similarity.ivfLandedTopK2(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(incr === rebuilt)
+    deleteRec(tmp)
   }
 
   test("index maintenance composes with compaction: fragmented cells compact, probe unchanged") {
@@ -618,7 +627,6 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, not}
     val e = Tables.embeddings(spark, sfDir)
     val tmp = java.nio.file.Files.createTempDirectory("ivf_compact_spec").toFile
-    tmp.deleteOnExit()
     val path = tmp.getAbsolutePath + "/idx"
     val d1 = col("vec_id") >= Similarity.IvfCentroids && col("vec_id") % 5 === 3
     val d2 = col("vec_id") >= Similarity.IvfCentroids && col("vec_id") % 5 === 4
@@ -626,12 +634,9 @@ class SimilaritySpec extends SparkSpec {
     // two ingest batches fragment the cells (one new file per batch per cell)
     Similarity.ivfIndexAppend(spark, path, e.filter(d1))
     Similarity.ivfIndexAppend(spark, path, e.filter(d2))
-    def cellFiles(): Int = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(path))
+    def cellFiles(): Int =
+      walkFiles(new java.io.File(path))
         .count(f => f.getName.endsWith(".parquet") && f.getAbsolutePath.contains("cent_id="))
-    }
     val before = Similarity.ivfTopKOverIndex(spark, path, nprobe = 2)
       .collect().map(_.toSeq).toSeq
     val filesBefore = cellFiles()
@@ -644,6 +649,7 @@ class SimilaritySpec extends SparkSpec {
     val after = Similarity.ivfTopKOverIndex(spark, path, nprobe = 2)
       .collect().map(_.toSeq).toSeq
     assert(after === before, "compaction changed probe results")
+    deleteRec(tmp)
   }
 
   test("IVF+PQ (v12): shortlist within probed cells, exact refine order, pruned code-only ADC scan") {

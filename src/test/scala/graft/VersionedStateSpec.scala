@@ -7,12 +7,25 @@ import graft.streaming.VersionedState
   * unit-level, exercising exactly the crash WINDOWS the scaladoc
   * argues about (an unmarked version dir, a mid-GC interleaving),
   * which the end-to-end stream specs can't reach deterministically. */
-class VersionedStateSpec extends SparkSpec {
+class VersionedStateSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
 
   private def freshDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"vstate_$tag").toFile
-    d.deleteOnExit()
+    tempDirs += d
     d.getAbsolutePath
+  }
+
+  // deleteOnExit only removes EMPTY dirs — clean the marker/parquet
+  // trees when the suite ends
+  override def afterAll(): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    tempDirs.foreach(rec)
+    super.afterAll()
   }
 
   private def mkVersion(state: VersionedState, id: Long): Unit = {
