@@ -120,6 +120,10 @@ object SparkEntry {
     // into the landed cells (landed files untouched); answers to v9b's
     // oracle verbatim, proving append-maintenance lossless
     "v9d_incremental_index"   -> ((s, d) => Similarity.ivfIncrementalTopK(s, d)),
+    // v9e: partition-scoped DELETE from the landed index (the
+    // right-to-be-forgotten path) — only affected cells rewritten;
+    // oracle = the same probe over the corpus minus the doomed rows
+    "v9e_deleted_index"       -> ((s, d) => Similarity.ivfDeletedTopK(s, d)),
     // x7d: model-output validation — malformed/drifted completions
     // quarantined with reasons, valid extractions content-hash-pinned
     "x7d_extract_quarantine"  -> ((s, d) => LlmOps.extractWithQuarantine(s, d)),
@@ -310,20 +314,23 @@ object SparkEntry {
                 * sqrt(list_reduce(list_transform(range(64),
                   j -> CAST($b[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)), (x, y) -> x + y)))"""
 
-  /** The first-8-centroid IVF assignment (v5/v9/v9b's shared CTE pair):
-    * every vector joins all centroids, keeps its argmax cell. */
-  private val ivfAssignedCte: String =
+  /** The first-8-centroid IVF assignment (v5/v9/v9b's shared CTE pair)
+    * over an arbitrary base relation: every vector joins all centroids,
+    * keeps its argmax cell. v9e passes a filtered base (post-delete). */
+  private def ivfAssignedCteOver(rel: String): String =
     s"""cents AS (
            SELECT vec_id AS cent_id, embedding AS cent_emb
-           FROM embeddings WHERE vec_id < 8),
+           FROM $rel WHERE vec_id < 8),
          assigned AS (
            SELECT vec_id, label, embedding, cent_id FROM (
              SELECT e.vec_id, e.label, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                  ${cosSql("e.embedding", "c.cent_emb")}
                  DESC, c.cent_id) AS rn
-             FROM embeddings e CROSS JOIN cents c) t
+             FROM $rel e CROSS JOIN cents c) t
            WHERE rn = 1)"""
+
+  private val ivfAssignedCte: String = ivfAssignedCteOver("embeddings")
 
   /** v5's IVF probe formulation, shared with v9 (landed-index probe). */
   private val ivfTopKSql: String =
@@ -357,10 +364,11 @@ object SparkEntry {
 
   /** v9b's nprobe=2 probe: cells ranked by query-to-centroid cosine,
     * the top TWO probed (same tie-break as the Spark plan: similarity
-    * desc, cent_id asc). */
-  private val ivfNprobe2Sql: String =
-    s"""WITH $ivfAssignedCte,
-         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    * desc, cent_id asc). Parametrized over the base relation so v9e
+    * reuses the identical probe over the post-delete corpus. */
+  private def ivfNprobe2SqlOver(rel: String, prelude: String = ""): String =
+    s"""WITH $prelude${ivfAssignedCteOver(rel)},
+         q AS (SELECT embedding AS qe FROM $rel WHERE vec_id = 0),
          qcells AS (
            SELECT c.cent_id FROM cents c CROSS JOIN q
            ORDER BY ${cosSql("c.cent_emb", "q.qe")} DESC, c.cent_id LIMIT 2),
@@ -372,6 +380,14 @@ object SparkEntry {
              AND e.cent_id IN (SELECT cent_id FROM qcells))
          SELECT vec_id, label, round(sim, 6) AS sim_r FROM scored
          ORDER BY sim DESC, vec_id LIMIT 10"""
+
+  private val ivfNprobe2Sql: String = ivfNprobe2SqlOver("embeddings")
+
+  /** v9e: the SAME probe over the corpus minus the doomed predicate —
+    * what a rebuild-after-delete would serve; the Spark side serves it
+    * from the partition-scoped deleted index instead. */
+  private val v9eSql: String = ivfNprobe2SqlOver("base",
+    "base AS (SELECT * FROM embeddings WHERE NOT (vec_id >= 8 AND vec_id % 7 = 6)),\n         ")
 
   /** Exact within-label near-dup top-k, shared by v2 (exact all-pairs)
     * and v2c (int8-prefiltered candidates + exact re-rank) — equality
@@ -1436,6 +1452,7 @@ object SparkEntry {
     // nprobe=2 oracle — hash equality proves the append path holds
     // row-for-row what a full rebuild holds
     "v9d_incremental_index" -> ivfNprobe2Sql,
+    "v9e_deleted_index" -> v9eSql,
     "v11_filtered_ann" -> ivfFilteredSql,
     "x7d_extract_quarantine" ->
       """WITH toks AS (

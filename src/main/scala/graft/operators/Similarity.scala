@@ -850,6 +850,71 @@ object Similarity {
     ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
   }
 
+  // landing memo for the DELETE-maintained index (v9e)
+  private val ivfDeletedLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** v9e's doomed set — every 7th vector above the centroid range.
+    * Centroids are excluded by construction: removing a coarse
+    * centroid is a re-train (v9c), not a row delete. Shared with the
+    * spec and interpolated into the oracle so all three agree. */
+  private[graft] def deletionDoomed: Column =
+    col("vec_id") >= IvfCentroids && col("vec_id") % 7 === 6
+
+  /** v9e support: DELETE rows from a landed index — the
+    * right-to-be-forgotten path a training-data deployment must run
+    * without a rebuild (takedown/opt-out requests against a serving
+    * ANN index). Partition-scoped copy-on-write, the
+    * mergeIntoPartitioned discipline: a columnar (vec_id, cent_id)
+    * probe names the affected cells (bounded driver list, ≤ cell
+    * count), ONLY those cell directories are scanned and rewritten
+    * without the doomed rows, staged, then swapped through the
+    * [[CommitProtocol]] seam; untouched cells are never opened. A cell
+    * whose every row is doomed stages nothing — REPLACE-with-empty —
+    * so its live directory is removed after the swap. Returns the
+    * affected cell ids. */
+  def ivfIndexDelete(spark: SparkSession, path: String, doomed: DataFrame,
+      commit: CommitProtocol = RenameCommit): Seq[String] = {
+    commit.begin(spark, path)
+    val idx = spark.read.parquet(path)
+    val affected = idx.join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("cent_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affected.nonEmpty) {
+      val keyType = idx.schema("cent_id").dataType
+      val pred = affected.map(v => col("cent_id") === lit(v).cast(keyType)).reduce(_ || _)
+      val staging = s"${path}__delete_staging"
+      idx.filter(pred)
+        .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = affected.filter(v =>
+        fs.exists(new org.apache.hadoop.fs.Path(staging, s"cent_id=$v"))).toSet
+      commit.commitPartitions(spark, staging, path,
+        affected.map(v => s"cent_id=$v"))
+      (affected.toSet -- staged).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"cent_id=$v"), true)
+      }
+    }
+    affected
+  }
+
+  /** v9e gate form: land the FULL index, delete the doomed set through
+    * [[ivfIndexDelete]], probe at nprobe=2. The oracle is v9b's probe
+    * SQL over `embeddings` MINUS the doomed predicate — hash equality
+    * proves the partition-scoped delete leaves exactly what a rebuild
+    * over the filtered corpus would hold. */
+  def ivfDeletedTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = landOnce(spark, dir, "graft_ivf_del", ivfDeletedLanded) { p =>
+      materializeIvf(spark, dir, p)
+      ivfIndexDelete(spark, p,
+        embeddings(spark, dir).filter(deletionDoomed).select(col("vec_id")))
+    }
+    ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
+  }
+
   // landing memo for the IVF+PQ index (v12) — fingerprint discipline
   private val ivfPqLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

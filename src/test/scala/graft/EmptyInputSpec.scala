@@ -77,6 +77,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfFilteredTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfPqTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfIncrementalTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfDeletedTopK(spark, emptyDir).count() === 0)
   }
 
   test("dashboard fan-out returns zero families on an empty scope") {

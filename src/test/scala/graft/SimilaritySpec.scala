@@ -622,6 +622,64 @@ class SimilaritySpec extends SparkSpec {
     deleteRec(tmp)
   }
 
+  test("index delete (v9e): only affected cells rewritten, doomed rows gone, content equals filtered rebuild") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, not}
+    val e = Tables.embeddings(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_delete_spec").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    Similarity.materializeIvfOf(e, path)
+    def files(): Map[String, (Long, Long)] =
+      walkFiles(new java.io.File(path))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    val before = files()
+    val doomed = e.filter(Similarity.deletionDoomed).select(col("vec_id"))
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(doomedIds.nonEmpty)
+    val affected = Similarity.ivfIndexDelete(spark, path, doomed).toSet
+    assert(affected.nonEmpty)
+    val after = files()
+    // cells WITHOUT doomed rows: every file byte-identical
+    before.foreach { case (p, meta) =>
+      val cell = "cent_id=([0-9]+)".r.findFirstMatchIn(p).map(_.group(1))
+      if (cell.exists(c => !affected.contains(c)))
+        assert(after.get(p).contains(meta), s"untouched cell's file changed: $p")
+    }
+    // no doomed id anywhere; content equals a rebuild over the
+    // filtered corpus
+    val left = spark.read.parquet(path)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(left.keySet.intersect(doomedIds).isEmpty, "a doomed row survived")
+    val rebuiltPath = tmp.getAbsolutePath + "/idx_rebuilt"
+    Similarity.materializeIvfOf(e.filter(not(Similarity.deletionDoomed)), rebuiltPath)
+    val rebuilt = spark.read.parquet(rebuiltPath)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(left === rebuilt, "partition-scoped delete diverged from filtered rebuild")
+    // REPLACE-with-empty: delete EVERY row of one cell on a planted
+    // one-hot index — the cell directory itself must disappear
+    import spark.implicits._
+    val planted = (0L until 12L).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(if (i < 8) i.toInt else 3) = 1.0f // 8..11 share centroid 3's axis
+      (i, s"l${i % 2}", v)
+    }.toDF("vec_id", "label", "embedding")
+    val p2 = tmp.getAbsolutePath + "/idx_planted"
+    Similarity.materializeIvfOf(planted, p2)
+    val cellOf = spark.read.parquet(p2)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((8L to 11L).forall(cellOf(_) == 3L), s"planted geometry broke: $cellOf")
+    // doom centroid 3's row AND its whole membership — the cell empties
+    Similarity.ivfIndexDelete(spark, p2, Seq(3L, 8L, 9L, 10L, 11L).toDF("vec_id"))
+    assert(!new java.io.File(s"$p2/cent_id=3").exists(),
+      "fully-emptied cell directory must be removed (REPLACE with empty)")
+    assert(spark.read.parquet(p2).count() === 7, "other cells must be intact")
+    deleteRec(tmp)
+  }
+
   test("index maintenance composes with compaction: fragmented cells compact, probe unchanged") {
     import graft.operators.{Partitioned, Similarity}
     import org.apache.spark.sql.functions.{col, not}
