@@ -248,7 +248,15 @@ object ScaleProbe {
       // occurrences through the two passes with no vocabulary-sized
       // exchange (rarer-than-threshold salted tokens die map-side)
       "v12_ivfpq"            -> (operators.Similarity.ivfPqTopK(_, _)),
-      "t10_heavy_hitters"    -> (operators.TextOps.heavyHitters(_, _)))
+      "t10_heavy_hitters"    -> (operators.TextOps.heavyHitters(_, _)),
+      // seventh wave. t11: BM25 has NO pair/posting join at all — tf is
+      // array filter/size in the scan stage and the stats side is ONE
+      // broadcast row at every factor, so wall must track token count
+      // linearly even though the salted vocabulary grows k×. v13 adds
+      // the stub-embed scan (per-doc, linear) and a fusion join over
+      // two ≤k-row pages (constant)
+      "t11_bm25_rank"        -> (operators.TextOps.bm25Rank(_, _)),
+      "v13_hybrid_rrf"       -> (operators.Similarity.hybridRrf(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

@@ -282,6 +282,14 @@ object SparkEntry {
     // t10: exact heavy hitters via count-min prefilter — the vocabulary
     // never shuffles; only CMS-qualified occurrences reach the groupBy
     "t10_heavy_hitters"       -> ((s, d) => TextOps.heavyHitters(s, d)),
+    // t11: BM25 lexical ranking — rational Robertson idf (no ln), the
+    // whole per-term weight ONE integral division; tf from array
+    // filter/size (no explode), stats one broadcast row
+    "t11_bm25_rank"           -> ((s, d) => TextOps.bm25Rank(s, d)),
+    // v13: hybrid retrieval — v4's semantic page + t11's lexical page
+    // fused by reciprocal-rank fusion in exact integers (lcm(61..70)
+    // vote units)
+    "v13_hybrid_rrf"          -> ((s, d) => Similarity.hybridRrf(s, d)),
     // i6/i6b: SCD2 dimension build (no-op updates collapsed, validity
     // intervals per change) + point-in-time fact annotation
     "i6_scd2_build"           -> ((s, d) => Scd2.scd2Build(s, d)),
@@ -549,6 +557,40 @@ object SparkEntry {
                 j -> CAST(q.emb[j+1] AS DOUBLE) * CAST(q.emb[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
          FROM dvec dv, qvec q
          ORDER BY sim DESC, doc_id LIMIT $k)"""
+  }
+
+  /** t11/v13 shared: the BM25 scored frame — mirrors
+    * TextOps.bm25ScoredOf integer-for-integer (rational Robertson idf,
+    * common-denominator saturation, ONE integral division per term;
+    * every aggregate CAST to BIGINT so DuckDB's HUGEINT SUM never
+    * reaches the output). Terms interpolated from the same constant
+    * the Spark plan uses. */
+  private lazy val bm25Ctes: String = {
+    val terms = operators.TextOps.Bm25Terms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> lower(x) = '${t.replace("'", "''")}')) AS BIGINT) AS tf$i"
+    }.mkString(",\n           ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n           ")
+    val scoreSum = terms.indices.map(i =>
+      s"""(44000 * tf$i * tot * (2*n - 2*df$i + 1))
+             // GREATEST((2*df$i + 1) * (20 * tf$i * tot + 6 * tot + 18 * dl * n), 1)""")
+      .mkString("\n           + ")
+    s"""bmt AS (
+           SELECT doc_id, lang, $toksSql AS w FROM documents),
+         bmd AS (
+           SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS dl,
+           $tfCols
+           FROM bmt),
+         bmstats AS (
+           SELECT COUNT(*) AS n, CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tot,
+           $dfCols
+           FROM bmd),
+         bmscored AS (
+           SELECT doc_id, lang,
+           $scoreSum AS score_milli
+           FROM bmd CROSS JOIN bmstats)"""
   }
 
   /** t8: the BPE merge learner, unrolled — one (pairs → argmax →
@@ -1127,6 +1169,41 @@ object SparkEntry {
          FROM cnt CROSS JOIN tot
          WHERE cnt >= GREATEST(1, CAST(FLOOR(n / ${TextOps.HhSupportDiv}.0) AS BIGINT))
          ORDER BY cnt DESC, token""",
+    // t11: BM25 page — scores are exact integers (see bm25Ctes), so
+    // the hash pins the full ranking arithmetic, not just membership
+    "t11_bm25_rank" ->
+      s"""WITH $bm25Ctes
+         SELECT doc_id, lang, score_milli FROM (
+           SELECT doc_id, lang, score_milli FROM bmscored
+           ORDER BY score_milli DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id""",
+    // v13: RRF fusion of the v4 semantic page (stubSearchSql CTEs
+    // verbatim) and the t11 lexical page; votes are exact integers
+    // lcm(61..70)/(60+rank), 0 = not retrieved by that tier
+    "v13_hybrid_rrf" ->
+      s"""${stubSearchSql(operators.Similarity.DefaultQuery, 10)},
+         $bm25Ctes,
+         sem AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS r_sem
+           FROM hits),
+         lexp AS (
+           SELECT doc_id, score_milli FROM bmscored WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10),
+         lex AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS INTEGER) AS r_lex
+           FROM lexp),
+         fused AS (
+           SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+             CAST(COALESCE(r_sem, 0) AS INTEGER) AS r_sem,
+             CAST(COALESCE(r_lex, 0) AS INTEGER) AS r_lex,
+             COALESCE(${operators.Similarity.RrfLcm} // (60 + r_sem), 0)
+               + COALESCE(${operators.Similarity.RrfLcm} // (60 + r_lex), 0) AS rrf_units
+           FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id)
+         SELECT doc_id, r_sem, r_lex, CAST(rrf_units AS BIGINT) AS rrf_units FROM (
+           SELECT * FROM fused ORDER BY rrf_units DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id""",
     "t2_quality_score" ->
       s"""WITH f AS (
            SELECT doc_id,

@@ -1029,6 +1029,62 @@ object Similarity {
         substring(col("text"), 1, 60).as("preview"))
   }
 
+  /** The reciprocal-rank-fusion constant: RRF's folklore k=60 makes a
+    * rank-r vote worth 1/(60+r). Exactness: with both tiers cut at
+    * k=10, every denominator lies in 61..70, so scaling by their lcm
+    * turns each vote into the exact integer RrfLcm/(60+r) — integral
+    * division, bit-identical in Spark and DuckDB, no float sums. */
+  private[graft] val RrfLcm: Long = 142813628717760L // lcm(61..70)
+
+  /** V13: hybrid retrieval — the reference's actual search product
+    * (app_old.py:64-162 runs Pinecone semantic hits NEXT TO keyword
+    * analytics and lets GPT reconcile). Here the two tiers fuse
+    * engine-side with reciprocal-rank fusion (Cormack et al. 2009,
+    * public method): semantic = the v4 stub-embedder cosine top-k,
+    * lexical = the t11 BM25 top-k over the SAME query string; each
+    * tier votes RrfLcm/(60+rank) for its page (0 = not retrieved by
+    * that tier), votes sum as exact integers.
+    *
+    * Plan shape for 100 TB: each tier is its own TakeOrderedAndProject
+    * over one corpus pass (the BM25 stats pass rides a shared cached
+    * projection); the fusion join touches two ≤k-row frames — rank
+    * windows and the full-outer join are post-top-k, never
+    * corpus-sized. */
+  def hybridRrf(spark: SparkSession, dir: String,
+      query: String = DefaultQuery, k: Int = 10): DataFrame = {
+    import CacheOps.materializeAndRelease
+    val docs = documents(spark, dir)
+    val q = spark.range(1)
+      .select(graft.functions.StubEmbed(lit(query)).as("q_embedding"))
+    val semTop = docs
+      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("sim"))
+    // rank windows run over ≤k rows (post-limit) — a single tiny
+    // partition, not a corpus sort
+    val sem = semTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("sim"), col("doc_id"))).as("r_sem"))
+    val (lexScored, cached) =
+      TextOps.bm25ScoredOf(docs, TextOps.Bm25Terms, persist = true)
+    val lexTop = lexScored
+      .filter(col("score_milli") > 0) // a tier only votes for docs it matched
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("score_milli"))
+    val lex = lexTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("score_milli"), col("doc_id"))).as("r_lex"))
+    val fused = sem.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sem"), lit(0)).as("r_sem"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        (coalesce(expr(s"$RrfLcm div (60 + r_sem)"), lit(0L)) +
+          coalesce(expr(s"$RrfLcm div (60 + r_lex)"), lit(0L))).as("rrf_units"))
+      .orderBy(desc("rrf_units"), col("doc_id")).limit(k)
+      .orderBy(col("doc_id"))
+    materializeAndRelease(fused, cached: _*)
+  }
+
   /** ANN top-k via random-hyperplane LSH: candidates share the query's
     * bucket; exact cosine re-ranks within the bucket. Approximate —
     * recall vs the brute-force baseline is asserted in the test suite.

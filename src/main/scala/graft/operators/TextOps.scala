@@ -510,4 +510,98 @@ object TextOps {
     val cand = if (persist) materializeAndRelease(cand0, sketch) else cand0
     (cand, thresh)
   }
+
+  /** T11: BM25 lexical ranking — the keyword half of the reference's
+    * hybrid search (app_old.py:64-162 pairs Pinecone semantic hits
+    * with LIKE-filtered analytics; a corpus engine needs the ranked
+    * lexical tier, not just the boolean filter p7 provides). Okapi
+    * BM25 at k1=1.2, b=0.75 with the folklore constants folded to
+    * integers (k1=6/5, b=3/4), and the idf LOG REPLACED by its exact
+    * Robertson ratio (N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1) —
+    * a rational in corpus integers. `ln` is only ulp-close across
+    * engines (the t7 lesson), so the whole per-term weight becomes ONE
+    * integer quotient:
+    *
+    *   score_milli(d) = Σ_t (44000·tf·T·(2N-2df+1))
+    *                        div ((2df+1)·(20·tf·T + 6·T + 18·dl·N))
+    *
+    * where T = Σ dl (so avgdl = T/N never materializes as a float),
+    * 44·tf·T / (20·tf·T + 6·T + 18·dl·N) is the exact BM25 saturation
+    * term over the common denominator 20T, and `div` is integral
+    * division — bit-identical in Spark and DuckDB. BIGINT holds every
+    * intermediate at fixture scale with ~10³ headroom; a 100 TB corpus
+    * promotes the two products to DECIMAL(38,0) in the same plan.
+    *
+    * Plan shape for 100 TB: per-term tf columns come from `filter`+
+    * `size` over the token array — NO explode, NO posting-list
+    * shuffle; corpus stats (N, T, per-term df) collapse to ONE row via
+    * partial aggregation and broadcast back; the ranked page is
+    * TakeOrderedAndProject. Two corpus passes total (stats, score),
+    * sharing one persisted projection. */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(documents(spark, dir), Bm25Terms, 10)
+
+  /** Query terms: the stub-retrieval DefaultQuery, tokenized exactly
+    * as [[Similarity.semanticSearch]] embeds it — the hybrid fusion
+    * (v13) feeds BOTH tiers the same query. */
+  private[graft] val Bm25Terms: Seq[String] =
+    Similarity.DefaultQuery.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("[\\t\\n\\f\\r ]+").toSeq.filter(_.nonEmpty).distinct
+
+  private[graft] def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import CacheOps.materializeAndRelease
+    val (scored, cached) = bm25ScoredOf(docs, terms, persist = true)
+    val page = scored
+      .orderBy(desc("score_milli"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("score_milli"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(page, cached: _*)
+  }
+
+  /** The full scored frame (doc_id, lang, score_milli) before the
+    * top-k cut — shared by t11 and the v13 hybrid fusion, and probed
+    * directly by the spec's driver-side mirror. Returns the frame plus
+    * the persisted inputs the caller must release (the surprisal
+    * convention): the base projection is consumed twice (stats pass +
+    * score pass). persist=false keeps the plan lazy for PlanSpec. */
+  private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String],
+      persist: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    import CacheOps.shared
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = tokens(col("text"))
+    def tfc(i: Int) = col(s"tf$i").cast("long")
+    val base0 = docs.select(
+      col("doc_id") +: col("lang") +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => lower(x) === lit(t))).as(s"tf$i")
+        }: _*)
+    val base = if (persist) shared(base0) else base0
+    val aggs: Seq[Column] =
+      coalesce(sum(col("dl")), lit(0L)).as("tot") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val withParts = terms.indices.foldLeft(base.crossJoin(broadcast(stats))) {
+      case (acc, i) =>
+        acc
+          .withColumn(s"num$i",
+            lit(44000L) * tfc(i) * col("tot") *
+              (lit(2L) * col("n") - lit(2L) * col(s"df$i") + lit(1L)))
+          .withColumn(s"den$i",
+            // greatest(…,1): an all-empty-text corpus has T=0 and dl=0,
+            // collapsing the true denominator to 0 alongside a 0
+            // numerator — pin the 0/0 to a 0 contribution, both engines
+            greatest(
+              (lit(2L) * col(s"df$i") + lit(1L)) *
+                (lit(20L) * tfc(i) * col("tot") + lit(6L) * col("tot") +
+                  lit(18L) * col("dl") * col("n")),
+              lit(1L)))
+    }
+    val scored = withParts
+      .withColumn("score_milli",
+        terms.indices.map(i => expr(s"num$i div den$i")).reduce(_ + _))
+      .select(col("doc_id"), col("lang"), col("score_milli"))
+    (scored, if (persist) Seq(base) else Seq.empty)
+  }
 }

@@ -112,6 +112,8 @@ class EmptyInputSpec extends SparkSpec {
     phr.foreach(r => assert(r.getLong(1) === 0L && r.getLong(2) === 0L))
     assert(TextOps.chunkWindows(spark, emptyDir).count() === 0)
     assert(TextOps.heavyHitters(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25Rank(spark, emptyDir).count() === 0)
+    assert(Similarity.hybridRrf(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)

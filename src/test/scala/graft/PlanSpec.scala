@@ -312,4 +312,23 @@ class PlanSpec extends SparkSpec {
       !pp.contains("BroadcastNestedLoopJoin"),
       s"interval predicate must ride the equi join as a residual:\n$pp")
   }
+
+  test("bm25 ranking (t11): no explode, one-row stats broadcast, page take-ordered") {
+    import org.apache.spark.sql.functions.{col, desc}
+    import graft.operators.TextOps
+    val (scored, _) = TextOps.bm25ScoredOf(
+      Tables.documents(spark, sfDir), TextOps.Bm25Terms)
+    val p = plan(scored.orderBy(desc("score_milli"), col("doc_id")).limit(10))
+    // tf comes from array filter/size in the scan stage — a Generate
+    // here would mean a posting-list explode (corpus-sized shuffle)
+    assert(!p.contains("Generate"), s"bm25 tf must not explode tokens:\n$p")
+    // corpus stats collapse to ONE row and come back as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$p")
+    // the only exchange is the stats singleton — scoring itself never
+    // hash-shuffles the corpus
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 scoring must not hash-shuffle the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"page not take-ordered:\n$p")
+  }
 }

@@ -759,4 +759,44 @@ class SimilaritySpec extends SparkSpec {
       l.contains("ReadSchema") && l.contains("c0") && !l.contains("embedding"))
     assert(codeOnlyScan, s"no code-only (embedding-free) index scan in plan:\n$p")
   }
+
+  test("hybrid rrf (v13): fusion equals a driver-side fold of the two tier pages") {
+    import graft.operators.TextOps
+    // the lcm makes every vote an exact integer — divisibility is the
+    // whole exactness argument, so pin it
+    (1 to 10).foreach(r => assert(Similarity.RrfLcm % (60 + r) === 0L))
+    // tier pages recomputed through their OWN public paths
+    val semIds = Similarity.semanticSearch(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))) // (doc_id, sim_r) — page is doc_id-ordered
+    val semRank = semIds.sortBy { case (id, sim) => (-sim, id) }
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val (lexScored, _) = TextOps.bm25ScoredOf(
+      Tables.documents(spark, sfDir01), TextOps.Bm25Terms)
+    val lexRank = lexScored.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._2 > 0L).sortBy { case (id, sc) => (-sc, id) }.take(10)
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    def vote(r: Option[Int]): Long =
+      r.map(rr => Similarity.RrfLcm / (60L + rr)).getOrElse(0L)
+    val expected = (semRank.keySet ++ lexRank.keySet).toSeq.map { id =>
+      (id, semRank.getOrElse(id, 0), lexRank.getOrElse(id, 0),
+        vote(semRank.get(id)) + vote(lexRank.get(id)))
+    }.sortBy { case (id, _, _, u) => (-u, id) }.take(10).sortBy(_._1)
+    val got = Similarity.hybridRrf(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // both tiers actually contribute: the fused page must contain a
+    // doc ranked by each tier, and any doc on both pages outscores a
+    // same-rank single-tier doc by construction of the vote sum
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
+  test("hybrid rrf (v13): a doc on both pages beats single-tier docs at equal ranks") {
+    // pure vote arithmetic on the exact units — rank r in both tiers
+    // always beats rank r in one tier, and even rank 1 in one tier
+    // never beats rank-10 presence in both when 2/70 > 1/61
+    val both = (r: Int) => 2 * (Similarity.RrfLcm / (60 + r))
+    val one = (r: Int) => Similarity.RrfLcm / (60 + r)
+    (1 to 10).foreach(r => assert(both(r) > one(r)))
+    assert(both(10) > one(1), "rank-10-in-both must outvote rank-1-in-one")
+  }
 }

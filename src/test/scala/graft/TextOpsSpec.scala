@@ -293,4 +293,104 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(outP === Map("hot" -> 2000L, "common" -> 2000L))
   }
+
+  /** Driver-side exact-integer mirror of TextOps.bm25ScoredOf — the
+    * identical rational-idf / common-denominator arithmetic in BigInt,
+    * so a divergence is a plan bug, never float noise. */
+  private def bm25Mirror(texts: Map[Long, String], terms: Seq[String]): Map[Long, Long] = {
+    val toks = texts.view.mapValues(_.trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val n = BigInt(texts.size)
+    val t = BigInt(toks.values.map(_.size).sum)
+    val df = terms.map(q => q ->
+      BigInt(toks.values.count(_.exists(_.toLowerCase == q)))).toMap
+    toks.map { case (id, w) =>
+      val dl = BigInt(w.size)
+      val score = terms.map { q =>
+        val tf = BigInt(w.count(_.toLowerCase == q))
+        val num = BigInt(44000) * tf * t * (2 * n - 2 * df(q) + 1)
+        val den = ((2 * df(q) + 1) *
+          (BigInt(20) * tf * t + 6 * t + BigInt(18) * dl * n)).max(BigInt(1))
+        num / den
+      }.sum
+      id -> score.toLong
+    }
+  }
+
+  test("bm25 (t11): engine scores equal the exact-integer driver mirror") {
+    import spark.implicits._
+    val texts = Map[Long, String](
+      0L -> "alpha beta beta gamma",
+      1L -> "alpha alpha alpha alpha delta",
+      2L -> "beta beta beta beta beta beta beta beta",
+      3L -> "delta epsilon zeta eta theta iota kappa",
+      4L -> "alpha beta",
+      5L -> "")
+    val docs = texts.toSeq.map { case (id, tx) => (id, tx, "en") }
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val (scored, _) = TextOps.bm25ScoredOf(docs, terms)
+    val got = scored.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === bm25Mirror(texts, terms))
+    // membership sanity: docs with no query term score exactly 0
+    assert(got(3L) === 0L && got(5L) === 0L)
+    assert(got.values.count(_ > 0L) === 4)
+  }
+
+  test("bm25 (t11): idf, tf-saturation, and length-penalty orderings hold") {
+    import spark.implicits._
+    // corpus: 'rare' in 1 of 6 docs, 'common' in 5 of 6; probe docs
+    // have identical length and tf for their term
+    val texts = Map[Long, String](
+      0L -> "rare filler filler filler",
+      1L -> "common filler filler filler",
+      2L -> "common x1 y1 z1",
+      3L -> "common x2 y2 z2",
+      4L -> "common x3 y3 z3",
+      5L -> "common x4 y4 z4")
+    val docs = texts.toSeq.map { case (id, tx) => (id, tx, "en") }
+      .toDF("doc_id", "text", "lang")
+    val s = {
+      val (f, _) = TextOps.bm25ScoredOf(docs, Seq("rare", "common"))
+      f.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(s(0L) > s(1L), s"rare-term doc must outscore common-term doc: $s")
+    // tf monotone at fixed dl, with saturation (diminishing returns)
+    val texts2 = Map[Long, String](
+      0L -> "q a b c d e f g",
+      1L -> "q q a b c d e f",
+      2L -> "q q q a b c d e",
+      3L -> "a b c d e f g h")
+    val docs2 = texts2.toSeq.map { case (id, tx) => (id, tx, "en") }
+      .toDF("doc_id", "text", "lang")
+    val s2 = {
+      val (f, _) = TextOps.bm25ScoredOf(docs2, Seq("q"))
+      f.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(s2(0L) < s2(1L) && s2(1L) < s2(2L), s"tf not monotone: $s2")
+    assert(s2(1L) - s2(0L) > s2(2L) - s2(1L), s"no tf saturation: $s2")
+    // length penalty: same tf, longer doc scores lower
+    val texts3 = Map[Long, String](
+      0L -> "q a b c",
+      1L -> "q a b c d e f g h i j k l m n o",
+      2L -> "z z z z")
+    val docs3 = texts3.toSeq.map { case (id, tx) => (id, tx, "en") }
+      .toDF("doc_id", "text", "lang")
+    val s3 = {
+      val (f, _) = TextOps.bm25ScoredOf(docs3, Seq("q"))
+      f.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(s3(0L) > s3(1L), s"no length penalty: $s3")
+  }
+
+  test("bm25 (t11): the gate page is the top-10 of the scored frame") {
+    import graft.operators.TextOps
+    val page = TextOps.bm25Rank(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(page.length === 10)
+    val (full, cached) = TextOps.bm25ScoredOf(
+      Tables.documents(spark, sfDir01), TextOps.Bm25Terms)
+    val expect = full.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).sortBy(_._1)
+    assert(page.toSeq === expect.toSeq)
+  }
 }
