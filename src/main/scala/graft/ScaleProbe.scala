@@ -256,7 +256,11 @@ object ScaleProbe {
       // the stub-embed scan (per-doc, linear) and a fusion join over
       // two ≤k-row pages (constant)
       "t11_bm25_rank"        -> (operators.TextOps.bm25Rank(_, _)),
-      "v13_hybrid_rrf"       -> (operators.Similarity.hybridRrf(_, _)))
+      "v13_hybrid_rrf"       -> (operators.Similarity.hybridRrf(_, _)),
+      // d10b rides d10's linear span-detection; the excision adds one
+      // doc_id-partitioned join (no exchange beyond detection's) and a
+      // per-token lambda — wall must track gram count like d10
+      "d10b_span_scrub"      -> (operators.Dedup.spanScrub(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

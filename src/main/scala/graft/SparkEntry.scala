@@ -246,6 +246,9 @@ object SparkEntry {
     // d10: duplicate-SPAN detection (Lee et al. substring dedup) — the
     // "some gram occurs twice" test is a group-by, not a pair join
     "d10_duplicate_spans"     -> ((s, d) => Dedup.duplicateSpans(s, d)),
+    // d10b: the excision — d10's maximal spans REMOVED from every
+    // occurrence; output is the cleaned corpus itself, hash-proven
+    "d10b_span_scrub"         -> ((s, d) => Dedup.spanScrub(s, d)),
     // t7: CCNet-style perplexity bucketing with an integer-quantized
     // corpus bigram LM (floor-log2 via bin-string length, both engines)
     "t7_bigram_surprisal"     -> ((s, d) => TextOps.bigramSurprisal(s, d)),
@@ -557,6 +560,31 @@ object SparkEntry {
                 j -> CAST(q.emb[j+1] AS DOUBLE) * CAST(q.emb[j+1] AS DOUBLE)), (x, y) -> x + y))) AS sim
          FROM dvec dv, qvec q
          ORDER BY sim DESC, doc_id LIMIT $k)"""
+  }
+
+  /** d10/d10b shared: the span-detection chain through `sp` (doc_id,
+    * pos, span_id) — same md5-derived gram hash and island rule as
+    * Dedup.spanIslandsOf. */
+  private lazy val d10Ctes: String = {
+    val k = operators.Dedup.SpanGram
+    s"""t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         g AS (
+           SELECT doc_id, x.i AS pos,
+             CAST('0x' || substr(md5(array_to_string(w[x.i+1:x.i+$k], ' ')), 1, 15) AS BIGINT) AS gram_h
+           FROM t, unnest(range(len(w) - ${k - 1})) AS x(i)
+           WHERE len(w) >= $k),
+         dup AS (SELECT gram_h FROM g GROUP BY gram_h HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram_h)),
+         brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    <= $k THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         sp AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM brk)"""
   }
 
   /** t11/v13 shared: the BM25 scored frame — mirrors
@@ -2568,24 +2596,7 @@ object SparkEntry {
     // SUMs over ints are cast back to BIGINT (DuckDB widens to
     // HUGEINT); the ppm is the t2 floor'd-double convention.
     "d10_duplicate_spans" ->
-      s"""WITH t AS (
-           SELECT doc_id, $toksSql AS w FROM documents),
-         g AS (
-           SELECT doc_id, x.i AS pos,
-             CAST('0x' || substr(md5(array_to_string(w[x.i+1:x.i+${operators.Dedup.SpanGram}], ' ')), 1, 15) AS BIGINT) AS gram_h
-           FROM t, unnest(range(len(w) - ${operators.Dedup.SpanGram - 1})) AS x(i)
-           WHERE len(w) >= ${operators.Dedup.SpanGram}),
-         dup AS (SELECT gram_h FROM g GROUP BY gram_h HAVING COUNT(*) >= 2),
-         hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram_h)),
-         brk AS (
-           SELECT doc_id, pos,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                    <= ${operators.Dedup.SpanGram} THEN 0 ELSE 1 END AS brk
-           FROM hits),
-         sp AS (
-           SELECT doc_id, pos,
-             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-           FROM brk),
+      s"""WITH $d10Ctes,
          spans AS (
            SELECT doc_id, span_id,
              MAX(pos) + ${operators.Dedup.SpanGram} - MIN(pos) AS span_len
@@ -2598,6 +2609,32 @@ object SparkEntry {
          FROM spans s JOIN nt USING (doc_id)
          GROUP BY s.doc_id, nt.n_tokens
          ORDER BY s.doc_id""",
+    // d10b: the excision — every covered token position dropped; the
+    // span ranges are d10's islands verbatim, so the oracle proves the
+    // cleaned TEXT, not just the span accounting
+    "d10b_span_scrub" ->
+      s"""WITH $d10Ctes,
+         spans2 AS (
+           SELECT doc_id, MIN(pos) AS s,
+             MAX(pos) + ${operators.Dedup.SpanGram} - 1 AS e
+           FROM sp GROUP BY doc_id, span_id),
+         tokpos AS (
+           SELECT doc_id, x.i AS pos, w[x.i+1] AS tok
+           FROM t, unnest(range(len(w))) AS x(i)),
+         kept AS (
+           SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+           WHERE NOT EXISTS (
+             SELECT 1 FROM spans2 s
+             WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)),
+         cleaned AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(len(t.w) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+         FROM t LEFT JOIN cleaned c USING (doc_id)
+         ORDER BY t.doc_id""",
     // t7: the quantized-surprisal LM — length(bin(x))-1 is floor(log2)
     // on both engines, so the score is exact integer math plus one
     // floor'd double division; NTILE's tie behavior is pinned by the

@@ -909,9 +909,13 @@ object Dedup {
   def duplicateSpans(spark: SparkSession, dir: String, k: Int = SpanGram): DataFrame =
     duplicateSpansOf(documents(spark, dir), k)
 
-  /** Frame-based form of [[duplicateSpans]] — the spec suite plants
-    * known-span corpora through it (the repetitionStatsOf pattern). */
-  private[graft] def duplicateSpansOf(input: DataFrame, k: Int = SpanGram): DataFrame = {
+  /** Shared span-detection core for d10/d10b: the tokenized corpus
+    * plus each doc's MAXIMAL duplicated-span ranges `[s, e]`
+    * (inclusive 0-based token positions — disjoint by the island
+    * rule: hits further than k apart cannot overlap as k-gram spans).
+    * Returns the two frames plus the persisted inputs the caller must
+    * release (the surprisal convention). */
+  private def spanIslandsOf(input: DataFrame, k: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val docs = shared(input
       .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
@@ -934,9 +938,18 @@ object Dedup {
         when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
       .withColumn("span_id", sum(col("brk")).over(byPos))
       .groupBy(col("doc_id"), col("span_id"))
-      .agg((max(col("pos")) + k - min(col("pos"))).as("span_len"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + k - 1).cast("long").as("e"))
+    (docs, spans, Seq(docs, grams))
+  }
+
+  /** Frame-based form of [[duplicateSpans]] — the spec suite plants
+    * known-span corpora through it (the repetitionStatsOf pattern). */
+  private[graft] def duplicateSpansOf(input: DataFrame, k: Int = SpanGram): DataFrame = {
+    val (docs, spans, cached) = spanIslandsOf(input, k)
     val result = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens")) // span_len = max+k-min
       .join(docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens")),
         Seq("doc_id"))
       .withColumn("dup_ppm",
@@ -944,6 +957,46 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("n_spans"),
         col("dup_tokens"), col("dup_ppm"))
       .orderBy(col("doc_id"))
-    materializeAndRelease(result, docs, grams)
+    materializeAndRelease(result, cached: _*)
+  }
+
+  /** D10b: duplicated-span EXCISION — the ACTION d10's report calls
+    * for (Lee et al. 2022, arXiv:2107.06499: removing repeated
+    * substrings from training text; the MassiveText/RefinedWeb
+    * recipes scrub them in place rather than dropping whole docs).
+    * Every token position covered by a maximal duplicated span is
+    * removed from every occurrence — symmetric excision, the
+    * conservative variant that needs no global canonical-copy
+    * election (and so no extra corpus-wide argmin pass).
+    *
+    * Plan shape for 100 TB: span detection is d10's linear pipeline
+    * (no pair join); the excision itself is ONE left join of the
+    * tokenized corpus against the per-doc span lists — both sides
+    * already partitioned by doc_id, so the join reuses the detection
+    * pass's partitioning — and the token drop is a lambda
+    * `filter(w, (tok, i) -> no span covers i)` in the projection, with
+    * the per-doc span list bounded by doc length (spans are disjoint).
+    * Output carries the full cleaned corpus, so the operator pipelines
+    * straight into a sink or the next curation stage. */
+  def spanScrub(spark: SparkSession, dir: String, k: Int = SpanGram): DataFrame =
+    spanScrubOf(documents(spark, dir), k)
+
+  /** Frame-based form of [[spanScrub]] — spec entry point. */
+  private[graft] def spanScrubOf(input: DataFrame, k: Int = SpanGram): DataFrame = {
+    val (docs, spans, cached) = spanIslandsOf(input, k)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val result = docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("w")).otherwise(
+          filter(col("w"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i.cast("long") >= sp("s") && i.cast("long") <= sp("e")))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, cached: _*)
   }
 }

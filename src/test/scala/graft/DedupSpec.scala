@@ -318,4 +318,48 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(got === expected)
   }
+
+  test("span scrub (d10b) on planted docs: exact cleaned text, symmetric excision") {
+    import spark.implicits._
+    // the d10 planted corpus — excision must remove s1..s5 from BOTH
+    // carriers, both x-y-z islands from doc 3, and touch nothing else
+    val planted = Seq(
+      (1L, "q1 q2 s1 s2 s3 s4 s5 q3"),
+      (2L, "s1 s2 s3 s4 s5 r1 r2 r3"),
+      (3L, "x y z u1 u2 u3 u4 x y z"),
+      (4L, "n1 n2 n3 n4 n5"),
+      (5L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanScrubOf(planted, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) === ((8L, 5L, "q1 q2 q3")))
+    assert(got(2L) === ((8L, 5L, "r1 r2 r3")))
+    assert(got(3L) === ((10L, 6L, "u1 u2 u3 u4")))
+    assert(got(4L) === ((5L, 0L, "n1 n2 n3 n4 n5")), "unique doc untouched")
+    assert(got(5L) === ((2L, 0L, "a b")), "short doc untouched")
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L), "every doc emits a row")
+    // composition: re-running detection on the scrubbed planted corpus
+    // finds nothing left (no seam gram re-duplicates here)
+    val rescored = Dedup.duplicateSpansOf(
+      Dedup.spanScrubOf(planted, k = 3)
+        .select(col("doc_id"), col("clean_text").as("text")), k = 3)
+    assert(rescored.count() === 0, "scrub left duplicated spans behind")
+  }
+
+  test("span scrub (d10b) accounting matches d10 on the fixture corpus") {
+    // n_removed must equal d10's dup_tokens for every doc d10 reports,
+    // and be 0 for every other doc — same islands, two consumers
+    val report = Dedup.duplicateSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val scrub = Dedup.spanScrub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(scrub.nonEmpty)
+    scrub.foreach { case (id, nTok, nRem, text) =>
+      assert(nRem === report.getOrElse(id, 0L), s"doc $id removal mismatch")
+      // the cleaned text really has n_tokens - n_removed tokens
+      val kept = text.trim.split("\\s+").filter(_.nonEmpty).length.toLong
+      assert(kept === nTok - nRem, s"doc $id token accounting broken")
+    }
+  }
 }
