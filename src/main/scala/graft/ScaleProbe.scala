@@ -260,7 +260,12 @@ object ScaleProbe {
       // d10b rides d10's linear span-detection; the excision adds one
       // doc_id-partitioned join (no exchange beyond detection's) and a
       // per-token lambda — wall must track gram count like d10
-      "d10b_span_scrub"      -> (operators.Dedup.spanScrub(_, _)))
+      "d10b_span_scrub"      -> (operators.Dedup.spanScrub(_, _)),
+      // v14: per-token embed is scan-stage (one StubEmbed per distinct
+      // token occurrence — NO vocabulary join, so the salted vocab's
+      // 30× growth costs nothing extra); the fold is one partial-agged
+      // groupBy(doc_id) — wall must track token occurrences
+      "v14_colbert_maxsim"   -> (operators.Similarity.colbertMaxsim(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

@@ -293,6 +293,9 @@ object SparkEntry {
     // fused by reciprocal-rank fusion in exact integers (lcm(61..70)
     // vote units)
     "v13_hybrid_rrf"          -> ((s, d) => Similarity.hybridRrf(s, d)),
+    // v14: ColBERT-style late interaction — per-TOKEN vectors, MaxSim
+    // scoring; per-term max columns keep the double sum fixed-order
+    "v14_colbert_maxsim"      -> ((s, d) => Similarity.colbertMaxsim(s, d)),
     // i6/i6b: SCD2 dimension build (no-op updates collapsed, validity
     // intervals per change) + point-in-time fact annotation
     "i6_scd2_build"           -> ((s, d) => Scd2.scd2Build(s, d)),
@@ -508,19 +511,27 @@ object SparkEntry {
   /** DuckDB twins of the StubEmbed derivation (md5-window components,
     * float32 unit-norm) — shared by the v4/x7c retrieval oracles and
     * d9's semantic dedup. */
-  private def stubVecOf(comp: String, keyed: Boolean): String = {
-    val key = if (keyed) "doc_id, " else ""
-    s"""(SELECT ${key}list_transform(raw, v ->
+  private def stubVecOf(comp: String, keyed: Boolean): String =
+    stubVecKeyed(comp, if (keyed) "doc_id" else "")
+  /** Key-generalized form: `key` is the grouping column carried through
+    * ("" = a single anonymous vector, "doc_id" = per-document,
+    * "tok" = per-TOKEN — the v14 late-interaction unit). */
+  private def stubVecKeyed(comp: String, key: String): String = {
+    val k = if (key.isEmpty) "" else s"$key, "
+    s"""(SELECT ${k}list_transform(raw, v ->
            CASE WHEN nrm = 0 THEN CAST(0.0 AS REAL) ELSE CAST(v / nrm AS REAL) END) AS emb
-         FROM (SELECT ${key}raw,
+         FROM (SELECT ${k}raw,
                  sqrt(list_reduce(list_transform(raw, v -> v * v), (x, y) -> x + y)) AS nrm
-               FROM (SELECT ${key}list(s / 4294967296.0 ORDER BY j) AS raw
+               FROM (SELECT ${k}list(s / 4294967296.0 ORDER BY j) AS raw
                      FROM $comp GROUP BY ALL)))"""
   }
   private def stubCompOf(toks: String, keyed: Boolean,
+      dim: Int = graft.functions.StubEmbed.DefaultDim): String =
+    stubCompKeyed(toks, if (keyed) "doc_id" else "", dim)
+  private def stubCompKeyed(toks: String, key: String,
       dim: Int = graft.functions.StubEmbed.DefaultDim): String = {
-    val key = if (keyed) "doc_id, " else ""
-    s"""(SELECT ${key}x.j AS j,
+    val k = if (key.isEmpty) "" else s"$key, "
+    s"""(SELECT ${k}x.j AS j,
            SUM(CAST('0x' || substr(md5(tok || ':' || CAST(x.j // 4 AS VARCHAR)),
                  CAST(1 + 8 * (x.j % 4) AS INTEGER), 8) AS BIGINT) - 2147483648) AS s
          FROM $toks, unnest(range($dim)) AS x(j)
@@ -1232,6 +1243,38 @@ object SparkEntry {
          SELECT doc_id, r_sem, r_lex, CAST(rrf_units AS BIGINT) AS rrf_units FROM (
            SELECT * FROM fused ORDER BY rrf_units DESC, doc_id LIMIT 10) t
          ORDER BY doc_id""",
+    // v14: per-token stub vectors (the key-generalized stubVec CTEs),
+    // MaxSim = fixed-order sum of per-term maxima — the CASE list is
+    // in the Spark plan's m0..mN order, so the double chain matches
+    "v14_colbert_maxsim" -> {
+      val terms = operators.TextOps.Bm25Terms
+      val qList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      val caseSum = terms.map(t =>
+        s"MAX(CASE WHEN qtok = '${t.replace("'", "''")}' THEN m END)")
+        .mkString("\n           + ")
+      s"""WITH mdt AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+           FROM documents),
+         mvocab AS (SELECT DISTINCT tok FROM mdt),
+         mtvec AS ${stubVecKeyed(stubCompKeyed("mvocab", "tok"), "tok")},
+         mqt AS (SELECT unnest([$qList]) AS tok),
+         mqvec AS ${stubVecKeyed(stubCompKeyed("mqt", "tok"), "tok")},
+         mcs AS (
+           SELECT dt.doc_id, qv.tok AS qtok,
+             MAX(${cosSql("tv.emb", "qv.emb")}) AS m
+           FROM mdt dt
+           JOIN mtvec tv USING (tok)
+           CROSS JOIN mqvec qv
+           GROUP BY dt.doc_id, qv.tok),
+         msc AS (
+           SELECT doc_id,
+           $caseSum AS sim
+           FROM mcs GROUP BY doc_id)
+         SELECT p.doc_id, d.lang, round(p.sim, 6) AS maxsim_r
+         FROM (SELECT doc_id, sim FROM msc ORDER BY sim DESC, doc_id LIMIT 10) p
+         JOIN documents d USING (doc_id)
+         ORDER BY p.doc_id"""
+    },
     "t2_quality_score" ->
       s"""WITH f AS (
            SELECT doc_id,

@@ -869,9 +869,11 @@ object Similarity {
     * count), ONLY those cell directories are scanned and rewritten
     * without the doomed rows, staged, then swapped through the
     * [[CommitProtocol]] seam; untouched cells are never opened. A cell
-    * whose every row is doomed stages nothing — REPLACE-with-empty —
-    * so its live directory is removed after the swap. Returns the
-    * affected cell ids. */
+    * whose every row is doomed gets an EMPTY staged directory, so the
+    * publish swaps its live contents away INSIDE the commit seam
+    * (deleting it after commit would leave a crash window where the
+    * log says committed but the doomed rows still serve — round-9
+    * review). Returns the affected cell ids. */
   def ivfIndexDelete(spark: SparkSession, path: String, doomed: DataFrame,
       commit: CommitProtocol = RenameCommit): Seq[String] = {
     commit.begin(spark, path)
@@ -882,19 +884,30 @@ object Similarity {
     if (affected.nonEmpty) {
       val keyType = idx.schema("cent_id").dataType
       val pred = affected.map(v => col("cent_id") === lit(v).cast(keyType)).reduce(_ || _)
-      val staging = s"${path}__delete_staging"
+      // unique per writer: concurrent committers (OptimisticLogCommit)
+      // must never share a staging dir (the mergeIntoPartitioned rule)
+      val staging =
+        s"${path}__delete_staging_${java.util.UUID.randomUUID().toString.take(8)}"
       idx.filter(pred)
         .join(broadcast(doomed), Seq("vec_id"), "left_anti")
         .repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staged = affected.filter(v =>
-        fs.exists(new org.apache.hadoop.fs.Path(staging, s"cent_id=$v"))).toSet
-      commit.commitPartitions(spark, staging, path,
+      // REPLACE-with-empty, staged: a fully-doomed cell has no rows in
+      // the staged write, so stage an empty dir for it — the publish
+      // rename then replaces the live dir with emptiness atomically
+      affected.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(staging, s"cent_id=$v")
+        if (!fs.exists(p)) { fs.mkdirs(p); () }
+      }
+      // an aborted commit must not leak the staged copy (round-8
+      // ADVICE, same discipline as mergeIntoPartitioned)
+      try commit.commitPartitions(spark, staging, path,
         affected.map(v => s"cent_id=$v"))
-      (affected.toSet -- staged).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, s"cent_id=$v"), true)
+      catch { case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        throw e
       }
     }
     affected
@@ -1016,17 +1029,25 @@ object Similarity {
     * component-for-component in DuckDB (SparkEntry's stubSearchSql), so
     * the driver hash proves the whole retrieval tier, not just rows. */
   def semanticSearch(spark: SparkSession, dir: String,
-      query: String = DefaultQuery, k: Int = 10): DataFrame = {
-    val docs = documents(spark, dir)
-      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
-    val q = spark.range(1)
+      query: String = DefaultQuery, k: Int = 10): DataFrame =
+    semanticScoredTop(documents(spark, dir), query, k)
+      .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim_r"),
+        substring(col("text"), 1, 60).as("preview"))
+
+  /** The shared semantic tier: stub-embed the corpus and the query,
+    * cosine-score, keep the top k (sim desc, doc_id tie-break) with
+    * every input column plus full-precision `sim`. One definition
+    * serves v4's page and v13's fusion input so the two can never
+    * silently diverge on embedder or tie-break. */
+  private def semanticScoredTop(docs: DataFrame, query: String, k: Int): DataFrame = {
+    val q = docs.sparkSession.range(1)
       .select(graft.functions.StubEmbed(lit(query)).as("q_embedding"))
-    docs.crossJoin(broadcast(q))
+    docs
+      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
+      .crossJoin(broadcast(q))
       .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
       .orderBy(desc("sim"), col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim_r"),
-        substring(col("text"), 1, 60).as("preview"))
   }
 
   /** The reciprocal-rank-fusion constant: RRF's folklore k=60 makes a
@@ -1054,20 +1075,13 @@ object Similarity {
       query: String = DefaultQuery, k: Int = 10): DataFrame = {
     import CacheOps.materializeAndRelease
     val docs = documents(spark, dir)
-    val q = spark.range(1)
-      .select(graft.functions.StubEmbed(lit(query)).as("q_embedding"))
-    val semTop = docs
-      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
-      .crossJoin(broadcast(q))
-      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
-      .orderBy(desc("sim"), col("doc_id")).limit(k)
-      .select(col("doc_id"), col("sim"))
+    val semTop = semanticScoredTop(docs, query, k).select(col("doc_id"), col("sim"))
     // rank windows run over ≤k rows (post-limit) — a single tiny
     // partition, not a corpus sort
     val sem = semTop.select(col("doc_id"),
       row_number().over(Window.orderBy(desc("sim"), col("doc_id"))).as("r_sem"))
     val (lexScored, cached) =
-      TextOps.bm25ScoredOf(docs, TextOps.Bm25Terms, persist = true)
+      TextOps.bm25ScoredOf(docs, TextOps.bm25TermsOf(query), persist = true)
     val lexTop = lexScored
       .filter(col("score_milli") > 0) // a tier only votes for docs it matched
       .orderBy(desc("score_milli"), col("doc_id")).limit(k)
@@ -1083,6 +1097,56 @@ object Similarity {
       .orderBy(desc("rrf_units"), col("doc_id")).limit(k)
       .orderBy(col("doc_id"))
     materializeAndRelease(fused, cached: _*)
+  }
+
+  /** V14: late-interaction multi-vector retrieval — ColBERT's MaxSim
+    * (Khattab & Zaharia 2020, SIGIR; public method). Instead of one
+    * vector per document (v4's bag-of-words collapse), every token
+    * keeps its own embedding and the query-document score is
+    * Σ_{q∈Q} max_{t∈doc} cos(E(q), E(t)) — fine-grained term matching
+    * with vector semantics. With the deterministic stub embedder a
+    * token's vector depends only on its string, so per-doc DISTINCT
+    * tokens suffice (duplicate occurrences share a vector; max
+    * collapses them).
+    *
+    * Plan shape for 100 TB: doc tokens explode and embed in the scan
+    * stage (one StubEmbed per distinct-token occurrence — no
+    * vocabulary-sized join or state); the query's ≤|Q| vectors
+    * broadcast; per-term maxima fold in ONE partial-aggregated
+    * groupBy(doc_id) whose per-term max COLUMNS keep the final sum a
+    * fixed-order double chain (m0+m1+…) — a plain sum-of-max over an
+    * exploded frame would re-associate doubles shuffle-order-
+    * dependently and break the cross-engine hash. Top-k is
+    * TakeOrderedAndProject; lang joins back onto the 10-row page. */
+  def colbertMaxsim(spark: SparkSession, dir: String,
+      query: String = DefaultQuery, k: Int = 10): DataFrame =
+    colbertMaxsimOf(documents(spark, dir), query, k)
+
+  /** Frame-based form of [[colbertMaxsim]] — spec entry point. */
+  private[graft] def colbertMaxsimOf(docs: DataFrame, query: String, k: Int): DataFrame = {
+    val qtoks = TextOps.bm25TermsOf(query)
+    require(qtoks.nonEmpty, "maxsim needs at least one query token")
+    val spark = docs.sparkSession
+    val docToks = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("tok"))
+      .withColumn("tvec", graft.functions.StubEmbed(col("tok")))
+    val qframe = {
+      import spark.implicits._
+      qtoks.toDF("qtok").withColumn("qvec", graft.functions.StubEmbed(col("qtok")))
+    }
+    val maxCols = qtoks.zipWithIndex.map { case (t, i) =>
+      max(when(col("qtok") === t, col("cs"))).as(s"m$i")
+    }
+    val scored = docToks.crossJoin(broadcast(qframe))
+      .withColumn("cs", Vectors.cosine(col("tvec"), col("qvec")))
+      .groupBy(col("doc_id"))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .withColumn("sim", qtoks.indices.map(i => col(s"m$i")).reduce(_ + _))
+    val page = scored.orderBy(desc("sim"), col("doc_id")).limit(k)
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(page), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("maxsim_r"))
+      .orderBy(col("doc_id"))
   }
 
   /** ANN top-k via random-hyperplane LSH: candidates share the query's

@@ -528,9 +528,10 @@ object TextOps {
     * where T = Σ dl (so avgdl = T/N never materializes as a float),
     * 44·tf·T / (20·tf·T + 6·T + 18·dl·N) is the exact BM25 saturation
     * term over the common denominator 20T, and `div` is integral
-    * division — bit-identical in Spark and DuckDB. BIGINT holds every
-    * intermediate at fixture scale with ~10³ headroom; a 100 TB corpus
-    * promotes the two products to DECIMAL(38,0) in the same plan.
+    * division — bit-identical in Spark and DuckDB. The two products
+    * are formed in DECIMAL(38,0) (Spark longs wrap silently past
+    * ~10^18; 38 digits covers a 100 TB corpus' tf·T·N terms), while
+    * `div` still emits BIGINT scores.
     *
     * Plan shape for 100 TB: per-term tf columns come from `filter`+
     * `size` over the token array — NO explode, NO posting-list
@@ -541,12 +542,16 @@ object TextOps {
   def bm25Rank(spark: SparkSession, dir: String): DataFrame =
     bm25Of(documents(spark, dir), Bm25Terms, 10)
 
-  /** Query terms: the stub-retrieval DefaultQuery, tokenized exactly
-    * as [[Similarity.semanticSearch]] embeds it — the hybrid fusion
-    * (v13) feeds BOTH tiers the same query. */
-  private[graft] val Bm25Terms: Seq[String] =
-    Similarity.DefaultQuery.trim.toLowerCase(java.util.Locale.ROOT)
+  /** Query-string → BM25 terms, tokenized exactly as
+    * [[Similarity.semanticSearch]] embeds the query — the hybrid
+    * fusion (v13) feeds BOTH tiers the same query string. */
+  private[graft] def bm25TermsOf(query: String): Seq[String] =
+    query.trim.toLowerCase(java.util.Locale.ROOT)
       .split("[\\t\\n\\f\\r ]+").toSeq.filter(_.nonEmpty).distinct
+
+  /** The gate query's terms (the stub-retrieval DefaultQuery). */
+  private[graft] val Bm25Terms: Seq[String] =
+    bm25TermsOf(Similarity.DefaultQuery)
 
   private[graft] def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     import CacheOps.materializeAndRelease
@@ -582,21 +587,29 @@ object TextOps {
         terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = base.agg(count(lit(1)).as("n"), aggs: _*)
+    // products are formed in DECIMAL(38,0): tf·T·N-shaped terms wrap
+    // BIGINT silently past ~10^18 tokens·docs (Spark long overflow is
+    // unchecked), and the scale probes multiply exactly those factors.
+    // `div` on decimals still yields BIGINT, so score_milli's type and
+    // the DuckDB oracle (whose BIGINT ops error loudly rather than
+    // wrap, exact at fixture scale) are unchanged.
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val withParts = terms.indices.foldLeft(base.crossJoin(broadcast(stats))) {
       case (acc, i) =>
         acc
           .withColumn(s"num$i",
-            lit(44000L) * tfc(i) * col("tot") *
-              (lit(2L) * col("n") - lit(2L) * col(s"df$i") + lit(1L)))
+            dec(lit(44000L)) * dec(tfc(i)) * dec(col("tot")) *
+              dec(lit(2L) * col("n") - lit(2L) * col(s"df$i") + lit(1L)))
           .withColumn(s"den$i",
             // greatest(…,1): an all-empty-text corpus has T=0 and dl=0,
             // collapsing the true denominator to 0 alongside a 0
             // numerator — pin the 0/0 to a 0 contribution, both engines
             greatest(
-              (lit(2L) * col(s"df$i") + lit(1L)) *
-                (lit(20L) * tfc(i) * col("tot") + lit(6L) * col("tot") +
-                  lit(18L) * col("dl") * col("n")),
-              lit(1L)))
+              dec(lit(2L) * col(s"df$i") + lit(1L)) *
+                (dec(lit(20L)) * dec(tfc(i)) * dec(col("tot")) +
+                  dec(lit(6L)) * dec(col("tot")) +
+                  dec(lit(18L)) * dec(col("dl")) * dec(col("n"))),
+              dec(lit(1L))))
     }
     val scored = withParts
       .withColumn("score_milli",

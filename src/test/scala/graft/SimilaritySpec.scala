@@ -674,8 +674,13 @@ class SimilaritySpec extends SparkSpec {
     assert((8L to 11L).forall(cellOf(_) == 3L), s"planted geometry broke: $cellOf")
     // doom centroid 3's row AND its whole membership — the cell empties
     Similarity.ivfIndexDelete(spark, p2, Seq(3L, 8L, 9L, 10L, 11L).toDF("vec_id"))
-    assert(!new java.io.File(s"$p2/cent_id=3").exists(),
-      "fully-emptied cell directory must be removed (REPLACE with empty)")
+    // REPLACE-with-empty happens INSIDE the commit seam: the staged
+    // empty dir replaces the live one, so the dir exists but holds no
+    // data files (a post-commit delete would leave a crash window)
+    val emptied = new java.io.File(s"$p2/cent_id=3")
+    assert(emptied.exists(), "emptied cell must be swapped, not post-deleted")
+    assert(walkFiles(emptied).forall(!_.getName.endsWith(".parquet")),
+      "fully-emptied cell must hold no parquet files after the swap")
     assert(spark.read.parquet(p2).count() === 7, "other cells must be intact")
     deleteRec(tmp)
   }
@@ -768,6 +773,12 @@ class SimilaritySpec extends SparkSpec {
     // tier pages recomputed through their OWN public paths
     val semIds = Similarity.semanticSearch(spark, sfDir01).collect()
       .map(r => (r.getLong(0), r.getDouble(2))) // (doc_id, sim_r) — page is doc_id-ordered
+    // the page only exposes 6-dp sim_r while the engine ranks on full
+    // precision — a 6-dp tie would make this reconstruction ambiguous,
+    // so require the fixture page tie-free (it is) and fail loudly if
+    // a corpus change ever introduces one
+    assert(semIds.map(_._2).distinct.length === semIds.length,
+      s"semantic page has 6-dp sim ties; rank reconstruction ambiguous: ${semIds.toSeq}")
     val semRank = semIds.sortBy { case (id, sim) => (-sim, id) }
       .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
     val (lexScored, _) = TextOps.bm25ScoredOf(
@@ -788,6 +799,81 @@ class SimilaritySpec extends SparkSpec {
     // doc ranked by each tier, and any doc on both pages outscores a
     // same-rank single-tier doc by construction of the vote sum
     assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
+  test("hybrid rrf (v13): a custom query drives BOTH tiers, not just the semantic one") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    // 'dup' is a rare fixture token absent from DefaultQuery — if the
+    // lexical tier ignored the query argument (the round-9 review bug),
+    // no fused row could carry a lexical rank for a 'dup' carrier
+    val fused = Similarity.hybridRrf(spark, sfDir01, query = "dup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val lexIds = fused.filter(_._3 > 0).map(_._1).toSet
+    assert(lexIds.nonEmpty, "custom query produced no lexical votes")
+    val carriers = Tables.documents(spark, sfDir01)
+      .filter(col("text").rlike("(^| )dup( |$)"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(lexIds.subsetOf(carriers),
+      s"lexical votes for docs not containing 'dup': ${lexIds -- carriers}")
+    // and the scored tier itself ranks only carriers
+    val (scored, _) = TextOps.bm25ScoredOf(
+      Tables.documents(spark, sfDir01), TextOps.bm25TermsOf("dup"))
+    val positive = scored.filter(col("score_milli") > 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(positive === carriers)
+  }
+
+  test("maxsim (v14): engine page equals a driver-side fold over per-token vectors") {
+    import graft.operators.{Similarity, TextOps}
+    import org.apache.spark.sql.functions.{col, lower}
+    val qtoks = TextOps.Bm25Terms
+    // per-token vectors computed through the SAME embedder expression,
+    // but the explode/crossJoin/max-fold path is re-derived in the
+    // driver — a divergence is a plan bug, not embedder noise
+    val docs = Tables.documents(spark, sfDir)
+    val docToks = docs.selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq)
+      .toMap
+    val vocab = (docToks.values.flatten.toSet ++ qtoks).toSeq.sorted
+    import spark.implicits._
+    val vecs = vocab.toDF("tok")
+      .withColumn("v", graft.functions.StubEmbed(col("tok")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = docToks.collect { case (id, toks) if toks.nonEmpty =>
+      val sim = qtoks.map(q => toks.map(t => cos(vecs(t), vecs(q))).max)
+        .foldLeft(0.0)(_ + _)
+      (id, sim)
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) =>
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy(_._1)
+    val got = Similarity.colbertMaxsim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("maxsim (v14): a doc holding every query token verbatim maxes the score") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "customer order filter join", "en"),        // all 4 verbatim → sim ≈ 4
+      (2L, "customer order alpha beta gamma", "en"),   // 2 verbatim + noise
+      (3L, "alpha beta gamma delta epsilon", "en"),    // none
+      (4L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Similarity.colbertMaxsimOf(planted, Similarity.DefaultQuery, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(math.abs(got(1L) - 4.0) < 1e-4, s"verbatim doc must score ~|Q|: $got")
+    assert(got(1L) > got(2L) && got(2L) > got(3L), s"ordering broken: $got")
+    assert(!got.contains(4L), "tokenless doc has no token vectors, no row")
   }
 
   test("hybrid rrf (v13): a doc on both pages beats single-tier docs at equal ranks") {
