@@ -115,6 +115,8 @@ object ScaleProbe {
       s"/graft_probe_${ProcessHandle.current().pid()}"
     def quantizedPathFor(d: String): String =
       s"$outRoot/q8_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    def bm25PathFor(d: String): String =
+      s"$outRoot/bm25_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d2_ngram_jaccard"     -> (operators.Dedup.ngramJaccardPairs(_, _)),
@@ -265,7 +267,18 @@ object ScaleProbe {
       // token occurrence — NO vocabulary join, so the salted vocab's
       // 30× growth costs nothing extra); the fold is one partial-agged
       // groupBy(doc_id) — wall must track token occurrences
-      "v14_colbert_maxsim"   -> (operators.Similarity.colbertMaxsim(_, _)))
+      "v14_colbert_maxsim"   -> (operators.Similarity.colbertMaxsim(_, _)),
+      // t11b: search over the PRE-landed inverted index (landing bills
+      // to rep 1, min-over-reps reports the warm probe) — the salted
+      // corpus's query terms live in constant-count bucket dirs, so
+      // probe wall must track the terms' posting sizes, NOT the
+      // corpus/vocabulary (contrast with t11's two full scans)
+      "t11b_search_indexed"  -> ((s, d) => {
+        val idx = bm25PathFor(d)
+        if (!new java.io.File(idx).exists())
+          operators.TextOps.materializeBm25Index(s, d, idx)
+        operators.TextOps.bm25OverIndex(s, idx, operators.TextOps.Bm25Terms, 10)
+      }))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

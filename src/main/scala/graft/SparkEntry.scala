@@ -289,6 +289,9 @@ object SparkEntry {
     // whole per-term weight ONE integral division; tf from array
     // filter/size (no explode), stats one broadcast row
     "t11_bm25_rank"           -> ((s, d) => TextOps.bm25Rank(s, d)),
+    // t11b: BM25 over the LANDED inverted index — query reads only its
+    // terms' bucket dirs (partition-pruned); t11's oracle verbatim
+    "t11b_bm25_indexed"       -> ((s, d) => TextOps.bm25IndexedTopK(s, d)),
     // v13: hybrid retrieval — v4's semantic page + t11's lexical page
     // fused by reciprocal-rank fusion in exact integers (lcm(61..70)
     // vote units)
@@ -631,6 +634,15 @@ object SparkEntry {
            $scoreSum AS score_milli
            FROM bmd CROSS JOIN bmstats)"""
   }
+
+  /** The t11/t11b page SQL: top-10 matching docs by integer BM25. */
+  private lazy val bm25PageSql: String =
+    s"""WITH $bm25Ctes
+         SELECT doc_id, lang, score_milli FROM (
+           SELECT doc_id, lang, score_milli FROM bmscored
+           WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id"""
 
   /** t8: the BPE merge learner, unrolled — one (pairs → argmax →
     * framed replace) CTE stage per round, exactly the loop
@@ -1209,13 +1221,13 @@ object SparkEntry {
          WHERE cnt >= GREATEST(1, CAST(FLOOR(n / ${TextOps.HhSupportDiv}.0) AS BIGINT))
          ORDER BY cnt DESC, token""",
     // t11: BM25 page — scores are exact integers (see bm25Ctes), so
-    // the hash pins the full ranking arithmetic, not just membership
-    "t11_bm25_rank" ->
-      s"""WITH $bm25Ctes
-         SELECT doc_id, lang, score_milli FROM (
-           SELECT doc_id, lang, score_milli FROM bmscored
-           ORDER BY score_milli DESC, doc_id LIMIT 10) t
-         ORDER BY doc_id""",
+    // the hash pins the full ranking arithmetic, not just membership;
+    // retrieval ranks MATCHING docs only (score > 0)
+    "t11_bm25_rank" -> bm25PageSql,
+    // t11b: the landed-inverted-index path answers t11's oracle
+    // VERBATIM — hash equality proves the pruned-bucket probe serves
+    // exactly what the two-pass corpus scan serves
+    "t11b_bm25_indexed" -> bm25PageSql,
     // v13: RRF fusion of the v4 semantic page (stubSearchSql CTEs
     // verbatim) and the t11 lexical page; votes are exact integers
     // lcm(61..70)/(60+rank), 0 = not retrieved by that tier

@@ -557,6 +557,7 @@ object TextOps {
     import CacheOps.materializeAndRelease
     val (scored, cached) = bm25ScoredOf(docs, terms, persist = true)
     val page = scored
+      .filter(col("score_milli") > 0) // retrieval ranks MATCHING docs only
       .orderBy(desc("score_milli"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("lang"), col("score_milli"))
@@ -587,34 +588,142 @@ object TextOps {
         terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = base.agg(count(lit(1)).as("n"), aggs: _*)
-    // products are formed in DECIMAL(38,0): tf·T·N-shaped terms wrap
-    // BIGINT silently past ~10^18 tokens·docs (Spark long overflow is
-    // unchecked), and the scale probes multiply exactly those factors.
-    // `div` on decimals still yields BIGINT, so score_milli's type and
-    // the DuckDB oracle (whose BIGINT ops error loudly rather than
-    // wrap, exact at fixture scale) are unchanged.
-    def dec(c: Column) = c.cast("decimal(38,0)")
     val withParts = terms.indices.foldLeft(base.crossJoin(broadcast(stats))) {
       case (acc, i) =>
-        acc
-          .withColumn(s"num$i",
-            dec(lit(44000L)) * dec(tfc(i)) * dec(col("tot")) *
-              dec(lit(2L) * col("n") - lit(2L) * col(s"df$i") + lit(1L)))
-          .withColumn(s"den$i",
-            // greatest(…,1): an all-empty-text corpus has T=0 and dl=0,
-            // collapsing the true denominator to 0 alongside a 0
-            // numerator — pin the 0/0 to a 0 contribution, both engines
-            greatest(
-              dec(lit(2L) * col(s"df$i") + lit(1L)) *
-                (dec(lit(20L)) * dec(tfc(i)) * dec(col("tot")) +
-                  dec(lit(6L)) * dec(col("tot")) +
-                  dec(lit(18L)) * dec(col("dl")) * dec(col("n"))),
-              dec(lit(1L))))
+        val (num, den) =
+          bm25NumDen(tfc(i), col("dl"), col(s"df$i"), col("n"), col("tot"))
+        acc.withColumn(s"num$i", num).withColumn(s"den$i", den)
     }
     val scored = withParts
       .withColumn("score_milli",
         terms.indices.map(i => expr(s"num$i div den$i")).reduce(_ + _))
       .select(col("doc_id"), col("lang"), col("score_milli"))
     (scored, if (persist) Seq(base) else Seq.empty)
+  }
+
+  /** The one BM25 weight, as (numerator, denominator) column pair —
+    * shared by the wide scan form (t11, per-term columns) and the
+    * landed-index row form (t11b, one posting row per (doc, term)) so
+    * the two paths cannot drift. Products are formed in DECIMAL(38,0):
+    * tf·T·N-shaped terms wrap BIGINT silently past ~10^18 tokens·docs
+    * (Spark long overflow is unchecked), and the scale probes multiply
+    * exactly those factors; `div` on decimals still yields BIGINT.
+    * greatest(…,1) on the denominator pins the all-empty-corpus 0/0
+    * to a 0 contribution on both engines. */
+  private def bm25NumDen(tf: Column, dl: Column, df: Column,
+      n: Column, tot: Column): (Column, Column) = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = dec(lit(44000L)) * dec(tf) * dec(tot) *
+      dec(lit(2L) * n - lit(2L) * df + lit(1L))
+    val den = greatest(
+      dec(lit(2L) * df + lit(1L)) *
+        (dec(lit(20L)) * dec(tf) * dec(tot) + dec(lit(6L)) * dec(tot) +
+          dec(lit(18L)) * dec(dl) * dec(n)),
+      dec(lit(1L)))
+    (num, den)
+  }
+
+  /** T11b: BM25 over a LANDED inverted index — the repeated-query
+    * serving form (the v9 landed-IVF discipline applied to lexical
+    * search). [[materializeBm25Index]] lands three artifacts once per
+    * corpus: `postings/` (doc_id, tok, tf) PARTITIONED BY a constant
+    * 64-way token-hash bucket, `doclens/` (doc_id, lang, dl), and
+    * `stats/` (one row: n, tot). A query then reads ONLY its terms'
+    * bucket directories (partition pruning on the bucket column,
+    * plan-asserted) with the term equality pushed to the parquet scan
+    * — per-query cost tracks the query terms' posting sizes, never
+    * the corpus. Per-term df comes from the pruned posting rows
+    * themselves (COUNT DISTINCT doc_id — the same value t11 derives
+    * corpus-wide), the weight arithmetic is [[bm25NumDen]] verbatim,
+    * and per-doc scores SUM as integers (order-free). Answers to
+    * t11's oracle VERBATIM: hash equality proves the landed path
+    * serves exactly what the two-pass scan serves. */
+  def bm25IndexedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark, landBm25(spark, dir), Bm25Terms, k)
+
+  private[graft] val Bm25Buckets = 64
+
+  /** Land the inverted index + doc-length + stats tables. */
+  def materializeBm25Index(spark: SparkSession, dir: String, path: String): Unit =
+    materializeBm25IndexOf(documents(spark, dir), path)
+
+  private[graft] def materializeBm25IndexOf(docs: DataFrame, path: String): Unit = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      tokens(lower(col("text"))).as("w"))
+    base.select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    val lens = docs.sparkSession.read.parquet(s"$path/doclens")
+    lens.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(Bm25Buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** The bucket a term's postings land in — the driver-side twin of
+    * the materializer's `pmod(xxhash64(tok), B)` column (XxHash64 with
+    * Spark's default seed 42), so the probe can name its partition
+    * directories statically. */
+  private[graft] def bm25BucketOf(term: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)),
+      42L // the sql functions.xxhash64 default seed — must match the materializer
+    ).eval(null).asInstanceOf[Long]
+    ((h % Bm25Buckets) + Bm25Buckets) % Bm25Buckets
+  }
+
+  // explicit read schemas: an EMPTY corpus lands zero data files under
+  // postings/doclens, and schema inference over an empty dir throws —
+  // the schema is this module's contract anyway
+  private val bm25PostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, tok STRING, tf BIGINT, bucket BIGINT")
+  private val bm25DoclensSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, dl BIGINT")
+
+  private[graft] def bm25OverIndex(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val buckets = terms.map(bm25BucketOf).distinct
+    val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val dfs = postings.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val lens = spark.read.schema(bm25DoclensSchema).parquet(s"$path/doclens")
+    val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
+    val scored = postings
+      .join(broadcast(dfs), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .join(lens, Seq("doc_id")) // dl + lang for the matching docs only
+      .withColumn("bm_num", num).withColumn("bm_den", den)
+      .withColumn("s", expr("bm_num div bm_den"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("score_milli")) // integer sum — order-free
+    scored
+      .filter(col("score_milli") > 0)
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("score_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  // landing memo for the BM25 index — fingerprint discipline (a
+  // regenerated fixture under the same dir re-lands)
+  private val bm25Landed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def landBm25(spark: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.Tables.scratchDir.getOrElse(
+      System.getProperty("java.io.tmpdir")) + s"/graft_bm25_idx_$tag"
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
+    bm25Landed.compute(path, (_, cur) => {
+      if (cur != fp) materializeBm25Index(spark, dir, path)
+      fp
+    })
+    path
   }
 }

@@ -331,4 +331,26 @@ class PlanSpec extends SparkSpec {
       s"bm25 scoring must not hash-shuffle the corpus:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"page not take-ordered:\n$p")
   }
+
+  test("bm25 landed index (t11b): probe prunes to the terms' bucket dirs, term filter pushed") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_plan").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25Index(spark, sfDir, path)
+    val p = plan(TextOps.bm25OverIndex(spark, path, TextOps.Bm25Terms, 10))
+    // the postings scan must carry the bucket values as PARTITION
+    // filters (directory pruning) and the term equality as a pushed
+    // data filter — per-query IO tracks the terms' postings, not the
+    // corpus
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(scanLine.isDefined, s"no bucket partition filter on the postings scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(tok"),
+      s"term filter not pushed to the postings scan:\n$p")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(tmp)
+  }
 }

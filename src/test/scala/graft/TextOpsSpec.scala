@@ -382,6 +382,44 @@ class TextOpsSpec extends SparkSpec {
     assert(s3(0L) > s3(1L), s"no length penalty: $s3")
   }
 
+  test("bm25 indexed (t11b): landed-index probe equals the scan path on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"),
+      (2L, "beta beta beta beta beta beta beta beta", "fr"),
+      (3L, "delta epsilon zeta eta theta iota kappa", "en"),
+      (4L, "alpha beta", "de"),
+      (5L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_spec").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(docs, path)
+    // driver-side bucket twin == the materializer's bucket values
+    val landed = spark.read.parquet(s"$path/postings")
+      .select(col("tok"), col("bucket").cast("long")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    landed.foreach { case (tok, b) =>
+      assert(TextOps.bm25BucketOf(tok) === b, s"bucket twin diverged for '$tok'")
+    }
+    val viaIndex = TextOps.bm25OverIndex(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaScan = TextOps.bm25Of(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaIndex === viaScan, "indexed page diverged from scan page")
+    assert(viaIndex.nonEmpty)
+    // empty-corpus landing: probe returns an empty page, no crash
+    val emptyPath = tmp.getAbsolutePath + "/idx_empty"
+    TextOps.materializeBm25IndexOf(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"), emptyPath)
+    assert(TextOps.bm25OverIndex(spark, emptyPath, terms, 10).count() === 0)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(tmp)
+  }
+
   test("bm25 (t11): the gate page is the top-10 of the scored frame") {
     import graft.operators.TextOps
     val page = TextOps.bm25Rank(spark, sfDir01).collect()
