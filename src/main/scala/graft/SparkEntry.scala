@@ -292,6 +292,10 @@ object SparkEntry {
     // t11b: BM25 over the LANDED inverted index — query reads only its
     // terms' bucket dirs (partition-pruned); t11's oracle verbatim
     "t11b_bm25_indexed"       -> ((s, d) => TextOps.bm25IndexedTopK(s, d)),
+    // t11c: append-maintained index — day-2 docs land as new files
+    // inside the bucket dirs, stats partial-row appended; t11's oracle
+    // verbatim proves maintenance lossless
+    "t11c_incremental_postings" -> ((s, d) => TextOps.bm25IncrementalTopK(s, d)),
     // v13: hybrid retrieval — v4's semantic page + t11's lexical page
     // fused by reciprocal-rank fusion in exact integers (lcm(61..70)
     // vote units)
@@ -1228,6 +1232,9 @@ object SparkEntry {
     // VERBATIM — hash equality proves the pruned-bucket probe serves
     // exactly what the two-pass corpus scan serves
     "t11b_bm25_indexed" -> bm25PageSql,
+    // t11c: the append-maintained index answers the same oracle —
+    // hash equality proves day-2 maintenance lossless
+    "t11c_incremental_postings" -> bm25PageSql,
     // v13: RRF fusion of the v4 semantic page (stubSearchSql CTEs
     // verbatim) and the t11 lexical page; votes are exact integers
     // lcm(61..70)/(60+rank), 0 = not retrieved by that tier

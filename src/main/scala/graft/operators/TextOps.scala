@@ -647,20 +647,67 @@ object TextOps {
   def materializeBm25Index(spark: SparkSession, dir: String, path: String): Unit =
     materializeBm25IndexOf(documents(spark, dir), path)
 
-  private[graft] def materializeBm25IndexOf(docs: DataFrame, path: String): Unit = {
+  private[graft] def materializeBm25IndexOf(docs: DataFrame, path: String): Unit =
+    writeBm25Batch(docs, path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** T11c support: APPEND a document batch into a landed BM25 index —
+    * the day-2 maintenance that keeps lexical search serving while the
+    * corpus grows (the v9d discipline for the inverted index). The
+    * whole lifecycle is append-only: delta postings land as NEW files
+    * INSIDE the existing bucket directories (landed files never opened
+    * — byte-identity spec-asserted), delta doc-lengths append, and
+    * `stats/` is an append-only table of PARTIAL (n, tot) rows the
+    * probe SUMs — N and T are pure sums, so maintenance never rewrites
+    * a byte. Per-batch cost is |delta| tokenization + |delta| posting
+    * rows written, independent of index size. Because per-term df is
+    * recomputed from the probed postings at query time, the maintained
+    * index answers EXACTLY what a full rebuild answers. */
+  def bm25IndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit =
+    writeBm25Batch(delta, path, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeBm25Batch(docs: DataFrame, path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
     val base = docs.select(col("doc_id"), col("lang"),
       tokens(lower(col("text"))).as("w"))
     base.select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
-    val lens = docs.sparkSession.read.parquet(s"$path/doclens")
-    lens.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("tot"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/doclens")
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("tot"))
+      .write.mode(mode).parquet(s"$path/stats")
     base.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(Bm25Buckets.toLong)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** t11c's held-out delta — shared with the spec (the v9d split rule). */
+  private[graft] def bm25Holdout: Column = col("doc_id") % 5 === 4
+
+  // landing memo for the append-maintained index (t11c)
+  private val bm25IncrLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** T11c gate form: land the index from the corpus MINUS a held-out
+    * delta (every 5th doc), append the delta through
+    * [[bm25IndexAppend]], probe. Stats sum over the two partial rows
+    * and df recomputes from the merged postings, so the maintained
+    * index holds row-for-row what a full build holds — answers t11's
+    * oracle VERBATIM, hash equality proving append-maintenance
+    * lossless. */
+  def bm25IncrementalTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.Tables.scratchDir.getOrElse(
+      System.getProperty("java.io.tmpdir")) + s"/graft_bm25_incr_$tag"
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
+    bm25IncrLanded.compute(path, (_, cur) => {
+      if (cur != fp) {
+        val docs = documents(spark, dir)
+        materializeBm25IndexOf(docs.filter(!bm25Holdout), path)
+        bm25IndexAppend(spark, path, docs.filter(bm25Holdout))
+      }
+      fp
+    })
+    bm25OverIndex(spark, path, Bm25Terms, k)
   }
 
   /** The bucket a term's postings land in — the driver-side twin of
@@ -691,7 +738,11 @@ object TextOps {
     val buckets = terms.map(bm25BucketOf).distinct
     val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+    // stats/ is append-only (one PARTIAL row per landed batch — the
+    // t11c maintenance contract); N and T are their sums
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tot")), lit(0L)).as("tot"))
     val dfs = postings.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val lens = spark.read.schema(bm25DoclensSchema).parquet(s"$path/doclens")

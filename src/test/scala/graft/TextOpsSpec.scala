@@ -420,6 +420,56 @@ class TextOpsSpec extends SparkSpec {
     rm(tmp)
   }
 
+  test("bm25 append (t11c): landed files byte-identical, maintained index equals full build") {
+    import spark.implicits._
+    val batch1 = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"),
+      (2L, "beta beta beta beta beta beta beta beta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val batch2 = Seq(
+      (3L, "delta epsilon alpha", "en"),
+      (4L, "alpha beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_incr_spec").toFile
+    val maintained = tmp.getAbsolutePath + "/idx_m"
+    val rebuilt = tmp.getAbsolutePath + "/idx_r"
+    TextOps.materializeBm25IndexOf(batch1, maintained)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(maintained))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    TextOps.bm25IndexAppend(spark, maintained, batch2)
+    val after = files()
+    // append-only: every batch-1 file untouched, new files only
+    before.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"append rewrote a landed file: $p")
+    }
+    assert(after.size > before.size, "append landed no new files")
+    // the maintained index answers exactly what a full build answers
+    TextOps.materializeBm25IndexOf(batch1.unionByName(batch2), rebuilt)
+    val viaMaintained = TextOps.bm25OverIndex(spark, maintained, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaRebuilt = TextOps.bm25OverIndex(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaMaintained === viaRebuilt, "maintained index diverged from full rebuild")
+    assert(viaMaintained.nonEmpty)
+    // stats really is two partial rows summing to the union's totals
+    val statRows = spark.read.parquet(s"$maintained/stats").collect()
+    assert(statRows.length === 2, "append must add a partial stats row, not rewrite")
+    assert(statRows.map(_.getLong(0)).sum === 5L)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(tmp)
+  }
+
   test("bm25 (t11): the gate page is the top-10 of the scored frame") {
     import graft.operators.TextOps
     val page = TextOps.bm25Rank(spark, sfDir01).collect()
