@@ -587,13 +587,19 @@ object Similarity {
     * re-lands), per-key compute() lock serializing concurrent first
     * callers. One implementation so a landing-protocol fix can't drift
     * across the index families (round-9 review). */
-  private def landOnce(spark: SparkSession, dir: String, prefix: String,
-      memo: java.util.concurrent.ConcurrentHashMap[String, String])(
+  /** One landing per (scratch path, source fingerprint): re-lands when
+    * the fingerprinted source file changes, races resolved by the
+    * memo's compute lock. Shared across the ANN family (embeddings)
+    * and the lexical index family (TextOps passes documents.parquet) —
+    * one copy of the memo discipline, not three. */
+  private[operators] def landOnce(spark: SparkSession, dir: String, prefix: String,
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      source: String = "embeddings.parquet")(
       materialize: String => Unit): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = graft.Tables.scratchDir.getOrElse(
       System.getProperty("java.io.tmpdir")) + s"/${prefix}_$tag"
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/$source")
     memo.compute(path, (_, cur) => {
       if (cur != fp) materialize(path)
       fp
@@ -1074,6 +1080,10 @@ object Similarity {
   def hybridRrf(spark: SparkSession, dir: String,
       query: String = DefaultQuery, k: Int = 10): DataFrame = {
     import CacheOps.materializeAndRelease
+    // precondition: the lexical tier needs tokens to rank by — fail
+    // loudly rather than fusing a semantic page with a vacuous tier
+    require(TextOps.bm25TermsOf(query).nonEmpty,
+      "hybrid retrieval needs a query with at least one token")
     val docs = documents(spark, dir)
     val semTop = semanticScoredTop(docs, query, k).select(col("doc_id"), col("sim"))
     // rank windows run over ≤k rows (post-limit) — a single tiny

@@ -625,66 +625,134 @@ object TextOps {
 
   /** T11b: BM25 over a LANDED inverted index — the repeated-query
     * serving form (the v9 landed-IVF discipline applied to lexical
-    * search). [[materializeBm25Index]] lands three artifacts once per
-    * corpus: `postings/` (doc_id, tok, tf) PARTITIONED BY a constant
-    * 64-way token-hash bucket, `doclens/` (doc_id, lang, dl), and
-    * `stats/` (one row: n, tot). A query then reads ONLY its terms'
+    * search). [[materializeBm25Index]] lands two artifacts once per
+    * corpus: `postings/` (doc_id, tok, tf, dl, lang) PARTITIONED BY a
+    * constant 64-way token-hash bucket — doc length and lang are
+    * DENORMALIZED into the posting row (the classic search-engine
+    * layout) so a probe needs no corpus-sized doc-table join — and
+    * `stats/`, an append-only table of partial (n, tot) rows plus a
+    * `docids/` membership sidecar. A query reads ONLY its terms'
     * bucket directories (partition pruning on the bucket column,
     * plan-asserted) with the term equality pushed to the parquet scan
-    * — per-query cost tracks the query terms' posting sizes, never
-    * the corpus. Per-term df comes from the pruned posting rows
+    * — per-query IO tracks the query terms' posting sizes, never the
+    * corpus. Per-term df comes from the pruned posting rows
     * themselves (COUNT DISTINCT doc_id — the same value t11 derives
     * corpus-wide), the weight arithmetic is [[bm25NumDen]] verbatim,
     * and per-doc scores SUM as integers (order-free). Answers to
     * t11's oracle VERBATIM: hash equality proves the landed path
     * serves exactly what the two-pass scan serves. */
   def bm25IndexedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bm25OverIndex(spark, landBm25(spark, dir), Bm25Terms, k)
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_idx", bm25Landed,
+        source = "documents.parquet")(materializeBm25Index(spark, dir, _)),
+      Bm25Terms, k)
 
   private[graft] val Bm25Buckets = 64
 
-  /** Land the inverted index + doc-length + stats tables. */
+  /** Land the inverted index (postings + stats + docids). Clears any
+    * staging leftovers a crashed append may have abandoned. */
   def materializeBm25Index(spark: SparkSession, dir: String, path: String): Unit =
     materializeBm25IndexOf(documents(spark, dir), path)
 
-  private[graft] def materializeBm25IndexOf(docs: DataFrame, path: String): Unit =
-    writeBm25Batch(docs, path, org.apache.spark.sql.SaveMode.Overwrite)
+  private[graft] def materializeBm25IndexOf(docs: DataFrame, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("__append_staging"))
+        .foreach(s => fs.delete(s.getPath, true))
+    writeBm25Batch(docs, path)
+  }
 
   /** T11c support: APPEND a document batch into a landed BM25 index —
     * the day-2 maintenance that keeps lexical search serving while the
-    * corpus grows (the v9d discipline for the inverted index). The
-    * whole lifecycle is append-only: delta postings land as NEW files
-    * INSIDE the existing bucket directories (landed files never opened
-    * — byte-identity spec-asserted), delta doc-lengths append, and
-    * `stats/` is an append-only table of PARTIAL (n, tot) rows the
-    * probe SUMs — N and T are pure sums, so maintenance never rewrites
-    * a byte. Per-batch cost is |delta| tokenization + |delta| posting
-    * rows written, independent of index size. Because per-term df is
-    * recomputed from the probed postings at query time, the maintained
-    * index answers EXACTLY what a full rebuild answers. */
-  def bm25IndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit =
-    writeBm25Batch(delta, path, org.apache.spark.sql.SaveMode.Append)
+    * corpus grows (the v9d discipline for the inverted index).
+    * Stage-then-publish: the batch's postings/stats/docids are fully
+    * written under a per-writer staging dir FIRST (the slow part — a
+    * crash there leaves the live index untouched), then published as
+    * a bounded sequence of file renames into the live directories:
+    * landed files are never opened or rewritten (byte-identity
+    * spec-asserted), `stats/` gains one partial (n, tot) row the probe
+    * SUMs, and `docids/` gains the batch's membership rows. Documents
+    * already indexed are dropped from the batch (anti-join against the
+    * compact docids sidecar) so a retried batch cannot double-count —
+    * append is idempotent per document. A crash DURING publish can
+    * leave a partially-applied batch; that window is the same
+    * multi-directory rename seam RenameCommit documents, and recovery
+    * (re-land or drop the partial batch's files) is the redo-log
+    * boundary the CommitProtocol scaladoc records. Because per-term df
+    * is recomputed from the probed postings at query time, the
+    * maintained index answers EXACTLY what a full rebuild answers. */
+  def bm25IndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    // idempotence guard: drop already-indexed docs (retried batches).
+    // Plain anti join — docids is corpus-cardinality, never broadcast
+    val indexed = spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
+    val fresh = delta.join(indexed, Seq("doc_id"), "left_anti")
+    val staging = s"$path/__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    writeBm25Batch(fresh, staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try publishStaged(fs, staging, path)
+    finally { fs.delete(new org.apache.hadoop.fs.Path(staging), true); () }
+  }
 
-  private def writeBm25Batch(docs: DataFrame, path: String,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
-    val base = docs.select(col("doc_id"), col("lang"),
-      tokens(lower(col("text"))).as("w"))
-    base.select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("dl"))
-      .write.mode(mode).parquet(s"$path/doclens")
-    base.agg(count(lit(1)).as("n"),
-        coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("tot"))
-      .write.mode(mode).parquet(s"$path/stats")
-    base.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(Bm25Buckets.toLong)))
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+  /** Move every staged data file into its live directory (postings
+    * bucket dirs created as needed; part-file names are UUID-unique so
+    * renames cannot collide). docids moves LAST: its rows are the
+    * idempotence guard, so a crash earlier in publish re-runs the
+    * batch rather than silently skipping it. */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      staging: String, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def moveFiles(sub: String): Unit = {
+      val src = new Path(staging, sub)
+      if (fs.exists(src)) {
+        val files = fs.listStatus(src).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val dst = new Path(path, sub)
+        if (files.nonEmpty) fs.mkdirs(dst)
+        files.foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+      }
+    }
+    val postingsDir = new Path(staging, "postings")
+    val bucketDirs =
+      if (fs.exists(postingsDir))
+        fs.listStatus(postingsDir).filter(_.isDirectory).map(_.getPath.getName).toSeq
+      else Seq.empty
+    bucketDirs.foreach(b => moveFiles(s"postings/$b"))
+    moveFiles("stats")
+    moveFiles("docids")
+  }
+
+  /** Write one batch's index artifacts under `path` (a fresh dir: the
+    * materializer's live root or an appender's staging root). ONE
+    * tokenization pass — the base projection is persisted and feeds
+    * stats, docids, and postings. */
+  private def writeBm25Batch(docs: DataFrame, path: String): Unit = {
+    import CacheOps.shared
+    val base = shared(docs.select(col("doc_id"), col("lang"),
+      tokens(lower(col("text"))).as("w")))
+    try {
+      base.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("tot"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      base.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/docids")
+      base.select(col("doc_id"), col("lang"),
+          size(col("w")).cast("long").as("dl"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(Bm25Buckets.toLong)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    } finally { base.unpersist(true); () }
   }
 
   /** t11c's held-out delta — shared with the spec (the v9d split rule). */
   private[graft] def bm25Holdout: Column = col("doc_id") % 5 === 4
 
-  // landing memo for the append-maintained index (t11c)
+  // landing memos — fingerprint discipline via Similarity.landOnce (a
+  // regenerated fixture under the same dir re-lands)
+  private val bm25Landed = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val bm25IncrLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** T11c gate form: land the index from the corpus MINUS a held-out
@@ -694,21 +762,15 @@ object TextOps {
     * index holds row-for-row what a full build holds — answers t11's
     * oracle VERBATIM, hash equality proving append-maintenance
     * lossless. */
-  def bm25IncrementalTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = graft.Tables.scratchDir.getOrElse(
-      System.getProperty("java.io.tmpdir")) + s"/graft_bm25_incr_$tag"
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    bm25IncrLanded.compute(path, (_, cur) => {
-      if (cur != fp) {
+  def bm25IncrementalTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_incr", bm25IncrLanded,
+        source = "documents.parquet") { p =>
         val docs = documents(spark, dir)
-        materializeBm25IndexOf(docs.filter(!bm25Holdout), path)
-        bm25IndexAppend(spark, path, docs.filter(bm25Holdout))
-      }
-      fp
-    })
-    bm25OverIndex(spark, path, Bm25Terms, k)
-  }
+        materializeBm25IndexOf(docs.filter(!bm25Holdout), p)
+        bm25IndexAppend(spark, p, docs.filter(bm25Holdout))
+      },
+      Bm25Terms, k)
 
   /** The bucket a term's postings land in — the driver-side twin of
     * the materializer's `pmod(xxhash64(tok), B)` column (XxHash64 with
@@ -724,13 +786,13 @@ object TextOps {
     ((h % Bm25Buckets) + Bm25Buckets) % Bm25Buckets
   }
 
-  // explicit read schemas: an EMPTY corpus lands zero data files under
-  // postings/doclens, and schema inference over an empty dir throws —
-  // the schema is this module's contract anyway
+  // explicit read schemas: an EMPTY corpus lands zero data files, and
+  // schema inference over an empty dir throws — the schema is this
+  // module's contract anyway
   private val bm25PostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT, tok STRING, tf BIGINT, bucket BIGINT")
-  private val bm25DoclensSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT, lang STRING, dl BIGINT")
+    "doc_id BIGINT, lang STRING, dl BIGINT, tok STRING, tf BIGINT, bucket BIGINT")
+  private val bm25DocidsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT")
 
   private[graft] def bm25OverIndex(spark: SparkSession, path: String,
       terms: Seq[String], k: Int): DataFrame = {
@@ -745,12 +807,10 @@ object TextOps {
         coalesce(sum(col("tot")), lit(0L)).as("tot"))
     val dfs = postings.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val lens = spark.read.schema(bm25DoclensSchema).parquet(s"$path/doclens")
     val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
-    val scored = postings
+    val scored = postings // dl + lang ride the posting row — no doc-table join
       .join(broadcast(dfs), Seq("tok"))
       .crossJoin(broadcast(stats))
-      .join(lens, Seq("doc_id")) // dl + lang for the matching docs only
       .withColumn("bm_num", num).withColumn("bm_den", den)
       .withColumn("s", expr("bm_num div bm_den"))
       .groupBy(col("doc_id"), col("lang"))
@@ -760,21 +820,5 @@ object TextOps {
       .orderBy(desc("score_milli"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("lang"), col("score_milli"))
       .orderBy(col("doc_id"))
-  }
-
-  // landing memo for the BM25 index — fingerprint discipline (a
-  // regenerated fixture under the same dir re-lands)
-  private val bm25Landed = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def landBm25(spark: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = graft.Tables.scratchDir.getOrElse(
-      System.getProperty("java.io.tmpdir")) + s"/graft_bm25_idx_$tag"
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    bm25Landed.compute(path, (_, cur) => {
-      if (cur != fp) materializeBm25Index(spark, dir, path)
-      fp
-    })
-    path
   }
 }

@@ -464,21 +464,31 @@ class TextOpsSpec extends SparkSpec {
     val statRows = spark.read.parquet(s"$maintained/stats").collect()
     assert(statRows.length === 2, "append must add a partial stats row, not rewrite")
     assert(statRows.map(_.getLong(0)).sum === 5L)
+    // idempotence guard: re-appending an already-indexed batch is a
+    // no-op — the docids anti-join drops every doc, scores unchanged
+    TextOps.bm25IndexAppend(spark, maintained, batch2)
+    val afterRetry = TextOps.bm25OverIndex(spark, maintained, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(afterRetry === viaMaintained, "retried batch double-counted")
+    val nSum = spark.read.parquet(s"$maintained/stats").collect().map(_.getLong(0)).sum
+    assert(nSum === 5L, "retried batch inflated N")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }
     rm(tmp)
   }
 
-  test("bm25 (t11): the gate page is the top-10 of the scored frame") {
+  test("bm25 (t11): the gate page is the top-10 of the POSITIVE-score frame") {
     import graft.operators.TextOps
     val page = TextOps.bm25Rank(spark, sfDir01).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
-    assert(page.length === 10)
-    val (full, cached) = TextOps.bm25ScoredOf(
+    val (full, _) = TextOps.bm25ScoredOf(
       Tables.documents(spark, sfDir01), TextOps.Bm25Terms)
+    // retrieval ranks MATCHING docs only — mirror the >0 filter
     val expect = full.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._2 > 0L)
       .sortBy { case (id, sc) => (-sc, id) }.take(10).sortBy(_._1)
+    assert(expect.length === 10, "fixture must have >=10 matching docs")
     assert(page.toSeq === expect.toSeq)
   }
 }
