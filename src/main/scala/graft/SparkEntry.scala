@@ -292,6 +292,10 @@ object SparkEntry {
     // t11b: BM25 over the LANDED inverted index — query reads only its
     // terms' bucket dirs (partition-pruned); t11's oracle verbatim
     "t11b_bm25_indexed"       -> ((s, d) => TextOps.bm25IndexedTopK(s, d)),
+    // t11d: faceted search — hits + facet counts from one matching set
+    "t11d_faceted_search"     -> ((s, d) => TextOps.bm25Faceted(s, d)),
+    // v13b: hybrid fusion with the lexical tier from the landed index
+    "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
     // inside the bucket dirs, stats partial-row appended; t11's oracle
     // verbatim proves maintenance lossless
@@ -624,9 +628,9 @@ object SparkEntry {
              // GREATEST((2*df$i + 1) * (20 * tf$i * tot + 6 * tot + 18 * dl * n), 1)""")
       .mkString("\n           + ")
     s"""bmt AS (
-           SELECT doc_id, lang, $toksSql AS w FROM documents),
+           SELECT doc_id, lang, source, $toksSql AS w FROM documents),
          bmd AS (
-           SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS dl,
+           SELECT doc_id, lang, source, CAST(len(w) AS BIGINT) AS dl,
            $tfCols
            FROM bmt),
          bmstats AS (
@@ -634,10 +638,36 @@ object SparkEntry {
            $dfCols
            FROM bmd),
          bmscored AS (
-           SELECT doc_id, lang,
+           SELECT doc_id, lang, source,
            $scoreSum AS score_milli
            FROM bmd CROSS JOIN bmstats)"""
   }
+
+  /** The v13/v13b fusion SQL — the indexed hybrid answers it verbatim. */
+  private lazy val oracleSqlOfV13: String =
+    s"""${stubSearchSql(operators.Similarity.DefaultQuery, 10)},
+         $bm25Ctes,
+         sem AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS r_sem
+           FROM hits),
+         lexp AS (
+           SELECT doc_id, score_milli FROM bmscored WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10),
+         lex AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS INTEGER) AS r_lex
+           FROM lexp),
+         fused AS (
+           SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+             CAST(COALESCE(r_sem, 0) AS INTEGER) AS r_sem,
+             CAST(COALESCE(r_lex, 0) AS INTEGER) AS r_lex,
+             COALESCE(${operators.Similarity.RrfLcm} // (60 + r_sem), 0)
+               + COALESCE(${operators.Similarity.RrfLcm} // (60 + r_lex), 0) AS rrf_units
+           FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id)
+         SELECT doc_id, r_sem, r_lex, CAST(rrf_units AS BIGINT) AS rrf_units FROM (
+           SELECT * FROM fused ORDER BY rrf_units DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id"""
 
   /** The t11/t11b page SQL: top-10 matching docs by integer BM25. */
   private lazy val bm25PageSql: String =
@@ -1235,33 +1265,29 @@ object SparkEntry {
     // t11c: the append-maintained index answers the same oracle —
     // hash equality proves day-2 maintenance lossless
     "t11c_incremental_postings" -> bm25PageSql,
+    // t11d: hits + facet counts from ONE matching-set frame; tagged
+    // union rendered null-free (variant fields as strings, '' absent)
+    "t11d_faceted_search" ->
+      s"""WITH $bm25Ctes,
+         bmm AS (SELECT * FROM bmscored WHERE score_milli > 0),
+         bmhits AS (
+           SELECT doc_id, score_milli FROM bmm
+           ORDER BY score_milli DESC, doc_id LIMIT 10),
+         bmfl AS (SELECT lang AS key, COUNT(*) AS n FROM bmm GROUP BY lang),
+         bmfs AS (SELECT source AS key, COUNT(*) AS n FROM bmm GROUP BY source)
+         SELECT kind, key, doc_id, n, score_milli FROM (
+           SELECT 'hit' AS kind, '' AS key, CAST(doc_id AS VARCHAR) AS doc_id,
+             '' AS n, CAST(score_milli AS VARCHAR) AS score_milli FROM bmhits
+           UNION ALL SELECT 'facet_lang', key, '', CAST(n AS VARCHAR), '' FROM bmfl
+           UNION ALL SELECT 'facet_source', key, '', CAST(n AS VARCHAR), '' FROM bmfs) u
+         ORDER BY kind, key, doc_id""",
+    // v13b: fusion with the lexical page served from the landed index
+    // — answers v13's oracle verbatim
+    "v13b_hybrid_indexed" -> oracleSqlOfV13,
     // v13: RRF fusion of the v4 semantic page (stubSearchSql CTEs
     // verbatim) and the t11 lexical page; votes are exact integers
     // lcm(61..70)/(60+rank), 0 = not retrieved by that tier
-    "v13_hybrid_rrf" ->
-      s"""${stubSearchSql(operators.Similarity.DefaultQuery, 10)},
-         $bm25Ctes,
-         sem AS (
-           SELECT doc_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS r_sem
-           FROM hits),
-         lexp AS (
-           SELECT doc_id, score_milli FROM bmscored WHERE score_milli > 0
-           ORDER BY score_milli DESC, doc_id LIMIT 10),
-         lex AS (
-           SELECT doc_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS INTEGER) AS r_lex
-           FROM lexp),
-         fused AS (
-           SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
-             CAST(COALESCE(r_sem, 0) AS INTEGER) AS r_sem,
-             CAST(COALESCE(r_lex, 0) AS INTEGER) AS r_lex,
-             COALESCE(${operators.Similarity.RrfLcm} // (60 + r_sem), 0)
-               + COALESCE(${operators.Similarity.RrfLcm} // (60 + r_lex), 0) AS rrf_units
-           FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id)
-         SELECT doc_id, r_sem, r_lex, CAST(rrf_units AS BIGINT) AS rrf_units FROM (
-           SELECT * FROM fused ORDER BY rrf_units DESC, doc_id LIMIT 10) t
-         ORDER BY doc_id""",
+    "v13_hybrid_rrf" -> oracleSqlOfV13,
     // v14: per-token stub vectors (the key-generalized stubVec CTEs),
     // MaxSim = fixed-order sum of per-term maxima — the CASE list is
     // in the Spark plan's m0..mN order, so the double chain matches

@@ -1096,9 +1096,36 @@ object Similarity {
       .filter(col("score_milli") > 0) // a tier only votes for docs it matched
       .orderBy(desc("score_milli"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("score_milli"))
-    val lex = lexTop.select(col("doc_id"),
+    materializeAndRelease(fuseRrf(sem, lexTop, k), cached: _*)
+  }
+
+  /** V13b: the same fusion with the LEXICAL tier served from the
+    * landed inverted index (t11b's bucket-pruned probe) — the
+    * production serving composition: one page from the stub-embedder
+    * scan, one from posting-bucket reads, fused in exact vote units.
+    * Answers v13's oracle VERBATIM — hash equality proves the landed
+    * lexical tier drops into the fusion unchanged. */
+  def hybridRrfIndexed(spark: SparkSession, dir: String,
+      query: String = DefaultQuery, k: Int = 10): DataFrame = {
+    val terms = TextOps.bm25TermsOf(query)
+    require(terms.nonEmpty,
+      "hybrid retrieval needs a query with at least one token")
+    val semTop = semanticScoredTop(documents(spark, dir), query, k)
+      .select(col("doc_id"), col("sim"))
+    val sem = semTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("sim"), col("doc_id"))).as("r_sem"))
+    val lexPage = TextOps.bm25IndexedPage(spark, dir, terms, k)
+      .select(col("doc_id"), col("score_milli"))
+    fuseRrf(sem, lexPage, k)
+  }
+
+  /** RRF fusion of a ranked semantic frame (doc_id, r_sem) with a
+    * lexical page (doc_id, score_milli, ≤k rows, matching docs only)
+    * — shared by the scan-path (v13) and indexed (v13b) hybrids. */
+  private def fuseRrf(sem: DataFrame, lexPage: DataFrame, k: Int): DataFrame = {
+    val lex = lexPage.select(col("doc_id"),
       row_number().over(Window.orderBy(desc("score_milli"), col("doc_id"))).as("r_lex"))
-    val fused = sem.join(lex, Seq("doc_id"), "full_outer")
+    sem.join(lex, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("r_sem"), lit(0)).as("r_sem"),
         coalesce(col("r_lex"), lit(0)).as("r_lex"),
@@ -1106,7 +1133,6 @@ object Similarity {
           coalesce(expr(s"$RrfLcm div (60 + r_lex)"), lit(0L))).as("rrf_units"))
       .orderBy(desc("rrf_units"), col("doc_id")).limit(k)
       .orderBy(col("doc_id"))
-    materializeAndRelease(fused, cached: _*)
   }
 
   /** V14: late-interaction multi-vector retrieval — ColBERT's MaxSim

@@ -572,13 +572,14 @@ object TextOps {
     * convention): the base projection is consumed twice (stats pass +
     * score pass). persist=false keeps the plan lazy for PlanSpec. */
   private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String],
-      persist: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+      persist: Boolean = false, extra: Seq[String] = Nil): (DataFrame, Seq[DataFrame]) = {
     import CacheOps.shared
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val toks = tokens(col("text"))
     def tfc(i: Int) = col(s"tf$i").cast("long")
     val base0 = docs.select(
-      col("doc_id") +: col("lang") +: size(toks).cast("long").as("dl") +:
+      col("doc_id") +: col("lang") +: (extra.map(col) :+
+        size(toks).cast("long").as("dl")) ++:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => lower(x) === lit(t))).as(s"tf$i")
         }: _*)
@@ -597,8 +598,46 @@ object TextOps {
     val scored = withParts
       .withColumn("score_milli",
         terms.indices.map(i => expr(s"num$i div den$i")).reduce(_ + _))
-      .select(col("doc_id"), col("lang"), col("score_milli"))
+      .select(col("doc_id") +: col("lang") +: extra.map(col) :+
+        col("score_milli"): _*)
     (scored, if (persist) Seq(base) else Seq.empty)
+  }
+
+  /** T11d: faceted search — the full search-RESPONSE shape (top-k
+    * hits PLUS per-facet match counts, the sidebar every search UI
+    * shows) computed from ONE matching-set frame: the t11 scored
+    * frame filters to matches once (persisted), then the hit page and
+    * the lang/source facet rollups all read it — no second corpus
+    * pass per facet. Output is a tagged union (kind ∈ hit /
+    * facet_lang / facet_source) with the variant-specific fields
+    * rendered as strings and absent fields as '' so the frame stays
+    * single-schema and null-free (cross-engine rendering of nullable
+    * ints diverges). At scale the facet rollups are partial-agged
+    * counts over the matching set — bounded by matches, not corpus. */
+  def bm25Faceted(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25FacetedOf(documents(spark, dir), Bm25Terms, k)
+
+  private[graft] def bm25FacetedOf(docs: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val (scored, cached) = bm25ScoredOf(docs, terms, persist = true,
+      extra = Seq("source"))
+    val matching = shared(scored.filter(col("score_milli") > 0))
+    val hits = matching
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(lit("hit").as("kind"), lit("").as("key"),
+        col("doc_id").cast("string").as("doc_id"), lit("").as("n"),
+        col("score_milli").cast("string").as("score_milli"))
+    def facet(kind: String, c: String) = matching
+      .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .select(lit(kind).as("kind"), col(c).as("key"),
+        lit("").as("doc_id"), col("cnt").cast("string").as("n"),
+        lit("").as("score_milli"))
+    val result = hits
+      .unionByName(facet("facet_lang", "lang"))
+      .unionByName(facet("facet_source", "source"))
+      .orderBy(col("kind"), col("key"), col("doc_id"))
+    materializeAndRelease(result, cached :+ matching: _*)
   }
 
   /** The one BM25 weight, as (numerator, denominator) column pair —
@@ -642,10 +681,16 @@ object TextOps {
     * t11's oracle VERBATIM: hash equality proves the landed path
     * serves exactly what the two-pass scan serves. */
   def bm25IndexedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25IndexedPage(spark, dir, Bm25Terms, k)
+
+  /** The landed-index page for arbitrary terms — also v13b's lexical
+    * tier (the hybrid fusion over the landed index). */
+  private[operators] def bm25IndexedPage(spark: SparkSession, dir: String,
+      terms: Seq[String], k: Int): DataFrame =
     bm25OverIndex(spark,
       Similarity.landOnce(spark, dir, "graft_bm25_idx", bm25Landed,
         source = "documents.parquet")(materializeBm25Index(spark, dir, _)),
-      Bm25Terms, k)
+      terms, k)
 
   private[graft] val Bm25Buckets = 64
 

@@ -876,6 +876,15 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.contains(4L), "tokenless doc has no token vectors, no row")
   }
 
+  test("hybrid rrf (v13b): the landed-index fusion equals the scan-path fusion row-for-row") {
+    val scan = Similarity.hybridRrf(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val indexed = Similarity.hybridRrfIndexed(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(indexed === scan, "landed lexical tier changed the fusion")
+    assert(indexed.nonEmpty)
+  }
+
   test("hybrid rrf (v13): a doc on both pages beats single-tier docs at equal ranks") {
     // pure vote arithmetic on the exact units — rank r in both tiers
     // always beats rank r in one tier, and even rank 1 in one tier

@@ -478,6 +478,28 @@ class TextOpsSpec extends SparkSpec {
     rm(tmp)
   }
 
+  test("faceted search (t11d): facets count the matching set, hits mirror the t11 page") {
+    import graft.operators.TextOps
+    val rows = TextOps.bm25Faceted(spark, sfDir01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    val hits = rows.filter(_._1 == "hit")
+    val page = TextOps.bm25Rank(spark, sfDir01).collect()
+      .map(r => (r.getLong(0).toString, r.getLong(2).toString)).toSet
+    assert(hits.map(h => (h._3, h._5)).toSet === page, "hit rows diverge from t11's page")
+    // facet counts recount the matching set exactly
+    val (scored, _) = TextOps.bm25ScoredOf(
+      Tables.documents(spark, sfDir01), TextOps.Bm25Terms, extra = Seq("source"))
+    val matching = scored.filter(col("score_milli") > 0)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = matching.groupBy(_._1).map { case (l, xs) => (l, xs.length.toString) }
+    val bySource = matching.groupBy(_._2).map { case (s, xs) => (s, xs.length.toString) }
+    assert(rows.filter(_._1 == "facet_lang").map(r => (r._2, r._4)).toMap === byLang)
+    assert(rows.filter(_._1 == "facet_source").map(r => (r._2, r._4)).toMap === bySource)
+    // facet totals both sum to |matching| — one set, three views
+    assert(byLang.values.map(_.toInt).sum === matching.length)
+  }
+
   test("bm25 (t11): the gate page is the top-10 of the POSITIVE-score frame") {
     import graft.operators.TextOps
     val page = TextOps.bm25Rank(spark, sfDir01).collect()
