@@ -1163,7 +1163,10 @@ object Similarity {
     val qtoks = TextOps.bm25TermsOf(query)
     require(qtoks.nonEmpty, "maxsim needs at least one query token")
     val spark = docs.sparkSession
-    val docToks = docs.select(col("doc_id"),
+    // lang rides the exploded frame and the groupBy key (functionally
+    // dependent on doc_id — same shuffle cardinality), so the page
+    // never needs a second corpus scan to re-attach it (round-9 review)
+    val docToks = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("tok"))
       .withColumn("tvec", graft.functions.StubEmbed(col("tok")))
     val qframe = {
@@ -1175,12 +1178,10 @@ object Similarity {
     }
     val scored = docToks.crossJoin(broadcast(qframe))
       .withColumn("cs", Vectors.cosine(col("tvec"), col("qvec")))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(maxCols.head, maxCols.tail: _*)
       .withColumn("sim", qtoks.indices.map(i => col(s"m$i")).reduce(_ + _))
-    val page = scored.orderBy(desc("sim"), col("doc_id")).limit(k)
-    docs.select(col("doc_id"), col("lang"))
-      .join(broadcast(page), Seq("doc_id"))
+    scored.orderBy(desc("sim"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("maxsim_r"))
       .orderBy(col("doc_id"))
   }

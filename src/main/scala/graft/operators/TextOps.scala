@@ -542,12 +542,14 @@ object TextOps {
   def bm25Rank(spark: SparkSession, dir: String): DataFrame =
     bm25Of(documents(spark, dir), Bm25Terms, 10)
 
-  /** Query-string → BM25 terms, tokenized exactly as
-    * [[Similarity.semanticSearch]] embeds the query — the hybrid
-    * fusion (v13) feeds BOTH tiers the same query string. */
+  /** Query-string → BM25 terms, tokenized exactly as [[tokens]]
+    * splits DOCUMENT text (Java \s+, which includes U+000B) — a query
+    * term can only ever match if it is producible as a doc token, so
+    * the query side must use the doc side's splitter, not StubEmbed's
+    * narrower class (round-9 review). */
   private[graft] def bm25TermsOf(query: String): Seq[String] =
     query.trim.toLowerCase(java.util.Locale.ROOT)
-      .split("[\\t\\n\\f\\r ]+").toSeq.filter(_.nonEmpty).distinct
+      .split("\\s+").toSeq.filter(_.nonEmpty).distinct
 
   /** The gate query's terms (the stub-retrieval DefaultQuery). */
   private[graft] val Bm25Terms: Seq[String] =
@@ -732,13 +734,31 @@ object TextOps {
     // idempotence guard: drop already-indexed docs (retried batches).
     // Plain anti join — docids is corpus-cardinality, never broadcast
     val indexed = spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
-    val fresh = delta.join(indexed, Seq("doc_id"), "left_anti")
-    val staging = s"$path/__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    writeBm25Batch(fresh, staging)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try publishStaged(fs, staging, path)
-    finally { fs.delete(new org.apache.hadoop.fs.Path(staging), true); () }
+    val fresh = delta.join(indexed, Seq("doc_id"), "left_anti").persist()
+    try {
+      // a fully-duplicate (retried) batch is a TRUE no-op — no junk
+      // (0,0) stats partial, no empty artifacts, no publish
+      if (!fresh.isEmpty) {
+        val staging =
+          s"$path/__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // failure while STAGING published nothing — clean up and rethrow
+        try writeBm25Batch(fresh, staging)
+        catch { case e: Throwable =>
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+          throw e
+        }
+        // failure while PUBLISHING must KEEP the staging dir: it is the
+        // redo copy (some files may already be live; re-staging the
+        // batch would duplicate them because docids publishes last) —
+        // recovery replays/drops the partial batch from the staged
+        // files, the redo-log boundary CommitProtocol documents
+        publishStaged(fs, staging, path)
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        ()
+      }
+    } finally { fresh.unpersist(true); () }
   }
 
   /** Move every staged data file into its live directory (postings
@@ -755,7 +775,14 @@ object TextOps {
         val files = fs.listStatus(src).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         val dst = new Path(path, sub)
         if (files.nonEmpty) fs.mkdirs(dst)
-        files.foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+        files.foreach { f =>
+          // Hadoop rename signals failure by RETURNING FALSE — an
+          // unchecked false here would silently drop posting files
+          // while docids still publishes (permanent under-scoring)
+          if (!fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"failed to publish staged file ${f.getPath} into $dst")
+        }
       }
     }
     val postingsDir = new Path(staging, "postings")

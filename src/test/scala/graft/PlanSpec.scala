@@ -348,9 +348,6 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.isDefined, s"no bucket partition filter on the postings scan:\n$p")
     assert(p.contains("PushedFilters") && p.contains("In(tok"),
       s"term filter not pushed to the postings scan:\n$p")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-    }
-    rm(tmp)
+    rmTree(tmp)
   }
 }

@@ -16,6 +16,14 @@ trait SparkSpec extends AnyFunSuite {
     .getOrElse("/root/testdata")
   val sfDir = s"$testDataRoot/sf0.001"
   val sfDir01 = s"$testDataRoot/sf0.01"
+
+  /** Recursive tree delete for temp fixtures — one copy for every
+    * suite (deleteOnExit only removes empty dirs). */
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+    f.delete(); ()
+  }
 }
 
 object SparkSpec {

@@ -414,10 +414,7 @@ class TextOpsSpec extends SparkSpec {
     TextOps.materializeBm25IndexOf(
       Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"), emptyPath)
     assert(TextOps.bm25OverIndex(spark, emptyPath, terms, 10).count() === 0)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-    }
-    rm(tmp)
+    rmTree(tmp)
   }
 
   test("bm25 append (t11c): landed files byte-identical, maintained index equals full build") {
@@ -472,10 +469,7 @@ class TextOpsSpec extends SparkSpec {
     assert(afterRetry === viaMaintained, "retried batch double-counted")
     val nSum = spark.read.parquet(s"$maintained/stats").collect().map(_.getLong(0)).sum
     assert(nSum === 5L, "retried batch inflated N")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-    }
-    rm(tmp)
+    rmTree(tmp)
   }
 
   test("faceted search (t11d): facets count the matching set, hits mirror the t11 page") {
