@@ -294,6 +294,10 @@ object SparkEntry {
     "t11b_bm25_indexed"       -> ((s, d) => TextOps.bm25IndexedTopK(s, d)),
     // t11d: faceted search — hits + facet counts from one matching set
     "t11d_faceted_search"     -> ((s, d) => TextOps.bm25Faceted(s, d)),
+    // t11e: takedown DELETE from the landed postings (bucket-scoped
+    // rewrite + negative stats partial + docids forget); oracle = the
+    // page over documents minus the doomed predicate
+    "t11e_deleted_postings"   -> ((s, d) => TextOps.bm25DeletedTopK(s, d)),
     // v13b: hybrid fusion with the lexical tier from the landed index
     "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
@@ -615,7 +619,11 @@ object SparkEntry {
     * every aggregate CAST to BIGINT so DuckDB's HUGEINT SUM never
     * reaches the output). Terms interpolated from the same constant
     * the Spark plan uses. */
-  private lazy val bm25Ctes: String = {
+  private lazy val bm25Ctes: String = bm25CtesOver("documents")
+
+  /** Base-relation-parametrized form: t11e passes a post-delete
+    * filtered base (the v9e oracle discipline). */
+  private def bm25CtesOver(rel: String): String = {
     val terms = operators.TextOps.Bm25Terms
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> lower(x) = '${t.replace("'", "''")}')) AS BIGINT) AS tf$i"
@@ -628,7 +636,7 @@ object SparkEntry {
              // GREATEST((2*df$i + 1) * (20 * tf$i * tot + 6 * tot + 18 * dl * n), 1)""")
       .mkString("\n           + ")
     s"""bmt AS (
-           SELECT doc_id, lang, source, $toksSql AS w FROM documents),
+           SELECT doc_id, lang, source, $toksSql AS w FROM $rel),
          bmd AS (
            SELECT doc_id, lang, source, CAST(len(w) AS BIGINT) AS dl,
            $tfCols
@@ -672,6 +680,17 @@ object SparkEntry {
   /** The t11/t11b page SQL: top-10 matching docs by integer BM25. */
   private lazy val bm25PageSql: String =
     s"""WITH $bm25Ctes
+         SELECT doc_id, lang, score_milli FROM (
+           SELECT doc_id, lang, score_milli FROM bmscored
+           WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id"""
+
+  /** t11e's oracle: the same page over the corpus MINUS the doomed
+    * predicate — what a rebuild-after-takedown would serve. */
+  private lazy val bm25DeletedPageSql: String =
+    s"""WITH bmbase AS (SELECT * FROM documents WHERE NOT (doc_id % 9 = 7)),
+         ${bm25CtesOver("bmbase")}
          SELECT doc_id, lang, score_milli FROM (
            SELECT doc_id, lang, score_milli FROM bmscored
            WHERE score_milli > 0
@@ -1265,6 +1284,9 @@ object SparkEntry {
     // t11c: the append-maintained index answers the same oracle —
     // hash equality proves day-2 maintenance lossless
     "t11c_incremental_postings" -> bm25PageSql,
+    // t11e: hash equality vs the filtered-corpus page proves the
+    // bucket-scoped delete ≡ rebuild-after-takedown
+    "t11e_deleted_postings" -> bm25DeletedPageSql,
     // t11d: hits + facet counts from ONE matching-set frame; tagged
     // union rendered null-free (variant fields as strings, '' absent)
     "t11d_faceted_search" ->

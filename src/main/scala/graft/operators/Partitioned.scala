@@ -21,6 +21,58 @@ import org.apache.spark.sql.functions._
   */
 object Partitioned {
 
+  /** Partition-scoped DELETE by key — the right-to-be-forgotten
+    * primitive shared by the landed indexes (v9e deletes vec_ids from
+    * IVF cells; t11e deletes doc_ids from posting buckets). A columnar
+    * (key, partition) probe names the affected partition directories
+    * (bounded driver list, ≤ partition count); ONLY those are scanned,
+    * rewritten without the doomed keys, staged, then swapped through
+    * the [[CommitProtocol]] seam — untouched partitions are never
+    * opened. A partition whose every row is doomed gets an EMPTY
+    * staged directory, so the publish swaps its live contents away
+    * INSIDE the commit seam (a post-commit delete would leave a crash
+    * window where the log says committed but the doomed rows still
+    * serve). Returns the affected partition values as strings. */
+  def deleteByKey(spark: SparkSession, tablePath: String, keyCol: String,
+      partCol: String, doomed: DataFrame,
+      commit: CommitProtocol = RenameCommit): Seq[String] = {
+    commit.begin(spark, tablePath)
+    val table = spark.read.parquet(tablePath)
+    val affected = table.join(broadcast(doomed), Seq(keyCol), "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affected.nonEmpty) {
+      val keyType = table.schema(partCol).dataType
+      val pred = affected.map(v => col(partCol) === lit(v).cast(keyType)).reduce(_ || _)
+      // unique per writer: concurrent committers (OptimisticLogCommit)
+      // must never share a staging dir (the mergeIntoPartitioned rule)
+      val staging =
+        s"${tablePath}__delete_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      table.filter(pred)
+        .join(broadcast(doomed), Seq(keyCol), "left_anti")
+        .repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // REPLACE-with-empty, staged: a fully-doomed partition has no
+      // rows in the staged write, so stage an empty dir for it — the
+      // publish rename then replaces the live dir with emptiness
+      affected.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(staging, s"$partCol=$v")
+        if (!fs.exists(p)) { fs.mkdirs(p); () }
+      }
+      // an aborted commit must not leak the staged copy (round-8
+      // ADVICE, same discipline as mergeIntoPartitioned)
+      try commit.commitPartitions(spark, staging, tablePath,
+        affected.map(v => s"$partCol=$v"))
+      catch { case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        throw e
+      }
+    }
+    affected
+  }
+
   /** Write `events` partitioned by event day. Partition column derives
     * from `ts` in-plan; dynamic overwrite replaces only the partitions
     * present in this batch — the idempotent incremental append

@@ -881,43 +881,8 @@ object Similarity {
     * log says committed but the doomed rows still serve — round-9
     * review). Returns the affected cell ids. */
   def ivfIndexDelete(spark: SparkSession, path: String, doomed: DataFrame,
-      commit: CommitProtocol = RenameCommit): Seq[String] = {
-    commit.begin(spark, path)
-    val idx = spark.read.parquet(path)
-    val affected = idx.join(broadcast(doomed), Seq("vec_id"), "left_semi")
-      .select(col("cent_id").cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    if (affected.nonEmpty) {
-      val keyType = idx.schema("cent_id").dataType
-      val pred = affected.map(v => col("cent_id") === lit(v).cast(keyType)).reduce(_ || _)
-      // unique per writer: concurrent committers (OptimisticLogCommit)
-      // must never share a staging dir (the mergeIntoPartitioned rule)
-      val staging =
-        s"${path}__delete_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      idx.filter(pred)
-        .join(broadcast(doomed), Seq("vec_id"), "left_anti")
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // REPLACE-with-empty, staged: a fully-doomed cell has no rows in
-      // the staged write, so stage an empty dir for it — the publish
-      // rename then replaces the live dir with emptiness atomically
-      affected.foreach { v =>
-        val p = new org.apache.hadoop.fs.Path(staging, s"cent_id=$v")
-        if (!fs.exists(p)) { fs.mkdirs(p); () }
-      }
-      // an aborted commit must not leak the staged copy (round-8
-      // ADVICE, same discipline as mergeIntoPartitioned)
-      try commit.commitPartitions(spark, staging, path,
-        affected.map(v => s"cent_id=$v"))
-      catch { case e: Throwable =>
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-        throw e
-      }
-    }
-    affected
-  }
+      commit: CommitProtocol = RenameCommit): Seq[String] =
+    Partitioned.deleteByKey(spark, path, "vec_id", "cent_id", doomed, commit)
 
   /** v9e gate form: land the FULL index, delete the doomed set through
     * [[ivfIndexDelete]], probe at nprobe=2. The oracle is v9b's probe

@@ -822,6 +822,79 @@ object TextOps {
   /** t11c's held-out delta — shared with the spec (the v9d split rule). */
   private[graft] def bm25Holdout: Column = col("doc_id") % 5 === 4
 
+  /** t11e's doomed set — every 9th doc (disjoint pattern from the
+    * holdout so the two maintenance gates compose). */
+  private[graft] def bm25Doomed: Column = col("doc_id") % 9 === 7
+
+  /** T11e: DELETE documents from the landed lexical index — takedown
+    * parity with the ANN tier (v9e). Three artifacts, three moves:
+    *  1. postings — [[Partitioned.deleteByKey]] (doc_id within bucket
+    *     partitions): only the buckets holding the doomed docs' rows
+    *     rewrite, through the CommitProtocol seam, untouched buckets
+    *     never opened (byte-identity spec-asserted);
+    *  2. stats — one NEGATIVE partial row (−n, −Σdl) appends; the
+    *     probe's SUM nets it out, so the stats lifecycle stays
+    *     append-only for growth AND shrinkage;
+    *  3. docids — rewritten minus the doomed ids (staged, then dir
+    *     swap): the idempotence guard must FORGET a removed doc so a
+    *     later re-add is possible (right-to-be-forgotten must not
+    *     block re-consent), spec-asserted by a delete→re-append round
+    *     trip.
+    * Steps publish in that order (serving data first); a crash between
+    * them leaves N/T briefly over-counted — the same multi-artifact
+    * maintenance seam the append documents, repaired by re-running the
+    * delete (every step is idempotent for the same doomed set).
+    * Because df recomputes from probed postings, the maintained index
+    * answers EXACTLY what a rebuild over the filtered corpus answers. */
+  def bm25IndexDelete(spark: SparkSession, path: String,
+      doomed: DataFrame): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // victims' accounting BEFORE the postings rewrite (dl rides the
+    // posting rows; membership comes from docids so token-less docs
+    // still count toward n)
+    val docids = spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
+    val member = docids.join(broadcast(doomed), Seq("doc_id"), "left_semi")
+    val nDel = member.count()
+    if (nDel > 0) {
+      val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
+      val totDel = postings.join(broadcast(doomed), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
+      Partitioned.deleteByKey(spark, s"$path/postings", "doc_id", "bucket", doomed)
+      import spark.implicits._
+      Seq((-nDel, -totDel)).toDF("n", "tot")
+        .write.mode("append").parquet(s"$path/stats")
+      // docids forgets the doomed ids: staged rewrite + dir swap (the
+      // table cannot overwrite itself while being read)
+      val staged = s"$path/__docids_rewrite_${java.util.UUID.randomUUID().toString.take(8)}"
+      docids.join(broadcast(doomed), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(staged)
+      fs.delete(new Path(s"$path/docids"), true)
+      if (!fs.rename(new Path(staged), new Path(s"$path/docids")))
+        throw new java.io.IOException(s"failed to swap rewritten docids into $path")
+    }
+    Seq(s"deleted=$nDel")
+  }
+
+  // landing memo for the delete-maintained index (t11e)
+  private val bm25DelLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** T11e gate form: land the FULL index, delete the doomed set,
+    * probe. The oracle is t11's page SQL over `documents` MINUS the
+    * doomed predicate — hash equality proves the surgical delete
+    * serves exactly what a rebuild over the filtered corpus serves. */
+  def bm25DeletedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_del", bm25DelLanded,
+        source = "documents.parquet") { p =>
+        materializeBm25Index(spark, dir, p)
+        bm25IndexDelete(spark, p,
+          documents(spark, dir).filter(bm25Doomed).select(col("doc_id")))
+        ()
+      },
+      Bm25Terms, k)
+
   // landing memos — fingerprint discipline via Similarity.landOnce (a
   // regenerated fixture under the same dir re-lands)
   private val bm25Landed = new java.util.concurrent.ConcurrentHashMap[String, String]()

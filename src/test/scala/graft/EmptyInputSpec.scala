@@ -119,6 +119,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bm25IndexedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25IncrementalTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25Faceted(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25DeletedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.hybridRrfIndexed(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)

@@ -472,6 +472,59 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("bm25 delete (t11e): bucket-scoped rewrite, accounting nets out, re-add possible") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"),
+      (2L, "beta beta beta beta beta beta beta beta", "fr"),
+      (3L, "delta epsilon zeta eta theta iota kappa", "en"),
+      (4L, "alpha beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_del_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(docs, idx)
+    val doomed = Seq(1L, 3L).toDF("doc_id")
+    TextOps.bm25IndexDelete(spark, idx, doomed)
+    // content equals a rebuild over the filtered corpus
+    val rebuilt = tmp.getAbsolutePath + "/idx_rebuilt"
+    TextOps.materializeBm25IndexOf(
+      docs.filter(!col("doc_id").isin(1L, 3L)), rebuilt)
+    val viaDeleted = TextOps.bm25OverIndex(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaRebuilt = TextOps.bm25OverIndex(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaDeleted === viaRebuilt, "delete diverged from filtered rebuild")
+    assert(viaDeleted.nonEmpty)
+    // accounting: initial partial + negative partial net to the 3
+    // survivors' totals
+    val stats = spark.read.parquet(s"$idx/stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stats.length === 2, "delete must append a negative partial, not rewrite")
+    assert(stats.map(_._1).sum === 3L)
+    assert(stats.map(_._2).sum === 4L + 8L + 2L, "netted token total wrong")
+    // no doomed doc_id anywhere in postings or docids
+    val leftIds = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(leftIds.intersect(Set(1L, 3L)).isEmpty, "doomed postings survived")
+    val memberIds = spark.read.parquet(s"$idx/docids")
+      .collect().map(_.getLong(0)).toSet
+    assert(memberIds === Set(0L, 2L, 4L), "docids must forget the doomed ids")
+    // right-to-be-forgotten must not block re-consent: the deleted doc
+    // re-appends and scores again
+    TextOps.bm25IndexAppend(spark, idx,
+      Seq((1L, "alpha alpha alpha alpha delta", "en")).toDF("doc_id", "text", "lang"))
+    val reAdded = TextOps.bm25OverIndex(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val fullAgain = TextOps.bm25OverIndex(spark, {
+      val p = tmp.getAbsolutePath + "/idx_full2"
+      TextOps.materializeBm25IndexOf(docs.filter(col("doc_id") =!= 3L), p); p
+    }, terms, 10).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(reAdded === fullAgain, "re-added doc does not score like a rebuild")
+    rmTree(tmp)
+  }
+
   test("faceted search (t11d): facets count the matching set, hits mirror the t11 page") {
     import graft.operators.TextOps
     val rows = TextOps.bm25Faceted(spark, sfDir01).collect()
