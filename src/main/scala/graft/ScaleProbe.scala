@@ -278,7 +278,13 @@ object ScaleProbe {
         if (!new java.io.File(idx).exists())
           operators.TextOps.materializeBm25Index(s, d, idx)
         operators.TextOps.bm25OverIndex(s, idx, operators.TextOps.Bm25Terms, 10)
-      }))
+      }),
+      // t11d: the facet rollups aggregate the MATCHING set (partial-
+      // agged), never the corpus; wall tracks the two scans like t11
+      "t11d_faceted_search"  -> (operators.TextOps.bm25Faceted(_, _)),
+      // v13b: embed scan (linear) + the landed lexical probe
+      // (posting-sized) + two ≤k-row fusion frames
+      "v13b_hybrid_indexed"  -> (operators.Similarity.hybridRrfIndexed(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
