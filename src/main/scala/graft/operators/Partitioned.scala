@@ -32,12 +32,17 @@ object Partitioned {
     * staged directory, so the publish swaps its live contents away
     * INSIDE the commit seam (a post-commit delete would leave a crash
     * window where the log says committed but the doomed rows still
-    * serve). Returns the affected partition values as strings. */
+    * serve). Returns the affected partition values as strings.
+    * `schema`: pass the table's contract schema when the directory can
+    * legitimately hold zero data files (schema inference over an empty
+    * dir throws — the bm25 postings lesson). */
   def deleteByKey(spark: SparkSession, tablePath: String, keyCol: String,
       partCol: String, doomed: DataFrame,
-      commit: CommitProtocol = RenameCommit): Seq[String] = {
+      commit: CommitProtocol = RenameCommit,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Seq[String] = {
     commit.begin(spark, tablePath)
-    val table = spark.read.parquet(tablePath)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val table = reader.parquet(tablePath)
     val affected = table.join(broadcast(doomed), Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
@@ -48,12 +53,18 @@ object Partitioned {
       // must never share a staging dir (the mergeIntoPartitioned rule)
       val staging =
         s"${tablePath}__delete_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      table.filter(pred)
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a failed STAGING write published nothing — clean up and rethrow
+      // (the same no-leak rule the commit path enforces below)
+      try table.filter(pred)
         .join(broadcast(doomed), Seq(keyCol), "left_anti")
         .repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(staging)
-      val fs = new org.apache.hadoop.fs.Path(tablePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      catch { case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        throw e
+      }
       // REPLACE-with-empty, staged: a fully-doomed partition has no
       // rows in the staged write, so stage an empty dir for it — the
       // publish rename then replaces the live dir with emptiness

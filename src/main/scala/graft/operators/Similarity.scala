@@ -1118,7 +1118,9 @@ object Similarity {
     * fixed-order double chain (m0+m1+…) — a plain sum-of-max over an
     * exploded frame would re-associate doubles shuffle-order-
     * dependently and break the cross-engine hash. Top-k is
-    * TakeOrderedAndProject; lang joins back onto the 10-row page. */
+    * TakeOrderedAndProject; lang rides the fold's group key (it is
+    * functionally dependent on doc_id), so the page needs no second
+    * corpus scan. */
   def colbertMaxsim(spark: SparkSession, dir: String,
       query: String = DefaultQuery, k: Int = 10): DataFrame =
     colbertMaxsimOf(documents(spark, dir), query, k)

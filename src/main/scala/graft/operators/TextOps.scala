@@ -706,8 +706,10 @@ object TextOps {
       .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(root))
-      fs.listStatus(root).filter(_.getPath.getName.startsWith("__append_staging"))
-        .foreach(s => fs.delete(s.getPath, true))
+      fs.listStatus(root).filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("__append_staging") || n.contains("__delete_staging")
+      }.foreach(s => fs.delete(s.getPath, true))
     writeBm25Batch(docs, path)
   }
 
@@ -731,10 +733,9 @@ object TextOps {
     * is recomputed from the probed postings at query time, the
     * maintained index answers EXACTLY what a full rebuild answers. */
   def bm25IndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    // idempotence guard: drop already-indexed docs (retried batches).
-    // Plain anti join — docids is corpus-cardinality, never broadcast
-    val indexed = spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
-    val fresh = delta.join(indexed, Seq("doc_id"), "left_anti").persist()
+    // idempotence guard: drop currently-live docs (retried batches).
+    // Plain anti join — the ledger is corpus-cardinality, never broadcast
+    val fresh = delta.join(bm25Members(spark, path), Seq("doc_id"), "left_anti").persist()
     try {
       // a fully-duplicate (retried) batch is a TRUE no-op — no junk
       // (0,0) stats partial, no empty artifacts, no publish
@@ -807,7 +808,7 @@ object TextOps {
       base.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("tot"))
         .write.mode("overwrite").parquet(s"$path/stats")
-      base.select(col("doc_id"))
+      base.select(col("doc_id"), lit(0).as("tomb"))
         .write.mode("overwrite").parquet(s"$path/docids")
       base.select(col("doc_id"), col("lang"),
           size(col("w")).cast("long").as("dl"), explode(col("w")).as("tok"))
@@ -822,8 +823,9 @@ object TextOps {
   /** t11c's held-out delta — shared with the spec (the v9d split rule). */
   private[graft] def bm25Holdout: Column = col("doc_id") % 5 === 4
 
-  /** t11e's doomed set — every 9th doc (disjoint pattern from the
-    * holdout so the two maintenance gates compose). */
+  /** t11e's doomed set — every 9th doc. (NOT disjoint from the t11c
+    * holdout — doc_id ≡ 34 mod 45 satisfies both; the two gates land
+    * SEPARATE index copies, so they never interact.) */
   private[graft] def bm25Doomed: Column = col("doc_id") % 9 === 7
 
   /** T11e: DELETE documents from the landed lexical index — takedown
@@ -835,46 +837,49 @@ object TextOps {
     *  2. stats — one NEGATIVE partial row (−n, −Σdl) appends; the
     *     probe's SUM nets it out, so the stats lifecycle stays
     *     append-only for growth AND shrinkage;
-    *  3. docids — rewritten minus the doomed ids (staged, then dir
-    *     swap): the idempotence guard must FORGET a removed doc so a
+    *  3. docids — one TOMBSTONE row per doomed member appends; the
+    *     ledger ([[bm25Members]]) then reads the doc as gone, so a
     *     later re-add is possible (right-to-be-forgotten must not
-    *     block re-consent), spec-asserted by a delete→re-append round
-    *     trip.
-    * Steps publish in that order (serving data first); a crash between
-    * them leaves N/T briefly over-counted — the same multi-artifact
-    * maintenance seam the append documents, repaired by re-running the
-    * delete (every step is idempotent for the same doomed set).
-    * Because df recomputes from probed postings, the maintained index
-    * answers EXACTLY what a rebuild over the filtered corpus answers. */
+    *     block re-consent — spec-asserted by a delete→re-append round
+    *     trip), and no mutable membership table ever needs a
+    *     delete-then-rename swap.
+    *
+    * Recovery contract, stated honestly: the three artifacts mutate in
+    * separate jobs (accounting is computed BEFORE any mutation, then
+    * postings → stats → tombstones), so a crash BETWEEN steps leaves
+    * the index transiently inconsistent (e.g. postings gone but stats
+    * not yet discounted). Re-running the SAME delete after the
+    * tombstones landed is a no-op (membership excludes the doomed
+    * set); after a mid-sequence crash the safe repair on plain parquet
+    * is RE-LANDING the index — exactly the redo-log boundary the
+    * CommitProtocol scaladoc records, which a table-format
+    * implementation lifts into its transaction log. Because df
+    * recomputes from probed postings, the completed delete answers
+    * EXACTLY what a rebuild over the filtered corpus answers. */
   def bm25IndexDelete(spark: SparkSession, path: String,
       doomed: DataFrame): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // victims' accounting BEFORE the postings rewrite (dl rides the
-    // posting rows; membership comes from docids so token-less docs
-    // still count toward n)
-    val docids = spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
-    val member = docids.join(broadcast(doomed), Seq("doc_id"), "left_semi")
-    val nDel = member.count()
-    if (nDel > 0) {
-      val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
-      val totDel = postings.join(broadcast(doomed), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("dl")).distinct()
-        .agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
-      Partitioned.deleteByKey(spark, s"$path/postings", "doc_id", "bucket", doomed)
-      import spark.implicits._
-      Seq((-nDel, -totDel)).toDF("n", "tot")
-        .write.mode("append").parquet(s"$path/stats")
-      // docids forgets the doomed ids: staged rewrite + dir swap (the
-      // table cannot overwrite itself while being read)
-      val staged = s"$path/__docids_rewrite_${java.util.UUID.randomUUID().toString.take(8)}"
-      docids.join(broadcast(doomed), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(staged)
-      fs.delete(new Path(s"$path/docids"), true)
-      if (!fs.rename(new Path(staged), new Path(s"$path/docids")))
-        throw new java.io.IOException(s"failed to swap rewritten docids into $path")
-    }
-    Seq(s"deleted=$nDel")
+    // victims' accounting BEFORE any mutation (dl rides the posting
+    // rows and is unrecoverable after the rewrite; membership comes
+    // from the ledger so token-less docs still count toward n)
+    val member = bm25Members(spark, path)
+      .join(broadcast(doomed), Seq("doc_id"), "left_semi").persist()
+    try {
+      val nDel = member.count()
+      if (nDel > 0) {
+        val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
+        val totDel = postings.join(broadcast(member), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("dl")).distinct()
+          .agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
+        Partitioned.deleteByKey(spark, s"$path/postings", "doc_id", "bucket",
+          member, schema = Some(bm25PostingsSchema))
+        import spark.implicits._
+        Seq((-nDel, -totDel)).toDF("n", "tot")
+          .write.mode("append").parquet(s"$path/stats")
+        member.select(col("doc_id"), lit(1).as("tomb"))
+          .write.mode("append").parquet(s"$path/docids")
+      }
+      Seq(s"deleted=$nDel")
+    } finally { member.unpersist(true); () }
   }
 
   // landing memo for the delete-maintained index (t11e)
@@ -937,7 +942,20 @@ object TextOps {
   private val bm25PostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, lang STRING, dl BIGINT, tok STRING, tf BIGINT, bucket BIGINT")
   private val bm25DocidsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT")
+    "doc_id BIGINT, tomb INT")
+
+  /** Current index membership from the append-only docids LEDGER:
+    * adds are (doc_id, 0) rows, takedowns append (doc_id, 1)
+    * tombstones — a doc is live iff adds > tombstones (operations
+    * alternate, so the difference is 0 or 1). Append-only membership
+    * is what removes the delete-then-rename window a mutable docids
+    * table would carry (a crash between delete and rename would lose
+    * the whole guard). */
+  private def bm25Members(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
+      .groupBy(col("doc_id"))
+      .agg(sum(lit(1) - col("tomb") * 2).as("live"))
+      .filter(col("live") > 0).select(col("doc_id"))
 
   private[graft] def bm25OverIndex(spark: SparkSession, path: String,
       terms: Seq[String], k: Int): DataFrame = {

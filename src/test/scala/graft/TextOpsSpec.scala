@@ -504,13 +504,26 @@ class TextOpsSpec extends SparkSpec {
     assert(stats.length === 2, "delete must append a negative partial, not rewrite")
     assert(stats.map(_._1).sum === 3L)
     assert(stats.map(_._2).sum === 4L + 8L + 2L, "netted token total wrong")
-    // no doomed doc_id anywhere in postings or docids
+    // no doomed doc_id in postings; the ledger reads them as gone via
+    // TOMBSTONES (append-only — the add rows are still there)
     val leftIds = spark.read.parquet(s"$idx/postings")
       .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
     assert(leftIds.intersect(Set(1L, 3L)).isEmpty, "doomed postings survived")
-    val memberIds = spark.read.parquet(s"$idx/docids")
-      .collect().map(_.getLong(0)).toSet
-    assert(memberIds === Set(0L, 2L, 4L), "docids must forget the doomed ids")
+    val ledger = spark.read.parquet(s"$idx/docids")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ledger.count(_._2 == 1) === 2, "delete must append one tombstone per doomed doc")
+    val live = ledger.groupBy(_._1).collect {
+      case (id, rows) if rows.count(_._2 == 0) > rows.count(_._2 == 1) => id
+    }.toSet
+    assert(live === Set(0L, 2L, 4L), "ledger must read doomed ids as gone")
+    // re-running the SAME delete is a no-op: membership excludes the
+    // doomed set, so no second tombstone or stats row appends
+    TextOps.bm25IndexDelete(spark, idx, doomed)
+    assert(spark.read.parquet(s"$idx/stats").count() === 2,
+      "retried delete must not append another stats partial")
+    assert(spark.read.parquet(s"$idx/docids")
+      .collect().count(_.getInt(1) == 1) === 2,
+      "retried delete must not append more tombstones")
     // right-to-be-forgotten must not block re-consent: the deleted doc
     // re-appends and scores again
     TextOps.bm25IndexAppend(spark, idx,
