@@ -298,6 +298,15 @@ object SparkEntry {
     // rewrite + negative stats partial + docids forget); oracle = the
     // page over documents minus the doomed predicate
     "t11e_deleted_postings"   -> ((s, d) => TextOps.bm25DeletedTopK(s, d)),
+    // t11f: full lifecycle (build − holdout, append, delete) then
+    // COMPACT — fragmented buckets fold to one file each, stats
+    // partials to one row, the ledger to its live set; t11e's oracle
+    // proves compaction changes no answer
+    "t11f_compacted_index"    -> ((s, d) => TextOps.bm25CompactedTopK(s, d)),
+    // st4: streaming ingestion into the landed index — micro-batches
+    // append through the t11c seam; t11's oracle verbatim proves the
+    // stream-maintained index equals a batch rebuild
+    "st4_streaming_index"     -> ((s, d) => TextOps.bm25StreamedTopK(s, d)),
     // v13b: hybrid fusion with the lexical tier from the landed index
     "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
@@ -1287,6 +1296,12 @@ object SparkEntry {
     // t11e: hash equality vs the filtered-corpus page proves the
     // bucket-scoped delete ≡ rebuild-after-takedown
     "t11e_deleted_postings" -> bm25DeletedPageSql,
+    // t11f: the compacted lifecycle answers the same filtered-corpus
+    // page — hash equality proves compaction is answer-preserving
+    "t11f_compacted_index" -> bm25DeletedPageSql,
+    // st4: the stream-maintained index answers the full-corpus page —
+    // hash equality proves micro-batched ingestion equals a rebuild
+    "st4_streaming_index" -> bm25PageSql,
     // t11d: hits + facet counts from ONE matching-set frame; tagged
     // union rendered null-free (variant fields as strings, '' absent)
     "t11d_faceted_search" ->

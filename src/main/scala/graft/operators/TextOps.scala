@@ -984,4 +984,141 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("score_milli"))
       .orderBy(col("doc_id"))
   }
+
+  /** T11f: COMPACT the landed lexical index — the maintenance verb
+    * that keeps the day-2 lifecycle serviceable. Every append (t11c)
+    * adds a file per touched posting bucket plus a stats partial and
+    * ledger rows; every delete (t11e) adds a negative partial and
+    * tombstones. Unbounded, that history is a real serving cost: probe
+    * IO grows with FILE COUNT (one task minimum per file, footer reads,
+    * tiny row groups) even when live data doesn't, and the membership
+    * anti-join pays the full ledger. Compaction folds the history out
+    * in three independently equivalence-preserving rewrites:
+    *
+    *  1. postings — [[Partitioned.compact]] (the s16b primitive, shared
+    *     verbatim): each fragmented bucket directory rewrites to ONE
+    *     file through the CommitProtocol seam; already-compact buckets
+    *     are never opened.
+    *  2. stats — the append-only partials (positive batch rows,
+    *     negative delete rows) collapse to ONE row holding their SUM —
+    *     exactly the value every probe computes, so the rewrite cannot
+    *     change an answer by construction.
+    *  3. docids — the ledger collapses to its LIVE set as plain add
+    *     rows (adds > tombstones ⇒ one (doc_id, 0) row): membership
+    *     and re-append semantics are unchanged, history is gone.
+    *
+    * Unlike the delete's multi-artifact seam, a crash BETWEEN these
+    * steps leaves a fully CONSISTENT index — each step alone preserves
+    * every answer — so compaction is always safe to re-run. Within
+    * steps 2-3 the artifact swap is retire-then-publish (live renamed
+    * aside, staged renamed in, retired copy deleted): a reader in the
+    * swap window can fail loudly on a briefly-absent directory but can
+    * never see half-new data; a table format lifts exactly this swap
+    * into its transaction log (the CommitProtocol boundary). At 100 TB
+    * this is the same background-maintenance story as s16b's
+    * small-file compaction — run it off the serving path on whatever
+    * cadence append/delete churn warrants.
+    *
+    * Returns the compacted posting-bucket values. */
+  def bm25IndexCompact(spark: SparkSession, path: String): Seq[String] = {
+    val buckets = Partitioned.compact(spark, s"$path/postings", "bucket")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tot")), lit(0L)).as("tot"))
+    swapArtifact(spark, s"$path/stats", stats)
+    swapArtifact(spark, s"$path/docids",
+      bm25Members(spark, path).withColumn("tomb", lit(0)))
+    buckets
+  }
+
+  /** Retire-then-publish swap of one unpartitioned index artifact:
+    * stage the replacement fully (reading the LIVE directory — the
+    * write materializes the plan before any rename), rename the live
+    * dir aside, rename the staged dir in, drop the retired copy. A
+    * failed publish restores the retired dir so the index stays
+    * servable; a failed staging write leaks nothing. */
+  private def swapArtifact(spark: SparkSession, dir: String,
+      replacement: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"${dir}__compact_staging_$tag"
+    try replacement.coalesce(1).write.mode("overwrite").parquet(staging)
+    catch { case e: Throwable =>
+      fs.delete(new Path(staging), true)
+      throw e
+    }
+    val live = new Path(dir)
+    val retired = new Path(s"${dir}__retired_$tag")
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new java.io.IOException(s"failed to retire $dir for compaction")
+    if (!fs.rename(new Path(staging), live)) {
+      fs.rename(retired, live) // restore: the index must stay servable
+      fs.delete(new Path(staging), true)
+      throw new java.io.IOException(s"failed to publish compacted $dir")
+    }
+    fs.delete(retired, true)
+    ()
+  }
+
+  // landing memo for the full-lifecycle compacted index (t11f)
+  private val bm25CptLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // landing memo for the stream-maintained index (st4)
+  private val bm25StreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** St4 gate form: the corpus minus the t11c holdout lands as the
+    * base index, the holdout arrives as TWO parquet files on a
+    * streaming file source, and [[graft.streaming.IndexStream]]
+    * drains them — one file per micro-batch — through the t11c append
+    * seam. The probe then answers t11's oracle VERBATIM: hash
+    * equality proves the stream-maintained index serves exactly what
+    * a batch rebuild over the full corpus serves, regardless of how
+    * the input was micro-batched. */
+  def bm25StreamedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_stream", bm25StreamLanded,
+        source = "documents.parquet") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a re-landing (regenerated fixture) must forget the previous
+        // stream's progress or the drained files would be skipped
+        fs.delete(new org.apache.hadoop.fs.Path(s"${p}_checkpoint"), true)
+        val docs = documents(spark, dir)
+        materializeBm25IndexOf(docs.filter(!bm25Holdout), p)
+        val incoming = s"${p}_incoming"
+        val hold = docs.filter(bm25Holdout)
+        // two single-file writes → two micro-batches at
+        // maxFilesPerTrigger=1 (deterministic batching; the final
+        // index is batching-invariant anyway)
+        hold.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(incoming)
+        hold.filter(col("doc_id") % 2 =!= 0)
+          .coalesce(1).write.mode("append").parquet(incoming)
+        val q = graft.streaming.IndexStream.bm25IndexIngest(
+          spark, incoming, p, s"${p}_checkpoint")
+        q.processAllAvailable()
+        q.stop()
+      },
+      Bm25Terms, k)
+
+  /** T11f gate form: run the FULL index lifecycle — build minus the
+    * t11c holdout, append the holdout, delete the t11e doomed set —
+    * then COMPACT, then probe. The oracle is t11e's (the page over the
+    * corpus minus the doomed predicate): hash equality proves the
+    * compacted index serves exactly what the uncompacted lifecycle
+    * serves, which t11c/t11e already prove equal to a rebuild. */
+  def bm25CompactedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_cpt", bm25CptLanded,
+        source = "documents.parquet") { p =>
+        val docs = documents(spark, dir)
+        materializeBm25IndexOf(docs.filter(!bm25Holdout), p)
+        bm25IndexAppend(spark, p, docs.filter(bm25Holdout))
+        bm25IndexDelete(spark, p,
+          docs.filter(bm25Doomed).select(col("doc_id")))
+        bm25IndexCompact(spark, p)
+        ()
+      },
+      Bm25Terms, k)
 }

@@ -120,6 +120,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bm25IncrementalTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25Faceted(spark, emptyDir).count() === 0)
     assert(TextOps.bm25DeletedTopK(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25CompactedTopK(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25StreamedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.hybridRrfIndexed(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)

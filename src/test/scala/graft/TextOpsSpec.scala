@@ -538,6 +538,67 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("bm25 compact (t11f): artifacts collapse, answers unchanged, ledger still forgets") {
+    import spark.implicits._
+    val batch1 = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"),
+      (2L, "beta beta beta beta beta beta beta beta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val batch2 = Seq(
+      (3L, "delta epsilon alpha", "en"),
+      (4L, "alpha beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_cpt_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    // full lifecycle: build, append, delete — the history compaction folds
+    TextOps.materializeBm25IndexOf(batch1, idx)
+    TextOps.bm25IndexAppend(spark, idx, batch2)
+    TextOps.bm25IndexDelete(spark, idx, Seq(1L).toDF("doc_id"))
+    val before = TextOps.bm25OverIndex(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val compacted = TextOps.bm25IndexCompact(spark, idx)
+    val after = TextOps.bm25OverIndex(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after === before, "compaction changed an answer")
+    assert(after.nonEmpty)
+    // postings: every bucket directory holds at most ONE data file
+    val bucketDirs = Option(new java.io.File(s"$idx/postings").listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val data = d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(data.length <= 1, s"bucket ${d.getName} still fragmented: ${data.length} files")
+    }
+    assert(compacted.nonEmpty, "the appended buckets were fragmented — compact must touch them")
+    // stats: the 3 partials (build, append, negative delete) fold to ONE
+    // row holding their sum — the 4 survivors' (n, Σdl)
+    val stats = spark.read.parquet(s"$idx/stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stats.toSeq === Seq((4L, 4L + 8L + 3L + 2L)), "stats must collapse to the netted row")
+    // docids: the ledger (5 adds + 1 tombstone) folds to the 4 live adds
+    val ledger = spark.read.parquet(s"$idx/docids")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ledger.forall(_._2 == 0), "compacted ledger must hold add rows only")
+    assert(ledger.map(_._1).toSet === Set(0L, 2L, 3L, 4L), "compacted ledger lost the live set")
+    // re-running compact on an already-compact index is a no-op on
+    // postings (nothing fragmented) and keeps answers
+    assert(TextOps.bm25IndexCompact(spark, idx).isEmpty)
+    // the compacted ledger still FORGETS: the deleted doc can re-append
+    // and scores like a rebuild (tombstone history gone, not membership)
+    TextOps.bm25IndexAppend(spark, idx,
+      Seq((1L, "alpha alpha alpha alpha delta", "en")).toDF("doc_id", "text", "lang"))
+    val reAdded = TextOps.bm25OverIndex(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val rebuilt = tmp.getAbsolutePath + "/idx_rebuilt"
+    TextOps.materializeBm25IndexOf(batch1.unionByName(batch2), rebuilt)
+    val viaRebuilt = TextOps.bm25OverIndex(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(reAdded === viaRebuilt, "re-append after compaction diverged from rebuild")
+    rmTree(tmp)
+  }
+
   test("faceted search (t11d): facets count the matching set, hits mirror the t11 page") {
     import graft.operators.TextOps
     val rows = TextOps.bm25Faceted(spark, sfDir01).collect()
