@@ -117,6 +117,9 @@ object ScaleProbe {
       s"$outRoot/q8_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
     def bm25PathFor(d: String): String =
       s"$outRoot/bm25_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    // fresh-id generation for the t11f maintenance-cycle probe: each
+    // rep's batch must be NEW to the ledger or the append no-ops
+    val compactEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d2_ngram_jaccard"     -> (operators.Dedup.ngramJaccardPairs(_, _)),
@@ -278,6 +281,28 @@ object ScaleProbe {
         if (!new java.io.File(idx).exists())
           operators.TextOps.materializeBm25Index(s, d, idx)
         operators.TextOps.bm25OverIndex(s, idx, operators.TextOps.Bm25Terms, 10)
+      }),
+      // t11f: one maintenance CYCLE over the landed index — each rep
+      // appends a constant 500-doc batch under fresh ids and then
+      // compacts. The batch's vocabulary lands in a CONSTANT bucket
+      // set (~26 of 64), so compact rewrites only those dirs — but
+      // each holds its share of the WHOLE corpus' postings, so the
+      // rewrite term grows linearly in corpus size while untouched
+      // buckets are never opened (PartitionedSpec's skip guarantee).
+      // Wall must stay bounded by (touched buckets' bytes + the
+      // constant append), never all-bucket corpus bytes
+      "t11f_compact_cycle"   -> ((s, d) => {
+        val idx = bm25PathFor(d) + "_cpt"
+        if (!new java.io.File(idx).exists())
+          operators.TextOps.materializeBm25Index(s, d, idx)
+        val shift = 1000000000L * compactEpoch.incrementAndGet()
+        val batch = Tables.documents(s, d)
+          .orderBy(col("doc_id")).limit(500)
+          .withColumn("doc_id", col("doc_id") + shift)
+        operators.TextOps.bm25IndexAppend(s, idx, batch)
+        val buckets = operators.TextOps.bm25IndexCompact(s, idx)
+        import s.implicits._
+        buckets.toDF("bucket")
       }),
       // t11d: the facet rollups aggregate the MATCHING set (partial-
       // agged), never the corpus; wall tracks the two scans like t11

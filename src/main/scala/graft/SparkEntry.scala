@@ -307,6 +307,10 @@ object SparkEntry {
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
     "st4_streaming_index"     -> ((s, d) => TextOps.bm25StreamedTopK(s, d)),
+    // t11h: batched multi-query BM25 — one pruned index probe serves
+    // three queries; per-term df shared, per-query WindowGroupLimit
+    // top-k; oracle = UNION ALL of the solo pages
+    "t11h_batch_queries"      -> ((s, d) => TextOps.bm25BatchTopK(s, d)),
     // v13b: hybrid fusion with the lexical tier from the landed index
     "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
@@ -631,9 +635,12 @@ object SparkEntry {
   private lazy val bm25Ctes: String = bm25CtesOver("documents")
 
   /** Base-relation-parametrized form: t11e passes a post-delete
-    * filtered base (the v9e oracle discipline). */
-  private def bm25CtesOver(rel: String): String = {
-    val terms = operators.TextOps.Bm25Terms
+    * filtered base (the v9e oracle discipline). `terms`/`tag` let
+    * t11h's batch oracle stack one independently-named CTE chain per
+    * query over the same corpus. */
+  private def bm25CtesOver(rel: String,
+      terms: Seq[String] = operators.TextOps.Bm25Terms,
+      tag: String = ""): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> lower(x) = '${t.replace("'", "''")}')) AS BIGINT) AS tf$i"
     }.mkString(",\n           ")
@@ -644,20 +651,40 @@ object SparkEntry {
       s"""(44000 * tf$i * tot * (2*n - 2*df$i + 1))
              // GREATEST((2*df$i + 1) * (20 * tf$i * tot + 6 * tot + 18 * dl * n), 1)""")
       .mkString("\n           + ")
-    s"""bmt AS (
+    s"""bmt$tag AS (
            SELECT doc_id, lang, source, $toksSql AS w FROM $rel),
-         bmd AS (
+         bmd$tag AS (
            SELECT doc_id, lang, source, CAST(len(w) AS BIGINT) AS dl,
            $tfCols
-           FROM bmt),
-         bmstats AS (
+           FROM bmt$tag),
+         bmstats$tag AS (
            SELECT COUNT(*) AS n, CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tot,
            $dfCols
-           FROM bmd),
-         bmscored AS (
+           FROM bmd$tag),
+         bmscored$tag AS (
            SELECT doc_id, lang, source,
            $scoreSum AS score_milli
-           FROM bmd CROSS JOIN bmstats)"""
+           FROM bmd$tag CROSS JOIN bmstats$tag)"""
+  }
+
+  /** t11h's oracle: each batch query's SOLO page (its own tagged CTE
+    * chain over the same corpus), UNION ALL'd under its query_id —
+    * hash equality proves the one-probe batch serves every query
+    * exactly what it would get alone. */
+  private lazy val bm25BatchPageSql: String = {
+    val chains = operators.TextOps.Bm25Queries.map { case (qid, q) =>
+      bm25CtesOver("documents", operators.TextOps.bm25TermsOf(q), s"_q$qid")
+    }.mkString(",\n         ")
+    val pages = operators.TextOps.Bm25Queries.map { case (qid, _) =>
+      s"""SELECT CAST($qid AS INTEGER) AS query_id, doc_id, lang, score_milli
+           FROM (SELECT doc_id, lang, score_milli FROM bmscored_q$qid
+                 WHERE score_milli > 0
+                 ORDER BY score_milli DESC, doc_id LIMIT 10) p$qid"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH $chains
+         SELECT query_id, doc_id, lang, score_milli FROM (
+           $pages) u
+         ORDER BY query_id, doc_id"""
   }
 
   /** The v13/v13b fusion SQL — the indexed hybrid answers it verbatim. */
@@ -1302,6 +1329,9 @@ object SparkEntry {
     // st4: the stream-maintained index answers the full-corpus page —
     // hash equality proves micro-batched ingestion equals a rebuild
     "st4_streaming_index" -> bm25PageSql,
+    // t11h: the batch answers every query's solo page under its id —
+    // hash equality proves batching is invisible per query
+    "t11h_batch_queries" -> bm25BatchPageSql,
     // t11d: hits + facet counts from ONE matching-set frame; tagged
     // union rendered null-free (variant fields as strings, '' absent)
     "t11d_faceted_search" ->

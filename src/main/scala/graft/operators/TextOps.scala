@@ -708,7 +708,8 @@ object TextOps {
     if (fs.exists(root))
       fs.listStatus(root).filter { s =>
         val n = s.getPath.getName
-        n.startsWith("__append_staging") || n.contains("__delete_staging")
+        n.startsWith("__append_staging") || n.contains("__delete_staging") ||
+          n.contains("__compact_staging") || n.contains("__retired_")
       }.foreach(s => fs.delete(s.getPath, true))
     writeBm25Batch(docs, path)
   }
@@ -1009,25 +1010,64 @@ object TextOps {
     *
     * Unlike the delete's multi-artifact seam, a crash BETWEEN these
     * steps leaves a fully CONSISTENT index — each step alone preserves
-    * every answer — so compaction is always safe to re-run. Within
-    * steps 2-3 the artifact swap is retire-then-publish (live renamed
-    * aside, staged renamed in, retired copy deleted): a reader in the
-    * swap window can fail loudly on a briefly-absent directory but can
-    * never see half-new data; a table format lifts exactly this swap
-    * into its transaction log (the CommitProtocol boundary). At 100 TB
-    * this is the same background-maintenance story as s16b's
-    * small-file compaction — run it off the serving path on whatever
-    * cadence append/delete churn warrants.
+    * every answer — so compaction is always safe to re-run, and a
+    * re-run over an already-compact index is a LISTING-only no-op:
+    * every artifact's guard is pure file metadata (postings dirs with
+    * >1 data file; stats/docids with >1 data file — a single-file
+    * ledger can only come from a build or a prior compact, both
+    * tombstone-free — and the ledger's target file count, derived from
+    * its own byte size, so the fold never funnels a corpus-sized
+    * membership through one task). The WITHIN-step windows are the
+    * usual plain-parquet seams, stated honestly: steps 2-3 swap by
+    * retire-then-publish (a reader can fail loudly on a briefly-absent
+    * directory, never see half-new data, and a crash leaves the data
+    * recoverable in the staged/retired dir — which the next re-landing
+    * sweeps); step 1 publishes through the CommitProtocol rename seam,
+    * whose crash window can leave a bucket directory absent with its
+    * only copy in the staging dir — pages then SILENTLY miss that
+    * bucket's terms until repair (restore the staged copy or re-land).
+    * A table-format commit closes exactly these windows by making the
+    * swap a log entry. At 100 TB this is the same background-
+    * maintenance story as s16b's small-file compaction — run it off
+    * the serving path on whatever cadence append/delete churn
+    * warrants; cost is the churned buckets' posting bytes plus the
+    * history actually folded, never an unconditional corpus rewrite.
     *
     * Returns the compacted posting-bucket values. */
   def bm25IndexCompact(spark: SparkSession, path: String): Seq[String] = {
     val buckets = Partitioned.compact(spark, s"$path/postings", "bucket")
-    val stats = spark.read.parquet(s"$path/stats")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("tot")), lit(0L)).as("tot"))
-    swapArtifact(spark, s"$path/stats", stats)
-    swapArtifact(spark, s"$path/docids",
-      bm25Members(spark, path).withColumn("tomb", lit(0)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    // stats: >1 data file ⇔ un-folded partials exist (build/compact
+    // write exactly one file; every append/delete adds one)
+    if (dataFiles(s"$path/stats").length > 1) {
+      val stats = spark.read.parquet(s"$path/stats")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(sum(col("tot")), lit(0L)).as("tot"))
+      swapArtifact(spark, s"$path/stats", stats.coalesce(1))
+    }
+    // docids: same guard — a single-file ledger is necessarily a
+    // tombstone-free add set (tombstones only ever ARRIVE as a file
+    // appended next to at least one existing add file, so they imply
+    // ≥2 files; the single-file writers — compact's fold and a
+    // 1-partition build — are both tombstone-free). The folded
+    // ledger's file count derives from its CURRENT bytes (~64 MB
+    // target): the membership of a 100 TB corpus must not squeeze
+    // through one task
+    val ledger = dataFiles(s"$path/docids")
+    if (ledger.length > 1) {
+      val nOut = math.max(1L, math.min(64L, ledger.map(_.getLen).sum / (64L << 20))).toInt
+      swapArtifact(spark, s"$path/docids",
+        bm25Members(spark, path).withColumn("tomb", lit(0)).coalesce(nOut))
+    }
     buckets
   }
 
@@ -1036,14 +1076,18 @@ object TextOps {
     * write materializes the plan before any rename), rename the live
     * dir aside, rename the staged dir in, drop the retired copy. A
     * failed publish restores the retired dir so the index stays
-    * servable; a failed staging write leaks nothing. */
+    * servable — and a failed RESTORE fails loud, naming the retired
+    * dir that still holds the data (Hadoop rename signals failure by
+    * returning false; swallowing it would strand the index with no
+    * live artifact and no explanation). A failed staging write leaks
+    * nothing. */
   private def swapArtifact(spark: SparkSession, dir: String,
       replacement: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"${dir}__compact_staging_$tag"
-    try replacement.coalesce(1).write.mode("overwrite").parquet(staging)
+    try replacement.write.mode("overwrite").parquet(staging)
     catch { case e: Throwable =>
       fs.delete(new Path(staging), true)
       throw e
@@ -1053,9 +1097,12 @@ object TextOps {
     if (fs.exists(live) && !fs.rename(live, retired))
       throw new java.io.IOException(s"failed to retire $dir for compaction")
     if (!fs.rename(new Path(staging), live)) {
-      fs.rename(retired, live) // restore: the index must stay servable
+      val restored = fs.rename(retired, live) // the index must stay servable
       fs.delete(new Path(staging), true)
-      throw new java.io.IOException(s"failed to publish compacted $dir")
+      throw new java.io.IOException(
+        if (restored) s"failed to publish compacted $dir (live restored)"
+        else s"failed to publish compacted $dir AND failed to restore the " +
+          s"retired copy — data intact at $retired, live dir missing")
     }
     fs.delete(retired, true)
     ()
@@ -1063,6 +1110,71 @@ object TextOps {
 
   // landing memo for the full-lifecycle compacted index (t11f)
   private val bm25CptLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The t11h serving batch: three concurrent queries, with "join"
+    * shared between q0 and q1 so the shared-term path (df computed
+    * once, postings row fanned to both queries) is exercised. */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> Similarity.DefaultQuery,
+    1 -> "join hash merge",
+    2 -> "stream window agg")
+
+  /** T11h: BATCHED multi-query BM25 over the landed index — the
+    * lexical twin of v8's batch vector top-k, and the shape a serving
+    * tier actually runs: N concurrent queries amortize ONE pruned
+    * probe. The bucket prune is the UNION of every query's terms'
+    * buckets; per-term df is computed once per TERM (not per query —
+    * a term shared by two queries scores both from the same df row);
+    * a broadcast (query_id, tok) table fans each posting row to the
+    * queries using its term; per-(query, doc) integer sums then rank
+    * per query through a WindowGroupLimit two-phase top-k (partial
+    * top-k before the exchange — the v8 discipline). Per-batch IO is
+    * the DISTINCT terms' posting bytes: queries sharing vocabulary
+    * cost nothing extra, which is exactly why serving tiers batch.
+    * Oracle: the UNION ALL of each query's solo page (tagged CTE
+    * chains over the same corpus SQL) — hash equality proves batching
+    * is invisible per query. */
+  def bm25BatchTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25BatchOverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_idx", bm25Landed,
+        source = "documents.parquet")(materializeBm25Index(spark, dir, _)),
+      Bm25Queries.map { case (qid, q) => (qid, bm25TermsOf(q)) }, k)
+
+  private[graft] def bm25BatchOverIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25 batch needs at least one term per query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.map(bm25BucketOf).distinct
+    val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(allTerms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tot")), lit(0L)).as("tot"))
+    // df once per TERM — shared across every query using it
+    val dfs = postings.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
+    val scored = postings
+      .join(broadcast(dfs), Seq("tok"))
+      .join(broadcast(qterms), Seq("tok")) // fan each posting row to its queries
+      .crossJoin(broadcast(stats))
+      .withColumn("bm_num", num).withColumn("bm_den", den)
+      .withColumn("s", expr("bm_num div bm_den"))
+      .groupBy(col("query_id"), col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("score_milli"))
+      .filter(col("score_milli") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score_milli"), col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("lang"), col("score_milli"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
 
   // landing memo for the stream-maintained index (st4)
   private val bm25StreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1097,8 +1209,10 @@ object TextOps {
           .coalesce(1).write.mode("append").parquet(incoming)
         val q = graft.streaming.IndexStream.bm25IndexIngest(
           spark, incoming, p, s"${p}_checkpoint")
-        q.processAllAvailable()
-        q.stop()
+        // stop in finally: a foreachBatch failure must not leak a
+        // zombie query that a retrying landing would then race
+        // (checkpoint delete + incoming overwrite under a live stream)
+        try q.processAllAvailable() finally q.stop()
       },
       Bm25Terms, k)
 

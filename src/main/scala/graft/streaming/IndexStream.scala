@@ -34,13 +34,17 @@ object IndexStream {
     * lang, …) arriving under `incomingDir` append into the landed
     * index at `indexPath`, one file per micro-batch. AvailableNow
     * drains what exists and stops; a long-running deployment swaps
-    * the trigger for a processing-time one — every other line holds. */
+    * the trigger for a processing-time one and passes `schema`
+    * explicitly — the deployment starts BEFORE the first file lands,
+    * and schema inference over an empty directory throws (the same
+    * rule the index's own artifact reads follow). The inference
+    * default is a convenience for drains over already-landed files. */
   def bm25IndexIngest(spark: SparkSession, incomingDir: String,
       indexPath: String, checkpoint: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
       queryName: String =
         "bm25_index_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
-    val schema = spark.read.parquet(incomingDir).schema
-    spark.readStream.schema(schema)
+    spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
       .option("maxFilesPerTrigger", 1)
       .parquet(incomingDir)
       .writeStream

@@ -122,6 +122,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bm25DeletedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25CompactedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25StreamedTopK(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25BatchTopK(spark, emptyDir).count() === 0)
     assert(Similarity.hybridRrfIndexed(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)

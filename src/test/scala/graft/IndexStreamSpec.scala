@@ -37,7 +37,7 @@ class IndexStreamSpec extends SparkSpec {
     arriving2.coalesce(1).write.mode("append").parquet(incoming)
     val q = IndexStream.bm25IndexIngest(spark, incoming, idx,
       tmp.getAbsolutePath + "/cp1")
-    q.processAllAvailable(); q.stop()
+    try q.processAllAvailable() finally q.stop()
     // each micro-batch appended its own stats partial: base + 2
     val statRows = spark.read.parquet(s"$idx/stats").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -56,14 +56,14 @@ class IndexStreamSpec extends SparkSpec {
     // no-op — no new stats partial, no score drift
     val q2 = IndexStream.bm25IndexIngest(spark, incoming, idx,
       tmp.getAbsolutePath + "/cp2")
-    q2.processAllAvailable(); q2.stop()
+    try q2.processAllAvailable() finally q2.stop()
     assert(spark.read.parquet(s"$idx/stats").count() === 3,
       "replayed batches must publish nothing")
     assert(probe(idx, terms) === viaStream, "replay changed an answer")
     // restart on the SAME checkpoint: offsets resume, nothing re-runs
     val q3 = IndexStream.bm25IndexIngest(spark, incoming, idx,
       tmp.getAbsolutePath + "/cp1")
-    q3.processAllAvailable(); q3.stop()
+    try q3.processAllAvailable() finally q3.stop()
     assert(spark.read.parquet(s"$idx/stats").count() === 3)
     rmTree(tmp)
   }

@@ -538,6 +538,34 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("bm25 batch (t11h): one probe serves every query exactly its solo page") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"),
+      (2L, "beta beta beta beta beta beta beta beta", "fr"),
+      (3L, "delta epsilon zeta eta theta iota kappa", "en"),
+      (4L, "alpha beta", "de"),
+      (5L, "gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_batch_spec").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(docs, path)
+    // "delta" is shared between q1 and q2 — the shared-term fanout path
+    val queries = Seq(0 -> Seq("alpha", "beta"), 1 -> Seq("delta", "gamma"),
+      2 -> Seq("delta", "epsilon"))
+    val batch = TextOps.bm25BatchOverIndex(spark, path, queries, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    queries.foreach { case (qid, terms) =>
+      val solo = TextOps.bm25OverIndex(spark, path, terms, 10)
+        .collect().map(r => (qid, r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(batch.filter(_._1 == qid).toSeq === solo,
+        s"batched query $qid diverged from its solo page")
+    }
+    assert(batch.nonEmpty)
+    rmTree(tmp)
+  }
+
   test("bm25 compact (t11f): artifacts collapse, answers unchanged, ledger still forgets") {
     import spark.implicits._
     val batch1 = Seq(
@@ -582,9 +610,22 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(ledger.forall(_._2 == 0), "compacted ledger must hold add rows only")
     assert(ledger.map(_._1).toSet === Set(0L, 2L, 3L, 4L), "compacted ledger lost the live set")
-    // re-running compact on an already-compact index is a no-op on
-    // postings (nothing fragmented) and keeps answers
+    // re-running compact on an already-compact index is a LISTING-only
+    // no-op: postings report nothing fragmented, and the stats/docids
+    // guards (file-count metadata) skip both swaps — no file is
+    // rewritten, moved, or touched
+    def artifactFiles(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      (walk(new java.io.File(s"$idx/stats")) ++ walk(new java.io.File(s"$idx/docids")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val filesBefore = artifactFiles()
     assert(TextOps.bm25IndexCompact(spark, idx).isEmpty)
+    assert(artifactFiles() === filesBefore,
+      "re-run compact must not touch already-compact stats/docids")
     // the compacted ledger still FORGETS: the deleted doc can re-append
     // and scores like a rebuild (tombstone history gone, not membership)
     TextOps.bm25IndexAppend(spark, idx,
