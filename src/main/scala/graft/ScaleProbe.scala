@@ -295,7 +295,10 @@ object ScaleProbe {
         val idx = bm25PathFor(d) + "_cpt"
         if (!new java.io.File(idx).exists())
           operators.TextOps.materializeBm25Index(s, d, idx)
-        val shift = 1000000000L * compactEpoch.incrementAndGet()
+        // shift base far above any salted copy's id space (copies live
+        // at c×Salt = c×1e8, c < 30) — a collision would make the
+        // append a silent ledger no-op and void the probe
+        val shift = 1000000000000L * compactEpoch.incrementAndGet()
         val batch = Tables.documents(s, d)
           .orderBy(col("doc_id")).limit(500)
           .withColumn("doc_id", col("doc_id") + shift)
@@ -304,6 +307,12 @@ object ScaleProbe {
         import s.implicits._
         buckets.toDF("bucket")
       }),
+      // c9: assignment is broadcast-centroids map-side (8 VecDots per
+      // embedding), quality is a map-only doc scan, the cap rank
+      // truncates to cap per cell per map task (WindowGroupLimit) —
+      // wall must track corpus size linearly with no per-cell
+      // corpus-shaped window state even though cells stay constant
+      "c9_cluster_caps"      -> (operators.Curation.clusterCaps(_, _)),
       // t11d: the facet rollups aggregate the MATCHING set (partial-
       // agged), never the corpus; wall tracks the two scans like t11
       "t11d_faceted_search"  -> (operators.TextOps.bm25Faceted(_, _)),

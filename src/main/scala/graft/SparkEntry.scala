@@ -311,6 +311,11 @@ object SparkEntry {
     // three queries; per-term df shared, per-query WindowGroupLimit
     // top-k; oracle = UNION ALL of the solo pages
     "t11h_batch_queries"      -> ((s, d) => TextOps.bm25BatchTopK(s, d)),
+    // c9: cluster-balanced diversity selection — cap per SEMANTIC
+    // cluster (the c7 cap over embedding cells instead of sources),
+    // keeping each cell's highest-quality docs; composition of the
+    // shared IVF argmax, t2's quality ppm, and a WindowGroupLimit rank
+    "c9_cluster_caps"         -> ((s, d) => Curation.clusterCaps(s, d)),
     // v13b: hybrid fusion with the lexical tier from the landed index
     "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
@@ -1332,6 +1337,28 @@ object SparkEntry {
     // t11h: the batch answers every query's solo page under its id —
     // hash equality proves batching is invisible per query
     "t11h_batch_queries" -> bm25BatchPageSql,
+    // c9: the v5 assignment CTE × t2's quality ppm × a per-cell
+    // capped rank — all three pieces reuse their own oracles' SQL
+    "c9_cluster_caps" ->
+      s"""WITH $ivfAssignedCte,
+         cq AS (
+           SELECT doc_id,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
+                       + n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT)
+             END AS quality_ppm
+           FROM (
+             SELECT doc_id, len($toksSql) AS n_tokens,
+               len(list_filter($toksSql,
+                 x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords
+             FROM documents) f),
+         ranked AS (
+           SELECT a.cent_id, cq.doc_id, cq.quality_ppm,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.cent_id
+               ORDER BY cq.quality_ppm DESC, cq.doc_id) AS INTEGER) AS rn
+           FROM cq JOIN assigned a ON cq.doc_id = a.vec_id)
+         SELECT cent_id, doc_id, quality_ppm, rn FROM ranked
+         WHERE rn <= 25 ORDER BY cent_id, doc_id""",
     // t11d: hits + facet counts from ONE matching-set frame; tagged
     // union rendered null-free (variant fields as strings, '' absent)
     "t11d_faceted_search" ->

@@ -666,4 +666,37 @@ object Curation {
     if (persist) CacheOps.materializeAndRelease(result, docs, feats)
     else result
   }
+
+  /** C9: cluster-balanced (diversity) selection — cap the corpus at
+    * `cap` documents per SEMANTIC cluster, keeping each cluster's
+    * highest-quality members. c7 caps by a metadata column (source);
+    * this is its embedding-space dual — the over-represented thing is
+    * a topic, not a feed — and the standard diversity pass after
+    * SemDeDup-style near-dup removal (d9 drops near-identical pairs;
+    * c9 bounds what even DISTINCT documents on one topic may
+    * contribute). Composition of three oracle-checked tiers with zero
+    * new primitives: cell membership via the ONE shared IVF argmax
+    * ([[Similarity.cellAssignments]] — broadcast centroids, scan-stage
+    * scoring), per-doc quality via t2's integer-ppm score, then a
+    * per-cell (quality DESC, doc_id) rank capped at `cap`. The rank
+    * filter rides WindowGroupLimit (plan-asserted): each map task
+    * truncates to `cap` per cell BEFORE the exchange, so the per-cell
+    * reduce receives ≤ tasks×cap rows — no corpus-sized window state
+    * even with only [[Similarity.IvfCentroids]] cells. Docs without an
+    * embedding are out of scope by the inner join (membership defines
+    * the selection universe, the m3 pairing rule). */
+  def clusterCaps(spark: SparkSession, dir: String, cap: Int = 25): DataFrame = {
+    val cells = Similarity.cellAssignments(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cent_id"))
+    val quality = TextOps.qualityScores(spark, dir)
+      .select(col("doc_id"), col("quality_ppm"))
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(desc("quality_ppm"), col("doc_id"))
+    quality.join(cells, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("cent_id"), col("doc_id"), col("quality_ppm"),
+        col("rn").cast("int").as("rn"))
+      .orderBy(col("cent_id"), col("doc_id"))
+  }
 }

@@ -147,6 +147,18 @@ object Partitioned {
     * The affected-partition read filters with literals cast to the
     * partition column's type (see readEventsSince) so the scan lists
     * only fragmented directories. */
+  /** The ONE data-file predicate (excludes `_SUCCESS`/`.crc`-style
+    * markers) — shared by compact's fragmentation test and the bm25
+    * index's fold guards, so a widened marker convention can't split
+    * the two listings. */
+  private[operators] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
   def compact(spark: SparkSession, path: String,
       partitionKey: String = "day",
       commit: CommitProtocol = RenameCommit): Seq[String] = {
@@ -156,14 +168,9 @@ object Partitioned {
     // snapshot the commit base before this writer reads the table (the
     // mergeIntoPartitioned discipline — see CommitProtocol.begin)
     commit.begin(spark, path)
-    def dataFiles(dir: org.apache.hadoop.fs.Path) =
-      fs.listStatus(dir).filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
     val fragmented = fs.listStatus(base)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionKey="))
-      .filter(s => dataFiles(s.getPath).length > 1)
+      .filter(s => dataFiles(fs, s.getPath).length > 1)
       .map(_.getPath.getName.stripPrefix(s"$partitionKey="))
       .sorted.toSeq
     if (fragmented.nonEmpty) {

@@ -483,6 +483,14 @@ object Similarity {
     assignAgainst(e, e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
 
+  /** The corpus' cell MEMBERSHIP (vec_id → cent_id) — c9's
+    * diversity-selection input, through the SAME assignment argmax as
+    * every IVF tier (a drifted second copy is the round-9 review's
+    * tie-case bug class). */
+  private[graft] def cellAssignments(spark: SparkSession, dir: String): DataFrame =
+    centroidAssignment(embeddings(spark, dir))
+      .select(col("vec_id"), col("cent_id"))
+
   private[graft] def ivfTopKOf(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     import CacheOps.{materializeAndRelease, shared}
     // shared: the assignment (crossJoin + argmax window, the expensive

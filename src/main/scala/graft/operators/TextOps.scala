@@ -958,33 +958,16 @@ object TextOps {
       .agg(sum(lit(1) - col("tomb") * 2).as("live"))
       .filter(col("live") > 0).select(col("doc_id"))
 
+  /** The solo page: a batch of one through the SAME scoring pipeline
+    * (bm25ScoredOverIndex — so the t11b family and t11h cannot
+    * drift), finished with the distributed TakeOrderedAndProject
+    * top-k a single query wants (no single-partition window). */
   private[graft] def bm25OverIndex(spark: SparkSession, path: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "bm25 needs at least one query term")
-    val buckets = terms.map(bm25BucketOf).distinct
-    val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
-    // stats/ is append-only (one PARTIAL row per landed batch — the
-    // t11c maintenance contract); N and T are their sums
-    val stats = spark.read.parquet(s"$path/stats")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("tot")), lit(0L)).as("tot"))
-    val dfs = postings.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
-    val scored = postings // dl + lang ride the posting row — no doc-table join
-      .join(broadcast(dfs), Seq("tok"))
-      .crossJoin(broadcast(stats))
-      .withColumn("bm_num", num).withColumn("bm_den", den)
-      .withColumn("s", expr("bm_num div bm_den"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("s")).as("score_milli")) // integer sum — order-free
-    scored
-      .filter(col("score_milli") > 0)
+      terms: Seq[String], k: Int): DataFrame =
+    bm25ScoredOverIndex(spark, path, Seq((0, terms)))
       .orderBy(desc("score_milli"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("lang"), col("score_milli"))
       .orderBy(col("doc_id"))
-  }
 
   /** T11f: COMPACT the landed lexical index — the maintenance verb
     * that keeps the day-2 lifecycle serviceable. Every append (t11c)
@@ -1013,11 +996,12 @@ object TextOps {
     * every answer — so compaction is always safe to re-run, and a
     * re-run over an already-compact index is a LISTING-only no-op:
     * every artifact's guard is pure file metadata (postings dirs with
-    * >1 data file; stats/docids with >1 data file — a single-file
-    * ledger can only come from a build or a prior compact, both
-    * tombstone-free — and the ledger's target file count, derived from
-    * its own byte size, so the fold never funnels a corpus-sized
-    * membership through one task). The WITHIN-step windows are the
+    * >1 data file; stats with >1 data file; docids with more files
+    * than its bytes-derived target of ~64 MB/file — the fold writes at
+    * most that many, so the skip holds at every ledger size, and a
+    * corpus-sized membership never funnels through one task). The
+    * guards are pure perf — a deferred fold only defers work, since
+    * probes always read the ledger as-is. The WITHIN-step windows are the
     * usual plain-parquet seams, stated honestly: steps 2-3 swap by
     * retire-then-publish (a reader can fail loudly on a briefly-absent
     * directory, never see half-new data, and a crash leaves the data
@@ -1038,14 +1022,8 @@ object TextOps {
     val buckets = Partitioned.compact(spark, s"$path/postings", "bucket")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      Partitioned.dataFiles(fs, new org.apache.hadoop.fs.Path(dir))
     // stats: >1 data file ⇔ un-folded partials exist (build/compact
     // write exactly one file; every append/delete adds one)
     if (dataFiles(s"$path/stats").length > 1) {
@@ -1054,17 +1032,17 @@ object TextOps {
           coalesce(sum(col("tot")), lit(0L)).as("tot"))
       swapArtifact(spark, s"$path/stats", stats.coalesce(1))
     }
-    // docids: same guard — a single-file ledger is necessarily a
-    // tombstone-free add set (tombstones only ever ARRIVE as a file
-    // appended next to at least one existing add file, so they imply
-    // ≥2 files; the single-file writers — compact's fold and a
-    // 1-partition build — are both tombstone-free). The folded
-    // ledger's file count derives from its CURRENT bytes (~64 MB
-    // target): the membership of a 100 TB corpus must not squeeze
-    // through one task
+    // docids: fold iff the file count exceeds the bytes-derived
+    // target (~64 MB/file — the membership of a 100 TB corpus must
+    // not squeeze through one task). The fold writes ≤ target files,
+    // so a no-churn re-run sees count ≤ target and SKIPS — the no-op
+    // holds at every ledger size, not just the single-file case. The
+    // guard is pure perf: a deferred fold only defers work, because
+    // membership is always computed from the ledger as-is at probe
+    // time (a tombstone the fold hasn't folded still excludes its doc)
     val ledger = dataFiles(s"$path/docids")
-    if (ledger.length > 1) {
-      val nOut = math.max(1L, math.min(64L, ledger.map(_.getLen).sum / (64L << 20))).toInt
+    val nOut = math.max(1L, math.min(64L, ledger.map(_.getLen).sum / (64L << 20))).toInt
+    if (ledger.length > nOut) {
       swapArtifact(spark, s"$path/docids",
         bm25Members(spark, path).withColumn("tomb", lit(0)).coalesce(nOut))
     }
@@ -1140,10 +1118,18 @@ object TextOps {
         source = "documents.parquet")(materializeBm25Index(spark, dir, _)),
       Bm25Queries.map { case (qid, q) => (qid, bm25TermsOf(q)) }, k)
 
-  private[graft] def bm25BatchOverIndex(spark: SparkSession, path: String,
-      queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+  /** The shared probe pipeline — ONE copy of the serving scorer for
+    * the solo (t11b family) and batched (t11h) paths, so the two
+    * cannot drift: pruned postings read (bucket union as partition
+    * filters, term equality pushed), summed stats partials, per-TERM
+    * df (shared across every query using the term), posting rows
+    * fanned to their queries by a broadcast term table, per-(query,
+    * doc) integer sums. Returns the positive-score frame (query_id,
+    * doc_id, lang, score_milli); callers pick their own top-k finish. */
+  private def bm25ScoredOverIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
-      "bm25 batch needs at least one term per query")
+      "bm25 needs at least one term per query")
     val allTerms = queries.flatMap(_._2).distinct
     val buckets = allTerms.map(bm25BucketOf).distinct
     val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
@@ -1158,19 +1144,24 @@ object TextOps {
     val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "tok")
     val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
-    val scored = postings
+    postings
       .join(broadcast(dfs), Seq("tok"))
       .join(broadcast(qterms), Seq("tok")) // fan each posting row to its queries
       .crossJoin(broadcast(stats))
       .withColumn("bm_num", num).withColumn("bm_den", den)
       .withColumn("s", expr("bm_num div bm_den"))
       .groupBy(col("query_id"), col("doc_id"), col("lang"))
-      .agg(sum(col("s")).as("score_milli"))
+      .agg(sum(col("s")).as("score_milli")) // integer sum — order-free
       .filter(col("score_milli") > 0)
+  }
+
+  private[graft] def bm25BatchOverIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(desc("score_milli"), col("doc_id"))
-    scored.withColumn("rn", row_number().over(w))
+    bm25ScoredOverIndex(spark, path, queries)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("doc_id"), col("lang"), col("score_milli"))
       .orderBy(col("query_id"), col("doc_id"))

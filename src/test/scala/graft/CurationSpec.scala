@@ -368,4 +368,31 @@ class CurationSpec extends SparkSpec {
     assert(w(5L) > w(6L), "target-like doc must outweigh raw-like doc")
     assert(got.find(_._1 == 7L).get._2 === 0L, "zero-gram doc accounted")
   }
+
+  test("cluster caps (c9): per-cell top-cap by quality, rank contiguous, cap respected") {
+    val cap = 25
+    val got = Curation.clusterCaps(spark, sfDir, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // brute-force mirror from the two INPUT tiers (each oracle-checked
+    // on its own): membership via the shared assignment, quality via t2
+    val cells = graft.operators.Similarity.cellAssignments(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextOps.qualityScores(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("quality_ppm")).toMap
+    val expected = cells.toSeq
+      .flatMap { case (docId, cell) => quality.get(docId).map(q => (cell, docId, q)) }
+      .groupBy(_._1)
+      .flatMap { case (cell, members) =>
+        members.sortBy { case (_, id, q) => (-q, id) }
+          .take(cap).zipWithIndex
+          .map { case ((c, id, q), i) => (c, id, q, i + 1) }
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) === expected,
+      "c9 selection diverged from the brute-force per-cell top-cap")
+    // cap respected in every cell
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length <= cap, s"cell $cell over cap")
+    }
+  }
 }

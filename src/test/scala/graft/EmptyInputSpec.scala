@@ -53,6 +53,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.mixtureEpochs(spark, emptyDir).count() === 0)
     assert(Curation.sequencePacking(spark, emptyDir).count() === 0)
     assert(Curation.sourceCaps(spark, emptyDir).count() === 0)
+    assert(Curation.clusterCaps(spark, emptyDir).count() === 0)
     assert(SnapshotDiff.releaseDiff(spark, emptyDir).count() === 0)
   }
 

@@ -348,6 +348,47 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.isDefined, s"no bucket partition filter on the postings scan:\n$p")
     assert(p.contains("PushedFilters") && p.contains("In(tok"),
       s"term filter not pushed to the postings scan:\n$p")
+    // the solo page must keep its distributed top-k (no
+    // single-partition window for a batch of one)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"solo page not take-ordered:\n$p")
+    rmTree(tmp)
+  }
+
+  test("cluster caps (c9): centroids broadcast, cap rank truncates before the exchange") {
+    import graft.operators.Curation
+    val p = plan(Curation.clusterCaps(spark, sfDir))
+    // the 8-row centroid table must broadcast into the scan-stage
+    // argmax — an assignment that shuffles the corpus against the
+    // centroids would be corpus-shaped at every scale
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    // with only 8 cells, the per-cell rank is the skew hazard: the
+    // WindowGroupLimit partial truncates each map task to cap rows
+    // per cell BEFORE the exchange, so reduce input is tasks x cap
+    assert(p.contains("WindowGroupLimit"),
+      s"cap rank not two-phase (no WindowGroupLimit):\n$p")
+  }
+
+  test("bm25 batch (t11h): one pruned probe, per-query WindowGroupLimit top-k") {
+    import graft.operators.TextOps
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_batch_plan").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25Index(spark, sfDir, path)
+    val queries = TextOps.Bm25Queries.map { case (i, q) => (i, TextOps.bm25TermsOf(q)) }
+    val p = plan(TextOps.bm25BatchOverIndex(spark, path, queries, 10))
+    // the batch's postings scan carries the UNION of every query's
+    // terms' buckets as partition filters with the term equality
+    // pushed — per-batch IO is the distinct terms' posting bytes, the
+    // whole amortization claim
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(scanLine.isDefined, s"no bucket partition filter on the batch scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(tok"),
+      s"term filter not pushed to the batch scan:\n$p")
+    // per-query rank truncates BEFORE the window's exchange
+    // (WindowGroupLimit partial mode — the v8 two-phase discipline)
+    assert(p.contains("WindowGroupLimit"),
+      s"batch top-k not two-phase (no WindowGroupLimit):\n$p")
     rmTree(tmp)
   }
 }
