@@ -316,6 +316,10 @@ object SparkEntry {
     // keeping each cell's highest-quality docs; composition of the
     // shared IVF argmax, t2's quality ppm, and a WindowGroupLimit rank
     "c9_cluster_caps"         -> ((s, d) => Curation.clusterCaps(s, d)),
+    // v15: MMR diversity re-rank — distributed exact shortlist, then
+    // the greedy 0.7·rel − 0.3·maxsim selection (driver, bounded 20
+    // rows); oracle unrolls the k selection rounds as CTE stages
+    "v15_mmr_rerank"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     // v13b: hybrid fusion with the lexical tier from the landed index
     "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
@@ -350,6 +354,23 @@ object SparkEntry {
   private val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
+  /** The ONE quality-feature base select (t2's `f` CTE) and the ONE
+    * quality_ppm expression — shared by the t2 and c9 oracles so the
+    * quality definition cannot drift between them (the same shared-val
+    * rule as toksSql / ivfAssignedCte). */
+  private lazy val qualityBaseSql: String =
+    s"""SELECT doc_id,
+             len($toksSql) AS n_tokens,
+             len(list_filter($toksSql,
+               x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+           FROM documents"""
+
+  private val qualityPpmSql: String =
+    """CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
+                     + n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END"""
+
   /** DuckDB cosine over two 64-dim list expressions — shared by the
     * IVF oracle family (double promotion before multiply/accumulate,
     * left-to-right fold: IEEE-identical to the Spark VecDot plan). */
@@ -378,6 +399,44 @@ object SparkEntry {
            WHERE rn = 1)"""
 
   private val ivfAssignedCte: String = ivfAssignedCteOver("embeddings")
+
+  /** v15's oracle: the relevance shortlist, then the k greedy MMR
+    * selection rounds UNROLLED as generated CTE stages (the t8
+    * discipline for iterative algorithms) — stage t computes every
+    * remaining candidate's max similarity to the selected set, scores
+    * 0.7·rel − 0.3·maxsim in the same double op order as the driver
+    * greedy, and picks the (score DESC, vec_id) argmax. */
+  private lazy val mmrSql: String = {
+    val S = 20; val K = 10
+    val sb = new StringBuilder
+    sb ++= s"""WITH shortlist AS (
+           SELECT e.vec_id, e.embedding, ${cosSql("e.embedding", "q.qe")} AS rel
+           FROM embeddings e CROSS JOIN
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0
+           ORDER BY rel DESC, e.vec_id LIMIT $S),
+         sel1 AS (
+           SELECT vec_id, embedding, rel, 0.7 * rel - 0.3 * 0.0 AS mmr, 1 AS rnk
+           FROM shortlist ORDER BY rel DESC, vec_id LIMIT 1)"""
+    for (t <- 2 to K) {
+      val prev = s"sel${t - 1}"
+      sb ++= s""",
+         ms$t AS (
+           SELECT d.vec_id, MAX(${cosSql("d.embedding", "s.embedding")}) AS msim
+           FROM shortlist d CROSS JOIN $prev s
+           WHERE d.vec_id NOT IN (SELECT vec_id FROM $prev)
+           GROUP BY d.vec_id),
+         pick$t AS (
+           SELECT d.vec_id, d.embedding, d.rel, 0.7 * d.rel - 0.3 * m.msim AS mmr, $t AS rnk
+           FROM shortlist d JOIN ms$t m ON d.vec_id = m.vec_id
+           ORDER BY mmr DESC, d.vec_id LIMIT 1),
+         sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$t)"""
+    }
+    sb ++= s"""
+         SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, round(mmr, 6) AS mmr_r
+         FROM sel$K ORDER BY rnk"""
+    sb.toString
+  }
 
   /** v5's IVF probe formulation, shared with v9 (landed-index probe). */
   private val ivfTopKSql: String =
@@ -1337,21 +1396,16 @@ object SparkEntry {
     // t11h: the batch answers every query's solo page under its id —
     // hash equality proves batching is invisible per query
     "t11h_batch_queries" -> bm25BatchPageSql,
+    // v15: the shortlist CTE + k unrolled greedy rounds — hash
+    // equality proves the driver greedy IS the MMR selection
+    "v15_mmr_rerank" -> mmrSql,
     // c9: the v5 assignment CTE × t2's quality ppm × a per-cell
     // capped rank — all three pieces reuse their own oracles' SQL
     "c9_cluster_caps" ->
       s"""WITH $ivfAssignedCte,
          cq AS (
-           SELECT doc_id,
-             CASE WHEN n_tokens = 0 THEN 0
-                  ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
-                       + n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT)
-             END AS quality_ppm
-           FROM (
-             SELECT doc_id, len($toksSql) AS n_tokens,
-               len(list_filter($toksSql,
-                 x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords
-             FROM documents) f),
+           SELECT doc_id, $qualityPpmSql AS quality_ppm
+           FROM ($qualityBaseSql) f),
          ranked AS (
            SELECT a.cent_id, cq.doc_id, cq.quality_ppm,
              CAST(ROW_NUMBER() OVER (PARTITION BY a.cent_id
@@ -1415,19 +1469,11 @@ object SparkEntry {
          ORDER BY p.doc_id"""
     },
     "t2_quality_score" ->
-      s"""WITH f AS (
-           SELECT doc_id,
-             len($toksSql) AS n_tokens,
-             len(list_filter($toksSql,
-               x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
-             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
-           FROM documents)
+      s"""WITH f AS ($qualityBaseSql)
          SELECT doc_id, n_tokens, n_stopwords, n_punct,
            CASE WHEN n_tokens = 0 THEN 0
                 ELSE CAST(floor(n_stopwords * 1000000.0 / n_tokens) AS BIGINT) END AS stopword_ppm,
-           CASE WHEN n_tokens = 0 THEN 0
-                ELSE CAST(floor((least(n_tokens, 100) / 100.0 * 0.5
-                     + n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5) * 1000000.0) AS BIGINT) END AS quality_ppm
+           $qualityPpmSql AS quality_ppm
          FROM f ORDER BY doc_id""",
     "t3_lang_id" ->
       """WITH hits AS (

@@ -131,6 +131,20 @@ object Partitioned {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("day"), col("event_type"))
 
+  /** The ONE data-file predicate (excludes `_SUCCESS`/`.crc`-style
+    * markers) — shared by compact's fragmentation test and the bm25
+    * index's fold guards, so a widened marker convention can't split
+    * the two listings. The directory must exist (compact's paths come
+    * from a listing; callers with maybe-absent dirs guard themselves —
+    * an exists() here would cost one metadata round-trip per partition
+    * on an object store). */
+  private[operators] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
   /** Small-file compaction — the maintenance pass every partitioned
     * sink needs at 100 TB: streaming micro-batches (EventsStream), the
     * spool-as-you-fetch landings (PagedSource), and per-batch
@@ -147,18 +161,6 @@ object Partitioned {
     * The affected-partition read filters with literals cast to the
     * partition column's type (see readEventsSince) so the scan lists
     * only fragmented directories. */
-  /** The ONE data-file predicate (excludes `_SUCCESS`/`.crc`-style
-    * markers) — shared by compact's fragmentation test and the bm25
-    * index's fold guards, so a widened marker convention can't split
-    * the two listings. */
-  private[operators] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-
   def compact(spark: SparkSession, path: String,
       partitionKey: String = "day",
       commit: CommitProtocol = RenameCommit): Seq[String] = {

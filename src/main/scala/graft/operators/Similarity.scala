@@ -293,6 +293,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** V15: MMR diversity re-rank (Carbonell & Goldstein 1998) — the
+    * classic fix for a result page the near-dup tiers explain: the
+    * top-k by pure relevance is often k paraphrases of one answer.
+    * MMR re-ranks a relevance shortlist greedily, each step taking
+    * argmax of 0.7·rel(d) − 0.3·max_{s∈selected} sim(d, s) — high
+    * relevance, penalized by similarity to what the page already has.
+    *
+    * Two-phase by construction, the serving shape: the corpus-sized
+    * work (scoring all N against the query, exact top-`shortlist`)
+    * runs distributed through the v1 plan; the greedy then runs on
+    * the driver over the COLLECTED shortlist — a bounded constant
+    * (`shortlist` rows) by construction, the same bounded-fetch class
+    * as the probe frontiers, because MMR's selection is inherently
+    * sequential (step t needs step t−1's pick) and O(k·S²) on ≤20
+    * rows is not a distributed problem. Driver arithmetic mirrors the
+    * engine/oracle cosine EXACTLY (same left-to-right double folds as
+    * VecDot/cosSql, same 0.7·x − 0.3·y op order), so the whole greedy
+    * is hash-checked against a DuckDB oracle that unrolls the k
+    * selection rounds as generated CTE stages (the t8 discipline). */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+      shortlist: Int = 20, k: Int = 10): DataFrame =
+    mmrRerankOf(embeddings(spark, dir), queryId, shortlist, k)
+
+  private[graft] def mmrRerankOf(e: DataFrame, queryId: Long,
+      shortlist: Int, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val short: Array[(Long, Array[Float], Double)] = e
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", Vectors.cosine(col("embedding"), col("qe")))
+      .orderBy(desc("rel"), col("vec_id")).limit(shortlist)
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .collect() // BOUNDED: exactly `shortlist` rows by construction
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val selEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    var remaining = short.toList
+    var rnk = 1
+    while (rnk <= k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, emb, rel) =>
+        val msim = if (selEmb.isEmpty) 0.0
+          else selEmb.map(s => cosDriver(emb, s)).max
+        ((id, emb, rel), 0.7 * rel - 0.3 * msim)
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1._1 < x._1._1)) y else x
+      }
+      sel += ((rnk, best._1._1, best._2))
+      selEmb += best._1._2
+      remaining = remaining.filterNot(_._1 == best._1._1)
+      rnk += 1
+    }
+    sel.toSeq.toDF("rnk", "vec_id", "mmr")
+      .select(col("rnk"), col("vec_id"), round(col("mmr"), 6).as("mmr_r"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Driver-side cosine, bit-identical to VecDot/cosSql: independent
+    * left-to-right double accumulations for dot and both norms (FP
+    * addition order within each accumulator matches the column fold),
+    * denominator as √na·√nb, zero-denominator → 0 (Vectors.cosine's
+    * guard). */
+  private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < a.length) {
+      dot += a(j).toDouble * b(j).toDouble
+      na += a(j).toDouble * a(j).toDouble
+      nb += b(j).toDouble * b(j).toDouble
+      j += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0) 0.0 else dot / denom
+  }
+
   /** Embedding near-dup detection, IVF-style: compare only within a
     * coarse partition (label plays the centroid-assignment role), rank
     * pairs by cosine, keep the global top-k. At 100 TB the all-pairs

@@ -1022,8 +1022,13 @@ object TextOps {
     val buckets = Partitioned.compact(spark, s"$path/postings", "bucket")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
-      Partitioned.dataFiles(fs, new org.apache.hadoop.fs.Path(dir))
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      // stats/docids can legitimately be absent (empty-corpus build) —
+      // the exists guard lives HERE, not in the shared predicate,
+      // where compact's per-partition listing would pay it
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty else Partitioned.dataFiles(fs, p)
+    }
     // stats: >1 data file ⇔ un-folded partials exist (build/compact
     // write exactly one file; every append/delete adds one)
     if (dataFiles(s"$path/stats").length > 1) {
@@ -1034,17 +1039,25 @@ object TextOps {
     }
     // docids: fold iff the file count exceeds the bytes-derived
     // target (~64 MB/file — the membership of a 100 TB corpus must
-    // not squeeze through one task). The fold writes ≤ target files,
-    // so a no-churn re-run sees count ≤ target and SKIPS — the no-op
-    // holds at every ledger size, not just the single-file case. The
-    // guard is pure perf: a deferred fold only defers work, because
-    // membership is always computed from the ledger as-is at probe
-    // time (a tombstone the fold hasn't folded still excludes its doc)
-    val ledger = dataFiles(s"$path/docids")
-    val nOut = math.max(1L, math.min(64L, ledger.map(_.getLen).sum / (64L << 20))).toInt
-    if (ledger.length > nOut) {
-      swapArtifact(spark, s"$path/docids",
-        bm25Members(spark, path).withColumn("tomb", lit(0)).coalesce(nOut))
+    // not squeeze through one task). The target derives from the
+    // ledger's bytes BEFORE the fold, so a fold that shrinks the
+    // ledger a lot (heavy tombstone history) can leave more files
+    // than the now-smaller bytes warrant — iterate once more so the
+    // call CONVERGES and a re-run is a pure listing no-op at every
+    // ledger size (bytes only shrink, so two passes always suffice).
+    // The guard is pure perf: a deferred fold only defers work,
+    // because membership is always computed from the ledger as-is at
+    // probe time (an unfolded tombstone still excludes its doc)
+    var pass = 0
+    var converged = false
+    while (!converged && pass < 2) {
+      val ledger = dataFiles(s"$path/docids")
+      val nOut = math.max(1L, math.min(64L, ledger.map(_.getLen).sum / (64L << 20))).toInt
+      if (ledger.length > nOut) {
+        swapArtifact(spark, s"$path/docids",
+          bm25Members(spark, path).withColumn("tomb", lit(0)).coalesce(nOut))
+        pass += 1
+      } else converged = true
     }
     buckets
   }
@@ -1141,7 +1154,11 @@ object TextOps {
     val dfs = postings.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
     import spark.implicits._
-    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    // per-query DISTINCT terms: the fan-out join scores a posting row
+    // once per (query, term) pair, so a duplicated term in a query
+    // would silently double its contribution (the old isin() filter
+    // was duplicate-safe; the join must be made so explicitly)
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "tok")
     val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
     postings

@@ -66,6 +66,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.kmeansStep(spark, emptyDir).count() === 0)
     assert(Similarity.quantizedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.batchTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.mmrRerank(spark, emptyDir).count() === 0)
     // landed tiers: a zero-row partitioned write lands no parquet
     // footer, so the index write falls back to a plain schema-bearing
     // file and every probe variant returns an empty page (round 9:

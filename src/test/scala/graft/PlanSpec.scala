@@ -332,12 +332,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"page not take-ordered:\n$p")
   }
 
-  test("bm25 landed index (t11b): probe prunes to the terms' bucket dirs, term filter pushed") {
-    import org.apache.spark.sql.functions.col
-    import graft.operators.TextOps
+  /** ONE landed index for both bm25 plan tests (built lazily on first
+    * use; cleaned by a shutdown hook so an assertion failure can't
+    * leak it the way per-test rmTree-after-asserts would). */
+  private lazy val bm25PlanIdx: String = {
     val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_plan").toFile
+    sys.addShutdownHook(rmTree(tmp))
     val path = tmp.getAbsolutePath + "/idx"
-    TextOps.materializeBm25Index(spark, sfDir, path)
+    graft.operators.TextOps.materializeBm25Index(spark, sfDir, path)
+    path
+  }
+
+  test("bm25 landed index (t11b): probe prunes to the terms' bucket dirs, term filter pushed") {
+    import graft.operators.TextOps
+    val path = bm25PlanIdx
     val p = plan(TextOps.bm25OverIndex(spark, path, TextOps.Bm25Terms, 10))
     // the postings scan must carry the bucket values as PARTITION
     // filters (directory pruning) and the term equality as a pushed
@@ -352,7 +360,6 @@ class PlanSpec extends SparkSpec {
     // single-partition window for a batch of one)
     assert(p.contains("TakeOrderedAndProject"),
       s"solo page not take-ordered:\n$p")
-    rmTree(tmp)
   }
 
   test("cluster caps (c9): centroids broadcast, cap rank truncates before the exchange") {
@@ -371,9 +378,7 @@ class PlanSpec extends SparkSpec {
 
   test("bm25 batch (t11h): one pruned probe, per-query WindowGroupLimit top-k") {
     import graft.operators.TextOps
-    val tmp = java.nio.file.Files.createTempDirectory("bm25_batch_plan").toFile
-    val path = tmp.getAbsolutePath + "/idx"
-    TextOps.materializeBm25Index(spark, sfDir, path)
+    val path = bm25PlanIdx
     val queries = TextOps.Bm25Queries.map { case (i, q) => (i, TextOps.bm25TermsOf(q)) }
     val p = plan(TextOps.bm25BatchOverIndex(spark, path, queries, 10))
     // the batch's postings scan carries the UNION of every query's
@@ -389,6 +394,5 @@ class PlanSpec extends SparkSpec {
     // (WindowGroupLimit partial mode — the v8 two-phase discipline)
     assert(p.contains("WindowGroupLimit"),
       s"batch top-k not two-phase (no WindowGroupLimit):\n$p")
-    rmTree(tmp)
   }
 }

@@ -885,6 +885,34 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("mmr rerank (v15): diversity demotes the near-duplicate, relevance still leads") {
+    import spark.implicits._
+    // planted geometry: A1/A2 are near-duplicates at the top of the
+    // relevance ranking; B is slightly less relevant but diverse.
+    // Pure relevance orders A2, A1, B; MMR (0.7/0.3) must order
+    // A2, B, A1 — the near-dup drops behind the diverse doc.
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(64)(0.0f); vals.foreach { case (i, x) => v(i) = x }; v
+    }
+    val e = Seq(
+      (0L, "q", vec(0 -> 1.0f)),                     // query
+      (1L, "A1", vec(0 -> 0.8f, 1 -> 0.6f)),         // rel 0.80
+      (2L, "A2", vec(0 -> 0.81f, 1 -> 0.586f)),      // rel ≈0.810, sim(A1,A2)≈0.9998
+      (3L, "B", vec(0 -> 0.79f, 2 -> 0.6131f)))      // rel ≈0.790, sim to A* ≈0.63
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.mmrRerankOf(e, 0L, 20, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1, 2L), (2, 3L), (3, 1L)),
+      s"MMR order wrong: ${got.toSeq}")
+    // fixture sanity: rank 1 is always the pure-relevance top-1, ranks
+    // contiguous, picks drawn from the shortlist
+    val page = Similarity.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(page.map(_._1).toSeq === (1 to page.length).toSeq, "ranks must be contiguous")
+    val top1 = Similarity.cosineTopK(spark, sfDir, 0L, 1).collect()(0).getLong(0)
+    assert(page.head._2 === top1, "rank 1 must be the pure-relevance top-1")
+  }
+
   test("hybrid rrf (v13): a doc on both pages beats single-tier docs at equal ranks") {
     // pure vote arithmetic on the exact units — rank r in both tiers
     // always beats rank r in one tier, and even rank 1 in one tier
