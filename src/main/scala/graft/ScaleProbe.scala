@@ -125,7 +125,10 @@ object ScaleProbe {
       "d2_ngram_jaccard"     -> (operators.Dedup.ngramJaccardPairs(_, _)),
       "d3_minhash_lsh"       -> (operators.Dedup.minhashLshPairs(_, _)),
       "d4b_simhash_pairs"    -> (operators.Dedup.simhashPairs(_, _)),
-      "d6_rolling_fingerprint" -> (operators.Dedup.rollingFingerprintPairs(_, _)),
+      // d6 probes the FRESH form: the gate/bench entry memoizes the pair
+      // frame per corpus (pure corpus function, the c1 discipline), which
+      // would turn min-over-reps into a memo hit here
+      "d6_rolling_fingerprint" -> (operators.Dedup.rollingFingerprintPairsFresh(_, _)),
       "v2b_neardup_bucketed" -> (operators.Similarity.nearDupTopPairsBucketed(_, _)),
       "j7_fuzzy_link"        -> (operators.FuzzyLink.linkSuppliersToCustomers(_, _)),
       "j7b_banded_link"      -> (operators.FuzzyLink.linkSuppliersToCustomersBanded(_, _)),

@@ -113,6 +113,10 @@ object SparkEntry {
     // repair for Voronoi-boundary queries; still DPP-pruned (two cell
     // dirs read, never a scan)
     "v9b_ivf_nprobe2"         -> ((s, d) => Similarity.ivfLandedTopK2(s, d)),
+    // v9c: the TRAINED index — converged Lloyd centroids instead of
+    // first-8-by-id; same nprobe=2 probe plan (DPP-pruned), oracle
+    // reads the landed _centroids table itself
+    "v9c_trained_index"       -> ((s, d) => Similarity.ivfTrainedTopK2(s, d)),
     // v11: filtered ANN — metadata predicate PRE-applied to the index
     // scan (pushed filter + DPP compose); k survivors guaranteed
     "v11_filtered_ann"        -> ((s, d) => Similarity.ivfFilteredTopK(s, d)),
@@ -320,6 +324,9 @@ object SparkEntry {
     // the greedy 0.7·rel − 0.3·maxsim selection (driver, bounded 20
     // rows); oracle unrolls the k selection rounds as CTE stages
     "v15_mmr_rerank"          -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // v15b: MMR over the HYBRID fused page — the serving shape
+    // (diversity applied to the page the user actually sees)
+    "v15b_mmr_hybrid"         -> ((s, d) => Similarity.mmrRerankHybrid(s, d)),
     // v13b: hybrid fusion with the lexical tier from the landed index
     "v13b_hybrid_indexed"     -> ((s, d) => Similarity.hybridRrfIndexed(s, d)),
     // t11c: append-maintained index — day-2 docs land as new files
@@ -382,13 +389,16 @@ object SparkEntry {
                 * sqrt(list_reduce(list_transform(range(64),
                   j -> CAST($b[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)), (x, y) -> x + y)))"""
 
-  /** The first-8-centroid IVF assignment (v5/v9/v9b's shared CTE pair)
-    * over an arbitrary base relation: every vector joins all centroids,
-    * keeps its argmax cell. v9e passes a filtered base (post-delete). */
-  private def ivfAssignedCteOver(rel: String): String =
+  /** The IVF assignment (v5/v9/v9b's shared CTE pair) over an
+    * arbitrary base relation: every vector joins all centroids, keeps
+    * its argmax cell. v9e passes a filtered base (post-delete); v9c
+    * passes a `centsSql` reading the LANDED trained centroid table
+    * instead of the first-8-by-id default. */
+  private def ivfAssignedCteOver(rel: String,
+      centsSql: Option[String] = None): String =
     s"""cents AS (
-           SELECT vec_id AS cent_id, embedding AS cent_emb
-           FROM $rel WHERE vec_id < 8),
+           ${centsSql.getOrElse(
+             s"SELECT vec_id AS cent_id, embedding AS cent_emb\n           FROM $rel WHERE vec_id < 8")}),
          assigned AS (
            SELECT vec_id, label, embedding, cent_id FROM (
              SELECT e.vec_id, e.label, e.embedding, c.cent_id,
@@ -405,37 +415,85 @@ object SparkEntry {
     * discipline for iterative algorithms) — stage t computes every
     * remaining candidate's max similarity to the selected set, scores
     * 0.7·rel − 0.3·maxsim in the same double op order as the driver
-    * greedy, and picks the (score DESC, vec_id) argmax. */
-  private lazy val mmrSql: String = {
-    val S = 20; val K = 10
+    * greedy, and picks the (score DESC, vec_id) argmax. shortlist and
+    * every sel$t are MATERIALIZED: each round references the previous
+    * selection three times, so plain CTEs get inlined ~3^K-fold by the
+    * optimizer (each expansion re-opening the parquet scan — observed
+    * fd exhaustion at K=10); materializing pins one evaluation per
+    * round. */
+  /** The k greedy rounds over an arbitrary `shortlist(idCol, embedding,
+    * rel)` CTE — shared by v15 (vector shortlist) and v15b (hybrid
+    * page). Emits `shortlist` through `sel$K`; the caller appends its
+    * final SELECT. */
+  private def mmrChainSql(shortlistSql: String, idCol: String, K: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH shortlist AS (
-           SELECT e.vec_id, e.embedding, ${cosSql("e.embedding", "q.qe")} AS rel
-           FROM embeddings e CROSS JOIN
-             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
-           WHERE e.vec_id <> 0
-           ORDER BY rel DESC, e.vec_id LIMIT $S),
-         sel1 AS (
-           SELECT vec_id, embedding, rel, 0.7 * rel - 0.3 * 0.0 AS mmr, 1 AS rnk
-           FROM shortlist ORDER BY rel DESC, vec_id LIMIT 1)"""
+    sb ++= s"""shortlist AS MATERIALIZED ($shortlistSql),
+         sel1 AS MATERIALIZED (
+           SELECT $idCol, embedding, rel, 0.7 * rel - 0.3 * 0.0 AS mmr, 1 AS rnk
+           FROM shortlist ORDER BY rel DESC, $idCol LIMIT 1)"""
     for (t <- 2 to K) {
       val prev = s"sel${t - 1}"
       sb ++= s""",
          ms$t AS (
-           SELECT d.vec_id, MAX(${cosSql("d.embedding", "s.embedding")}) AS msim
+           SELECT d.$idCol, MAX(${cosSql("d.embedding", "s.embedding")}) AS msim
            FROM shortlist d CROSS JOIN $prev s
-           WHERE d.vec_id NOT IN (SELECT vec_id FROM $prev)
-           GROUP BY d.vec_id),
+           WHERE d.$idCol NOT IN (SELECT $idCol FROM $prev)
+           GROUP BY d.$idCol),
          pick$t AS (
-           SELECT d.vec_id, d.embedding, d.rel, 0.7 * d.rel - 0.3 * m.msim AS mmr, $t AS rnk
-           FROM shortlist d JOIN ms$t m ON d.vec_id = m.vec_id
-           ORDER BY mmr DESC, d.vec_id LIMIT 1),
-         sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$t)"""
+           SELECT d.$idCol, d.embedding, d.rel, 0.7 * d.rel - 0.3 * m.msim AS mmr, $t AS rnk
+           FROM shortlist d JOIN ms$t m ON d.$idCol = m.$idCol
+           ORDER BY mmr DESC, d.$idCol LIMIT 1),
+         sel$t AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM pick$t)"""
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  private lazy val mmrSql: String = {
+    val S = 20; val K = 10
+    s"""WITH ${mmrChainSql(
+      s"""SELECT e.vec_id, e.embedding, ${cosSql("e.embedding", "q.qe")} AS rel
+           FROM embeddings e CROSS JOIN
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0
+           ORDER BY rel DESC, e.vec_id LIMIT $S""", "vec_id", K)}
          SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, round(mmr, 6) AS mmr_r
          FROM sel$K ORDER BY rnk"""
-    sb.toString
+  }
+
+  /** v15b's oracle: the v13 fusion CTEs cut at the shortlist size, the
+    * page docs' stub embeddings as the MMR vectors (rel = stub cosine
+    * to the query — StubEmbed's floats are bit-identical to the
+    * md5-window SQL derivation, so the unrounded greedy comparisons
+    * agree), then the same MATERIALIZED greedy unroll as v15. */
+  private lazy val mmrHybridSql: String = {
+    val S = 20; val K = 10
+    val L = operators.Similarity.RrfLcm
+    s"""${stubSearchSql(operators.Similarity.DefaultQuery, S)},
+         $bm25Ctes,
+         sem AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS r_sem
+           FROM hits),
+         lexp AS (
+           SELECT doc_id, score_milli FROM bmscored WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT $S),
+         lex AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS INTEGER) AS r_lex
+           FROM lexp),
+         fused AS (
+           SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+             COALESCE($L // (60 + r_sem), 0)
+               + COALESCE($L // (60 + r_lex), 0) AS rrf_units
+           FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id),
+         pagef AS (
+           SELECT doc_id FROM fused ORDER BY rrf_units DESC, doc_id LIMIT $S),
+         ${mmrChainSql(
+      s"""SELECT p.doc_id, dv.emb AS embedding, ${cosSql("dv.emb", "q.emb")} AS rel
+           FROM pagef p JOIN dvec dv USING (doc_id) CROSS JOIN qvec q""",
+      "doc_id", K)}
+         SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, round(mmr, 6) AS mmr_r
+         FROM sel$K ORDER BY rnk"""
   }
 
   /** v5's IVF probe formulation, shared with v9 (landed-index probe). */
@@ -472,8 +530,9 @@ object SparkEntry {
     * the top TWO probed (same tie-break as the Spark plan: similarity
     * desc, cent_id asc). Parametrized over the base relation so v9e
     * reuses the identical probe over the post-delete corpus. */
-  private def ivfNprobe2SqlOver(rel: String, prelude: String = ""): String =
-    s"""WITH $prelude${ivfAssignedCteOver(rel)},
+  private def ivfNprobe2SqlOver(rel: String, prelude: String = "",
+      centsSql: Option[String] = None): String =
+    s"""WITH $prelude${ivfAssignedCteOver(rel, centsSql)},
          q AS (SELECT embedding AS qe FROM $rel WHERE vec_id = 0),
          qcells AS (
            SELECT c.cent_id FROM cents c CROSS JOIN q
@@ -488,6 +547,18 @@ object SparkEntry {
          ORDER BY sim DESC, vec_id LIMIT 10"""
 
   private val ivfNprobe2Sql: String = ivfNprobe2SqlOver("embeddings")
+
+  /** v9c's oracle: the SAME nprobe=2 probe, but the centroid table is
+    * the landed trained index's own `_centroids/` parquet (the t11b
+    * treatment — the oracle takes the artifact as input, so Lloyd's
+    * float iteration needn't be mirrored; assignment, cell ranking and
+    * scoring are still recomputed independently in SQL). `def`: the
+    * path is recorded when the v9c query lands the index, and Verify
+    * dumps oracle SQL only after every query has run. */
+  private def v9cSql: String = ivfNprobe2SqlOver("embeddings",
+    centsSql = Some(
+      s"""SELECT cent_id, cent_emb FROM read_parquet(
+           '${Similarity.trainedIndexPathForOracle.getOrElse("TRAINED_INDEX_NOT_LANDED")}/_centroids/*.parquet')"""))
 
   /** v9e: the SAME probe over the corpus minus the doomed predicate —
     * what a rebuild-after-delete would serve; the Spark side serves it
@@ -1399,6 +1470,7 @@ object SparkEntry {
     // v15: the shortlist CTE + k unrolled greedy rounds — hash
     // equality proves the driver greedy IS the MMR selection
     "v15_mmr_rerank" -> mmrSql,
+    "v15b_mmr_hybrid" -> mmrHybridSql,
     // c9: the v5 assignment CTE × t2's quality ppm × a per-cell
     // capped rank — all three pieces reuse their own oracles' SQL
     "c9_cluster_caps" ->
@@ -1781,6 +1853,7 @@ object SparkEntry {
     // verbatim — the layout changes bytes read, never results
     "v9_ivf_landed" -> ivfTopKSql,
     "v9b_ivf_nprobe2" -> ivfNprobe2Sql,
+    "v9c_trained_index" -> v9cSql,
     // v9d: the incrementally-maintained index answers to the SAME
     // nprobe=2 oracle — hash equality proves the append path holds
     // row-for-row what a full rebuild holds

@@ -43,6 +43,14 @@ trait CommitProtocol {
     * left untouched. */
   def commitPartitions(spark: SparkSession, stagingPath: String,
       tablePath: String, dirNames: Seq[String]): Unit
+
+  /** Recover-on-open hook: replay any COMMITTED-but-unpublished work a
+    * crashed writer left behind, before this writer reads table state.
+    * Returns the replayed `v<k>/<partition>` names. Default: no-op —
+    * [[RenameCommit]] has no log, so a crash mid-publish is simply a
+    * partial write with no record to replay (the single-writer
+    * boundary its scaladoc records). */
+  def recover(spark: SparkSession, tablePath: String): Seq[String] = Nil
 }
 
 /** Optimistic-concurrency commit through a transaction log — the
@@ -89,43 +97,27 @@ trait CommitProtocol {
   * writers stage at), and readers still see plain partition dirs —
   * the log serializes writers without changing the read path. A crash
   * between steps 3 and 4 leaves a claimed version whose renames are
-  * incomplete; recovery (replaying the claimed record's staged dirs)
-  * is the redo-log discipline a production log implements, noted here
-  * as the boundary rather than hidden. */
+  * incomplete; [[OptimisticLogCommit.recover]] implements the redo-log
+  * replay: each record names its staging dir, so a claimed version
+  * whose staged dirs survive is completed (rename-finishing,
+  * idempotent) at the next open — mergeIntoPartitioned calls it
+  * before begin(). */
 class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
     extends CommitProtocol {
   import org.apache.hadoop.fs.{FileSystem, Path}
+  import OptimisticLogCommit.{logPath, records, recordBody}
 
   // tip version at the writer's table snapshot (begin); None until then
   @volatile private var snapshotBase: Option[Long] = None
 
-  private def logPath(tablePath: String) = new Path(new Path(tablePath), "_log")
-
-  private def records(fs: FileSystem, log: Path): Seq[(Long, Set[String])] = {
-    val statuses =
-      try fs.listStatus(log)
-      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    statuses.toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map { n =>
-        val v = n.stripPrefix("v").stripSuffix(".json").toLong
-        val p = new Path(log, n)
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        val node = mapper.readTree(buf)
-        val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(node.elements())
-          .asScala.map(_.asText()).toSet
-        v -> parts
-      }.sortBy(_._1)
-  }
+  override def recover(spark: SparkSession, tablePath: String): Seq[String] =
+    OptimisticLogCommit.recover(spark, tablePath)
 
   override def begin(spark: SparkSession, tablePath: String): Unit =
     if (baseVersion < 0) {
       val log = logPath(tablePath)
       val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      snapshotBase = Some(records(fs, log).lastOption.map(_._1).getOrElse(0L))
+      snapshotBase = Some(records(fs, log).lastOption.map(_.version).getOrElse(0L))
     }
 
   /** Atomic create-if-absent of the version record WITH its content.
@@ -162,19 +154,20 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
         "OptimisticLogCommit has no snapshot base: call begin() before " +
           "reading the table state (mergeIntoPartitioned/compact do), or " +
           "construct with an explicit baseVersion"))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val body = mapper.writeValueAsBytes(
-      scala.jdk.CollectionConverters.SeqHasAsJava(dirNames).asJava)
+    // the record names its staging dir: that is what makes a crash
+    // between the CAS and the renames RECOVERABLE — recover() can find
+    // the claimed version's staged dirs and finish the publish
+    val body = recordBody(stagingPath, dirNames)
     var attempt = 0
     while (true) {
       val recs = records(fs, log)
-      val conflicting = recs.filter { case (v, parts) =>
-        v > base && parts.intersect(dirNames.toSet).nonEmpty }
+      val conflicting = recs.filter { r =>
+        r.version > base && r.parts.toSet.intersect(dirNames.toSet).nonEmpty }
       require(conflicting.isEmpty,
-        s"write-write conflict: version(s) ${conflicting.map(_._1).mkString(",")} " +
-          s"already replaced partition(s) ${conflicting.flatMap(_._2).toSet.intersect(dirNames.toSet).mkString(",")} " +
+        s"write-write conflict: version(s) ${conflicting.map(_.version).mkString(",")} " +
+          s"already replaced partition(s) ${conflicting.flatMap(_.parts).toSet.intersect(dirNames.toSet).mkString(",")} " +
           "since this writer's base — re-derive from the current table state and retry")
-      val next = recs.lastOption.map(_._1).getOrElse(0L) + 1L
+      val next = recs.lastOption.map(_.version).getOrElse(0L) + 1L
       if (claim(fs, log, next, body)) {
         dirNames.foreach { d =>
           val src = new Path(stagingPath, d)
@@ -191,6 +184,101 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
       require(attempt <= maxRetries,
         s"lost the version CAS $maxRetries times under contention; giving up")
     }
+  }
+}
+
+object OptimisticLogCommit {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** One committed (claimed) version: the partition dirs it replaced
+    * and the staging dir it published from. `staging` is None only for
+    * legacy array-format records (pre-recovery log vintage), which are
+    * conflict-checkable but not replayable. */
+  private[operators] final case class LogRecord(
+      version: Long, staging: Option[String], parts: Seq[String])
+
+  private[operators] def logPath(tablePath: String) =
+    new Path(new Path(tablePath), "_log")
+
+  private[graft] def recordBody(stagingPath: String, dirNames: Seq[String]): Array[Byte] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("staging", stagingPath)
+    val arr = node.putArray("parts")
+    dirNames.foreach(arr.add)
+    mapper.writeValueAsBytes(node)
+  }
+
+  private[operators] def records(fs: FileSystem, log: Path): Seq[LogRecord] = {
+    val statuses =
+      try fs.listStatus(log)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    statuses.toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map { n =>
+        val v = n.stripPrefix("v").stripSuffix(".json").toLong
+        val p = new Path(log, n)
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        val node = mapper.readTree(buf)
+        if (node.isArray) {
+          // legacy record: bare array of partition dirs, no staging
+          val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(node.elements())
+            .asScala.map(_.asText()).toSeq
+          LogRecord(v, None, parts)
+        } else {
+          val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            node.get("parts").elements()).asScala.map(_.asText()).toSeq
+          LogRecord(v, Option(node.get("staging")).map(_.asText()), parts)
+        }
+      }.sortBy(_.version)
+  }
+
+  /** Redo-log replay — closes the step-3/4 crash window. A crash after
+    * the version CAS but before (or during) the partition renames
+    * leaves a CLAIMED version whose staging dir survives; the log says
+    * committed, so the staged content is the durable truth and must
+    * finish publishing. For every record whose staging dir still
+    * exists, each still-staged partition dir is rename-completed into
+    * the table — UNLESS a later version also replaced that partition
+    * (the later commit already derived from, or superseded, this one;
+    * resurrecting the older staged copy would clobber it) — then the
+    * staging dir is dropped. Idempotent: a second call finds no
+    * staging dirs and does nothing. Run at OPEN, before new writers
+    * (mergeIntoPartitioned calls it ahead of begin()); recovery itself
+    * is single-threaded by that discipline — two racing recoverers
+    * could interleave the delete-then-rename pair.
+    *
+    * Returns the replayed `v<k>/<partition>` names (empty = clean). */
+  def recover(spark: SparkSession, tablePath: String): Seq[String] = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recs = records(fs, logPath(tablePath))
+    val replayed = Seq.newBuilder[String]
+    recs.foreach { r =>
+      r.staging.map(new Path(_)).filter(fs.exists).foreach { stg =>
+        r.parts.foreach { d =>
+          val src = new Path(stg, d)
+          if (fs.exists(src)) {
+            val supersededByLater =
+              recs.exists(l => l.version > r.version && l.parts.contains(d))
+            if (!supersededByLater) {
+              val dst = new Path(table, d)
+              fs.delete(dst, true)
+              if (!fs.rename(src, dst))
+                throw new java.io.IOException(
+                  s"recovery failed to publish $src into $dst")
+              replayed += s"v${r.version}/$d"
+            }
+          }
+        }
+        fs.delete(stg, true)
+        ()
+      }
+    }
+    replayed.result()
   }
 }
 

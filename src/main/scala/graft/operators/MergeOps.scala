@@ -127,6 +127,11 @@ object MergeOps {
     import CacheOps.shared
     val d = shared(delta.withColumn("part", partCol(keys, numParts)))
     try {
+      // recover-on-open: finish any claimed-but-unpublished commit a
+      // crashed writer left (the CommitProtocol step-3/4 window) BEFORE
+      // reading table state — otherwise this writer would derive from
+      // a table the log says is older than it is
+      commit.recover(spark, path)
       // snapshot the commit base BEFORE the base-table read: an
       // optimistic protocol pins the version this writer derives from,
       // so a concurrent commit landing after this point is a detected

@@ -43,7 +43,11 @@ object Partitioned {
     commit.begin(spark, tablePath)
     val reader = schema.fold(spark.read)(spark.read.schema)
     val table = reader.parquet(tablePath)
-    val affected = table.join(broadcast(doomed), Seq(keyCol), "left_semi")
+    // no broadcast hint on the doomed set: a takedown backlog can be
+    // corpus-proportional (round-9 ADVICE) — AQE picks broadcast when
+    // the set is actually small, and a shuffled semi/anti join stays
+    // bounded by the affected partitions' bytes otherwise
+    val affected = table.join(doomed, Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (affected.nonEmpty) {
@@ -58,7 +62,7 @@ object Partitioned {
       // a failed STAGING write published nothing — clean up and rethrow
       // (the same no-leak rule the commit path enforces below)
       try table.filter(pred)
-        .join(broadcast(doomed), Seq(keyCol), "left_anti")
+        .join(doomed, Seq(keyCol), "left_anti")
         .repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(staging)
       catch { case e: Throwable =>

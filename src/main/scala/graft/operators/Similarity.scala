@@ -329,6 +329,18 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("rel"))
       .collect() // BOUNDED: exactly `shortlist` rows by construction
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    mmrGreedy(short.toSeq, k).toDF("rnk", "vec_id", "mmr")
+      .select(col("rnk"), col("vec_id"), round(col("mmr"), 6).as("mmr_r"))
+      .orderBy(col("rnk"))
+  }
+
+  /** The sequential MMR greedy over a COLLECTED shortlist (bounded
+    * rows by construction — selection step t needs step t−1's pick, so
+    * this is inherently driver-side) — shared by v15 (vector
+    * shortlist) and v15b (hybrid page). Same 0.7·rel − 0.3·maxsim op
+    * order as the oracle's unrolled CTE stages. */
+  private def mmrGreedy(short: Seq[(Long, Array[Float], Double)],
+      k: Int): Seq[(Int, Long, Double)] = {
     val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     val selEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     var remaining = short.toList
@@ -346,8 +358,38 @@ object Similarity {
       remaining = remaining.filterNot(_._1 == best._1._1)
       rnk += 1
     }
-    sel.toSeq.toDF("rnk", "vec_id", "mmr")
-      .select(col("rnk"), col("vec_id"), round(col("mmr"), 6).as("mmr_r"))
+    sel.toSeq
+  }
+
+  /** V15b: MMR diversity over the HYBRID page — the reference's actual
+    * serving shape (app_old.py:64-162 pairs semantic hits with keyword
+    * results: the page the user sees is the FUSED one, so that is the
+    * page that must diversify, not the raw vector shortlist). Page
+    * membership comes from v13b's indexed RRF fusion cut at
+    * `shortlist`; the greedy's relevance is each page doc's
+    * stub-embedding cosine to the query (defined for lexical-only docs
+    * too — fusion can seat docs the semantic tier never ranked), and
+    * the diversity penalty is pairwise stub cosine. StubEmbed's floats
+    * are bit-identical to the oracle's md5-window derivation (integer
+    * sums, one division, ordered-fold norm, CAST AS REAL), so the
+    * whole composition — fusion, relevance, k greedy rounds — is
+    * hash-checked end to end. Two-phase like v15: tiers and fusion run
+    * distributed; the greedy collects exactly the fused page. */
+  def mmrRerankHybrid(spark: SparkSession, dir: String,
+      query: String = DefaultQuery, shortlist: Int = 20, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val page = hybridRrfIndexed(spark, dir, query, shortlist).select(col("doc_id"))
+    val q = spark.range(1).select(graft.functions.StubEmbed(lit(query)).as("qe"))
+    val short: Seq[(Long, Array[Float], Double)] = documents(spark, dir)
+      .join(page, Seq("doc_id"), "left_semi")
+      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", Vectors.cosine(col("embedding"), col("qe")))
+      .select(col("doc_id"), col("embedding"), col("rel"))
+      .collect() // BOUNDED: the fused page, ≤ `shortlist` rows
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2))).toSeq
+    mmrGreedy(short, k).toDF("rnk", "doc_id", "mmr")
+      .select(col("rnk"), col("doc_id"), round(col("mmr"), 6).as("mmr_r"))
       .orderBy(col("rnk"))
   }
 
@@ -887,17 +929,29 @@ object Similarity {
     outPath
   }
 
+  /** The landed trained index's path, recorded at landing so the v9c
+    * oracle can read the ARTIFACT'S OWN centroid table (the t11b
+    * treatment: Lloyd's float iteration needn't be mirrored in SQL —
+    * the oracle takes the landed `_centroids/` as input and
+    * independently recomputes assignment, cell ranking, and scoring
+    * from it). Oracle SQL is dumped AFTER all queries run (Verify's
+    * order), so the path is always recorded by then; the landed dir
+    * lives in /dev/shm scratch, which outlives the Spark JVM for the
+    * driver's DuckDB pass. */
+  @volatile private[graft] var trainedIndexPathForOracle: Option[String] = None
+
   /** v9c: nprobe=2 probe over the TRAINED landed index. Trained cells
     * follow the corpus geometry instead of the first 8 ids, so recall
     * at fixed nprobe can only improve (SimilaritySpec pins it ≥ the
     * first-8 tier's); the probe plan — and its dynamic partition
     * pruning — is identical to v9b's. */
   def ivfTrainedTopK2(spark: SparkSession, dir: String,
-      queryId: Long = 0L, k: Int = 10): DataFrame =
-    ivfTopKOverIndex(spark,
-      landOnce(spark, dir, "graft_ivf_trained", ivfTrainedLanded)(
-        materializeIvfTrained(spark, dir, _)),
-      queryId, k, nprobe = 2)
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = landOnce(spark, dir, "graft_ivf_trained", ivfTrainedLanded)(
+      materializeIvfTrained(spark, dir, _))
+    trainedIndexPathForOracle = Some(path)
+    ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
+  }
 
   // landing memo for the incrementally-MAINTAINED index (v9d)
   private val ivfIncrementalLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()

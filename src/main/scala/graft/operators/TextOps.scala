@@ -465,22 +465,34 @@ object TextOps {
     heavyHittersOf(documents(spark, dir))
 
   private[graft] def heavyHittersOf(docs: DataFrame): DataFrame = {
-    val (cand, thresh) = heavyHitterCandidates(docs)
-    cand
+    import CacheOps.materializeAndRelease
+    val (cand, thresh, cached) = heavyHitterCandidates(docs)
+    // materialize only AFTER the exact groupBy: the result is bounded
+    // by the heavy-hitter vocabulary (≤ HhSupportDiv rows), while the
+    // candidate-OCCURRENCE frame can be a large constant fraction of
+    // the corpus on stopword-dominated text — checkpointing it would
+    // spool corpus-scale data to executor storage (round-9 ADVICE)
+    val exact = cand
       .groupBy(col("token"), col("n"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thresh)
       .select(col("token"), col("cnt"))
+    materializeAndRelease(exact, cached: _*)
       .orderBy(desc("cnt"), col("token"))
   }
 
-  /** The candidate-occurrence frame (pass 2's output, pre-exact-count)
-    * plus the threshold column expression over its `n` column — split
-    * out so the spec can assert the prune is both EFFECTIVE (candidates
-    * ≪ vocabulary) and SAFE (superset of the truth). */
+  /** The candidate-occurrence frame (pass 2's output, pre-exact-count),
+    * the threshold column expression over its `n` column, and the
+    * persisted frames the CALLER must release once its bounded result
+    * is materialized — split out so the spec can assert the prune is
+    * both EFFECTIVE (candidates ≪ vocabulary) and SAFE (superset of
+    * the truth). The occurrence frame itself is returned LAZY:
+    * candidates can be a large fraction of all occurrences (stopword-
+    * heavy corpora), so it must never be checkpointed — only the
+    * post-groupBy exact counts are bounded. */
   private[graft] def heavyHitterCandidates(docs: DataFrame,
-      persist: Boolean = true): (DataFrame, Column) = {
-    import CacheOps.{materializeAndRelease, shared}
+      persist: Boolean = true): (DataFrame, Column, Seq[DataFrame]) = {
+    import CacheOps.shared
     val tok = docs.select(explode(tokens(col("text"))).as("token"))
     def bkt(seed: Int): Column = pmod(xxhash64(lit(seed), col("token")), lit(HhWidth))
     // pass 1: one aggregation over (hash-row, bucket) — ≤ 3*1024 rows
@@ -507,8 +519,7 @@ object TextOps {
     }
     val est = least(HhSeeds.indices.map(i => col(s"c$i")): _*)
     val cand0 = looked.filter(est >= thresh).select(col("token"), col("n"))
-    val cand = if (persist) materializeAndRelease(cand0, sketch) else cand0
-    (cand, thresh)
+    (cand0, thresh, if (persist) Seq(sketch) else Nil)
   }
 
   /** T11: BM25 lexical ranking — the keyword half of the reference's
@@ -862,13 +873,17 @@ object TextOps {
     // victims' accounting BEFORE any mutation (dl rides the posting
     // rows and is unrecoverable after the rewrite; membership comes
     // from the ledger so token-less docs still count toward n)
+    // no broadcast hints: the doomed set (and its member intersection)
+    // is corpus-proportional under a takedown backlog (round-9 ADVICE);
+    // AQE broadcasts when small, and a shuffled semi join stays bounded
+    // by the affected buckets' bytes otherwise
     val member = bm25Members(spark, path)
-      .join(broadcast(doomed), Seq("doc_id"), "left_semi").persist()
+      .join(doomed, Seq("doc_id"), "left_semi").persist()
     try {
       val nDel = member.count()
       if (nDel > 0) {
         val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
-        val totDel = postings.join(broadcast(member), Seq("doc_id"), "left_semi")
+        val totDel = postings.join(member, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("dl")).distinct()
           .agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
         Partitioned.deleteByKey(spark, s"$path/postings", "doc_id", "bucket",
@@ -1085,17 +1100,27 @@ object TextOps {
     }
     val live = new Path(dir)
     val retired = new Path(s"${dir}__retired_$tag")
-    if (fs.exists(live) && !fs.rename(live, retired))
-      throw new java.io.IOException(s"failed to retire $dir for compaction")
+    // track whether a retired copy actually exists: when the live dir
+    // was absent there is nothing to restore, and a recovery message
+    // pointing at a nonexistent retired dir would misdirect the
+    // operator (round-9 ADVICE)
+    val didRetire = fs.exists(live) && {
+      if (!fs.rename(live, retired))
+        throw new java.io.IOException(s"failed to retire $dir for compaction")
+      true
+    }
     if (!fs.rename(new Path(staging), live)) {
-      val restored = fs.rename(retired, live) // the index must stay servable
+      val restored = didRetire && fs.rename(retired, live) // stay servable
       fs.delete(new Path(staging), true)
       throw new java.io.IOException(
         if (restored) s"failed to publish compacted $dir (live restored)"
-        else s"failed to publish compacted $dir AND failed to restore the " +
-          s"retired copy — data intact at $retired, live dir missing")
+        else if (didRetire)
+          s"failed to publish compacted $dir AND failed to restore the " +
+            s"retired copy — data intact at $retired, live dir missing"
+        else s"failed to publish compacted $dir — no live artifact existed " +
+          s"before the swap, nothing to restore")
     }
-    fs.delete(retired, true)
+    if (didRetire) fs.delete(retired, true)
     ()
   }
 

@@ -193,6 +193,53 @@ object EventsStream {
     out
   }
 
+  /** Multi-batch form of [[viewPurchaseJoinStreaming]] — the spec-level
+    * harness that exercises what the single-file gate form provably
+    * CANNOT: watermark EVICTION. One parquet file per micro-batch
+    * (maxFilesPerTrigger=1, modification-time order), so the watermark
+    * advances between batches and a row arriving in a later batch with
+    * event time below it is DROPPED — the semantics the single-batch
+    * form never reaches because the watermark only moves after its one
+    * and only batch. EventsStreamSpec plants a would-be-matching view
+    * beyond the watermark in file 2 and asserts its pair is absent
+    * while fresh in-window pairs still emit. Expects ts already
+    * TIMESTAMP-typed (the spec writes its own fixture; the gate form
+    * keeps normalizeEventTs for the shipped vintages). */
+  private[graft] def viewPurchaseJoinStreamingMulti(spark: SparkSession,
+      srcDir: String, queryName: String): DataFrame = {
+    val ss = spark.newSession()
+    val schema = ss.read.parquet(srcDir).schema
+    def src(): DataFrame = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "20 minutes")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "20 minutes")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") -
+          expr(s"INTERVAL ${graft.operators.AsofJoin.HorizonMinutes} MINUTES"))
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = ss.table(queryName)
+      .select(col("p_id"), col("v_id"))
+      .orderBy(col("p_id"), col("v_id"))
+      .localCheckpoint(true)
+    ss.catalog.dropTempView(queryName)
+    out
+  }
+
   /** S10 in streaming form: continuous MERGE — every micro-batch
     * upserts its per-key aggregate into a parquet state table through
     * `foreachBatch`, the standard streaming-MERGE pattern (on

@@ -20,13 +20,29 @@ import graft.operators.TextOps
   * resume, never renumber), and bm25IndexAppend is idempotent PER
   * DOCUMENT (the docids-ledger anti-join drops already-indexed docs,
   * and a fully-duplicate batch publishes nothing — no stats partial,
-  * no files). So a foreachBatch retry, a crashed-and-restarted query,
-  * or even a FULL redelivery of every file (fresh checkpoint) leaves
-  * the index byte-for-byte serving the same answers — IndexStreamSpec
-  * asserts the replay case end-to-end. This is the
-  * streamingMergeUpsert discipline with the ledger, not a state
-  * store, as the dedup authority: the guard survives restarts because
-  * it lives in the index itself.
+  * no files). So a foreachBatch retry after a COMPLETE publish, a
+  * query restarted after a clean batch boundary, or even a FULL
+  * redelivery of every file (fresh checkpoint) leaves the index
+  * byte-for-byte serving the same answers — IndexStreamSpec asserts
+  * the replay case end-to-end. This is the streamingMergeUpsert
+  * discipline with the ledger, not a state store, as the dedup
+  * authority: the guard survives restarts because it lives in the
+  * index itself.
+  *
+  * Scope, stated honestly: the guarantee covers retries after
+  * complete publishes and after clean STAGING failures (a failed
+  * staging write publishes nothing, so the retry starts fresh). It
+  * does NOT cover a crash MID-PUBLISH — bm25IndexAppend moves
+  * postings → stats → docids in separate renames, so a crash after
+  * postings/stats land but before the docids ledger records the
+  * batch leaves the retry's anti-join blind to the half-published
+  * docs, and the automatic restart would re-append them (duplicated
+  * posting rows, inflated stats partials). A mid-publish failure
+  * therefore requires the staged-copy replay/drop recovery
+  * (complete or remove the partial artifacts against the staging
+  * dirs, the CommitProtocol.recover discipline) BEFORE restarting
+  * the stream — the same redo-log boundary TextOps'
+  * bm25IndexDelete scaladoc records.
   */
 object IndexStream {
 

@@ -126,6 +126,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bm25StreamedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25BatchTopK(spark, emptyDir).count() === 0)
     assert(Similarity.hybridRrfIndexed(spark, emptyDir).count() === 0)
+    assert(Similarity.mmrRerankHybrid(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)

@@ -70,4 +70,77 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture has no view→purchase pairs in the band")
     assert(stream === batch)
   }
+
+  test("stream-stream join across micro-batches drops a late view beyond the watermark") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_ss_late")
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    def t(min: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .of(2024, 1, 1, 0, 0).plusMinutes(min))
+    import spark.implicits._
+    def land(name: String, rows: Seq[(Long, String, String, Timestamp)],
+        modTime: Long): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      val dst = new java.io.File(srcDir, name)
+      assert(part.renameTo(dst))
+      assert(dst.setLastModified(modTime))
+    }
+    // Three batches pin the eviction semantics, each element earned
+    // empirically:
+    //  - the global watermark is the MIN across the two watermarked
+    //    sides, so BOTH sides carry a stray@130 (different users, no
+    //    cross pairs) or one lagging side pins the watermark low;
+    //  - an interval join never drops input by the raw watermark — a
+    //    late row joins whatever state remains — so the drop is
+    //    observable only once the doomed purchase's state is GONE;
+    //  - state eviction runs with the batch-START watermark, so P1
+    //    survives the very batch that raised the watermark past its
+    //    band and is evicted one batch LATER. Hence 3 files: raise,
+    //    evict, then the late arrival.
+    val now = System.currentTimeMillis()
+    // batch 1: P1@100 + V1@95 pair (horizon 10 min); strays@130 push
+    // the 20-min watermark to 110 — past P1's whole view band [90,100]
+    land("f1.parquet", Seq(
+      (1L, "a", "purchase", t(100)),
+      (2L, "a", "view", t(95)),
+      (9L, "y", "view", t(130)),
+      (10L, "z", "purchase", t(130))), now - 120000)
+    // batch 2: runs WITH wm=110 → evicts P1 (100 < 110) after joining
+    // its own fresh pair P2@135 + V3@132
+    land("f2.parquet", Seq(
+      (4L, "b", "purchase", t(135)),
+      (5L, "b", "view", t(132))), now - 60000)
+    // batch 3: V2@99 for user a is INSIDE P1's band — the batch join
+    // pairs it — but P1's state is evicted and 99 is below the
+    // view-side state watermark, so streaming must NOT emit (1,3)
+    land("f3.parquet", Seq(
+      (3L, "a", "view", t(99))), now)
+
+    val got = EventsStream.viewPurchaseJoinStreamingMulti(spark, srcDir, "ss_late_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: an unwatermarked batch band join WOULD pair (1,3) — the
+    // only difference streaming may introduce is the late-data drop
+    val e = spark.read.parquet(srcDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val batchPairs = p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(
+            s"INTERVAL ${graft.operators.AsofJoin.HorizonMinutes} MINUTES"))
+      .select("p_id", "v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs === Set((1L, 2L), (1L, 3L), (4L, 5L)),
+      s"fixture miscalibrated: batch band pairs = $batchPairs")
+    assert(got === Set((1L, 2L), (4L, 5L)),
+      s"streaming must drop the beyond-watermark view (1,3) and keep the rest, got $got")
+  }
 }

@@ -310,6 +310,91 @@ class PartitionedSpec extends SparkSpec {
     assert(leaked.isEmpty, s"aborted merge leaked staging dirs: ${leaked.toSeq}")
   }
 
+  test("commit recovery: a crashed claim's staged partitions publish at open; superseded and re-run cases are no-ops") {
+    import spark.implicits._
+    import graft.operators.{MergeOps, OptimisticLogCommit}
+    import org.apache.hadoop.fs.Path
+    val keys = Seq("user_id", "event_type")
+    val numParts = 8
+    val root = java.nio.file.Files.createTempDirectory("graft_oplog_rec")
+    val path = root.toString + "/t"
+    val base = (1 to 40).map(i => (s"u$i", "click", i.toLong, i * 1.0))
+      .toDF("user_id", "event_type", "n_events", "total_value")
+      .withColumn("merge_action", lit("unchanged"))
+    MergeOps.writePartitionedBase(base, path, keys, numParts)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partOf(uid: String): Int = Seq((uid, "click")).toDF("user_id", "event_type")
+      .select(pmod(hash(col("user_id"), col("event_type")), lit(numParts)).as("p"))
+      .collect().head.getInt(0)
+    def rowsOf(p: Int) = spark.read.parquet(path)
+      .filter(col("part") === p)
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // v1: a normal commit so the log exists
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq(("u1", "click", 10L, 10.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit())
+
+    // stage a full-partition replacement (one row) for each victim and
+    // claim v2 — then CRASH between the CAS and the renames: only uB's
+    // partition got published, uA's staged dir survives
+    val uA = "u7"; val pA = partOf(uA)
+    val uB = (1 to 40).map(i => s"u$i").find(u => partOf(u) != pA && partOf(u) != partOf("u1")).get
+    val pB = partOf(uB)
+    val staging = s"${path}__staging_crashed"
+    Seq((uA, "click", 777L, 7.0, "updated", pA), (uB, "click", 888L, 8.0, "updated", pB))
+      .toDF("user_id", "event_type", "n_events", "total_value", "merge_action", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(staging)
+    val out = fs.create(new Path(s"$path/_log/v2.json"), false)
+    out.write(OptimisticLogCommit.recordBody(staging, Seq(s"part=$pA", s"part=$pB")))
+    out.close()
+    fs.delete(new Path(s"$path/part=$pB"), true)
+    assert(fs.rename(new Path(s"$staging/part=$pB"), new Path(s"$path/part=$pB")))
+
+    // recover-on-open: the next merge (disjoint partition) replays v2
+    // first, then lands as v3 — the crashed commit's content now serves
+    val uC = (1 to 40).map(i => s"u$i")
+      .find(u => !Set(pA, pB, partOf("u1")).contains(partOf(u))).get
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq((uC, "click", 999L, 9.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit())
+    assert(rowsOf(pA) === Set((uA, 777L)), "crashed claim's unpublished partition must replay at open")
+    assert(rowsOf(pB) === Set((uB, 888L)), "already-published partition must survive recovery untouched")
+    assert(spark.read.parquet(path).filter(col("user_id") === uC)
+      .collect().head.getAs[Long]("n_events") === 999L)
+    assert(!fs.exists(new Path(staging)), "recovery must drop the replayed staging dir")
+    // re-recovery is a no-op
+    val again = OptimisticLogCommit.recover(spark, path)
+    assert(again.isEmpty, s"second recovery must be a no-op, replayed $again")
+    assert(rowsOf(pA) === Set((uA, 777L)))
+
+    // superseded claim: v4 crashed pre-publish on pA, then v5 COMPLETED
+    // on pA — recovery must drop v4's stale staged copy, not resurrect it
+    val staleStaging = s"${path}__staging_stale"
+    Seq((uA, "click", 111L, 1.0, "updated", pA))
+      .toDF("user_id", "event_type", "n_events", "total_value", "merge_action", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(staleStaging)
+    val out4 = fs.create(new Path(s"$path/_log/v4.json"), false)
+    out4.write(OptimisticLogCommit.recordBody(staleStaging, Seq(s"part=$pA")))
+    out4.close()
+    // v5 completes on pA through the raw commit path (no recover-on-open,
+    // so v4's crash state is still pending when v5 lands)
+    val stagingV5 = s"${path}__staging_v5"
+    Seq((uA, "click", 555L, 5.0, "updated", pA))
+      .toDF("user_id", "event_type", "n_events", "total_value", "merge_action", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(stagingV5)
+    new OptimisticLogCommit(baseVersion = 4L)
+      .commitPartitions(spark, stagingV5, path, Seq(s"part=$pA"))
+    assert(spark.read.parquet(path).filter(col("user_id") === uA)
+      .collect().head.getAs[Long]("n_events") === 555L)
+    val afterStale = OptimisticLogCommit.recover(spark, path)
+    assert(afterStale.isEmpty, "a claim superseded by a later completed version must not replay")
+    assert(!fs.exists(new Path(staleStaging)), "superseded staging dir must be dropped")
+    assert(spark.read.parquet(path).filter(col("user_id") === uA)
+      .collect().head.getAs[Long]("n_events") === 555L,
+      "recovery must not clobber the later committed version")
+  }
+
   test("partitioned merge driver form matches the plain full-outer merge") {
     import graft.operators.MergeOps
     val scoped = MergeOps.partitionedMergeUpsert(spark, sfDir)

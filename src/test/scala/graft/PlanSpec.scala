@@ -288,7 +288,7 @@ class PlanSpec extends SparkSpec {
     // filter, so the only token-keyed exchange is the final exact
     // count over CANDIDATES — a vocabulary-shaped shuffle of raw
     // occurrences must never appear
-    val (cand, _) = graft.operators.TextOps.heavyHitterCandidates(
+    val (cand, _, _) = graft.operators.TextOps.heavyHitterCandidates(
       graft.Tables.documents(spark, sfDir), persist = false)
     val p = plan(cand)
     val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))

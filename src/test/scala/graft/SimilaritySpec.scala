@@ -913,6 +913,44 @@ class SimilaritySpec extends SparkSpec {
     assert(page.head._2 === top1, "rank 1 must be the pure-relevance top-1")
   }
 
+  test("mmr over the hybrid page (v15b): the fused page diversifies a planted paraphrase cluster") {
+    import spark.implicits._
+    // planted corpus: a two-aspect query — with bag-of-words stub
+    // embeddings, a doc is only both RELEVANT and DIVERSE when its
+    // relevance comes from DIFFERENT query terms than the cluster's
+    // (shared query terms create twin-similarity, which is exactly
+    // what MMR penalizes). Docs 1/2 are IDENTICAL and cover aspect
+    // "alpha beta"; doc 3 covers aspect "gamma delta" (token-disjoint
+    // from the twins, equal relevance by symmetry up to hash noise);
+    // docs 4/5 are off-topic filler. Pure relevance cannot separate
+    // the twins from doc 3; MMR must put one doc from EACH aspect in
+    // the top 2 and demote the twin to rank 3 — it ties rank 1's
+    // relevance EXACTLY (same text) yet carries the maximal
+    // similarity-1.0 penalty.
+    val dir = java.nio.file.Files.createTempDirectory("graft_v15b").toString
+    Seq(
+      (1L, "alpha beta", "en", "s1"),
+      (2L, "alpha beta", "en", "s1"),
+      (3L, "gamma delta", "en", "s1"),
+      (4L, "omicron sigma tau", "en", "s1"),
+      (5L, "upsilon phi chi", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val page = Similarity.mmrRerankHybrid(spark, dir, "alpha beta gamma delta").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(page.map(_._1).toSeq === (1 to page.length).toSeq, "ranks must be contiguous")
+    assert(Set(page(0)._2, page(1)._2) === Set(1L, 3L),
+      s"top 2 must cover both aspects (one twin + the diverse doc): ${page.toSeq}")
+    assert(page(2)._2 === 2L,
+      s"the identical twin must be demoted to rank 3 despite tying rank-1 relevance: ${page.toSeq}")
+    // the gate form runs the real corpus end to end: contiguous ranks,
+    // rank 1 = the fused page's most semantically relevant member
+    val gate = Similarity.mmrRerankHybrid(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(gate.map(_._1).toSeq === (1 to gate.length).toSeq)
+    assert(gate.nonEmpty)
+  }
+
   test("hybrid rrf (v13): a doc on both pages beats single-tier docs at equal ranks") {
     // pure vote arithmetic on the exact units — rank r in both tiers
     // always beats rank r in one tier, and even rank 1 in one tier

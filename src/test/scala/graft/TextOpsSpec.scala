@@ -275,16 +275,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.sortBy { case (t, c) => (-c, t) }.toSeq === rows.toSeq)
     // prune safety on the fixture: candidates ⊇ truth (CMS never
     // undercounts)
-    val (candF, _) = TextOps.heavyHitterCandidates(docs)
+    val (candF, _, cachedF) = TextOps.heavyHitterCandidates(docs)
     val cand = candF.select(col("token")).distinct().collect().map(_.getString(0)).toSet
+    cachedF.foreach(_.unpersist(true))
     assert(exact.keySet.subsetOf(cand), "a true heavy hitter was pruned — CMS broken")
     // prune EFFECTIVENESS needs a long-tail vocabulary (the sf0.001
     // fixture has ~31 distinct tokens, nearly all genuinely heavy):
     // planted Zipf-ish corpus — 2 hot tokens, 2000 singletons
     import spark.implicits._
     val planted = (0 until 2000).map(i => s"hot common rare$i").toDF("text")
-    val (candP, _) = TextOps.heavyHitterCandidates(planted)
+    val (candP, _, cachedP) = TextOps.heavyHitterCandidates(planted)
     val candSet = candP.select(col("token")).distinct().collect().map(_.getString(0)).toSet
+    cachedP.foreach(_.unpersist(true))
     assert(Set("hot", "common").subsetOf(candSet), "hot tokens pruned")
     assert(candSet.size < 2002 / 10,
       s"prune ineffective on long tail: ${candSet.size} candidates of 2002 vocab")
