@@ -321,7 +321,29 @@ object ScaleProbe {
       "t11d_faceted_search"  -> (operators.TextOps.bm25Faceted(_, _)),
       // v13b: embed scan (linear) + the landed lexical probe
       // (posting-sized) + two ≤k-row fusion frames
-      "v13b_hybrid_indexed"  -> (operators.Similarity.hybridRrfIndexed(_, _)))
+      "v13b_hybrid_indexed"  -> (operators.Similarity.hybridRrfIndexed(_, _)),
+      // round-10. t12b: phrase over the PRE-landed positional index
+      // (landing bills to rep 1). The salted corpus rewrites every
+      // token, so the probe phrase comes from the corpus itself (the
+      // min-id doc's first two tokens — a copy-0 bigram): its posting
+      // sizes are CONSTANT across factors, so a flat wall is exactly
+      // the "probe IO tracks the phrase terms' postings, never the
+      // corpus" claim under a 30× corpus
+      "t12b_phrase_indexed"  -> ((s, d) => {
+        val idx = bm25PathFor(d) + "_pos"
+        if (!new java.io.File(idx).exists())
+          operators.TextOps.materializePhraseIndexOf(Tables.documents(s, d), idx)
+        val probePhrase = Tables.documents(s, d).orderBy(col("doc_id"))
+          .limit(1).select(col("text")).head().getString(0)
+          .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").take(2).toSeq
+        operators.TextOps.phraseOverIndex(s, idx, probePhrase, 10)
+      }),
+      // g1: rank rounds over the landed pair frame (pair generation
+      // memoizes per dir — the d7 convention: rep 1 pays it, min-over-
+      // reps reports the warm rank iterations). Edges grow linearly
+      // under salting (copies share no grams), so the per-round
+      // edge⋈rank + dst-sum must track edge count
+      "g1_pagerank"          -> (operators.Graph.pagerank(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

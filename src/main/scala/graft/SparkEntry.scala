@@ -355,6 +355,30 @@ object SparkEntry {
     // j13: interval-OVERLAP join — all versions active during each
     // session (a long session spans several; i6b's point lookup can't)
     "j13_session_versions"    -> ((s, d) => Scd2.sessionVersions(s, d)),
+    // ts1: calendar-spine hourly resample — gap hours exist as explicit
+    // zero cells with last-observation-carried-forward value levels
+    "ts1_gap_fill"            -> ((s, d) => Timeseries.gapFillHourly(s, d)),
+    // ts2: median/MAD outlier flags over ts1's resampled cells — the
+    // robust twin of e5's mean/stddev flags, zeros included
+    "ts2_mad_outliers"        -> ((s, d) => Timeseries.madOutliersHourly(s, d)),
+    // t12: exact phrase search — contiguous token-sequence occurrence
+    // counting as one map-only column expression
+    "t12_phrase_search"       -> ((s, d) => TextOps.phraseSearch(s, d)),
+    // t12b: the same page over the LANDED positional index — bucket-
+    // pruned per-term reads, anchor-join intersection
+    "t12b_phrase_indexed"     -> ((s, d) => TextOps.phraseIndexedSearch(s, d)),
+    // t13: pseudo-relevance-feedback expansion — mine the base page's
+    // top terms, re-rank with the dynamic-term row-form scorer
+    "t13_prf_expansion"       -> ((s, d) => TextOps.prfExpandedSearch(s, d)),
+    // t14: best-window snippets for the page docs (display layer)
+    "t14_snippets"            -> ((s, d) => TextOps.snippetPage(s, d)),
+    // g1: integer PageRank over the near-dup pair graph
+    "g1_pagerank"             -> ((s, d) => Graph.pagerank(s, d)),
+    // g1b: centrality-canonical selection per d7 cluster
+    "g1b_canonical_rank"      -> ((s, d) => Graph.canonicalByRank(s, d)),
+    // m5: cross-modal retrieval off the binary asset table, filtered
+    // by decoded metadata (format), stub-embedded, cosine-ranked
+    "m5_crossmodal_topk"      -> ((s, d) => Multimodal.crossmodalSearch(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -708,7 +732,12 @@ object SparkEntry {
          FROM documents),
        dvec AS ${stubVecOf(stubCompOf("dtoks", keyed = true), keyed = true)}"""
 
-  private def stubSearchSql(query: String, k: Int): String = {
+  private def stubSearchSql(query: String, k: Int): String =
+    "WITH " + stubSearchCtes(query, k, "documents")
+
+  /** The CTE list (dtoks … hits), base-relation-parametrized so m5 can
+    * run the same retrieval over a metadata-filtered asset set. */
+  private def stubSearchCtes(query: String, k: Int, rel: String): String = {
     val dim = graft.functions.StubEmbed.DefaultDim
     // tokenize the query EXACTLY as StubEmbed does (Locale.ROOT lower,
     // the explicit [\t\n\f\r ] class — Java \s+ admits U+000B, RE2
@@ -718,9 +747,9 @@ object SparkEntry {
       .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     def vecOf(comp: String, keyed: Boolean): String = stubVecOf(comp, keyed)
     def compOf(toks: String, keyed: Boolean): String = stubCompOf(toks, keyed, dim)
-    s"""WITH dtoks AS (
+    s"""dtoks AS (
          SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
-         FROM documents),
+         FROM $rel),
        qtoks AS (SELECT unnest([$qToks]) AS tok),
        dvec AS ${vecOf(compOf("dtoks", keyed = true), keyed = true)},
        qvec AS ${vecOf(compOf("qtoks", keyed = false), keyed = false)},
@@ -1070,8 +1099,13 @@ object SparkEntry {
     * component fixpoint. Shared verbatim by d7 (min-label propagation)
     * and d7b (large-star/small-star contraction) — equality proves the
     * two algorithms reach the identical fixpoint. */
-  private lazy val d7Sql: String =
-    s"""WITH RECURSIVE t AS (
+  /** d7's pair/edge prefix (t … edges) — shared by the d7/d7b closure
+    * oracle and the g1/g1b PageRank oracles. `edges` is MATERIALIZED:
+    * the rank unroll references it once per iteration, and a plain CTE
+    * would inline the whole pair derivation each time (the v15
+    * CTE-inlining lesson). */
+  private lazy val d7EdgeCtes: String =
+    s"""t AS (
            SELECT doc_id, $toksSql AS w FROM documents),
          g0 AS (
            SELECT DISTINCT doc_id, gram FROM (
@@ -1096,21 +1130,52 @@ object SparkEntry {
            JOIN cnt ca ON a_id = ca.doc_id
            JOIN cnt cb ON b_id = cb.doc_id
            WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT a_id AS a, b_id AS b FROM pairs
-           UNION SELECT b_id, a_id FROM pairs),
-         reach AS (
+           UNION SELECT b_id, a_id FROM pairs)"""
+
+  /** The transitive-closure tail (reach, comp) — d7's component
+    * fixpoint, reused by g1b to name each canonical pick's cluster. */
+  private lazy val d7ClosureCtes: String =
+    """reach AS (
            SELECT a, b FROM edges
            UNION
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          comp AS (
            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-           FROM reach GROUP BY a)
+           FROM reach GROUP BY a)"""
+
+  private lazy val d7Sql: String =
+    s"""WITH RECURSIVE $d7EdgeCtes,
+         $d7ClosureCtes
          SELECT c.doc_id, c.cluster_id, s.n_docs
          FROM comp c
          JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
            USING (cluster_id)
          ORDER BY c.doc_id"""
+
+  /** The g1 rank unroll: deg + r0 + one MATERIALIZED stage per
+    * iteration — integer PageRank exactly as Graph.pagerankOf iterates
+    * it (contribution r div deg along each directed edge, damping as
+    * the 150000/850//1000 integer split). */
+  private def pagerankCtes(iters: Int): String = {
+    val stages = (1 to iters).map { tt =>
+      s"""r$tt AS MATERIALIZED (
+           SELECT d.id,
+             CAST(150000 + ((850 * COALESCE(SUM(c.c), 0)) // 1000) AS BIGINT) AS r
+           FROM deg d LEFT JOIN (
+             SELECT e.b AS id, (r.r // g.deg) AS c
+             FROM edges e JOIN r${tt - 1} r ON e.a = r.id
+             JOIN deg g ON e.a = g.id) c
+             ON c.id = d.id
+           GROUP BY d.id)"""
+    }.mkString(",\n         ")
+    s"""deg AS MATERIALIZED (
+           SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY a),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         $stages"""
+  }
 
   /** The as-of join oracle — left band join + argmax window, -1
     * sentinels for render parity. Shared verbatim by j11 and the
@@ -3344,5 +3409,201 @@ object SparkEntry {
            ON s.user_id = d.user_id AND d.valid_from <= s.last_event
              AND (d.valid_to IS NULL OR d.valid_to > s.session_start)
          ORDER BY s.user_id, s.session_start, d.version""",
+    // ts1: the hourly cell rollup LEFT-joined onto a generated
+    // calendar×type grid; carry_value is last_value IGNORE NULLS over
+    // the grid order (DECIMAL sum, DOUBLE rendering — the f14 rule)
+    "ts1_gap_fill" -> ts1Sql,
+    // ts2: exact interpolated medians over ts1's cells, scaled to
+    // fixed-point BIGINTs (×4 / ×16) so no float reaches the hash
+    "ts2_mad_outliers" ->
+      s"""WITH $ts1Ctes,
+         cells AS (
+           SELECT event_type, hour, n FROM filled),
+         med AS (
+           SELECT event_type,
+             CAST(4 * quantile_cont(n, 0.5) AS BIGINT) AS med_q
+           FROM cells GROUP BY event_type),
+         dev AS (
+           SELECT c.event_type, c.hour, c.n, m.med_q,
+             abs(4 * c.n - m.med_q) AS dev_q
+           FROM cells c JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type,
+             CAST(4 * quantile_cont(dev_q, 0.5) AS BIGINT) AS mad_q
+           FROM dev GROUP BY event_type)
+         SELECT d.event_type, d.hour, d.n, d.med_q, a.mad_q,
+           CASE WHEN 4 * d.dev_q > 3 * a.mad_q THEN 1 ELSE 0 END AS is_outlier
+         FROM dev d JOIN mad a USING (event_type)
+         ORDER BY d.event_type, d.hour""",
+    // t12/t12b: contiguous-occurrence counting over token positions;
+    // the indexed form answers the SAME page (hash equality proves the
+    // positional intersection serves exactly what the scan counts)
+    "t12_phrase_search" -> phrasePageSql,
+    "t12b_phrase_indexed" -> phrasePageSql,
+    // t13: the q0 chain (bm25Ctes verbatim), page-doc term mining with
+    // the same exclusions, then the row-form rescore over the expanded
+    // term RELATION — per-(doc,term) tf, per-term df, bm25NumDen
+    "t13_prf_expansion" -> t13Sql,
+    // t14: q0 page + per-offset window scoring, argmax per doc
+    "t14_snippets" -> t14Sql,
+    // g1: d7's edge CTEs + the integer rank unroll (MATERIALIZED per
+    // stage — the v15 lesson)
+    "g1_pagerank" ->
+      s"""WITH $d7EdgeCtes,
+         ${pagerankCtes(operators.Graph.PagerankIters)}
+         SELECT id AS doc_id, r AS rank_ppm
+         FROM r${operators.Graph.PagerankIters}
+         ORDER BY doc_id""",
+    // g1b: the rank unroll joined to d7's closure components — argmax
+    // rank per cluster, ties to the smaller doc id
+    "g1b_canonical_rank" ->
+      s"""WITH RECURSIVE $d7EdgeCtes,
+         $d7ClosureCtes,
+         ${pagerankCtes(operators.Graph.PagerankIters)}
+         SELECT cluster_id, doc_id, rank_ppm FROM (
+           SELECT c.cluster_id, r.id AS doc_id, r.r AS rank_ppm,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY r.r DESC, r.id) AS rn
+           FROM r${operators.Graph.PagerankIters} r
+           JOIN comp c ON c.doc_id = r.id) t
+         WHERE rn = 1 ORDER BY cluster_id""",
+    // m5: m1's digest-derived format as the candidate filter, then
+    // stubSearchSql's retrieval CTEs over the FILTERED relation
+    "m5_crossmodal_topk" ->
+      s"""WITH massets AS (
+           SELECT doc_id, source, strlen(text) AS n_bytes,
+             (['jpeg','png','webp','tiff'])[(CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 4) + 1] AS format,
+             text
+           FROM documents),
+         mdocs AS (SELECT doc_id, text FROM massets WHERE format = 'jpeg'),
+         ${stubSearchCtes(operators.Similarity.DefaultQuery, 10, "mdocs")}
+         SELECT h.doc_id AS asset_id, a.source, a.format, a.n_bytes,
+           round(h.sim, 6) AS sim_r
+         FROM hits h JOIN massets a USING (doc_id)
+         ORDER BY asset_id""",
   )
+
+  /** t12's occurrence CTEs: token array per doc, contiguous-match
+    * count per window offset (w[i+j] is DuckDB's 1-based list index —
+    * the Spark expression subscripts 0-based). */
+  private lazy val phrasePageSql: String = {
+    val phrase = operators.TextOps.phraseTermsOf(operators.TextOps.PhraseQuery)
+    val m = phrase.size
+    val conds = phrase.zipWithIndex.map { case (t, j) =>
+      s"w[i + ${j + 1}] = '${t.replace("'", "''")}'"
+    }.mkString(" AND ")
+    s"""WITH pw AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+           FROM documents),
+         occ AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(w) < $m THEN 0
+                  ELSE len(list_filter(range(len(w) - ${m - 1}), i -> $conds)) END AS n_occ
+           FROM pw)
+         SELECT doc_id, lang, CAST(n_occ AS BIGINT) AS n_occ FROM (
+           SELECT doc_id, lang, n_occ FROM occ WHERE n_occ > 0
+           ORDER BY n_occ DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id"""
+  }
+
+  private lazy val t13Sql: String = {
+    val q0 = operators.TextOps.Bm25Terms
+    val nExp = operators.TextOps.PrfExpansionTerms
+    val excluded = (q0 ++ operators.TextOps.Stopwords).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val q0List = q0.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH $bm25Ctes,
+         page0 AS MATERIALIZED (
+           SELECT doc_id FROM bmscored WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10),
+         ptoks AS (
+           SELECT lower(x.tok) AS tok
+           FROM bmt b JOIN page0 USING (doc_id), unnest(b.w) AS x(tok)),
+         exp AS (
+           SELECT tok FROM ptoks WHERE tok NOT IN ($excluded)
+           GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT $nExp),
+         terms AS (SELECT tok FROM exp UNION SELECT unnest([$q0List]) AS tok),
+         dmatch AS (
+           SELECT b.doc_id, b.lang, CAST(len(b.w) AS BIGINT) AS dl, lower(x.tok) AS tok
+           FROM bmt b, unnest(b.w) AS x(tok)),
+         dtf AS (
+           SELECT doc_id, lang, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM dmatch JOIN terms USING (tok) GROUP BY doc_id, lang, dl, tok),
+         ddf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY tok),
+         dscore AS (
+           SELECT doc_id, lang,
+             CAST(SUM((44000 * tf * tot * (2*n - 2*df + 1))
+               // GREATEST((2*df + 1) * (20 * tf * tot + 6 * tot + 18 * dl * n), 1)) AS BIGINT) AS score_milli
+           FROM dtf JOIN ddf USING (tok) CROSS JOIN bmstats
+           GROUP BY doc_id, lang)
+         SELECT doc_id, lang, score_milli FROM (
+           SELECT doc_id, lang, score_milli FROM dscore WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id"""
+  }
+
+  private lazy val t14Sql: String = {
+    val w = operators.TextOps.SnippetWidth
+    val qList = operators.TextOps.Bm25Terms
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH $bm25Ctes,
+         page0 AS MATERIALIZED (
+           SELECT doc_id FROM bmscored WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10),
+         pw AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+           FROM documents JOIN page0 USING (doc_id)),
+         offs AS (
+           SELECT doc_id, w, x.i
+           FROM pw, unnest(CASE WHEN len(w) <= $w THEN [CAST(0 AS BIGINT)]
+             ELSE range(len(w) - ${w - 1}) END) AS x(i)),
+         sc AS (
+           SELECT doc_id, i,
+             len(list_filter([$qList], t -> list_contains(w[i+1:i+$w], t))) AS n_hits,
+             array_to_string(w[i+1:i+$w], ' ') AS snippet
+           FROM offs)
+         SELECT doc_id, CAST(i AS INT) AS start_pos, CAST(n_hits AS INT) AS n_hits,
+           snippet
+         FROM (
+           SELECT doc_id, i, n_hits, snippet,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, i) AS rn
+           FROM sc) t
+         WHERE rn = 1 ORDER BY doc_id"""
+  }
+
+  /** ts1's CTE chain through `filled` (event_type, hour, n, has_obs,
+    * carry_value) — shared by the ts1 and ts2 oracles so the resample
+    * definition cannot drift between them. */
+  private lazy val ts1Ctes: String =
+    """hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+           FROM events),
+         spine AS (
+           SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM bounds WHERE h0 IS NOT NULL),
+         grid AS (
+           SELECT event_type, h
+           FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN spine),
+         filled AS (
+           SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+             CAST(COALESCE(y.n, 0) AS BIGINT) AS n,
+             CASE WHEN y.n IS NOT NULL THEN 1 ELSE 0 END AS has_obs,
+             COALESCE(CAST(last_value(y.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+               0.0) AS carry_value
+           FROM grid g LEFT JOIN hourly y
+             ON g.event_type = y.event_type AND g.h = y.h)"""
+
+  private lazy val ts1Sql: String =
+    s"""WITH $ts1Ctes
+         SELECT event_type, hour, n, has_obs, carry_value
+         FROM filled ORDER BY event_type, hour"""
 }

@@ -75,22 +75,39 @@ object Dedup {
     * the posting list and costs ~3× the direct aggregation.
     */
 
-  /** Corpus-derived doc-frequency cap: max(Floor, ceil(|docs| /
-    * PerDocs)). A CONSTANT cap on a growing corpus silently evicts a
-    * growing fraction of the gram space (shifting near-dup recall);
-    * deriving it from |docs| keeps "hot" meaning the same corpus
-    * fraction (1%) at every scale, with the floor preserving small-
-    * corpus behavior. Integer arithmetic on purpose: ceil via
-    * (n + PerDocs-1) div PerDocs is bit-identical across engines,
-    * where double rounding would not be. Shared by the n-gram (d2/c1),
-    * winnowing (d6), and decontamination (c3) tiers and interpolated
-    * into their oracles via [[dfCapSql]]. */
+  /** Corpus-derived doc-frequency cap: max(Floor, min(ceil(|docs| /
+    * PerDocs), Ceil)). A CONSTANT cap on a growing corpus silently
+    * evicts a growing fraction of the gram space (shifting near-dup
+    * recall); deriving it from |docs| keeps "hot" meaning the same
+    * corpus fraction (1%) at mid scales, with the floor preserving
+    * small-corpus behavior. The ABSOLUTE ceiling is the round-10
+    * finding: the pair join expands each surviving posting group
+    * quadratically (df² pairs), so an unbounded corpus-proportional
+    * cap admits (N/100)²-pair groups as N grows — the 10× scale probe
+    * (10 disjoint same-shape sub-corpora, each with its own
+    * mid-frequency vocabulary: the multi-source growth regime) ran
+    * >15 min in exactly that self-join before this ceiling, because
+    * per-source df stays constant while a proportional-only cap
+    * rises past it. A posting list's pair-IDENTIFYING value does not
+    * grow with corpus size — a substring shared by hundreds of docs
+    * names no particular pair — so beyond Ceil the group is evicted
+    * regardless of N, bounding every group's fanout at Ceil²/2 and
+    * the join's total cost at |surviving fingerprints|·Ceil²/2.
+    * Integer arithmetic on purpose: ceil via (n + PerDocs-1) div
+    * PerDocs is bit-identical across engines, where double rounding
+    * would not be. Shared by the n-gram (d2/c1), winnowing (d6), and
+    * decontamination (c3) tiers and interpolated into their oracles
+    * via [[dfCapSql]]; at every fixture SF the floor dominates
+    * (N ≤ 5000 ⇒ cap = 50), so the ceiling changes no gate answer
+    * (asserted in DedupSpec). */
   val DfCapFloor = 50L
   val DfCapPerDocs = 100L
+  val DfCapCeil = 100L
 
   /** Corpus-size → cap (the shared arithmetic; specs, orchestration). */
   def derivedDfCap(nDocs: Long): Long =
-    math.max(DfCapFloor, (nDocs + DfCapPerDocs - 1) / DfCapPerDocs)
+    math.max(DfCapFloor,
+      math.min((nDocs + DfCapPerDocs - 1) / DfCapPerDocs, DfCapCeil))
 
   /** The cap for a concrete corpus: ONE bounded driver-side count —
     * parquet metadata for a table scan, a cached frame otherwise — and
@@ -116,7 +133,7 @@ object Dedup {
   /** Oracle-SQL twin of [[dfCapFor]]: a scalar subquery over the SAME
     * corpus relation, same integer arithmetic. */
   def dfCapSql(corpusRel: String): String =
-    s"(SELECT greatest($DfCapFloor, (COUNT(*) + ${DfCapPerDocs - 1}) // $DfCapPerDocs) FROM $corpusRel)"
+    s"(SELECT greatest($DfCapFloor, least((COUNT(*) + ${DfCapPerDocs - 1}) // $DfCapPerDocs, $DfCapCeil)) FROM $corpusRel)"
 
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     ngramJaccardPairsOf(documents(spark, dir), threshold,
@@ -206,7 +223,7 @@ object Dedup {
   private val rawPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
-  private def qualifyingPairsLanded(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def qualifyingPairsLanded(spark: SparkSession, dir: String): DataFrame = {
     val key = s"${System.identityHashCode(spark.sparkContext)}:$dir"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
     rawPairsMemo.compute(key, (_, cur) => {

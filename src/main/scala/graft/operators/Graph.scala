@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the corpus' near-duplicate pair graph.
+  *
+  * d7 answers "which docs belong together" (components); g1 answers
+  * "which doc should REPRESENT the group". Min-id canonical selection
+  * (what d1/u3-style dedup defaults to) is arbitrary — the id says
+  * nothing about centrality. PageRank over the duplicate graph ranks
+  * each doc by how connected it is to the rest of its cluster, so the
+  * canonical pick is the version most other near-duplicates agree
+  * with (the hub of a paraphrase cluster, not whichever copy got the
+  * smallest id).
+  *
+  * Determinism: ranks are integer parts-per-million. Each node starts
+  * at 1,000,000 ppm; one iteration is
+  * `r' = 150000 + (850 · Σ_in (r div deg)) div 1000` — the damping
+  * 0.85 split into exact integer factors, `div` integral division
+  * (bit-identical in Spark and DuckDB), and the incoming sum an
+  * order-free BIGINT sum. Truncation loses a few ppm of probability
+  * mass per round — acceptable for a RANKING (what matters is the
+  * deterministic order), in exchange for a hashable fixed-iteration
+  * result in both engines. The pair graph is symmetric, so every node
+  * has out-degree ≥ 1 and there is no dangling-mass term.
+  *
+  * Scale shape: edges come from the ONE landed qualifying-pair frame
+  * (the d7/c1b discipline — pair generation runs once per corpus);
+  * each iteration is an edge⋈rank hash join plus a partial-agged sum
+  * keyed by dst — the textbook Pregel round as two exchanges, both on
+  * the edge key. Iterations localCheckpoint (the d7 CC discipline):
+  * lineage and replanning stay constant per round rather than
+  * compounding; on a cluster the same call lands each frontier. At
+  * 100 TB the edge frame co-partitions by src once and every round
+  * reuses that exchange.
+  */
+object Graph {
+
+  private[graft] val PagerankIters = 10
+
+  /** G1: integer PageRank over the d2/d7 qualifying-pair graph —
+    * (doc_id, rank_ppm) for every doc in ≥1 near-dup pair. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(Dedup.qualifyingPairsLanded(spark, dir), PagerankIters)
+      .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+      .orderBy(col("doc_id"))
+
+  /** Fixed-iteration integer PageRank over an undirected pair frame
+    * (a_id, b_id). Returns (id, r) with r in ppm. */
+  private[graft] def pagerankOf(pairs: DataFrame, iters: Int): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val sym = shared(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contrib.select(col("dst").as("id"), col("inr")), Seq("id"), "left")
+        .select(col("id"),
+          expr("150000L + ((850L * coalesce(inr, 0L)) div 1000L)").as("r"))
+        .localCheckpoint(true)
+    }
+    materializeAndRelease(ranks, sym)
+  }
+
+  /** G1b: centrality-canonical selection — one row per d7 cluster
+    * carrying the member with the highest PageRank (ties to the
+    * smaller doc_id). The curation story's last step: dedup clusters
+    * (d7) + member centrality (g1) → which copy survives. */
+  def canonicalByRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    val labels = Dedup.connectedComponents(pairs)
+    val ranks = pagerankOf(pairs, PagerankIters)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(desc("rank_ppm"), col("doc_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(ranks.select(col("id").as("doc_id"), col("r").as("rank_ppm")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("rank_ppm"))
+      .orderBy(col("cluster_id"))
+  }
+}

@@ -32,6 +32,14 @@ object Multimodal {
         col("n_chars").as("payload_chars")).as("meta"))
   }
 
+  /** The stub decoder's format derivation — digest nibbles 9-10 mod
+    * the format table. Shared by m1 and m5 so the decode definition
+    * cannot drift between the stats and retrieval paths. */
+  private[operators] def formatOf(digest: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(
+      typedLit(Seq("jpeg", "png", "webp", "tiff")),
+      (conv(substring(digest, 9, 2), 16, 10).cast("int") % 4) + 1)
+
   /** M1: "decode" each asset into pseudo image features. Every feature
     * derives from md5(payload) so the stub is deterministic and
     * portable: width/height/format mod-mapped from digest nibbles. */
@@ -45,9 +53,7 @@ object Multimodal {
         length(col("payload")).as("n_bytes"),
         (conv(substring(col("digest"), 1, 4), 16, 10).cast("int") % 1920).as("width"),
         (conv(substring(col("digest"), 5, 4), 16, 10).cast("int") % 1080).as("height"),
-        element_at(
-          typedLit(Seq("jpeg", "png", "webp", "tiff")),
-          (conv(substring(col("digest"), 9, 2), 16, 10).cast("int") % 4) + 1).as("format"))
+        formatOf(col("digest")).as("format"))
       .orderBy(col("asset_id"))
   }
 
@@ -228,6 +234,35 @@ object Multimodal {
         coalesce(col("n"), lit(0L)).as("n_pairs"),
         coalesce(col("s"), lit(0L)).as("pair_id_sum"))
       .orderBy(col("hamming"))
+  }
+
+  /** M5: cross-modal retrieval over the binary asset table — a text
+    * query searches the IMAGE corpus (CLIP-style shared space), with
+    * the candidate set restricted by DECODED metadata (format=jpeg):
+    * the filtered-ANN composition (v11) applied to multimodal serving.
+    * The encoder is the deterministic [[graft.functions.StubEmbed]]
+    * over the decoded payload (a real deployment swaps in an image
+    * tower; the Spark shape — binary column in, metadata filter,
+    * embed, broadcast query, cosine top-k — is exactly this plan).
+    * Oracle-checked end to end: the decode filter chains m1's digest
+    * derivation and the retrieval chains stubSearchSql over the
+    * filtered relation, so the hash proves decode + filter + embed +
+    * rank as one pipeline. */
+  def crossmodalSearch(spark: SparkSession, dir: String,
+      query: String = Similarity.DefaultQuery, k: Int = 10): DataFrame = {
+    val q = spark.range(1)
+      .select(graft.functions.StubEmbed(lit(query)).as("q_embedding"))
+    assets(spark, dir)
+      .withColumn("format", formatOf(md5(col("payload"))))
+      .filter(col("format") === "jpeg")
+      .withColumn("text", decode(col("payload"), "UTF-8"))
+      .withColumn("embedding", graft.functions.StubEmbed(col("text")))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("sim"), col("asset_id")).limit(k)
+      .select(col("asset_id"), col("meta.source").as("source"), col("format"),
+        length(col("payload")).as("n_bytes"), round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("asset_id"))
   }
 
   private[graft] def phashPairsOf(input: DataFrame): DataFrame = {

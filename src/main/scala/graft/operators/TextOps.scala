@@ -56,7 +56,7 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
-  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Quality scoring: length, punctuation density, stopword ratio —
     * the standard cheap filters applied before LLM training ingestion.
@@ -1268,4 +1268,231 @@ object TextOps {
         ()
       },
       Bm25Terms, k)
+
+  // ====================================================================
+  // t12: phrase (positional) search
+  // ====================================================================
+
+  /** The gate phrase — a token bigram that occurs organically in the
+    * corpus vocabulary. */
+  private[graft] val PhraseQuery = "table scan"
+
+  /** Phrase → ordered term list. NOT [[bm25TermsOf]]: a phrase keeps
+    * duplicates and order ("data data" is two positions, not one
+    * term). */
+  private[graft] def phraseTermsOf(q: String): Seq[String] =
+    q.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** T12: exact phrase search over the corpus — rank docs by how often
+    * the token sequence occurs CONTIGUOUSLY (BM25's bag-of-words tf
+    * cannot tell "table scan" from "scan … table"; phrase match is the
+    * serving feature quoted queries need). The scan form is one pure
+    * column expression: per doc, count the window offsets where every
+    * phrase term matches at its position — map-only, no explode, no
+    * shuffle before the final top-k (TakeOrderedAndProject). */
+  def phraseSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    phraseSearchOf(documents(spark, dir), phraseTermsOf(PhraseQuery), k)
+
+  private[graft] def phraseSearchOf(docs: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val m = phrase.size
+    // w[i + j] is Spark SQL's 0-based array subscript; terms are
+    // engine constants but still quote-escaped on principle
+    val conds = phrase.zipWithIndex.map { case (t, j) =>
+      s"w[i + $j] = '${t.replace("'", "''")}'"
+    }.mkString(" AND ")
+    docs
+      .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("w"))
+      .withColumn("n_occ", expr(
+        s"CASE WHEN size(w) < $m THEN 0L ELSE " +
+          s"CAST(size(filter(sequence(0, size(w) - $m), i -> $conds)) AS BIGINT) END"))
+      .filter(col("n_occ") > 0)
+      .orderBy(desc("n_occ"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val posIdxLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val posPostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, pos INT, tok STRING, bucket BIGINT")
+
+  /** Land the POSITIONAL index: one posting row per token OCCURRENCE
+    * (doc_id, lang, pos, tok), partitioned by the same 64-way
+    * token-hash bucket as the BM25 index so probes prune to their
+    * terms' directories. ~dl rows per doc instead of t11b's ~distinct
+    * terms — the classic positional-index size trade. */
+  private[graft] def materializePhraseIndexOf(docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"), col("lang"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(Bm25Buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+
+  /** T12b: the phrase page over the LANDED positional index — the
+    * serving form. Each phrase position reads ONLY its term's bucket
+    * directory (partition pruning via [[bm25BucketOf]], term equality
+    * pushed to the scan), normalizes occurrences to their phrase
+    * ANCHOR (pos − offset), and the m-way join on (doc_id, anchor) IS
+    * the positional intersection — a row survives exactly where the
+    * full sequence is contiguous. Per-query IO tracks the phrase
+    * terms' posting sizes, never the corpus. Answers t12's oracle
+    * VERBATIM: hash equality proves the landed path serves exactly
+    * what the scan form serves. */
+  def phraseIndexedSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    phraseOverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_pos_idx", posIdxLanded,
+        source = "documents.parquet")(
+        materializePhraseIndexOf(documents(spark, dir), _)),
+      phraseTermsOf(PhraseQuery), k)
+
+  private[graft] def phraseOverIndex(spark: SparkSession, path: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val buckets = phrase.map(bm25BucketOf).distinct
+    val postings = spark.read.schema(posPostingsSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(phrase.distinct: _*))
+    val anchored = phrase.zipWithIndex.map { case (t, j) =>
+      val f = postings.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - lit(j)).as("anchor"),
+          col("lang"))
+      if (j == 0) f else f.select(col("doc_id"), col("anchor"))
+    }
+    anchored.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ====================================================================
+  // t13: pseudo-relevance-feedback query expansion
+  // ====================================================================
+
+  private[graft] val PrfExpansionTerms = 3
+
+  /** T13: PRF query expansion (RM3-lite) — run the base query, mine
+    * the top page for its most frequent non-query non-stopword terms,
+    * re-rank with the expanded term set. The classic recall lever a
+    * lexical serving tier adds once BM25 works: vocabulary the USER
+    * didn't type but the relevant docs share ("feedback" without a
+    * trained model).
+    *
+    * All three phases are declarative — no driver collect: the
+    * expansion terms are a 3-row FRAME that broadcast-joins into the
+    * rescore, so the plan works unchanged when the expansion set is
+    * data-dependent at 100 TB. Phase A is t11's scored frame verbatim;
+    * phase B explodes ONLY the page docs (k rows); phase C is
+    * [[bm25DynamicOf]] — the row-form scorer whose per-term tf/df come
+    * from posting-shaped rows instead of per-term columns (the t11b
+    * arithmetic over a scan — static-terms hash-parity with bm25Of is
+    * spec-asserted). */
+  def prfExpandedSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    prfExpandedOf(documents(spark, dir), Bm25Terms, k, PrfExpansionTerms)
+
+  private[graft] def prfExpandedOf(docs: DataFrame, q0: Seq[String], k: Int,
+      nExp: Int): DataFrame = {
+    import CacheOps.materializeAndRelease
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (scored, cached) = bm25ScoredOf(docs, q0, persist = true)
+    val page0 = scored.filter(col("score_milli") > 0)
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(col("doc_id"))
+    val terms = prfExpansionOf(docs, page0, q0, nExp).union(q0.toDF("tok")).distinct()
+    val result = bm25DynamicOf(docs, terms, k)
+    materializeAndRelease(result, cached: _*)
+  }
+
+  /** Phase B alone: the nExp most frequent non-query non-stopword
+    * terms among the page docs' tokens (ties to the lexicographically
+    * first term). */
+  private[graft] def prfExpansionOf(docs: DataFrame, page: DataFrame,
+      q0: Seq[String], nExp: Int): DataFrame = {
+    val excluded = (q0 ++ Stopwords).distinct
+    docs.join(page, Seq("doc_id"), "left_semi")
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .filter(!col("tok").isin(excluded: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(nExp)
+      .select(col("tok"))
+  }
+
+  /** Row-form BM25 over a DYNAMIC term frame: explode the corpus'
+    * tokens, keep only term-frame matches (broadcast hash join prunes
+    * map-side — unmatched occurrences never shuffle), group to
+    * (doc, term) tf rows, derive per-term df and corpus (n, tot), and
+    * apply [[bm25NumDen]] verbatim. The wide scan form (bm25ScoredOf)
+    * needs its terms at PLAN time; this form takes them as data. */
+  private[graft] def bm25DynamicOf(docs: DataFrame, terms: DataFrame,
+      k: Int): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val base = shared(docs.select(col("doc_id"), col("lang"),
+      tokens(lower(col("text"))).as("w"))
+      .withColumn("dl", size(col("w")).cast("long")))
+    val stats = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("tot"))
+    val tf = base
+      .select(col("doc_id"), col("lang"), col("dl"), explode(col("w")).as("tok"))
+      .join(broadcast(terms.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
+    val page = tf
+      .join(broadcast(dfs), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm_num", num).withColumn("bm_den", den)
+      .withColumn("s", expr("bm_num div bm_den"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("score_milli"))
+      .filter(col("score_milli") > 0)
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("score_milli"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(page, base)
+  }
+
+  // ====================================================================
+  // t14: snippet extraction
+  // ====================================================================
+
+  private[graft] val SnippetWidth = 8
+
+  /** T14: best-window snippets for the t11 page — the display layer a
+    * search response needs next to its doc ids: the WIDTH-token window
+    * holding the most DISTINCT query terms (ties to the earliest
+    * offset). Cost is O(page · doc length), never corpus-shaped — the
+    * window scoring explodes offsets for the k page docs only. */
+  def snippetPage(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    snippetPageOf(documents(spark, dir), Bm25Terms, k, SnippetWidth)
+
+  private[graft] def snippetPageOf(docs: DataFrame, q0: Seq[String], k: Int,
+      width: Int): DataFrame = {
+    import CacheOps.materializeAndRelease
+    val (scored, cached) = bm25ScoredOf(docs, q0, persist = true)
+    val page0 = scored.filter(col("score_milli") > 0)
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(col("doc_id"))
+    val offs = docs.join(page0, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("w"))
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) <= $width THEN array(0) " +
+          s"ELSE sequence(0, size(w) - $width) END")).as("i"))
+    val qArr = array(q0.map(lit): _*)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(desc("n_hits"), col("i"))
+    val result = offs
+      .withColumn("n_hits", size(filter(qArr,
+        t => array_contains(slice(col("w"), col("i") + lit(1), lit(width)), t))))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("i").as("start_pos"), col("n_hits"),
+        array_join(slice(col("w"), col("i") + lit(1), lit(width)), " ").as("snippet"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, cached: _*)
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Time-series shaping over the `events` stream: calendar-spine
+  * resampling (gap filling) and robust outlier flagging — the two
+  * pre-analysis steps every metrics/training-telemetry pipeline runs
+  * before a model or a dashboard may read a counter series (a missing
+  * hour must read as an explicit zero, not an absent row, and "is this
+  * hour abnormal" must not let the abnormal hours poison the baseline,
+  * which is why ts2 uses median/MAD rather than e5's mean/stddev).
+  *
+  * Scale shape: the raw stream collapses FIRST through a partial-agged
+  * (event_type, hour) rollup — the exchange carries |types × hours|
+  * cells, never events — and everything after (spine build, gap join,
+  * carry-forward windows, median extraction) runs over that cell frame.
+  * The spine derives from ONE global min/max stats row, so a 100 TB
+  * event log still produces a cells-sized grid.
+  */
+object Timeseries {
+
+  /** TS1: hourly resample with an explicit calendar spine — every
+    * (event_type, hour) cell between the stream's first and last hour
+    * exists in the output, observed or not. Gap cells carry n=0,
+    * has_obs=0, and `carry_value` repeats the last OBSERVED hourly
+    * value total (last-observation-carried-forward — the standard
+    * fill for level-style metrics), 0.0 before a type's first
+    * observation. Value totals aggregate through DECIMAL(18,2) and
+    * emit DOUBLE (the f14 rendering rule). */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame =
+    gapFillHourlyOf(events(spark, dir))
+
+  private[graft] def gapFillHourlyOf(ev: DataFrame): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+    // ONE stats row bounds the spine; sequence() unrolls it to hours.
+    // types × spine is a broadcast nested loop over two tiny frames.
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = bounds
+      .filter(col("h0").isNotNull) // empty stream → empty grid, not a null sequence
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(spine)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("has_obs", when(col("n").isNotNull, lit(1)).otherwise(lit(0)))
+      .withColumn("carry_value",
+        coalesce(last(col("v"), ignoreNulls = true).over(w).cast("double"), lit(0.0)))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("has_obs"), col("carry_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** TS2: robust outlier flags over the RESAMPLED series — median/MAD
+    * on ts1's gap-filled hourly counts (zeros included: a dead hour is
+    * exactly the anomaly a monitoring rollup must see, and an absent
+    * row is how it hides). A cell is an outlier when
+    * |n − median| > 3·MAD. Medians are exact interpolated percentiles;
+    * to keep the hashed output integral they are scaled to fixed-point
+    * BIGINTs — `med_q` in quarter-counts (4·median is integral because
+    * an even-length midpoint is a half), `mad_q` in sixteenth-counts —
+    * and the flag compares 4·|4n − med_q| > 3·mad_q, all-integer
+    * (interpolated midpoints of integer-valued doubles are exact IEEE
+    * in both engines, the a+b over-2 case of the cosSql rule; the
+    * scaling just keeps floats out of the hash). MAD=0 degenerates to
+    * flagging any deviation — the standard caveat, left to the caller.
+    *
+    * Two tiny aggregations over the cell frame (median of n, then
+    * median of deviations), each |types| rows broadcast back. */
+  def madOutliersHourly(spark: SparkSession, dir: String): DataFrame =
+    madOutliersHourlyOf(events(spark, dir))
+
+  private[graft] def madOutliersHourlyOf(ev: DataFrame): DataFrame = {
+    val cells = gapFillHourlyOf(ev).select(col("event_type"), col("hour"), col("n"))
+    val med = cells.groupBy(col("event_type"))
+      .agg(expr("CAST(4 * percentile(n, 0.5D) AS BIGINT)").as("med_q"))
+    val dev = cells.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev_q", abs(lit(4L) * col("n") - col("med_q")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(4 * percentile(dev_q, 0.5D) AS BIGINT)").as("mad_q"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"), col("med_q"), col("mad_q"),
+        when(lit(4L) * col("dev_q") > lit(3L) * col("mad_q"), lit(1))
+          .otherwise(lit(0)).as("is_outlier"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+}

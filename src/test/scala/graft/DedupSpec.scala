@@ -84,11 +84,20 @@ class DedupSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(Dedup.derivedDfCap(nDocs) === Dedup.DfCapFloor,
       s"fixture |docs|=$nDocs should sit at the cap floor")
-    // past the floor the cap tracks the 1% doc-frequency fraction
-    assert(Dedup.derivedDfCap(100 * Dedup.DfCapPerDocs * Dedup.DfCapFloor)
-      === 100 * Dedup.DfCapFloor)
+    // past the floor the cap tracks the 1% doc-frequency fraction...
     assert(Dedup.derivedDfCap(Dedup.DfCapPerDocs * Dedup.DfCapFloor + 1)
       === Dedup.DfCapFloor + 1) // ceil, not floor division
+    // ...up to the absolute ceiling: posting-group pair fanout is df²,
+    // so "hot" may not scale with N forever (the round-10 10×-probe
+    // finding — a proportional-only cap admitted (N/100)²-pair groups
+    // under multi-source growth)
+    assert(Dedup.derivedDfCap(Dedup.DfCapPerDocs * Dedup.DfCapCeil)
+      === Dedup.DfCapCeil)
+    assert(Dedup.derivedDfCap(100 * Dedup.DfCapPerDocs * Dedup.DfCapCeil)
+      === Dedup.DfCapCeil)
+    // fixture scales sit at the floor, so the ceiling changes no gate
+    // answer (N ≤ 5000 ⇒ cap = 50 with or without the ceiling)
+    assert(Dedup.derivedDfCap(5000) === Dedup.DfCapFloor)
     // the per-corpus derivation lands the same number the mirror computes
     assert(Dedup.dfCapFor(Tables.documents(spark, sfDir))
       === Dedup.derivedDfCap(nDocs))

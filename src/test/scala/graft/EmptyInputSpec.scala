@@ -129,6 +129,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.mmrRerankHybrid(spark, emptyDir).count() === 0)
     assert(Curation.dsirSelection(spark, emptyDir).count() === 0)
     assert(LlmOps.extractWithQuarantine(spark, emptyDir).count() === 0)
+    // round-10 additions: phrase/PRF/snippet serving, rank/canonical,
+    // resample/outlier, cross-modal
+    assert(TextOps.phraseSearch(spark, emptyDir).count() === 0)
+    assert(TextOps.phraseIndexedSearch(spark, emptyDir).count() === 0)
+    assert(TextOps.prfExpandedSearch(spark, emptyDir).count() === 0)
+    assert(TextOps.snippetPage(spark, emptyDir).count() === 0)
+    assert(Graph.pagerank(spark, emptyDir).count() === 0)
+    assert(Graph.canonicalByRank(spark, emptyDir).count() === 0)
+    assert(Timeseries.gapFillHourly(spark, emptyDir).count() === 0)
+    assert(Timeseries.madOutliersHourly(spark, emptyDir).count() === 0)
+    assert(Multimodal.crossmodalSearch(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph, TextOps, Timeseries}
+
+/** Round-10 serving/analytics additions: phrase search (t12/t12b),
+  * PRF expansion (t13), snippets (t14), PageRank canonicalization
+  * (g1/g1b), calendar resampling (ts1/ts2). Each op gets a
+  * driver-side mirror or a hand-built fixture where the oracle's
+  * hash compare can't isolate the property. */
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- t12: phrase search ----------------
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("phrase occurrence counting is contiguous, sliding, and case-folded") {
+    val docs = docsOf(
+      1L -> "table scan table scan",       // two occurrences
+      2L -> "table x scan",                // broken phrase: none
+      3L -> "TABLE SCAN",                  // case-folded: one
+      4L -> "scan table",                  // order matters: none
+      5L -> "",                            // empty text
+      6L -> "table")                       // shorter than the phrase
+    val got = TextOps.phraseSearchOf(docs, Seq("table", "scan"), 10)
+      .select("doc_id", "n_occ").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("overlapping phrase occurrences count per offset") {
+    val docs = docsOf(1L -> "a a a a")
+    val got = TextOps.phraseSearchOf(docs, Seq("a", "a"), 10)
+      .select("n_occ").as[Long].head()
+    assert(got === 3L) // offsets 0,1,2
+  }
+
+  test("indexed phrase page equals the scan form (and a 3-term phrase works)") {
+    val dir = sfDir01
+    val scan = TextOps.phraseSearchOf(Tables.documents(spark, dir),
+      Seq("table", "scan"), 10)
+    val idx = TextOps.phraseIndexedSearch(spark, dir, 10)
+    assert(scan.collect().toSeq === idx.collect().toSeq)
+    // 3-term phrase through both paths on a hand fixture
+    val docs = docsOf(1L -> "x fast table scan y", 2L -> "fast table x scan")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pos_spec").toString
+    TextOps.materializePhraseIndexOf(docs, tmp)
+    val viaIdx = TextOps.phraseOverIndex(spark, tmp, Seq("fast", "table", "scan"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(viaIdx === Seq(1L))
+    rmTree(new java.io.File(tmp))
+  }
+
+  // ---------------- t13: PRF expansion ----------------
+
+  test("dynamic-term scorer matches the wide scan form on static terms") {
+    val docs = Tables.documents(spark, sfDir)
+    val q0 = TextOps.Bm25Terms
+    val wide = TextOps.bm25Of(docs, q0, 10).collect().toSeq
+    val dyn = TextOps.bm25DynamicOf(docs, q0.toDF("tok"), 10).collect().toSeq
+    assert(wide === dyn)
+  }
+
+  test("expansion terms exclude the query terms and stopwords") {
+    val docs = Tables.documents(spark, sfDir01)
+    val q0 = TextOps.Bm25Terms
+    val page = TextOps.bm25Of(docs, q0, 10).select("doc_id")
+    val exp = TextOps.prfExpansionOf(docs, page, q0, 3)
+      .as[String].collect().toSeq
+    assert(exp.size === 3)
+    val banned = (q0 ++ TextOps.Stopwords).toSet
+    assert(exp.forall(t => !banned.contains(t)))
+  }
+
+  // ---------------- t14: snippets ----------------
+
+  test("snippet is the argmax window: most distinct query terms, earliest tie") {
+    val docs = docsOf(
+      // offsets 5 and 6 both hold customer+order+filter (3 hits);
+      // the earliest-tie rule picks 5
+      1L -> "x x x x x x customer order filter x x x")
+    val got = TextOps.snippetPageOf(docs, Seq("customer", "order", "filter"),
+      10, 4).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Int]("start_pos") === 5)
+    assert(r.getAs[Int]("n_hits") === 3)
+    assert(r.getAs[String]("snippet") === "x customer order filter")
+  }
+
+  test("short docs yield the whole-doc window at offset 0") {
+    val docs = docsOf(1L -> "customer order")
+    val got = TextOps.snippetPageOf(docs, Seq("customer"), 10, 8).collect().head
+    assert(got.getAs[Int]("start_pos") === 0)
+    assert(got.getAs[String]("snippet") === "customer order")
+  }
+
+  // ---------------- g1: PageRank ----------------
+
+  test("pagerank: star center outranks leaves; ranks are deterministic") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val r1 = Graph.pagerankOf(pairs, Graph.PagerankIters)
+      .as[(Long, Long)].collect().toMap
+    val r2 = Graph.pagerankOf(pairs, Graph.PagerankIters)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === r2)
+    assert(r1(1L) > r1(2L) && r1(2L) === r1(3L) && r1(3L) === r1(4L))
+    // every node keeps at least the teleport mass
+    assert(r1.values.forall(_ >= 150000L))
+  }
+
+  test("g1b canonical is the max-rank member of each d7 cluster") {
+    val labels = Dedup.dedupClusters(spark, sfDir01)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val ranks = Graph.pagerank(spark, sfDir01)
+      .as[(Long, Long)].collect().toMap
+    val expected = labels.groupBy(_._2).map { case (c, ms) =>
+      val best = ms.map(_._1).maxBy(id => (ranks(id), -id))
+      c -> best
+    }
+    val got = Graph.canonicalByRank(spark, sfDir01)
+      .select("cluster_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  // ---------------- ts1/ts2: resample + robust outliers ----------------
+
+  test("gap-fill emits the full spine with zero cells and carried values") {
+    val ev = Seq(
+      ("click", "2024-01-01 00:10:00", 10.0),
+      ("click", "2024-01-01 03:30:00", 7.5), // hours 1,2 are gaps
+      ("view", "2024-01-01 02:15:00", 1.0)   // hours 0,1 gaps, 3 trailing gap
+    ).toDF("event_type", "ts_s", "value")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val got = Timeseries.gapFillHourlyOf(ev)
+      .select("event_type", "hour", "n", "has_obs", "carry_value")
+      .as[(String, String, Long, Int, Double)].collect()
+    assert(got.length === 8) // 2 types × 4 hours
+    val click = got.filter(_._1 == "click").sortBy(_._2)
+    assert(click.map(_._3).toSeq === Seq(1L, 0L, 0L, 1L))
+    assert(click.map(_._5).toSeq === Seq(10.0, 10.0, 10.0, 7.5)) // carried forward
+    val view = got.filter(_._1 == "view").sortBy(_._2)
+    assert(view.map(_._4).toSeq === Seq(0, 0, 1, 0))
+    assert(view.map(_._5).toSeq === Seq(0.0, 0.0, 1.0, 1.0)) // 0.0 before first obs
+  }
+
+  test("MAD outlier flags mirror a driver-side median computation") {
+    val cells = Timeseries.gapFillHourlyOf(Tables.events(spark, sfDir))
+      .select("event_type", "n").as[(String, Long)].collect()
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val expected = cells.groupBy(_._1).flatMap { case (t, ns) =>
+      val xs = ns.map(_._2.toDouble).toSeq
+      val m = med(xs)
+      val mad = med(xs.map(x => math.abs(x - m)))
+      xs.map(x => (t, x.toLong, math.abs(x - m) > 3 * mad))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val got = Timeseries.madOutliersHourly(spark, sfDir)
+      .select("event_type", "n", "is_outlier")
+      .as[(String, Long, Int)].collect()
+      .map { case (t, n, o) => (t, n, o == 1) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got === expected)
+  }
+
+  test("m5 cross-modal page serves only assets passing the decoded-format filter") {
+    val page = operators.Multimodal.crossmodalSearch(spark, sfDir01)
+    val rows = page.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[String]("format") == "jpeg"))
+    // the decoded-format population the filter admits
+    val jpeg = operators.Multimodal.decodeFeatures(spark, sfDir01)
+      .filter(col("format") === "jpeg")
+      .select("asset_id").as[Long].collect().toSet
+    assert(rows.forall(r => jpeg.contains(r.getAs[Long]("asset_id"))))
+  }
+}
