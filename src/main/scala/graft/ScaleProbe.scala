@@ -343,7 +343,11 @@ object ScaleProbe {
       // reps reports the warm rank iterations). Edges grow linearly
       // under salting (copies share no grams), so the per-round
       // edge⋈rank + dst-sum must track edge count
-      "g1_pagerank"          -> (operators.Graph.pagerank(_, _)))
+      "g1_pagerank"          -> (operators.Graph.pagerank(_, _)),
+      // g2: oriented wedge join over the same landed pair frame —
+      // edge-linear under salting; the orientation's O(√E) out-degree
+      // bound is what must keep the wedge count from curving up
+      "g2_triangles"         -> (operators.Graph.triangles(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

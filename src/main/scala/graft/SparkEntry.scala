@@ -379,6 +379,15 @@ object SparkEntry {
     // m5: cross-modal retrieval off the binary asset table, filtered
     // by decoded metadata (format), stub-embedded, cosine-ranked
     "m5_crossmodal_topk"      -> ((s, d) => Multimodal.crossmodalSearch(s, d)),
+    // g2: per-doc triangle counts over the dup graph — clique-vs-chain
+    // density the component label can't express
+    "g2_triangles"            -> ((s, d) => Graph.triangles(s, d)),
+    // t15: top bigram collocations by integer-ratio PMI (min-count
+    // floored — the Church & Hanks hapax caveat)
+    "t15_pmi_collocations"    -> ((s, d) => TextOps.pmiCollocations(s, d)),
+    // v16: ANN recall@k — exact vs IVF-probe page overlap per query,
+    // the drift monitor for every approximate tier
+    "v16_ann_recall"          -> ((s, d) => Similarity.annRecallAtK(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -3481,6 +3490,97 @@ object SparkEntry {
            round(h.sim, 6) AS sim_r
          FROM hits h JOIN massets a USING (doc_id)
          ORDER BY asset_id""",
+    // g2: the d7 edge CTEs + degree orientation (edge kept once,
+    // directed from its (deg,id)-smaller endpoint) + one wedge
+    // self-join closed by a third edge join — the oriented frames
+    // MATERIALIZED so the three-way reference doesn't re-inline the
+    // pair derivation (the v15 lesson)
+    "g2_triangles" ->
+      s"""WITH $d7EdgeCtes,
+         degs AS MATERIALIZED (
+           SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY a),
+         ore AS MATERIALIZED (
+           SELECT e.a AS u, e.b AS v FROM edges e
+           JOIN degs du ON e.a = du.id JOIN degs dv ON e.b = dv.id
+           WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.a < e.b)),
+         tri AS MATERIALIZED (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ore e1 JOIN ore e2 ON e1.v = e2.u
+           JOIN ore e3 ON e3.u = e1.u AND e3.v = e2.v),
+         members AS (
+           SELECT a AS id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+         tc AS (SELECT id, COUNT(*) AS tri_cnt FROM members GROUP BY id)
+         SELECT d.id AS doc_id, d.deg,
+           CAST(COALESCE(t.tri_cnt, 0) AS BIGINT) AS tri_cnt
+         FROM degs d LEFT JOIN tc t ON d.id = t.id
+         ORDER BY doc_id""",
+    // t15: unigram/bigram counts from one token unnest; min-count
+    // HAVING before the vocabulary joins; the PMI ratio as all-BIGINT
+    // arithmetic with one integral division (log is monotone — the
+    // ranking needs only the ratio)
+    "t15_pmi_collocations" ->
+      s"""WITH t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         tok AS MATERIALIZED (SELECT unnest(w) AS tok FROM t),
+         uni AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS n_tok FROM tok),
+         big AS MATERIALIZED (
+           SELECT w[x.i+1] AS x, w[x.i+2] AS y, COUNT(*) AS n_xy
+           FROM t, unnest(range(len(w) - 1)) AS x(i)
+           WHERE len(w) >= 2
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= ${operators.TextOps.PmiMinCount}),
+         scored AS (
+           SELECT b.x, b.y, b.n_xy, ux.cnt AS n_x, uy.cnt AS n_y,
+             (b.n_xy * tot.n_tok * 1000000) // (ux.cnt * uy.cnt) AS pmi_ratio_ppm
+           FROM big b JOIN uni ux ON b.x = ux.tok
+           JOIN uni uy ON b.y = uy.tok CROSS JOIN tot),
+         top AS (
+           SELECT * FROM scored
+           ORDER BY pmi_ratio_ppm DESC, x, y LIMIT ${operators.TextOps.PmiTopK})
+         SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy, CAST(n_x AS BIGINT) AS n_x,
+           CAST(n_y AS BIGINT) AS n_y, CAST(pmi_ratio_ppm AS BIGINT) AS pmi_ratio_ppm
+         FROM top ORDER BY x, y""",
+    // v16: the shared IVF assignment CTE feeds BOTH rankings — exact
+    // (corpus × queries) and cell-restricted — so the overlap measures
+    // exactly what the Spark plans compute; cosSql keeps similarity
+    // bit-identical (fixed-order IEEE arithmetic)
+    "v16_ann_recall" ->
+      s"""WITH $ivfAssignedCte,
+         qs AS MATERIALIZED (
+           SELECT vec_id AS query_id, embedding AS qe, cent_id AS q_cell
+           FROM assigned WHERE vec_id < 8),
+         exact AS MATERIALIZED (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id) AS rk
+             FROM embeddings e, qs q WHERE e.vec_id >= 8)
+           WHERE rk <= 10),
+         ann AS MATERIALIZED (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id) AS rk
+             FROM assigned e JOIN qs q ON e.cent_id = q.q_cell
+             WHERE e.vec_id >= 8)
+           WHERE rk <= 10),
+         annc AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id),
+         hits AS (
+           SELECT a.query_id, COUNT(*) AS n_hit
+           FROM ann a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+           GROUP BY a.query_id)
+         SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(COALESCE(ac.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((COALESCE(h.n_hit, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
+         FROM (SELECT DISTINCT query_id FROM qs) q
+         LEFT JOIN annc ac ON q.query_id = ac.query_id
+         LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
   )
 
   /** t12's occurrence CTEs: token array per doc, contiguous-match

@@ -89,4 +89,56 @@ object Graph {
       .select(col("cluster_id"), col("doc_id"), col("rank_ppm"))
       .orderBy(col("cluster_id"))
   }
+
+  /** G2: triangle counting over the near-dup pair graph — the cluster
+    * DENSITY diagnostic d7's components can't give: a component is one
+    * number per group, but whether a cluster is a tight paraphrase
+    * clique (every copy resembles every other) or a fragile chain
+    * (A~B~C with A⊥C — the transitive-closure artifact that merges
+    * unrelated docs through a bridge) is a triangle question. Per doc:
+    * degree and the number of triangles it closes; chains score 0,
+    * cliques score C(deg,2) — the local clustering numerator, emitted
+    * as integers so the caller derives any coefficient without a
+    * float crossing the hash.
+    *
+    * Scale shape: the standard degree ORIENTATION bounds the join —
+    * each undirected edge is kept once, directed from its
+    * (deg, id)-smaller endpoint, so every out-neighborhood is
+    * O(√|E|)-bounded [Chiba-Nishizeki]; wedges come from ONE self-join
+    * of the oriented frame on its middle vertex and close against a
+    * third hash join. No vertex ever enumerates its full undirected
+    * neighborhood — the hub that makes the naive wedge count
+    * quadratic is exactly the vertex the orientation strips. Edges
+    * come from the ONE landed qualifying-pair frame (the d7/g1
+    * discipline). */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(Dedup.qualifyingPairsLanded(spark, dir))
+
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val sym = shared(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+    val deg = shared(sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    // orient u→v when (deg(u), u) < (deg(v), v): acyclic, one direction
+    // per edge, out-degree O(√|E|)
+    val ore = shared(sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v")))
+    // wedges a→b→c from the oriented frame, closed by the (a, c) edge
+    val tri = shared(ore.select(col("u").as("a"), col("v").as("b"))
+      .join(ore.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(ore.select(col("u").as("a"), col("v").as("c")), Seq("a", "c")))
+    val members = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+    val tc = members.groupBy(col("id")).agg(count(lit(1)).as("tri_cnt"))
+    val out = deg.select(col("u").as("doc_id"), col("deg"))
+      .join(tc.select(col("id").as("doc_id"), col("tri_cnt")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(out, sym, deg, ore, tri)
+  }
 }

@@ -1310,4 +1310,54 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** V16: ANN recall@k — the eval harness every approximate tier in
+    * this library reports to in production: run the SAME query batch
+    * through the exact scorer (v8's plan) and the IVF probe (v5's
+    * plan), and emit per-query overlap — n_hit of k, with the ANN
+    * candidate count alongside so a thin cell (n_ann < k) is visible
+    * as the recall ceiling it is. An index whose recall silently
+    * drifts (after appends, deletes, re-training) is how a retrieval
+    * tier rots; this is the query that catches it, and it composes
+    * from two already-oracle-checked plans, so the measurement itself
+    * is hash-verified.
+    *
+    * Scale shape: both rankings share ONE persisted assignment frame;
+    * the query batch broadcasts into each (the v8 rule); per-query
+    * top-k rides a WindowGroupLimit-truncated window keyed by
+    * query_id. The overlap join is two k·|queries|-row frames —
+    * driver-free, so the eval runs as a scheduled job over any query
+    * log sample at any corpus size. Integer output only: recall_ppm
+    * = n_hit·10⁶ div k. */
+  def annRecallAtK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val assigned = shared(centroidAssignment(embeddings(spark, dir)))
+    val qs = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("q_cell"))
+    val corpus = assigned.filter(col("vec_id") >= nQueries)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(qs))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = shared(corpus.join(broadcast(qs), corpus("cent_id") === qs("q_cell"))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id")))
+    val annCnt = ann.groupBy(col("query_id")).agg(count(lit(1)).as("n_ann"))
+    val hits = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val out = qs.select(col("query_id"))
+      .join(annCnt, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * lit(1000000L) / lit(k.toLong))
+          .cast("bigint").as("recall_ppm"))
+      .orderBy(col("query_id"))
+    materializeAndRelease(out, assigned, ann)
+  }
 }

@@ -1495,4 +1495,65 @@ object TextOps {
       .orderBy(col("doc_id"))
     materializeAndRelease(result, cached: _*)
   }
+
+  // ====================================================================
+  // t15: PMI collocation mining
+  // ====================================================================
+
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiTopK = 20
+
+  /** T15: collocation mining — the corpus' top bigrams by pointwise
+    * mutual information, the vocabulary-analysis pass that surfaces
+    * multi-word units ("new york"-style compounds) a whitespace
+    * tokenizer splits: PMI = log P(xy)/(P(x)P(y)) ranks pairs that
+    * co-occur far above chance, which raw bigram counts (dominated by
+    * stopword pairs) cannot. t7 uses the bigram LM to score DOCS;
+    * t15 mines the LM itself.
+    *
+    * Determinism: the log is monotone, so the RANKING only needs the
+    * ratio — score = (c(xy)·N·10⁶) div (c(x)·c(y)), all-BIGINT with
+    * one integral division (bit-identical across engines; fits 2⁶³
+    * while c(xy)·N·10⁶ < 9.2·10¹⁸, i.e. corpora to ~10⁸ tokens at
+    * gate counts — past that, drop the 10⁶ scale or divide first).
+    * A min-count floor keeps hapax pairs (whose PMI is maximal by
+    * construction) out of the page — the standard Church & Hanks
+    * caveat.
+    *
+    * Scale shape: one token explode feeds two partial-agged counts
+    * (unigrams, bigrams); the min-count HAVING prunes the bigram frame
+    * BEFORE its two vocabulary joins, the scalar total broadcasts, and
+    * the page is TakeOrderedAndProject. No whole-corpus sort, no
+    * window. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOf(documents(spark, dir), PmiMinCount, PmiTopK)
+
+  private[graft] def pmiCollocationsOf(docs: DataFrame, minCount: Long,
+      k: Int): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val toks = tokens(col("text"))
+    val base = shared(docs.select(col("doc_id"), toks.as("w")))
+    val tok = shared(base.select(explode(col("w")).as("tok")))
+    val uni = shared(tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    val tot = tok.agg(count(lit(1)).as("n_tok"))
+    val big = base
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val page = big
+      .join(uni.select(col("tok").as("x"), col("cnt").as("n_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("cnt").as("n_y")), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_ratio_ppm",
+        expr("(n_xy * n_tok * 1000000) div (n_x * n_y)"))
+      .orderBy(desc("pmi_ratio_ppm"), col("x"), col("y")).limit(k)
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("pmi_ratio_ppm"))
+      .orderBy(col("x"), col("y"))
+    materializeAndRelease(page, base, tok, uni)
+  }
 }

@@ -140,6 +140,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Timeseries.gapFillHourly(spark, emptyDir).count() === 0)
     assert(Timeseries.madOutliersHourly(spark, emptyDir).count() === 0)
     assert(Multimodal.crossmodalSearch(spark, emptyDir).count() === 0)
+    assert(Graph.triangles(spark, emptyDir).count() === 0)
+    assert(TextOps.pmiCollocations(spark, emptyDir).count() === 0)
+    assert(Similarity.annRecallAtK(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

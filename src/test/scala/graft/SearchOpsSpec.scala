@@ -179,4 +179,77 @@ class SearchOpsSpec extends SparkSpec {
       .select("asset_id").as[Long].collect().toSet
     assert(rows.forall(r => jpeg.contains(r.getAs[Long]("asset_id"))))
   }
+
+  // ---------------- g2: triangles ----------------
+
+  test("triangle counts: clique members close triangles, chains close none") {
+    // 4-clique {1,2,3,4} + pendant 5 + disjoint chain 6-7-8: each
+    // clique member sits in 3 of the clique's 4 triangles; the pendant
+    // and the whole chain close none
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Graph.trianglesOf(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      1L -> (3L, 3L), 2L -> (3L, 3L), 3L -> (3L, 3L), 4L -> (4L, 3L),
+      5L -> (1L, 0L), 6L -> (1L, 0L), 7L -> (2L, 0L), 8L -> (1L, 0L)))
+  }
+
+  test("fixture triangles mirror a driver-side brute force over the pair graph") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir01)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.map { case (v, ns) =>
+      val nsArr = ns.toArray
+      val t = (for {
+        i <- nsArr.indices.iterator; j <- (i + 1 until nsArr.length).iterator
+        if adj(nsArr(i)).contains(nsArr(j))
+      } yield 1).size
+      v -> (ns.size.toLong, t.toLong)
+    }
+    val got = Graph.triangles(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === expected)
+  }
+
+  // ---------------- t15: PMI collocations ----------------
+
+  test("PMI page: perfectly-associated pair ranks first, hapax pairs floored") {
+    // "zeta qux" co-occurs 5x and its members appear ONLY together;
+    // "the cat" co-occurs 5x but 'the' also occurs alone (diluting its
+    // PMI below the perfect pair's); "rare pair" occurs once and must
+    // be floored by min-count
+    val docs = docsOf(
+      1L -> "zeta qux zeta qux zeta qux zeta qux zeta qux",
+      2L -> "the cat a the cat b the cat c the cat d the cat the x the y the z rare pair")
+    val got = TextOps.pmiCollocationsOf(docs, 5L, 20).collect()
+    assert(!got.exists(r => r.getAs[String]("x") == "rare"))
+    val byRatio = got.sortBy(-_.getAs[Long]("pmi_ratio_ppm"))
+    assert(byRatio.head.getAs[String]("x") === "zeta")
+    assert(byRatio.head.getAs[String]("y") === "qux")
+  }
+
+  test("fixture PMI page mirrors a driver-side count/ratio computation") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").as[String].collect()
+    val toks = texts.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = toks.length.toLong
+    val bigs = texts.flatMap { t =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      w.zip(w.drop(1))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = bigs.toSeq
+      .filter(_._2 >= TextOps.PmiMinCount)
+      .map { case ((x, y), nxy) =>
+        (x, y, nxy, uni(x), uni(y), (nxy * nTok * 1000000L) / (uni(x) * uni(y)))
+      }
+      .sortBy { case (x, y, _, _, _, r) => (-r, x, y) }
+      .take(TextOps.PmiTopK)
+      .sortBy { case (x, y, _, _, _, _) => (x, y) }
+    val got = TextOps.pmiCollocations(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }

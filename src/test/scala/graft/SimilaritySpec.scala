@@ -960,4 +960,48 @@ class SimilaritySpec extends SparkSpec {
     (1 to 10).foreach(r => assert(both(r) > one(r)))
     assert(both(10) > one(1), "rank-10-in-both must outvote rank-1-in-one")
   }
+
+  test("v16 ANN recall: per-query overlap mirrors brute force, bounded by k and n_ann") {
+    import spark.implicits._
+    val rows = Similarity.annRecallAtK(spark, sfDir, nQueries = 8, k = 10).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val (nAnn, nHit, ppm) = (r.getAs[Long]("n_ann"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("recall_ppm"))
+      assert(nHit <= math.min(10L, nAnn))
+      assert(ppm === nHit * 100000L)
+    }
+    // driver mirror: same assignment rule (first-8 centroids, argmax
+    // cosine with cent_id tie-break), exact vs cell-restricted top-10
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until 8L).map(c => c -> e(c)).toMap
+    val cell = e.map { case (v, emb) =>
+      v -> cents.toSeq.map { case (c, ce) => (c, cos(emb, ce)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    }
+    val corpus = e.keys.filter(_ >= 8L).toSeq
+    val mirror = (0L until 8L).map { q =>
+      def top10(cand: Seq[Long]): Set[Long] =
+        cand.map(v => (v, cos(e(v), e(q)))).sortBy { case (v, s) => (-s, v) }
+          .take(10).map(_._1).toSet
+      val exact = top10(corpus)
+      val ann = top10(corpus.filter(cell(_) == cell(q)))
+      q -> (ann.size.toLong, (ann & exact).size.toLong)
+    }.toMap
+    val got = rows.map(r => r.getAs[Long]("query_id") ->
+      (r.getAs[Long]("n_ann"), r.getAs[Long]("n_hit"))).toMap
+    assert(got === mirror)
+  }
 }
