@@ -370,6 +370,9 @@ object SparkEntry {
     // t13: pseudo-relevance-feedback expansion — mine the base page's
     // top terms, re-rank with the dynamic-term row-form scorer
     "t13_prf_expansion"       -> ((s, d) => TextOps.prfExpandedSearch(s, d)),
+    // t13b: the same PRF page over the LANDED index — the probe pages,
+    // the page docs mine, and the index's posting rows ARE the rescore
+    "t13b_prf_indexed"        -> ((s, d) => TextOps.prfExpandedIndexed(s, d)),
     // t14: best-window snippets for the page docs (display layer)
     "t14_snippets"            -> ((s, d) => TextOps.snippetPage(s, d)),
     // g1: integer PageRank over the near-dup pair graph
@@ -3453,6 +3456,9 @@ object SparkEntry {
     // the same exclusions, then the row-form rescore over the expanded
     // term RELATION — per-(doc,term) tf, per-term df, bm25NumDen
     "t13_prf_expansion" -> t13Sql,
+    // t13b answers the SAME oracle — hash equality proves the landed
+    // path serves exactly the scan form's expanded page
+    "t13b_prf_indexed" -> t13Sql,
     // t14: q0 page + per-offset window scoring, argmax per doc
     "t14_snippets" -> t14Sql,
     // g1: d7's edge CTEs + the integer rank unroll (MATERIALIZED per

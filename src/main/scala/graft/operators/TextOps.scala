@@ -700,10 +700,14 @@ object TextOps {
     * tier (the hybrid fusion over the landed index). */
   private[operators] def bm25IndexedPage(spark: SparkSession, dir: String,
       terms: Seq[String], k: Int): DataFrame =
-    bm25OverIndex(spark,
-      Similarity.landOnce(spark, dir, "graft_bm25_idx", bm25Landed,
-        source = "documents.parquet")(materializeBm25Index(spark, dir, _)),
-      terms, k)
+    bm25OverIndex(spark, bm25LandedPath(spark, dir), terms, k)
+
+  /** The ONE session landing of the corpus' BM25 index (fingerprint-
+    * memoized) — shared by every indexed serving query (t11b, v13b,
+    * t13b). */
+  private[operators] def bm25LandedPath(spark: SparkSession, dir: String): String =
+    Similarity.landOnce(spark, dir, "graft_bm25_idx", bm25Landed,
+      source = "documents.parquet")(materializeBm25Index(spark, dir, _))
 
   private[graft] val Bm25Buckets = 64
 
@@ -1303,13 +1307,29 @@ object TextOps {
     val conds = phrase.zipWithIndex.map { case (t, j) =>
       s"w[i + $j] = '${t.replace("'", "''")}'"
     }.mkString(" AND ")
+    // Cheap NECESSARY condition first: a doc whose token stream
+    // contains the phrase contains every term as a substring of the
+    // lowered text (tokens are substrings), so the codegen'd contains
+    // conjunction is a sound superset — only candidate docs pay the
+    // tokenize + per-offset lambda (the suite's #1 cost before this:
+    // 3.3 s -> the prefilter admits ~P(t1)·…·P(tm) of the corpus)
+    val pre = phrase.distinct
+      .map(t => lower(col("text")).contains(t)).reduce(_ && _)
     docs
+      .filter(pre)
       .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("w"))
       .withColumn("n_occ", expr(
         s"CASE WHEN size(w) < $m THEN 0L ELSE " +
           s"CAST(size(filter(sequence(0, size(w) - $m), i -> $conds)) AS BIGINT) END"))
-      .filter(col("n_occ") > 0)
+      // the >0 cut runs AFTER the limit: a Filter below the top-k gets
+      // pushed through the projections and Catalyst inlines the alias,
+      // re-evaluating the full tokenize per LAMBDA ELEMENT inside the
+      // filter predicate — O(len²) per doc, measured 10× the whole
+      // query. Post-limit it sees ≤k materialized rows; zero-occurrence
+      // rows can only enter a thinner-than-k page and are dropped here,
+      // so the answer is unchanged.
       .orderBy(desc("n_occ"), col("doc_id")).limit(k)
+      .filter(col("n_occ") > 0)
       .select(col("doc_id"), col("lang"), col("n_occ"))
       .orderBy(col("doc_id"))
   }
@@ -1384,27 +1404,146 @@ object TextOps {
     * All three phases are declarative — no driver collect: the
     * expansion terms are a 3-row FRAME that broadcast-joins into the
     * rescore, so the plan works unchanged when the expansion set is
-    * data-dependent at 100 TB. Phase A is t11's scored frame verbatim;
+    * data-dependent at 100 TB. Phase A is t11's scoring arithmetic;
     * phase B explodes ONLY the page docs (k rows); phase C is
-    * [[bm25DynamicOf]] — the row-form scorer whose per-term tf/df come
+    * [[bm25DynamicOf]]'s row-form scorer, whose per-term tf/df come
     * from posting-shaped rows instead of per-term columns (the t11b
     * arithmetic over a scan — static-terms hash-parity with bm25Of is
-    * spec-asserted). */
+    * spec-asserted). ONE tokenized base frame serves all three phases
+    * (the round-10 perf audit: phase A and phase C each re-tokenizing
+    * the corpus made t13 a suite-tail query). */
   def prfExpandedSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    prfExpandedOf(documents(spark, dir), Bm25Terms, k, PrfExpansionTerms)
+    prfExpandedFromBase(tokenizedBaseLanded(spark, dir), Bm25Terms, k,
+      PrfExpansionTerms)
+
+  // One-time-per-session memo for the TOKENIZED-corpus frame
+  // (doc_id, lang, w, dl) — the d7 rawPairsMemo discipline applied to
+  // tokenization: a production pipeline lands the tokenized corpus
+  // once and every lexical consumer reads the landing. Keyed by
+  // session+dir, valued by the source fingerprint; the frame is
+  // checkpoint-materialized before the memo holds it.
+  private val tokBaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  private def tokenizedBaseLanded(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark.sparkContext)}:$dir"
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
+    tokBaseMemo.compute(key, (_, cur) => {
+      if (cur != null && cur._1 == fp) cur
+      else {
+        val base = documents(spark, dir)
+          .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("w"))
+          .withColumn("dl", size(col("w")).cast("long"))
+          .localCheckpoint(true)
+        (fp, base)
+      }
+    })._2
+  }
 
   private[graft] def prfExpandedOf(docs: DataFrame, q0: Seq[String], k: Int,
       nExp: Int): DataFrame = {
-    import CacheOps.materializeAndRelease
-    val spark = docs.sparkSession
+    import CacheOps.{materializeAndRelease, shared}
+    val base = shared(docs.select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("w"))
+      .withColumn("dl", size(col("w")).cast("long")))
+    materializeAndRelease(prfExpandedFromBase(base, q0, k, nExp), base)
+  }
+
+  /** The three PRF phases over a caller-owned tokenized base
+    * (doc_id, lang, w, dl) — the dir-level entry passes the SESSION
+    * LANDING (tokenizedBaseLanded); prfExpandedOf wraps an ad-hoc
+    * frame for the specs. */
+  private def prfExpandedFromBase(base: DataFrame, q0: Seq[String], k: Int,
+      nExp: Int): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val spark = base.sparkSession
     import spark.implicits._
-    val (scored, cached) = bm25ScoredOf(docs, q0, persist = true)
-    val page0 = scored.filter(col("score_milli") > 0)
+    // phase A: the t11 wide scoring over the shared base — map-side
+    // tf columns (no explode/shuffle; the dynamic scorer here was
+    // measured SLOWER: two shuffle-shaped searches instead of one).
+    // The wide frame is persisted so the per-term HOF filters run
+    // once, not once per consumer (stats pass + score pass).
+    val wide = shared(base.select(col("doc_id") +: col("dl") +:
+      q0.zipWithIndex.map { case (t, i) =>
+        size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf$i")
+      }: _*))
+    val aggs: Seq[Column] =
+      coalesce(sum(col("dl")), lit(0L)).as("tot") +:
+        q0.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = wide.agg(count(lit(1)).as("n"), aggs: _*)
+    val withParts = q0.indices.foldLeft(wide.crossJoin(broadcast(stats))) {
+      case (acc, i) =>
+        val (num, den) =
+          bm25NumDen(col(s"tf$i"), col("dl"), col(s"df$i"), col("n"), col("tot"))
+        acc.withColumn(s"num$i", num).withColumn(s"den$i", den)
+    }
+    val page0 = withParts
+      .withColumn("score_milli",
+        q0.indices.map(i => expr(s"num$i div den$i")).reduce(_ + _))
+      // >0 cut after the limit (the t12 lesson: a pre-limit Filter
+      // inlines the whole scoring arithmetic into its predicate)
       .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .filter(col("score_milli") > 0)
       .select(col("doc_id"))
-    val terms = prfExpansionOf(docs, page0, q0, nExp).union(q0.toDF("tok")).distinct()
-    val result = bm25DynamicOf(docs, terms, k)
-    materializeAndRelease(result, cached: _*)
+    // phase B: expansion vocabulary from the page docs' tokens
+    val excluded = (q0 ++ Stopwords).distinct
+    val terms = base.join(page0, Seq("doc_id"), "left_semi")
+      .select(explode(col("w")).as("tok"))
+      .filter(!col("tok").isin(excluded: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(nExp)
+      .select(col("tok"))
+      .union(q0.toDF("tok")).distinct()
+    // phase C: the row-form rescore, reading the same base
+    val result = bm25DynamicFromBase(base, terms, k)
+    materializeAndRelease(result, wide)
+  }
+
+  /** T13b: PRF expansion over the LANDED index — the serving form.
+    * Phase A is the t11b probe (bucket-pruned postings read — hash-
+    * equal to the scan page, so the mined vocabulary is identical);
+    * phase B tokenizes ONLY the k page docs from the source table (a
+    * doc-keyed point lookup at scale — k·len work, never corpus-
+    * shaped); phase C rescans nothing: the index's posting rows ARE
+    * the per-(doc, term) tf frame the row-form scorer needs, so the
+    * rescore is the posting scan joined to the broadcast term frame —
+    * no tokenize, no explode. The posting read is un-pruned (the
+    * expansion terms are DATA, so their buckets aren't known at plan
+    * time) — index-sized IO, the price of replan-free dynamic
+    * vocabularies; a driver-known vocabulary would prune (t11b's
+    * path). Answers t13's oracle VERBATIM. */
+  def prfExpandedIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val path = bm25LandedPath(spark, dir)
+    val q0 = Bm25Terms
+    val page0 = bm25OverIndex(spark, path, q0, k).select(col("doc_id"))
+    val docs = documents(spark, dir)
+    val terms = prfExpansionOf(docs, page0, q0, PrfExpansionTerms)
+      .union(q0.toDF("tok")).distinct()
+    val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tot")), lit(0L)).as("tot"))
+    // matched is TINY (the expansion terms' posting rows) but derives
+    // from the full un-pruned postings scan — land it once so dfs and
+    // the page don't each pay that scan
+    val matched = CacheOps.shared(postings.join(broadcast(terms), Seq("tok")))
+    val dfs = matched.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val (num, den) = bm25NumDen(col("tf"), col("dl"), col("df"), col("n"), col("tot"))
+    val page = matched
+      .join(broadcast(dfs), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm_num", num).withColumn("bm_den", den)
+      .withColumn("s", expr("bm_num div bm_den"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("score_milli"))
+      .filter(col("score_milli") > 0)
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("score_milli"))
+      .orderBy(col("doc_id"))
+    CacheOps.materializeAndRelease(page, matched)
   }
 
   /** Phase B alone: the nExp most frequent non-query non-stopword
@@ -1433,6 +1572,16 @@ object TextOps {
     val base = shared(docs.select(col("doc_id"), col("lang"),
       tokens(lower(col("text"))).as("w"))
       .withColumn("dl", size(col("w")).cast("long")))
+    materializeAndRelease(bm25DynamicFromBase(base, terms, k), base)
+  }
+
+  /** The row-form scorer over a caller-owned tokenized base
+    * (doc_id, lang, w, dl) — t13 shares ONE base across its three
+    * phases; bm25DynamicOf wraps this with its own base for
+    * standalone callers. Returns a lazy frame; the caller releases
+    * the base. */
+  private def bm25DynamicFromBase(base: DataFrame, terms: DataFrame,
+      k: Int): DataFrame = {
     val stats = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("tot"))
     val tf = base
@@ -1453,7 +1602,7 @@ object TextOps {
       .orderBy(desc("score_milli"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("lang"), col("score_milli"))
       .orderBy(col("doc_id"))
-    materializeAndRelease(page, base)
+    page
   }
 
   // ====================================================================

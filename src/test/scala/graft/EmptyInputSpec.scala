@@ -143,6 +143,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.triangles(spark, emptyDir).count() === 0)
     assert(TextOps.pmiCollocations(spark, emptyDir).count() === 0)
     assert(Similarity.annRecallAtK(spark, emptyDir).count() === 0)
+    assert(TextOps.prfExpandedIndexed(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

@@ -180,6 +180,13 @@ class SearchOpsSpec extends SparkSpec {
     assert(rows.forall(r => jpeg.contains(r.getAs[Long]("asset_id"))))
   }
 
+  test("indexed PRF page equals the scan form") {
+    val scan = TextOps.prfExpandedSearch(spark, sfDir01).collect().toSeq
+    val idx = TextOps.prfExpandedIndexed(spark, sfDir01).collect().toSeq
+    assert(idx === scan)
+    assert(scan.nonEmpty)
+  }
+
   // ---------------- g2: triangles ----------------
 
   test("triangle counts: clique members close triangles, chains close none") {
