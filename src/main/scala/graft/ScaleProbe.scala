@@ -347,7 +347,11 @@ object ScaleProbe {
       // g2: oriented wedge join over the same landed pair frame —
       // edge-linear under salting; the orientation's O(√E) out-degree
       // bound is what must keep the wedge count from curving up
-      "g2_triangles"         -> (operators.Graph.triangles(_, _)))
+      "g2_triangles"         -> (operators.Graph.triangles(_, _)),
+      // g3: fixed-round degree peel — per-round cost tracks the
+      // SURVIVING edges, which shrink monotonically; edge-linear
+      // under salting like g1/g2
+      "g3_kcore"             -> (operators.Graph.kcore(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

@@ -391,6 +391,19 @@ object SparkEntry {
     // v16: ANN recall@k — exact vs IVF-probe page overlap per query,
     // the drift monitor for every approximate tier
     "v16_ann_recall"          -> ((s, d) => Similarity.annRecallAtK(s, d)),
+    // g3: 2-core extraction — fixed-round peel over the landed pair
+    // graph; pendants and chains drop, mutually-supported cores stay
+    "g3_kcore"                -> ((s, d) => Graph.kcore(s, d)),
+    // t16: prefix autocomplete from the corpus' own vocabulary,
+    // ranked by document frequency
+    "t16_autocomplete"        -> ((s, d) => TextOps.autocomplete(s, d)),
+    // t16b: the same page over the LANDED vocab artifact — the probe
+    // reads ONE first-letter partition dir
+    "t16b_autocomplete_indexed" -> ((s, d) => TextOps.autocompleteIndexed(s, d)),
+    // st5: st2's session rollup as a stateful streaming query —
+    // session_window state merges across micro-batches
+    "st5_session_stream"      -> ((s, d) =>
+      graft.streaming.EventsStream.sessionWindowsStreaming(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -1189,6 +1202,50 @@ object SparkEntry {
          $stages"""
   }
 
+  /** The g3 peel unroll: per round, surviving-node set (degree >= k
+    * over the previous round's edges) and the edge frame pruned to
+    * both endpoints surviving — MATERIALIZED per stage (the v15
+    * lesson; each round references the previous one three times). */
+  private def kcoreCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges)")
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+         k$t AS MATERIALIZED (
+           SELECT u FROM e${t - 1} GROUP BY u
+           HAVING COUNT(*) >= ${operators.Graph.KcoreK}),
+         e$t AS MATERIALIZED (
+           SELECT e.u, e.v FROM e${t - 1} e
+           JOIN k$t a ON e.u = a.u JOIN k$t b ON e.v = b.u)""")
+    }
+    sb.toString
+  }
+
+  /** The st2 session rollup (lag + cumulative sum gaps-and-islands) —
+    * shared verbatim by the streaming twin st5: equality proves the
+    * stateful session_window aggregation emits the batch sessions. */
+  private val st2SessionsSql: String =
+    """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_event,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM numbered
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_start"""
+
   /** The as-of join oracle — left band join + argmax window, -1
     * sentinels for render parity. Shared verbatim by j11 and the
     * bucketed j11b (equality proves the second join key lossless). */
@@ -1297,27 +1354,10 @@ object SparkEntry {
            COALESCE(status_raw, 'ALL') AS o_orderstatus,
            CAST(total_amount AS DOUBLE) AS total_amount, n_orders
          FROM r ORDER BY month, o_orderstatus""",
-    "st2_session_windows" ->
-      """WITH marked AS (
-           SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 5 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events),
-         numbered AS (
-           SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM marked)
-         SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) AS last_event,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM numbered
-         GROUP BY user_id, session_id
-         ORDER BY user_id, session_start""",
+    "st2_session_windows" -> st2SessionsSql,
+    // st5 answers the SAME oracle: the streaming session_window
+    // aggregation must emit exactly the batch gaps-and-islands rows
+    "st5_session_stream" -> st2SessionsSql,
     "j2_threeway_revenue" ->
       """SELECT c.c_mktsegment, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem l
@@ -3587,7 +3627,38 @@ object SparkEntry {
          LEFT JOIN annc ac ON q.query_id = ac.query_id
          LEFT JOIN hits h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
+    // g3: the d7 edge CTEs + the fixed-round peel unroll — degree
+    // HAVING then a both-endpoints prune per round
+    "g3_kcore" ->
+      s"""WITH $d7EdgeCtes,
+         ${kcoreCtes(operators.Graph.KcoreRounds)}
+         SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         FROM e${operators.Graph.KcoreRounds}
+         GROUP BY u ORDER BY doc_id""",
+    // t16/t16b: per-doc-distinct terms → df counts, prefix filter
+    // before the count, page by (df desc, term) — the landed form
+    // answers the SAME SQL (hash equality proves the letter-partition
+    // prune serves exactly what the scan counts)
+    "t16_autocomplete" -> autocompleteSql,
+    "t16b_autocomplete_indexed" -> autocompleteSql,
   )
+
+  /** t16's oracle: vocabulary with document frequency, prefix page. */
+  private lazy val autocompleteSql: String =
+    s"""WITH dt AS (
+           SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS term
+             FROM documents)),
+         v AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+           WHERE term LIKE '${operators.TextOps.AutocompletePrefix}%'
+           GROUP BY term),
+         top AS (
+           SELECT * FROM v ORDER BY df DESC, term
+           LIMIT ${operators.TextOps.AutocompleteK})
+         SELECT term, df FROM top ORDER BY term"""
 
   /** t12's occurrence CTEs: token array per doc, contiguous-match
     * count per window offset (w[i+j] is DuckDB's 1-based list index —

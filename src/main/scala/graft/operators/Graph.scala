@@ -167,4 +167,52 @@ object Graph {
       .orderBy(col("doc_id"))
     materializeAndRelease(out, sym, deg, ore, tri)
   }
+
+  private[graft] val KcoreK = 2
+  private[graft] val KcoreRounds = 8
+
+  /** G3: k-core extraction (k=2) over the near-dup pair graph — the
+    * degeneracy diagnostic that separates STRUCTURE from STRAGGLERS:
+    * iteratively peeling nodes of degree < k removes pendants and
+    * chains (which g2 shows close no triangles) until only the
+    * mutually-supported core remains. A 2-core member is in a cycle
+    * of near-duplicates — evidence of a real paraphrase cluster; a
+    * peeled node hung off the cluster by one fragile edge (the
+    * bridge/transitive artifact d7's closure can't distinguish).
+    * Output: surviving nodes with their within-core degree.
+    *
+    * Fixed-round discipline (the g1/d7 convention): ROUNDS peel
+    * iterations unrolled identically on both engines — a
+    * data-dependent "until stable" loop could converge at different
+    * round counts than a fixed oracle unroll, so the round count is a
+    * constant, the spec asserts the fixture reaches its fixpoint well
+    * inside it (rounds vs rounds+1 equality), and each round
+    * localCheckpoints so lineage stays constant.
+    *
+    * Scale shape: each round is one partial-agged degree count plus
+    * two left-semi prunes of the edge frame — all keyed by the edge
+    * endpoints, no whole-graph collect, monotonically shrinking
+    * frames. Peeling is the textbook distributed k-core
+    * [Montresor et al.]; at 100 TB each round's exchanges carry the
+    * SURVIVING edges only. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(Dedup.qualifyingPairsLanded(spark, dir), KcoreK, KcoreRounds)
+
+  private[graft] def kcoreOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      edges = edges
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+  }
 }

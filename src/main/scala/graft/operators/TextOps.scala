@@ -1705,4 +1705,72 @@ object TextOps {
       .orderBy(col("x"), col("y"))
     materializeAndRelease(page, base, tok, uni)
   }
+
+  // ====================================================================
+  // t16: prefix autocomplete over the corpus vocabulary
+  // ====================================================================
+
+  private[graft] val AutocompletePrefix = "s"
+  private[graft] val AutocompleteK = 5
+  private[operators] val vocabIdxLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val vocabSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "term STRING, df BIGINT, p1 STRING")
+
+  /** T16: query autocomplete — the top completions of a prefix from
+    * the corpus' OWN vocabulary, ranked by document frequency (the
+    * signal a search box wants: "how many docs would this completion
+    * hit"), ties to the lexicographically smaller term. df counts
+    * DOCUMENTS, not occurrences — per-doc dedup happens map-side
+    * (array_distinct before the explode), so no corpus-wide DISTINCT
+    * shuffle, and the prefix filter prunes before the count exchange:
+    * only matching terms shuffle at all. */
+  def autocomplete(spark: SparkSession, dir: String): DataFrame =
+    autocompleteOf(documents(spark, dir), AutocompletePrefix, AutocompleteK)
+
+  private[graft] def autocompleteOf(docs: DataFrame, prefix: String,
+      k: Int): DataFrame =
+    docs.select(explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+      .filter(col("term").startsWith(prefix))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term")).limit(k)
+      .select(col("term"), col("df"))
+      .orderBy(col("term"))
+
+  /** The landed vocabulary artifact: (term, df) PARTITIONED BY the
+    * term's first character — the prefix analog of t11b's token-hash
+    * buckets (a hash bucket can't serve a RANGE-shaped predicate;
+    * the leading character can). A probe reads one partition dir. */
+  private[graft] def materializeVocabIndexOf(docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("p1", substring(col("term"), 1, 1))
+      .repartition(col("p1"))
+      .write.mode("overwrite").partitionBy("p1").parquet(s"$path/vocab")
+
+  /** T16b: autocomplete over the LANDED vocabulary — the serving
+    * form. The first-character partition filter prunes the read to
+    * one directory (plan-asserted), the prefix predicate pushes to
+    * that scan, and the page is TakeOrderedAndProject over the few
+    * surviving vocab rows. Probe IO tracks the prefix's letter
+    * partition — never the vocabulary, never the corpus. Answers
+    * t16's oracle VERBATIM. */
+  def autocompleteIndexed(spark: SparkSession, dir: String): DataFrame =
+    autocompleteOverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_vocab_idx", vocabIdxLanded,
+        source = "documents.parquet")(
+        materializeVocabIndexOf(documents(spark, dir), _)),
+      AutocompletePrefix, AutocompleteK)
+
+  private[graft] def autocompleteOverIndex(spark: SparkSession, path: String,
+      prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "autocomplete needs a non-empty prefix")
+    spark.read.schema(vocabSchema).parquet(s"$path/vocab")
+      .filter(col("p1") === prefix.substring(0, 1) &&
+        col("term").startsWith(prefix))
+      .orderBy(desc("df"), col("term")).limit(k)
+      .select(col("term"), col("df"))
+      .orderBy(col("term"))
+  }
 }

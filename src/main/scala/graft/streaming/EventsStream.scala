@@ -81,6 +81,49 @@ object EventsStream {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** ST5: the st2 session rollup as a STREAMING query — stateful
+    * session-window aggregation, the Structured Streaming capability
+    * the tumbling-window st1 can't exercise: session state MERGES
+    * when a new event lands within gap of an open session, including
+    * across micro-batches. Complete-mode memory sink (bounded: one
+    * row per final session), AvailableNow trigger, synchronous drain
+    * — the st1 harness shape. Answers st2's oracle verbatim: hash
+    * equality proves the streaming sessionizer emits exactly the
+    * batch gaps-and-islands sessions. EventsStreamSpec pins the
+    * cross-batch MERGE case (a session split across two files) that
+    * the single-file gate run can't exercise. */
+  def sessionWindowsStreaming(spark: SparkSession, dir: String,
+      queryName: String = "events_sessions",
+      globFilter: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", globFilter)
+      .parquet(dir).schema
+    val reader0 = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", globFilter)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val stream = Tables.normalizeEventTs(reader.parquet(dir))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("last_event"))
+      .select(col("user_id"), col("session_start"), col("last_event"),
+        col("n_events"), col("total_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
     * keeps per-key state only until the watermark passes it, so state
     * size is bounded by the watermark horizon — the production form

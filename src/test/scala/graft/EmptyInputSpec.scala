@@ -144,6 +144,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.pmiCollocations(spark, emptyDir).count() === 0)
     assert(Similarity.annRecallAtK(spark, emptyDir).count() === 0)
     assert(TextOps.prfExpandedIndexed(spark, emptyDir).count() === 0)
+    assert(Graph.kcore(spark, emptyDir).count() === 0)
+    assert(TextOps.autocomplete(spark, emptyDir).count() === 0)
+    assert(TextOps.autocompleteIndexed(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

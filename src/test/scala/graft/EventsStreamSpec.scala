@@ -143,4 +143,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (4L, 5L)),
       s"streaming must drop the beyond-watermark view (1,3) and keep the rest, got $got")
   }
+
+  test("streaming sessions MERGE across micro-batches (the case one batch can't exercise)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_merge")
+    sys.addShutdownHook(rmTree(root.toFile))
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    def t(min: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .of(2024, 1, 1, 0, 0).plusMinutes(min))
+    def land(name: String,
+        rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      assert(part.renameTo(new java.io.File(srcDir, name)))
+    }
+    // file 1: user 10's open session (0, 2 min) + user 20's lone event;
+    // file 2: user 10 again at 4 min — within gap of the OPEN session,
+    // so the state store must MERGE it into one 3-event session, and
+    // user 20's session must survive the second batch untouched
+    land("f1.parquet", Seq(
+      (1L, t(0), 10L, "view", 1.0, "{}"),
+      (2L, t(2), 10L, "view", 2.0, "{}"),
+      (3L, t(0), 20L, "view", 5.0, "{}")))
+    land("f2.parquet", Seq(
+      (4L, t(4), 10L, "click", 3.0, "{}")))
+    val got = EventsStream.sessionWindowsStreaming(spark, srcDir,
+        "sess_merge_spec", globFilter = "*.parquet", maxFilesPerTrigger = Some(1))
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 3L, 6.0), (20L, 1L, 5.0)))
+  }
 }

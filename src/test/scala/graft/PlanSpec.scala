@@ -395,4 +395,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"batch top-k not two-phase (no WindowGroupLimit):\n$p")
   }
+
+  test("autocomplete landed vocab (t16b): probe prunes to the prefix's letter partition") {
+    import graft.operators.TextOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vocab_plan").toFile
+    sys.addShutdownHook(rmTree(tmp))
+    val path = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeVocabIndexOf(graft.Tables.documents(spark, sfDir), path)
+    val p = plan(TextOps.autocompleteOverIndex(spark, path, "s", 5))
+    // the vocab scan must carry the first-character value as a
+    // PARTITION filter (directory pruning) with the prefix predicate
+    // pushed — probe IO tracks one letter partition, not the vocab
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("p1"))
+    assert(scanLine.isDefined, s"no p1 partition filter on the vocab scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("StringStartsWith(term"),
+      s"prefix filter not pushed to the vocab scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"page not take-ordered:\n$p")
+  }
 }

@@ -237,6 +237,63 @@ class SearchOpsSpec extends SparkSpec {
     assert(byRatio.head.getAs[String]("y") === "qux")
   }
 
+  // ---------------- g3: k-core ----------------
+
+  test("k-core peels pendants and chains; the clique survives with full degree") {
+    // same graph as the triangle fixture: 4-clique + pendant 5 + chain 6-7-8
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Graph.kcoreOf(pairs, 2, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("fixture 2-core mirrors a driver-side peel to fixpoint (inside the round budget)") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir01)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    var adj: Map[Long, Set[Long]] =
+      pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val weak = adj.collect { case (v, ns) if ns.size < 2 => v }.toSet
+      changed = weak.nonEmpty
+      adj = adj.collect { case (v, ns) if !weak(v) => v -> (ns -- weak) }
+        .filter(_._2.nonEmpty).toMap
+    }
+    val expected = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val got = Graph.kcore(spark, sfDir01)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // one extra round changes nothing: the fixture converges inside the budget
+    val more = Graph.kcoreOf(
+      Dedup.ngramJaccardPairs(spark, sfDir01).select("a_id", "b_id"),
+      Graph.KcoreK, Graph.KcoreRounds + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(more === got)
+  }
+
+  // ---------------- t16: autocomplete ----------------
+
+  test("autocomplete ranks by doc frequency (not occurrences) with term tie-break") {
+    val docs = docsOf(
+      1L -> "spark spark spark scan",   // spark df=1 despite 3 occurrences
+      2L -> "scan sort",
+      3L -> "scan sort table",
+      4L -> "other words")
+    val got = TextOps.autocompleteOf(docs, "s", 2)
+      .as[(String, Long)].collect().toSeq
+    // scan df=3, sort df=2, spark df=1 -> top-2 = scan, sort (term-ordered out)
+    assert(got === Seq(("scan", 3L), ("sort", 2L)))
+  }
+
+  test("indexed autocomplete equals the scan form") {
+    val scan = TextOps.autocomplete(spark, sfDir01).collect().toSeq
+    val idx = TextOps.autocompleteIndexed(spark, sfDir01).collect().toSeq
+    assert(idx === scan)
+    assert(scan.nonEmpty)
+  }
+
   test("fixture PMI page mirrors a driver-side count/ratio computation") {
     val texts = Tables.documents(spark, sfDir)
       .select("text").as[String].collect()
