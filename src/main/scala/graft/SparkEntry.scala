@@ -404,6 +404,12 @@ object SparkEntry {
     // session_window state merges across micro-batches
     "st5_session_stream"      -> ((s, d) =>
       graft.streaming.EventsStream.sessionWindowsStreaming(s, d)),
+    // c10: split-leakage audit — near-dup pairs straddling the
+    // train/eval boundary, the contamination metric c1b drives to zero
+    "c10_split_leakage"       -> ((s, d) => Curation.splitLeakage(s, d)),
+    // m6: every-Kth-frame sampling with per-frame signatures — the
+    // video-corpus pre-training pass (decode stubbed, plumbing real)
+    "m6_frame_sample"         -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -3641,6 +3647,34 @@ object SparkEntry {
     // prune serves exactly what the scan counts)
     "t16_autocomplete" -> autocompleteSql,
     "t16b_autocomplete_indexed" -> autocompleteSql,
+    // c10: the d7 pair CTEs + the c1 split CASE applied to both
+    // endpoints as a pure id function — no lookup join
+    "c10_split_leakage" ->
+      s"""WITH $d7EdgeCtes,
+         cls AS (
+           SELECT a_id, b_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(a_id AS VARCHAR)), 1, 4) AS INTEGER)
+                    % ${operators.Curation.EvalBuckets} = 0
+               THEN 'eval' ELSE 'train' END AS sa,
+             CASE WHEN CAST('0x' || substr(md5(CAST(b_id AS VARCHAR)), 1, 4) AS INTEGER)
+                    % ${operators.Curation.EvalBuckets} = 0
+               THEN 'eval' ELSE 'train' END AS sb
+           FROM pairs)
+         SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a_id + b_id) AS BIGINT) AS id_sum
+         FROM cls GROUP BY 1, 2 ORDER BY 1, 2""",
+    // m6: m1's digest conventions — frame count from nibbles 13-14,
+    // per-frame signature re-digesting digest:idx
+    "m6_frame_sample" ->
+      s"""WITH a AS (
+           SELECT doc_id AS asset_id, md5(text) AS digest,
+             CAST(CAST('0x' || substr(md5(text), 13, 2) AS INTEGER) % 24 + 8 AS BIGINT) AS n_frames
+           FROM documents)
+         SELECT asset_id, n_frames, CAST(x.i AS BIGINT) AS frame_idx,
+           substr(md5(digest || ':' || CAST(x.i AS VARCHAR)), 1, 8) AS frame_sig
+         FROM a, unnest(range(0, n_frames, ${operators.Multimodal.FrameSampleStep})) AS x(i)
+         ORDER BY asset_id, frame_idx""",
   )
 
   /** t16's oracle: vocabulary with document frequency, prefix page. */

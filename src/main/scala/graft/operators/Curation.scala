@@ -699,4 +699,32 @@ object Curation {
         col("rn").cast("int").as("rn"))
       .orderBy(col("cent_id"), col("doc_id"))
   }
+
+  /** C10: split-leakage audit — the contamination check c1's
+    * clustered form exists to PREVENT, run as a monitor: count
+    * near-duplicate pairs whose endpoints land in different splits
+    * (an eval doc with a train near-twin leaks the answer key into
+    * training). The naive split (c1's per-doc hash, applied here)
+    * strands such pairs across the boundary by construction whenever
+    * a dup cluster spans hash buckets; this query measures exactly
+    * that exposure, per split-pair class, with id_sum pinning the
+    * membership. A clean c1b-style cluster-aware split drives the
+    * eval-train row to zero — c10 is the metric that proves it.
+    *
+    * Scale shape: split is a PURE FUNCTION of the doc id (no lookup
+    * join — the md5 bucket recomputes anywhere), so the audit is one
+    * map-side projection over the landed pair frame plus a ≤3-row
+    * partial-agged rollup. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    pairs
+      .select(col("a_id"), col("b_id"),
+        splitCol(col("a_id")).as("sa"), splitCol(col("b_id")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        (col("a_id") + col("b_id")).as("idsum"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("idsum")).as("id_sum"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
 }

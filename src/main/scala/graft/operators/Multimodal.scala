@@ -290,4 +290,35 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
     materializeAndRelease(result, hashed)
   }
+
+  private[graft] val FrameSampleStep = 4
+
+  /** M6: frame sampling over "video" assets — the pre-training pass a
+    * video corpus runs to turn opaque payloads into a bounded set of
+    * frame records (every K-th frame), each carrying a deterministic
+    * per-frame signature for downstream dedup/indexing. The decode is
+    * the stub seam (frame count and signatures derive from the payload
+    * digest — swapping in ffmpeg changes only those two expressions);
+    * the Spark plumbing is real: map-only project → explode, t9's
+    * chunking shape, pipelining into any consumer with no shuffle
+    * before a downstream aggregate.
+    *
+    * Scale shape: output rows = Σ ceil(n_frames / step) — corpus-
+    * linear with a constant factor the step controls; no exchange at
+    * all in this query (the sort is the gate's determinism order). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val digest = md5(col("payload"))
+    assets(spark, dir)
+      .withColumn("digest", digest)
+      .withColumn("n_frames",
+        (conv(substring(col("digest"), 13, 2), 16, 10).cast("int") % 24 + 8)
+          .cast("long"))
+      .select(col("asset_id"), col("n_frames"), col("digest"),
+        explode(expr(s"sequence(0L, n_frames - 1, ${FrameSampleStep}L)"))
+          .as("frame_idx"))
+      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+        substring(md5(concat(col("digest"), lit(":"),
+          col("frame_idx").cast("string"))), 1, 8).as("frame_sig"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
 }

@@ -395,4 +395,26 @@ class CurationSpec extends SparkSpec {
       assert(rows.length <= cap, s"cell $cell over cap")
     }
   }
+
+  test("split leakage: classes reconcile with a driver-side split of the pair frame") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir01)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Integer.parseInt(hex.substring(0, 4), 16) % Curation.EvalBuckets == 0)
+        "eval" else "train"
+    }
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), (1L, a + b))
+    }.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    val got = Curation.splitLeakage(spark, sfDir01)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got === expected)
+  }
 }

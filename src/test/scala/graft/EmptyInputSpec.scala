@@ -147,6 +147,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.kcore(spark, emptyDir).count() === 0)
     assert(TextOps.autocomplete(spark, emptyDir).count() === 0)
     assert(TextOps.autocompleteIndexed(spark, emptyDir).count() === 0)
+    assert(Curation.splitLeakage(spark, emptyDir).count() === 0)
+    assert(Multimodal.frameSample(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

@@ -144,4 +144,26 @@ class MultimodalSpec extends SparkSpec {
       assert(sparkHashes(id) === h, s"hash mismatch on doc $id")
     }
   }
+
+  test("frame sample: geometry closed-form and signatures deterministic") {
+    import spark.implicits._
+    val rows = Multimodal.frameSample(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect()
+    // every asset's sampled set is 0, step, ... < n_frames
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val n = rs.head._2
+      val idx = rs.map(_._3).sorted.toSeq
+      assert(idx === (0L until n by Multimodal.FrameSampleStep.toLong).toSeq)
+    }
+    // signature mirrors the driver-side digest arithmetic on one asset
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val (aid, n0, i0, sig) = rows.minBy(r => (r._1, r._3))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs(aid).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expSig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$digest:$i0".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    assert(sig === expSig)
+    assert(n0 === (java.lang.Integer.parseInt(digest.substring(12, 14), 16) % 24 + 8).toLong)
+  }
 }
