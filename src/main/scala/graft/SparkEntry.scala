@@ -410,6 +410,9 @@ object SparkEntry {
     // m6: every-Kth-frame sampling with per-frame signatures — the
     // video-corpus pre-training pass (decode stubbed, plumbing real)
     "m6_frame_sample"         -> ((s, d) => Multimodal.frameSample(s, d)),
+    // g4: per-edge triangle support — support-0 edges are the
+    // unsupported bridges graph cleaning drops before closure
+    "g4_edge_support"         -> ((s, d) => Graph.weakEdges(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -3675,6 +3678,30 @@ object SparkEntry {
            substr(md5(digest || ':' || CAST(x.i AS VARCHAR)), 1, 8) AS frame_sig
          FROM a, unnest(range(0, n_frames, ${operators.Multimodal.FrameSampleStep})) AS x(i)
          ORDER BY asset_id, frame_idx""",
+    // g4: g2's oriented CTEs + three role projections of the closed
+    // triples, partial-agged on the normalized edge key
+    "g4_edge_support" ->
+      s"""WITH $d7EdgeCtes,
+         degs AS MATERIALIZED (
+           SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY a),
+         ore AS MATERIALIZED (
+           SELECT e.a AS u, e.b AS v FROM edges e
+           JOIN degs du ON e.a = du.id JOIN degs dv ON e.b = dv.id
+           WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.a < e.b)),
+         tri AS MATERIALIZED (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ore e1 JOIN ore e2 ON e1.v = e2.u
+           JOIN ore e3 ON e3.u = e1.u AND e3.v = e2.v),
+         sup AS (
+           SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM tri
+           UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+           UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri),
+         supc AS (SELECT x, y, COUNT(*) AS support FROM sup GROUP BY x, y)
+         SELECT p.a_id, p.b_id,
+           CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+         FROM pairs p LEFT JOIN supc s ON p.a_id = s.x AND p.b_id = s.y
+         ORDER BY p.a_id, p.b_id""",
   )
 
   /** t16's oracle: vocabulary with document frequency, prefix page. */

@@ -141,21 +141,8 @@ object Graph {
     trianglesOf(Dedup.qualifyingPairsLanded(spark, dir))
 
   private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
-    import CacheOps.{materializeAndRelease, shared}
-    val sym = shared(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
-    val deg = shared(sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-    // orient u→v when (deg(u), u) < (deg(v), v): acyclic, one direction
-    // per edge, out-degree O(√|E|)
-    val ore = shared(sym
-      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
-      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
-      .select(col("u"), col("v")))
-    // wedges a→b→c from the oriented frame, closed by the (a, c) edge
-    val tri = shared(ore.select(col("u").as("a"), col("v").as("b"))
-      .join(ore.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-      .join(ore.select(col("u").as("a"), col("v").as("c")), Seq("a", "c")))
+    import CacheOps.materializeAndRelease
+    val (sym, deg, ore, tri) = triFrames(pairs)
     val members = tri.select(col("a").as("id"))
       .union(tri.select(col("b").as("id")))
       .union(tri.select(col("c").as("id")))
@@ -214,5 +201,66 @@ object Graph {
     edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("doc_id"), col("core_deg"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The shared oriented-triangle derivation: symmetric edges, degrees,
+    * the (deg, id)-oriented edge frame (acyclic, one direction per
+    * edge, out-degree O(√|E|) [Chiba-Nishizeki]), and the closed wedge
+    * (triangle) triples — g2 counts per-NODE closures, g4 counts
+    * per-EDGE support. All four frames are persisted; callers release
+    * them. */
+  private def triFrames(pairs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import CacheOps.shared
+    val sym = shared(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+    val deg = shared(sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val ore = shared(sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v")))
+    // wedges a→b→c from the oriented frame, closed by the (a, c) edge
+    val tri = shared(ore.select(col("u").as("a"), col("v").as("b"))
+      .join(ore.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(ore.select(col("u").as("a"), col("v").as("c")), Seq("a", "c")))
+    (sym, deg, ore, tri)
+  }
+
+  /** G4: per-edge triangle support — the dup-graph CLEANING filter
+    * that names the merges d7's closure should not trust: an edge in
+    * zero triangles is a single unsupported assertion of sameness
+    * (the bridge that chains unrelated docs into one cluster through
+    * transitive closure), while an edge inside a clique is vouched
+    * for by every common neighbor. Support = |common neighbors| =
+    * triangles containing the edge; production graph dedup drops
+    * support-0 edges before clustering. Output: every pair edge with
+    * its support count.
+    *
+    * Scale shape: the same oriented wedge join as g2 (out-degree
+    * O(√|E|)); support attribution is three role projections of the
+    * closed-triple frame partial-agged on the normalized edge key,
+    * then one left join back to the pair frame. */
+  def weakEdges(spark: SparkSession, dir: String): DataFrame =
+    weakEdgesOf(Dedup.qualifyingPairsLanded(spark, dir))
+
+  private[graft] def weakEdgesOf(pairs: DataFrame): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val p = shared(pairs.select(col("a_id"), col("b_id")))
+    val (sym, deg, ore, tri) = triFrames(p)
+    val sup = tri.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .union(tri.select(least(col("b"), col("c")).as("x"),
+        greatest(col("b"), col("c")).as("y")))
+      .union(tri.select(least(col("a"), col("c")).as("x"),
+        greatest(col("a"), col("c")).as("y")))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+    val out = p
+      .join(sup.select(col("x").as("a_id"), col("y").as("b_id"), col("support")),
+        Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(out, p, sym, deg, ore, tri)
   }
 }

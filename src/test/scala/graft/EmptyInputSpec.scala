@@ -149,6 +149,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.autocompleteIndexed(spark, emptyDir).count() === 0)
     assert(Curation.splitLeakage(spark, emptyDir).count() === 0)
     assert(Multimodal.frameSample(spark, emptyDir).count() === 0)
+    assert(Graph.weakEdges(spark, emptyDir).count() === 0)
     assert(graft.streaming.EventsStream.windowedCountsBatch(spark, emptyDir).count() === 0)
     assert(MergeOps.mergeUpsert(spark, emptyDir).count() === 0)
     assert(MergeOps.insertIgnore(spark, emptyDir).count() === 0)

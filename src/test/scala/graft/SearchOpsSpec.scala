@@ -237,6 +237,34 @@ class SearchOpsSpec extends SparkSpec {
     assert(byRatio.head.getAs[String]("y") === "qux")
   }
 
+  // ---------------- g4: edge support ----------------
+
+  test("edge support: clique edges vouched by common neighbors, bridges score 0") {
+    // 4-clique + pendant edge (4,5) + chain (6,7),(7,8): clique edges
+    // have 2 common neighbors each; the pendant and chain edges none
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Graph.weakEdgesOf(pairs)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      (1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L,
+      (4L, 5L) -> 0L, (6L, 7L) -> 0L, (7L, 8L) -> 0L))
+  }
+
+  test("fixture edge support mirrors driver-side common-neighbor counts") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir01)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = pairs.map { case (a, b) =>
+      (a, b) -> (adj(a) & adj(b)).size.toLong
+    }.toMap
+    val got = Graph.weakEdges(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
+  }
+
   // ---------------- g3: k-core ----------------
 
   test("k-core peels pendants and chains; the clique survives with full degree") {
