@@ -351,7 +351,11 @@ object ScaleProbe {
       // g3: fixed-round degree peel — per-round cost tracks the
       // SURVIVING edges, which shrink monotonically; edge-linear
       // under salting like g1/g2
-      "g3_kcore"             -> (operators.Graph.kcore(_, _)))
+      "g3_kcore"             -> (operators.Graph.kcore(_, _)),
+      // g4: the g2 wedge join + three role projections — edge-linear;
+      // the orientation bound is what keeps support attribution from
+      // curving up with the hottest node
+      "g4_edge_support"      -> (operators.Graph.weakEdges(_, _)))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study
