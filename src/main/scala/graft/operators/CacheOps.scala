@@ -35,3 +35,32 @@ private[graft] object CacheOps {
     out
   }
 }
+
+/** One-time-per-session landing memo — the "land pure corpus functions
+  * once, downstream consumers read the landing" discipline (d7/c1/g1),
+  * factored out of its five call sites. Keys combine a STABLE
+  * SparkContext identity (applicationId + startTime) with a caller
+  * suffix: System.identityHashCode is not stable — a recycled identity
+  * hash on a NEW context plus a matching source fingerprint would
+  * serve a frame bound to a dead SparkContext (round-10 ADVICE).
+  * Entries carry their owning context so that (a) entries for stopped
+  * contexts are evicted on every access — dead landings (localCheckpoint
+  * blocks pinned only by the memo handle) release promptly — and (b) a
+  * hit is served only while its context is live. The fingerprint guard
+  * means a regenerated fixture under the same dir recomputes.
+  * compute() serializes concurrent first callers per key. */
+private[graft] final class SessionMemo[V] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.SparkContext, String, V)]()
+
+  def getOrCompute(spark: org.apache.spark.sql.SparkSession, suffix: String,
+      fingerprint: String)(gen: => V): V = {
+    m.forEach((k, v) => if (v._1.isStopped) { m.remove(k, v); () })
+    val sc = spark.sparkContext
+    val key = s"${sc.applicationId}:${sc.startTime}:$suffix"
+    m.compute(key, (_, cur) => {
+      if (cur != null && cur._2 == fingerprint && !cur._1.isStopped) cur
+      else (sc, fingerprint, gen)
+    })._3
+  }
+}

@@ -102,7 +102,8 @@ trait CommitProtocol {
   * whose staged dirs survive is completed (rename-finishing,
   * idempotent) at the next open — mergeIntoPartitioned calls it
   * before begin(). */
-class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
+class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5,
+    recoveryGraceMs: Long = OptimisticLogCommit.DefaultRecoveryGraceMs)
     extends CommitProtocol {
   import org.apache.hadoop.fs.{FileSystem, Path}
   import OptimisticLogCommit.{logPath, records, recordBody}
@@ -111,7 +112,7 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
   @volatile private var snapshotBase: Option[Long] = None
 
   override def recover(spark: SparkSession, tablePath: String): Seq[String] =
-    OptimisticLogCommit.recover(spark, tablePath)
+    OptimisticLogCommit.recover(spark, tablePath, recoveryGraceMs)
 
   override def begin(spark: SparkSession, tablePath: String): Unit =
     if (baseVersion < 0) {
@@ -190,12 +191,30 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5)
 object OptimisticLogCommit {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  /** One committed (claimed) version: the partition dirs it replaced
-    * and the staging dir it published from. `staging` is None only for
-    * legacy array-format records (pre-recovery log vintage), which are
-    * conflict-checkable but not replayable. */
+  /** Recovery grace window: a claimed version YOUNGER than this is
+    * treated as a possibly-LIVE writer mid-publish, not a crash, and
+    * recover() leaves it alone. The log record cannot distinguish the
+    * two states — a live writer between its CAS and its last rename
+    * looks exactly like a crashed one (staging dir present, renames
+    * incomplete), so an un-gated recover-on-open would finish/steal
+    * the live commit and make the live writer's own publish fail
+    * spuriously (round-10 ADVICE). The gate is sound as long as no
+    * writer's claim-to-rename window exceeds the grace (renames are
+    * metadata ops — seconds, not minutes); a genuinely crashed claim
+    * simply waits out the grace and replays at the next open after
+    * it. Callers that KNOW no writer is live (offline repair, tests
+    * simulating an old crash) pass graceMs=0. */
+  val DefaultRecoveryGraceMs: Long = 10L * 60L * 1000L
+
+  /** One committed (claimed) version: the partition dirs it replaced,
+    * the staging dir it published from, and the claim time (the log
+    * file's mtime — set once at the atomic create, never rewritten).
+    * `staging` is None only for legacy array-format records
+    * (pre-recovery log vintage), which are conflict-checkable but not
+    * replayable. */
   private[operators] final case class LogRecord(
-      version: Long, staging: Option[String], parts: Seq[String])
+      version: Long, staging: Option[String], parts: Seq[String],
+      claimedAtMs: Long = 0L)
 
   private[operators] def logPath(tablePath: String) =
     new Path(new Path(tablePath), "_log")
@@ -214,24 +233,27 @@ object OptimisticLogCommit {
       try fs.listStatus(log)
       catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    statuses.toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map { n =>
+    statuses.toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("v") && n.endsWith(".json") }
+      .map { s =>
+        val n = s.getPath.getName
         val v = n.stripPrefix("v").stripSuffix(".json").toLong
-        val p = new Path(log, n)
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
+        val buf = new Array[Byte](s.getLen.toInt)
+        val in = fs.open(s.getPath)
         try in.readFully(0, buf) finally in.close()
         val node = mapper.readTree(buf)
         if (node.isArray) {
           // legacy record: bare array of partition dirs, no staging
           val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(node.elements())
             .asScala.map(_.asText()).toSeq
-          LogRecord(v, None, parts)
+          LogRecord(v, None, parts, s.getModificationTime)
         } else {
           val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
             node.get("parts").elements()).asScala.map(_.asText()).toSeq
-          LogRecord(v, Option(node.get("staging")).map(_.asText()), parts)
+          LogRecord(v, Option(node.get("staging")).map(_.asText()), parts,
+            s.getModificationTime)
         }
       }.sortBy(_.version)
   }
@@ -251,13 +273,21 @@ object OptimisticLogCommit {
     * is single-threaded by that discipline — two racing recoverers
     * could interleave the delete-then-rename pair.
     *
+    * AGE GATE: records claimed within `graceMs` are skipped — a LIVE
+    * writer inside its claim-to-rename window is indistinguishable
+    * from a crashed one, and replaying it would steal the live commit
+    * (see [[DefaultRecoveryGraceMs]]). graceMs=0 recovers everything
+    * and is safe only when the caller knows no writer is publishing.
+    *
     * Returns the replayed `v<k>/<partition>` names (empty = clean). */
-  def recover(spark: SparkSession, tablePath: String): Seq[String] = {
+  def recover(spark: SparkSession, tablePath: String,
+      graceMs: Long = DefaultRecoveryGraceMs): Seq[String] = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - graceMs
     val recs = records(fs, logPath(tablePath))
     val replayed = Seq.newBuilder[String]
-    recs.foreach { r =>
+    recs.filter(_.claimedAtMs <= cutoff).foreach { r =>
       r.staging.map(new Path(_)).filter(fs.exists).foreach { stg =>
         r.parts.foreach { d =>
           val src = new Path(stg, d)

@@ -220,22 +220,17 @@ object Dedup {
   // time stays the honest generation cost; only the downstream
   // clustering tiers read the landing. Keyed by session+dir, valued by
   // the source-content fingerprint (a regenerated fixture recomputes).
-  private val rawPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  private val rawPairsMemo = new SessionMemo[DataFrame]()
 
   private[operators] def qualifyingPairsLanded(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(spark.sparkContext)}:$dir"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    rawPairsMemo.compute(key, (_, cur) => {
-      if (cur != null && cur._1 == fp) cur
-      else {
-        val t0 = System.nanoTime()
-        val pairs = ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
-        System.err.println(f"[d7] one-time corpus pair frame ($dir): " +
-          f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-        (fp, pairs)
-      }
-    })._2
+    rawPairsMemo.getOrCompute(spark, dir, fp) {
+      val t0 = System.nanoTime()
+      val pairs = ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+      System.err.println(f"[d7] one-time corpus pair frame ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      pairs
+    }
   }
 
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
@@ -491,23 +486,18 @@ object Dedup {
   // serializing concurrent first callers. ScaleProbe measures
   // [[rollingFingerprintPairsFresh]] so the 10-30× scaling evidence
   // stays a real recomputation, never a memo hit.
-  private val fpPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  private val fpPairsMemo = new SessionMemo[DataFrame]()
 
   def rollingFingerprintPairs(spark: SparkSession, dir: String,
       minShared: Int = FingerprintMinShared, threshold: Double = 0.8): DataFrame = {
-    val key = s"${System.identityHashCode(spark.sparkContext)}:$dir:$minShared:$threshold"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    fpPairsMemo.compute(key, (_, cur) => {
-      if (cur != null && cur._1 == fp) cur
-      else {
-        val t0 = System.nanoTime()
-        val res = rollingFingerprintPairsFresh(spark, dir, minShared, threshold)
-        System.err.println(f"[d6] one-time fingerprint pair frame ($dir): " +
-          f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-        (fp, res)
-      }
-    })._2
+    fpPairsMemo.getOrCompute(spark, s"$dir:$minShared:$threshold", fp) {
+      val t0 = System.nanoTime()
+      val res = rollingFingerprintPairsFresh(spark, dir, minShared, threshold)
+      System.err.println(f"[d6] one-time fingerprint pair frame ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      res
+    }
   }
 
   /** The un-memoized computation — the frame [[rollingFingerprintPairs]]

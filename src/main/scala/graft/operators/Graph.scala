@@ -79,22 +79,17 @@ object Graph {
   // session+dir, valued by the source-content fingerprint. The final
   // pagerankOf frame is already checkpoint-materialized, so the memo
   // holds a handle to landed data, not a lazy plan.
-  private val rankMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  private val rankMemo = new SessionMemo[DataFrame]()
 
   private def ranksLanded(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(spark.sparkContext)}:$dir"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    rankMemo.compute(key, (_, cur) => {
-      if (cur != null && cur._1 == fp) cur
-      else {
-        val t0 = System.nanoTime()
-        val ranks = pagerankOf(Dedup.qualifyingPairsLanded(spark, dir), PagerankIters)
-        System.err.println(f"[g1] one-time corpus rank frame ($dir): " +
-          f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-        (fp, ranks)
-      }
-    })._2
+    rankMemo.getOrCompute(spark, dir, fp) {
+      val t0 = System.nanoTime()
+      val ranks = pagerankOf(Dedup.qualifyingPairsLanded(spark, dir), PagerankIters)
+      System.err.println(f"[g1] one-time corpus rank frame ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      ranks
+    }
   }
 
   /** G1b: centrality-canonical selection — one row per d7 cluster

@@ -80,17 +80,24 @@ object Timeseries {
     madOutliersHourlyOf(events(spark, dir))
 
   private[graft] def madOutliersHourlyOf(ev: DataFrame): DataFrame = {
-    val cells = gapFillHourlyOf(ev).select(col("event_type"), col("hour"), col("n"))
+    import CacheOps.{materializeAndRelease, shared}
+    // persisted: the cell frame (full events rollup + spine + LOCF
+    // window) feeds the median agg, the deviation join, and through it
+    // the final projection — unpersisted it recomputes 3-4× (round-10
+    // ADVICE)
+    val cells = shared(
+      gapFillHourlyOf(ev).select(col("event_type"), col("hour"), col("n")))
     val med = cells.groupBy(col("event_type"))
       .agg(expr("CAST(4 * percentile(n, 0.5D) AS BIGINT)").as("med_q"))
-    val dev = cells.join(broadcast(med), Seq("event_type"))
-      .withColumn("dev_q", abs(lit(4L) * col("n") - col("med_q")))
+    val dev = shared(cells.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev_q", abs(lit(4L) * col("n") - col("med_q"))))
     val mad = dev.groupBy(col("event_type"))
       .agg(expr("CAST(4 * percentile(dev_q, 0.5D) AS BIGINT)").as("mad_q"))
-    dev.join(broadcast(mad), Seq("event_type"))
+    val out = dev.join(broadcast(mad), Seq("event_type"))
       .select(col("event_type"), col("hour"), col("n"), col("med_q"), col("mad_q"),
         when(lit(4L) * col("dev_q") > lit(3L) * col("mad_q"), lit(1))
           .otherwise(lit(0)).as("is_outlier"))
       .orderBy(col("event_type"), col("hour"))
+    materializeAndRelease(out, cells, dev)
   }
 }

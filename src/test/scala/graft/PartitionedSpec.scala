@@ -351,20 +351,30 @@ class PartitionedSpec extends SparkSpec {
     fs.delete(new Path(s"$path/part=$pB"), true)
     assert(fs.rename(new Path(s"$staging/part=$pB"), new Path(s"$path/part=$pB")))
 
+    // AGE GATE first: at the default grace the just-claimed v2 looks
+    // like a LIVE writer mid-publish — recover-on-open must leave it
+    // alone (stealing it would fail the live writer's own publish)
+    val gated = OptimisticLogCommit.recover(spark, path)
+    assert(gated.isEmpty, s"a claim inside the grace window must not replay, got $gated")
+    assert(fs.exists(new Path(staging)), "a grace-gated claim's staging dir must survive")
+
     // recover-on-open: the next merge (disjoint partition) replays v2
-    // first, then lands as v3 — the crashed commit's content now serves
+    // first, then lands as v3 — the crashed commit's content now serves.
+    // graceMs=0 models the real timeline (the crash is long past and no
+    // writer is live); the fixture's claim is seconds old only because
+    // the test fabricated it
     val uC = (1 to 40).map(i => s"u$i")
       .find(u => !Set(pA, pB, partOf("u1")).contains(partOf(u))).get
     MergeOps.mergeIntoPartitioned(spark, path,
       Seq((uC, "click", 999L, 9.0)).toDF("user_id", "event_type", "n_events", "total_value"),
-      keys, numParts, new OptimisticLogCommit())
+      keys, numParts, new OptimisticLogCommit(recoveryGraceMs = 0L))
     assert(rowsOf(pA) === Set((uA, 777L)), "crashed claim's unpublished partition must replay at open")
     assert(rowsOf(pB) === Set((uB, 888L)), "already-published partition must survive recovery untouched")
     assert(spark.read.parquet(path).filter(col("user_id") === uC)
       .collect().head.getAs[Long]("n_events") === 999L)
     assert(!fs.exists(new Path(staging)), "recovery must drop the replayed staging dir")
     // re-recovery is a no-op
-    val again = OptimisticLogCommit.recover(spark, path)
+    val again = OptimisticLogCommit.recover(spark, path, graceMs = 0L)
     assert(again.isEmpty, s"second recovery must be a no-op, replayed $again")
     assert(rowsOf(pA) === Set((uA, 777L)))
 
@@ -387,7 +397,7 @@ class PartitionedSpec extends SparkSpec {
       .commitPartitions(spark, stagingV5, path, Seq(s"part=$pA"))
     assert(spark.read.parquet(path).filter(col("user_id") === uA)
       .collect().head.getAs[Long]("n_events") === 555L)
-    val afterStale = OptimisticLogCommit.recover(spark, path)
+    val afterStale = OptimisticLogCommit.recover(spark, path, graceMs = 0L)
     assert(afterStale.isEmpty, "a claim superseded by a later completed version must not replay")
     assert(!fs.exists(new Path(staleStaging)), "superseded staging dir must be dropped")
     assert(spark.read.parquet(path).filter(col("user_id") === uA)
