@@ -724,7 +724,8 @@ object TextOps {
       fs.listStatus(root).filter { s =>
         val n = s.getPath.getName
         n.startsWith("__append_staging") || n.contains("__delete_staging") ||
-          n.contains("__compact_staging") || n.contains("__retired_")
+          n.contains("__compact_staging") || n.contains("__retired_") ||
+          n == Bm25AppendLogDir // stale redo records must not replay into a rebuilt index
       }.foreach(s => fs.delete(s.getPath, true))
     writeBm25Batch(docs, path)
   }
@@ -741,14 +742,29 @@ object TextOps {
     * SUMs, and `docids/` gains the batch's membership rows. Documents
     * already indexed are dropped from the batch (anti-join against the
     * compact docids sidecar) so a retried batch cannot double-count —
-    * append is idempotent per document. A crash DURING publish can
-    * leave a partially-applied batch; that window is the same
-    * multi-directory rename seam RenameCommit documents, and recovery
-    * (re-land or drop the partial batch's files) is the redo-log
-    * boundary the CommitProtocol scaladoc records. Because per-term df
-    * is recomputed from the probed postings at query time, the
-    * maintained index answers EXACTLY what a full rebuild answers. */
+    * append is idempotent per document.
+    *
+    * Publish is CRASH-SAFE through a redo log (the OptimisticLogCommit
+    * recovery discipline, CommitProtocol.scala, applied to the index's
+    * file-level appends): after staging completes and BEFORE the first
+    * rename, the batch claims a record in `_appendlog/` naming its
+    * staging dir; the record is dropped only after the staging dir is.
+    * [[bm25IndexRecover]] — run here on open, before the ledger read —
+    * replays a claimed batch whose staging dir survives (rename-
+    * finishing, idempotent: published files are no longer staged) and
+    * drops an UNclaimed staging dir (the crash was mid-staging, content
+    * incomplete, nothing published). So a crash at ANY point leaves the
+    * next open serving either the whole batch or none of it, and the
+    * streaming retry's anti-join is never blind to half-published docs.
+    * Appends to one index are single-writer by contract (foreachBatch
+    * serializes micro-batches; recovery-on-open would treat a second
+    * CONCURRENT appender's in-flight publish as a crash). Because
+    * per-term df is recomputed from the probed postings at query time,
+    * the maintained index answers EXACTLY what a full rebuild answers. */
   def bm25IndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    // recover-on-open: replay or drop any half-published batch BEFORE
+    // reading the ledger — the anti-join must see every published doc
+    bm25IndexRecover(spark, path)
     // idempotence guard: drop currently-live docs (retried batches).
     // Plain anti join — the ledger is corpus-cardinality, never broadcast
     val fresh = delta.join(bm25Members(spark, path), Seq("doc_id"), "left_anti").persist()
@@ -756,8 +772,9 @@ object TextOps {
       // a fully-duplicate (retried) batch is a TRUE no-op — no junk
       // (0,0) stats partial, no empty artifacts, no publish
       if (!fresh.isEmpty) {
-        val staging =
-          s"$path/__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+        val stagingName =
+          s"__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+        val staging = s"$path/$stagingName"
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // failure while STAGING published nothing — clean up and rethrow
@@ -766,17 +783,76 @@ object TextOps {
           fs.delete(new org.apache.hadoop.fs.Path(staging), true)
           throw e
         }
-        // failure while PUBLISHING must KEEP the staging dir: it is the
-        // redo copy (some files may already be live; re-staging the
-        // batch would duplicate them because docids publishes last) —
-        // recovery replays/drops the partial batch from the staged
-        // files, the redo-log boundary CommitProtocol documents
+        // CLAIM the publish before any rename: the record makes a crash
+        // anywhere in the rename sequence replayable. A failure BETWEEN
+        // here and the record delete must KEEP both the staging dir and
+        // the record — together they are the redo copy (some files may
+        // already be live; re-staging would duplicate them)
+        val logDir = new org.apache.hadoop.fs.Path(path, Bm25AppendLogDir)
+        fs.mkdirs(logDir)
+        val rec = new org.apache.hadoop.fs.Path(logDir, s"$stagingName.json")
+        val out = fs.create(rec, false)
+        try out.write(staging.getBytes("UTF-8")) finally out.close()
         publishStaged(fs, staging, path)
         fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        fs.delete(rec, false)
         ()
       }
     } finally { fresh.unpersist(true); () }
   }
+
+  private[graft] val Bm25AppendLogDir = "_appendlog"
+
+  /** Redo-log replay for [[bm25IndexAppend]] — closes the mid-publish
+    * crash window (round-10 verdict #1). For every `_appendlog/`
+    * record: if its staging dir survives, the publish is FINISHED
+    * (file-level rename replay — idempotent because already-published
+    * files are no longer staged, and file names are UUID-unique) and
+    * the staging dir + record dropped; if the staging dir is gone, the
+    * publish completed and only cleanup crashed — the record drops.
+    * Any `__append_staging_*` dir with NO record crashed mid-staging:
+    * its content is incomplete and nothing of it was published, so it
+    * drops. Idempotent; called on open by bm25IndexAppend and at
+    * stream start by IndexStream.bm25IndexIngest. Single-recoverer by
+    * the index's single-writer contract. Returns the actions taken
+    * (empty = clean). */
+  def bm25IndexRecover(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val actions = Seq.newBuilder[String]
+    val claimed = scala.collection.mutable.Set.empty[String]
+    val logDir = new Path(root, Bm25AppendLogDir)
+    if (fs.exists(logDir))
+      fs.listStatus(logDir).filter(_.isFile).foreach { s =>
+        val stagingName = s.getPath.getName.stripSuffix(".json")
+        claimed += stagingName
+        val staging = new Path(root, stagingName)
+        if (fs.exists(staging)) {
+          publishStaged(fs, staging.toString, path)
+          fs.delete(staging, true)
+          actions += s"replayed=$stagingName"
+        } else actions += s"cleared=$stagingName"
+        fs.delete(s.getPath, false)
+        ()
+      }
+    fs.listStatus(root).filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith("__append_staging") &&
+        !claimed.contains(s.getPath.getName)
+    }.foreach { s =>
+      fs.delete(s.getPath, true)
+      actions += s"dropped=${s.getPath.getName}"
+    }
+    actions.result()
+  }
+
+  // Test seam: invoked with each artifact family name ("postings",
+  // "stats", "docids") immediately BEFORE that family's staged files
+  // move during publish; a spec throws from it to simulate a crash
+  // mid-publish (the PartitionedSpec kill-between-CAS-and-rename
+  // discipline applied to the index). Identity in production.
+  private[graft] var publishFaultHook: String => Unit = _ => ()
 
   /** Move every staged data file into its live directory (postings
     * bucket dirs created as needed; part-file names are UUID-unique so
@@ -807,8 +883,11 @@ object TextOps {
       if (fs.exists(postingsDir))
         fs.listStatus(postingsDir).filter(_.isDirectory).map(_.getPath.getName).toSeq
       else Seq.empty
+    publishFaultHook("postings")
     bucketDirs.foreach(b => moveFiles(s"postings/$b"))
+    publishFaultHook("stats")
     moveFiles("stats")
+    publishFaultHook("docids")
     moveFiles("docids")
   }
 
@@ -916,6 +995,41 @@ object TextOps {
         materializeBm25Index(spark, dir, p)
         bm25IndexDelete(spark, p,
           documents(spark, dir).filter(bm25Doomed).select(col("doc_id")))
+        ()
+      },
+      Bm25Terms, k)
+
+  // landing memo for the CDC-maintained index (t11g)
+  private val bm25CdcLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** T11g: CDC-to-serving-index for the lexical tier (round-10 verdict
+    * task #2, the v9f twin). A corpus release's changelog
+    * ([[SnapshotDiff.changelog]] against [[SnapshotDiff.nextRelease]] —
+    * the exact s19/s19b machinery) applies to the LANDED BM25 index
+    * through the maintenance verbs instead of a rebuild: deleted +
+    * updated doc_ids go through [[bm25IndexDelete]] (bucket-scoped
+    * postings rewrite, negative stats partial, tombstones), then
+    * inserted + updated docs come back through [[bm25IndexAppend]]
+    * (the tombstoned updated docs re-add — the delete→re-append round
+    * trip the ledger supports by design). The oracle derives the v2
+    * corpus directly and runs t11's page SQL over it — hash equality
+    * proves changelog-apply ≡ rebuild for lexical serving. Release
+    * cost tracks the CHANGE volume (affected buckets + appended
+    * postings), never the corpus. */
+  def bm25CdcTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_cdc", bm25CdcLanded,
+        source = "documents.parquet") { p =>
+        val v1 = documents(spark, dir)
+        materializeBm25Index(spark, dir, p)
+        // change-sized and consumed twice (delete keys + append rows)
+        val log = SnapshotDiff.changelog(v1, SnapshotDiff.nextRelease(v1),
+          Seq("doc_id"), Seq("text", "lang", "source")).localCheckpoint(true)
+        bm25IndexDelete(spark, p,
+          log.filter(col("op").isin("deleted", "updated")).select(col("doc_id")))
+        bm25IndexAppend(spark, p,
+          log.filter(col("op") =!= "deleted")
+            .select(col("doc_id"), col("text"), col("lang")))
         ()
       },
       Bm25Terms, k)
@@ -1422,22 +1536,16 @@ object TextOps {
   // once and every lexical consumer reads the landing. Keyed by
   // session+dir, valued by the source fingerprint; the frame is
   // checkpoint-materialized before the memo holds it.
-  private val tokBaseMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  private val tokBaseMemo = new SessionMemo[DataFrame]()
 
   private def tokenizedBaseLanded(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(spark.sparkContext)}:$dir"
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    tokBaseMemo.compute(key, (_, cur) => {
-      if (cur != null && cur._1 == fp) cur
-      else {
-        val base = documents(spark, dir)
-          .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("w"))
-          .withColumn("dl", size(col("w")).cast("long"))
-          .localCheckpoint(true)
-        (fp, base)
-      }
-    })._2
+    tokBaseMemo.getOrCompute(spark, dir, fp) {
+      documents(spark, dir)
+        .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("w"))
+        .withColumn("dl", size(col("w")).cast("long"))
+        .localCheckpoint(true)
+    }
   }
 
   private[graft] def prfExpandedOf(docs: DataFrame, q0: Seq[String], k: Int,

@@ -29,20 +29,16 @@ import graft.operators.TextOps
   * authority: the guard survives restarts because it lives in the
   * index itself.
   *
-  * Scope, stated honestly: the guarantee covers retries after
-  * complete publishes and after clean STAGING failures (a failed
-  * staging write publishes nothing, so the retry starts fresh). It
-  * does NOT cover a crash MID-PUBLISH — bm25IndexAppend moves
-  * postings → stats → docids in separate renames, so a crash after
-  * postings/stats land but before the docids ledger records the
-  * batch leaves the retry's anti-join blind to the half-published
-  * docs, and the automatic restart would re-append them (duplicated
-  * posting rows, inflated stats partials). A mid-publish failure
-  * therefore requires the staged-copy replay/drop recovery
-  * (complete or remove the partial artifacts against the staging
-  * dirs, the CommitProtocol.recover discipline) BEFORE restarting
-  * the stream — the same redo-log boundary TextOps'
-  * bm25IndexDelete scaladoc records.
+  * The guarantee is UNCONDITIONAL over crash position: a crash
+  * mid-STAGING published nothing (the retry starts fresh); a crash
+  * MID-PUBLISH — between bm25IndexAppend's postings → stats → docids
+  * renames — is claimed in the index's `_appendlog/` redo log before
+  * the first rename, and [[TextOps.bm25IndexRecover]] (run at stream
+  * start here, and on every append open) FINISHES the claimed batch's
+  * publish before the retry's ledger read, so the anti-join always
+  * sees the whole batch or none of it. IndexStreamSpec kills the
+  * publish between the stats and docids renames, restarts the stream,
+  * and asserts the recovered index matches a clean run row-for-row.
   */
 object IndexStream {
 
@@ -60,6 +56,10 @@ object IndexStream {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       queryName: String =
         "bm25_index_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
+    // recover-on-open: finish/drop any half-published batch a crashed
+    // run left, BEFORE the first micro-batch reads the ledger (also
+    // covers the zero-new-files restart, which would never append)
+    TextOps.bm25IndexRecover(spark, indexPath)
     spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
       .option("maxFilesPerTrigger", 1)
       .parquet(incomingDir)

@@ -67,4 +67,80 @@ class IndexStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/stats").count() === 3)
     rmTree(tmp)
   }
+
+  test("mid-publish crash: the _appendlog redo record replays the half-published batch at restart; recovered index matches a clean run row-for-row") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val arriving = Seq(
+      (2L, "beta beta beta beta beta", "fr"),
+      (3L, "delta epsilon alpha", "en"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_crash_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val cp = tmp.getAbsolutePath + "/cp"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def logRecords() =
+      if (fs.exists(new Path(idx, TextOps.Bm25AppendLogDir)))
+        fs.listStatus(new Path(idx, TextOps.Bm25AppendLogDir)).map(_.getPath.getName).toSeq
+      else Seq.empty
+    def stagingDirs() = fs.listStatus(new Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("__append_staging")).toSeq
+
+    TextOps.materializeBm25IndexOf(base, idx)
+    arriving.coalesce(1).write.mode("overwrite").parquet(incoming)
+
+    // KILL the publish between the stats and docids renames — the exact
+    // window round-10's verdict named: postings + stats of the batch are
+    // live, the ledger is blind, and an un-recovered retry would
+    // re-append the whole batch
+    TextOps.publishFaultHook =
+      sub => if (sub == "docids") throw new RuntimeException("injected mid-publish crash")
+    val q = IndexStream.bm25IndexIngest(spark, incoming, idx, cp)
+    intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    TextOps.publishFaultHook = _ => ()
+    assert(logRecords().size === 1, "the crashed publish must leave its redo record")
+    assert(stagingDirs().size === 1, "the crashed publish must keep its staging dir (the redo copy)")
+    assert(spark.read.parquet(s"$idx/stats").count() === 2,
+      "the crash fixture must land the stats partial before dying (half-published state)")
+
+    // restart on the SAME checkpoint: recover-on-open FINISHES the
+    // claimed publish (docids land), then the retried micro-batch is a
+    // ledger no-op — nothing re-appends
+    val q2 = IndexStream.bm25IndexIngest(spark, incoming, idx, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(logRecords().isEmpty, "recovery must drop the replayed redo record")
+    assert(stagingDirs().isEmpty, "recovery must drop the replayed staging dir")
+
+    // clean run: same base, same batch, no crash
+    val clean = tmp.getAbsolutePath + "/idx_clean"
+    TextOps.materializeBm25IndexOf(base, clean)
+    TextOps.bm25IndexAppend(spark, clean, arriving)
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select("doc_id", "tok", "tf", "dl", "lang", "bucket").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    def stats(p: String) = spark.read.parquet(s"$p/stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def docids(p: String) = spark.read.parquet(s"$p/docids").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(postings(idx) === postings(clean),
+      "recovered index postings diverged from a clean run (duplicated or lost rows)")
+    assert(stats(idx) === stats(clean), "recovered index stats partials diverged")
+    assert(docids(idx) === docids(clean), "recovered index ledger diverged")
+    assert(probe(idx, terms) === probe(clean, terms))
+
+    // an UNCLAIMED staging dir (crash mid-staging: no record, content
+    // incomplete, nothing published) must drop at recovery, not replay
+    fs.mkdirs(new Path(idx, "__append_staging_orphan/postings/bucket=0"))
+    val actions = TextOps.bm25IndexRecover(spark, idx)
+    assert(actions === Seq("dropped=__append_staging_orphan"))
+    assert(stagingDirs().isEmpty)
+    assert(postings(idx) === postings(clean), "orphan drop must not touch live artifacts")
+    rmTree(tmp)
+  }
 }
