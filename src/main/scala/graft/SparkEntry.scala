@@ -128,6 +128,11 @@ object SparkEntry {
     // right-to-be-forgotten path) — only affected cells rewritten;
     // oracle = the same probe over the corpus minus the doomed rows
     "v9e_deleted_index"       -> ((s, d) => Similarity.ivfDeletedTopK(s, d)),
+    // v9f: CDC-to-serving-index — the s19 release changelog applied to
+    // the LANDED ANN index via delete+append maintenance (no rebuild);
+    // oracle = v9b's probe over the v2 corpus derived directly, so
+    // hash equality proves changelog-apply ≡ rebuild at the serving tier
+    "v9f_cdc_index"           -> ((s, d) => Similarity.ivfCdcTopK(s, d)),
     // x7d: model-output validation — malformed/drifted completions
     // quarantined with reasons, valid extractions content-hash-pinned
     "x7d_extract_quarantine"  -> ((s, d) => LlmOps.extractWithQuarantine(s, d)),
@@ -140,6 +145,10 @@ object SparkEntry {
     // v12: IVF+PQ — cell DPP prune x code-only ADC x exact refine, the
     // billion-scale composition (FAISS IndexIVFPQ) over a landed index
     "v12_ivfpq"               -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // v12b: the same IVF+PQ probe over TRAINED per-subspace codebooks
+    // (converged Lloyd, landed in _codebook/); oracle reads the landed
+    // artifact and recomputes encode/LUT/ADC/re-rank from it
+    "v12b_ivfpq_trained"      -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     // winnowing fingerprints: oracle mirrors the Mersenne-61 polynomial
     // hash + winnowing in HUGEINT SQL (see fpWindowHashSql); DedupSpec
     // additionally pins the tier against exact jaccard
@@ -307,6 +316,10 @@ object SparkEntry {
     // partials to one row, the ledger to its live set; t11e's oracle
     // proves compaction changes no answer
     "t11f_compacted_index"    -> ((s, d) => TextOps.bm25CompactedTopK(s, d)),
+    // t11g: CDC-to-serving-index for the lexical tier — the s19
+    // changelog applied to the landed postings via delete+re-append;
+    // oracle = t11's page over the v2 corpus derived directly
+    "t11g_cdc_index"          -> ((s, d) => TextOps.bm25CdcTopK(s, d)),
     // st4: streaming ingestion into the landed index — micro-batches
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
@@ -391,6 +404,9 @@ object SparkEntry {
     // v16: ANN recall@k — exact vs IVF-probe page overlap per query,
     // the drift monitor for every approximate tier
     "v16_ann_recall"          -> ((s, d) => Similarity.annRecallAtK(s, d)),
+    // v16b: the recall monitor extended to the PQ tier — trained vs
+    // first-32 codebooks measured from one shared exact frame
+    "v16b_pq_recall"          -> ((s, d) => Similarity.pqRecallAtK(s, d)),
     // g3: 2-core extraction — fixed-round peel over the landed pair
     // graph; pendants and chains drop, mutually-supported cores stay
     "g3_kcore"                -> ((s, d) => Graph.kcore(s, d)),
@@ -623,6 +639,29 @@ object SparkEntry {
     * from the partition-scoped deleted index instead. */
   private val v9eSql: String = ivfNprobe2SqlOver("base",
     "base AS (SELECT * FROM embeddings WHERE NOT (vec_id >= 8 AND vec_id % 7 = 6)),\n         ")
+
+  /** v9f: the SAME probe over the v2 embedding release derived
+    * DIRECTLY (the s19 md5-bucket derivation lifted to vectors:
+    * bucket 0 deleted, bucket 1 embedding-reversed, bucket 2 twinned
+    * at +AddOffset; rows below the centroid range never mutate) — the
+    * Spark side serves it from the changelog-maintained landed index,
+    * so hash equality proves diff-apply ≡ rebuild. list_reverse moves
+    * floats without computing on them, exact on both engines. */
+  private val v9fSql: String = ivfNprobe2SqlOver("base",
+    s"""eb AS (
+           SELECT vec_id, label, embedding,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % ${operators.SnapshotDiff.DeriveBuckets} AS bkt
+           FROM embeddings),
+         base AS (
+           SELECT vec_id, label,
+             CASE WHEN vec_id >= ${operators.Similarity.IvfCentroids} AND bkt = 1
+                  THEN list_reverse(embedding) ELSE embedding END AS embedding
+           FROM eb WHERE vec_id < ${operators.Similarity.IvfCentroids} OR bkt <> 0
+           UNION ALL
+           SELECT vec_id + ${operators.SnapshotDiff.AddOffset}, label, embedding
+           FROM eb WHERE vec_id >= ${operators.Similarity.IvfCentroids} AND bkt = 2),
+         """)
 
   /** Exact within-label near-dup top-k, shared by v2 (exact all-pairs)
     * and v2c (int8-prefiltered candidates + exact re-rank) — equality
@@ -931,6 +970,29 @@ object SparkEntry {
            ORDER BY score_milli DESC, doc_id LIMIT 10) t
          ORDER BY doc_id"""
 
+  /** t11g's oracle: the t11 page over the v2 corpus derived DIRECTLY
+    * (the s19 nextRelease derivation) — the Spark side serves it from
+    * the changelog-maintained landed index. */
+  private lazy val bm25CdcPageSql: String =
+    s"""WITH bb AS (
+           SELECT doc_id, text, lang, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % ${operators.SnapshotDiff.DeriveBuckets} AS bkt
+           FROM documents),
+         bmbase AS (
+           SELECT doc_id,
+             CASE WHEN bkt = 1 THEN text || ' [rev2]' ELSE text END AS text,
+             lang, source FROM bb WHERE bkt <> 0
+           UNION ALL
+           SELECT doc_id + ${operators.SnapshotDiff.AddOffset},
+             text || ' [new]', lang, source FROM bb WHERE bkt = 2),
+         ${bm25CtesOver("bmbase")}
+         SELECT doc_id, lang, score_milli FROM (
+           SELECT doc_id, lang, score_milli FROM bmscored
+           WHERE score_milli > 0
+           ORDER BY score_milli DESC, doc_id LIMIT 10) t
+         ORDER BY doc_id"""
+
   /** t8: the BPE merge learner, unrolled — one (pairs → argmax →
     * framed replace) CTE stage per round, exactly the loop
     * operators.Bpe.learnMerges drives. The framed-string replace is
@@ -1011,8 +1073,12 @@ object SparkEntry {
     * encode (rn=1 with the (dist, code) tie-break), query LUT, ADC as
     * a left-to-right add of 8 correlated scalar lookups (no float sum
     * crosses an aggregation). */
-  private lazy val v10Ctes: String = {
-    import operators.Similarity.{PqCodebook, PqSubDim, PqSubspaces}
+  /** The v10 encode/LUT/ADC CTE chain over a pluggable codebook CTE
+    * body — the first-32 selection by default; v12b passes a
+    * read_parquet over the landed TRAINED `_codebook/` (the v9c
+    * artifact-as-input treatment). */
+  private def v10CtesOver(cbSql: String): String = {
+    import operators.Similarity.{PqSubDim, PqSubspaces}
     def fold(expr: String) =
       s"list_reduce(list_transform(range($PqSubDim), j -> $expr), (a, b) -> a + b)"
     val l2 = fold(
@@ -1025,9 +1091,7 @@ object SparkEntry {
     val adc = (0 until PqSubspaces)
       .map(m => s"(SELECT val FROM lut WHERE m = $m AND cb_k = w.c$m)")
       .mkString("\n             + ")
-    s"""cb AS (
-           SELECT CAST(vec_id AS INTEGER) AS cb_k, embedding AS cb_emb
-           FROM embeddings WHERE vec_id < $PqCodebook),
+    s"""cb AS ($cbSql),
          dists AS (
            SELECT e.vec_id, e.label, cb.cb_k, x.m AS m, $l2 AS dist
            FROM embeddings e CROSS JOIN cb, unnest(range($PqSubspaces)) AS x(m)),
@@ -1048,6 +1112,20 @@ object SparkEntry {
              $adc AS adc
            FROM wide w WHERE w.vec_id <> 0)"""
   }
+
+  private lazy val v10Ctes: String = {
+    import operators.Similarity.PqCodebook
+    v10CtesOver(s"""SELECT CAST(vec_id AS INTEGER) AS cb_k, embedding AS cb_emb
+           FROM embeddings WHERE vec_id < $PqCodebook""")
+  }
+
+  /** The trained codebook read from the landed v12b artifact — `def`:
+    * the path is recorded when the v12b/v16b query lands the index,
+    * and Verify dumps oracle SQL after every query has run (the v9c
+    * mechanism). */
+  private def trainedCbSql: String =
+    s"""SELECT cb_k, cb_emb FROM read_parquet(
+           '${operators.Similarity.pqTrainedPathForOracle.getOrElse("PQ_TRAINED_NOT_LANDED")}/_codebook/*.parquet')"""
 
   private lazy val v10Sql: String =
     s"""WITH $v10Ctes
@@ -1076,12 +1154,12 @@ object SparkEntry {
     * re-rank. ADC doubles are fold-order-identical to the Spark plan
     * (the v10 argument), so shortlist membership — the only thing the
     * ADC decides here — matches exactly. */
-  private lazy val v12Sql: String = {
+  private def v12SqlOver(pqCtes: String): String = {
     val dot64 = """list_reduce(list_transform(range(64),
              j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.q_emb[j+1] AS DOUBLE)),
              (a, b) -> a + b)"""
     s"""WITH $ivfAssignedCte,
-         $v10Ctes,
+         $pqCtes,
          qcells AS (
            SELECT c.cent_id FROM cents c CROSS JOIN q
            ORDER BY ${cosSql("c.cent_emb", "q.q_emb")} DESC, c.cent_id LIMIT 2),
@@ -1094,6 +1172,85 @@ object SparkEntry {
            FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q)
          SELECT vec_id, label, ROUND(ip, 6) AS ip_r FROM rer
          ORDER BY ip DESC, vec_id LIMIT 10"""
+  }
+
+  private lazy val v12Sql: String = v12SqlOver(v10Ctes)
+
+  /** v12b: the identical IVF+PQ probe with the codebook read from the
+    * landed trained artifact — encode, LUT, ADC shortlist and re-rank
+    * all recomputed independently in SQL from it. */
+  private def v12bSql: String = v12SqlOver(v10CtesOver(trainedCbSql))
+
+  /** v16b: PQ-tier recall — exact inner-product top-10 per query
+    * (vec_id < 8) vs the ADC top-10 of BOTH codebook tiers (first-32
+    * derived in SQL; trained read from the v12b artifact). */
+  private def v16bSql: String = {
+    import operators.Similarity.{PqCodebook, PqSubDim, PqSubspaces}
+    def fold(expr: String) =
+      s"list_reduce(list_transform(range($PqSubDim), j -> $expr), (a, b) -> a + b)"
+    val dot64 = """list_reduce(list_transform(range(64),
+             j -> CAST(e.embedding[j+1] AS DOUBLE) * CAST(q.q_emb[j+1] AS DOUBLE)),
+             (a, b) -> a + b)"""
+    // one tier's encode/LUT/ADC/top/hit chain over a named codebook CTE
+    def tier(tag: String): String = {
+      val l2 = fold(
+        s"""(CAST(e.embedding[x.m*8+j+1] AS DOUBLE) - CAST(cb.cb_emb[x.m*8+j+1] AS DOUBLE))
+           * (CAST(e.embedding[x.m*8+j+1] AS DOUBLE) - CAST(cb.cb_emb[x.m*8+j+1] AS DOUBLE))""")
+      val dot = fold(
+        "CAST(q.q_emb[x.m*8+j+1] AS DOUBLE) * CAST(cb.cb_emb[x.m*8+j+1] AS DOUBLE)")
+      val wideCols = (0 until PqSubspaces)
+        .map(m => s"MAX(CASE WHEN m = $m THEN cb_k END) AS c$m").mkString(", ")
+      val adc = (0 until PqSubspaces)
+        .map(m => s"(SELECT val FROM lut_$tag l WHERE l.query_id = s.query_id AND l.m = $m AND l.cb_k = s.c$m)")
+        .mkString("\n             + ")
+      s"""dists_$tag AS (
+           SELECT e.vec_id, cb.cb_k, x.m AS m, $l2 AS dist
+           FROM corpus e CROSS JOIN cb_$tag cb, unnest(range($PqSubspaces)) AS x(m)),
+         codes_$tag AS (
+           SELECT vec_id, m, cb_k FROM (
+             SELECT vec_id, m, cb_k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cb_k) AS rn
+             FROM dists_$tag) WHERE rn = 1),
+         lut_$tag AS (
+           SELECT q.query_id, cb.cb_k, x.m AS m, $dot AS val
+           FROM cb_$tag cb CROSS JOIN qs q, unnest(range($PqSubspaces)) AS x(m)),
+         wide_$tag AS (SELECT vec_id, $wideCols FROM codes_$tag GROUP BY vec_id),
+         scored_$tag AS (
+           SELECT s.query_id, s.vec_id, $adc AS adc
+           FROM (SELECT q.query_id, w.* FROM wide_$tag w CROSS JOIN (SELECT query_id FROM qs) q) s),
+         top_$tag AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk
+             FROM scored_$tag) WHERE rk <= 10),
+         hits_$tag AS (
+           SELECT t.query_id, COUNT(*) AS n FROM top_$tag t
+           JOIN exact x ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+           GROUP BY t.query_id)"""
+    }
+    s"""WITH qs AS (
+           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $dot64 DESC, e.vec_id) AS rk
+             FROM corpus e CROSS JOIN qs q) WHERE rk <= 10),
+         cb_c32 AS (
+           SELECT CAST(vec_id AS INTEGER) AS cb_k, embedding AS cb_emb
+           FROM embeddings WHERE vec_id < $PqCodebook),
+         cb_tr AS ($trainedCbSql),
+         ${tier("c32")},
+         ${tier("tr")}
+         SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(COALESCE(h32.n, 0) AS BIGINT) AS n_hit_cb32,
+           CAST(COALESCE(ht.n, 0) AS BIGINT) AS n_hit_trained,
+           CAST(COALESCE(h32.n, 0) * 1000000 // 10 AS BIGINT) AS recall_cb32_ppm,
+           CAST(COALESCE(ht.n, 0) * 1000000 // 10 AS BIGINT) AS recall_trained_ppm
+         FROM (SELECT query_id FROM qs) q
+         LEFT JOIN hits_c32 h32 ON q.query_id = h32.query_id
+         LEFT JOIN hits_tr ht ON q.query_id = ht.query_id
+         ORDER BY q.query_id"""
   }
 
   /** d9: semantic dedup — the stub-embedding CTEs (StubEmbed mirrored
@@ -1584,6 +1741,9 @@ object SparkEntry {
     // t11e: hash equality vs the filtered-corpus page proves the
     // bucket-scoped delete ≡ rebuild-after-takedown
     "t11e_deleted_postings" -> bm25DeletedPageSql,
+    // t11g: diff-apply ≡ rebuild at the lexical serving tier — the
+    // oracle never sees the changelog or the index
+    "t11g_cdc_index" -> bm25CdcPageSql,
     // t11f: the compacted lifecycle answers the same filtered-corpus
     // page — hash equality proves compaction is answer-preserving
     "t11f_compacted_index" -> bm25DeletedPageSql,
@@ -1985,6 +2145,8 @@ object SparkEntry {
     // row-for-row what a full rebuild holds
     "v9d_incremental_index" -> ivfNprobe2Sql,
     "v9e_deleted_index" -> v9eSql,
+    // v9f: diff-apply ≡ rebuild at the ANN serving tier
+    "v9f_cdc_index" -> v9fSql,
     "v11_filtered_ann" -> ivfFilteredSql,
     "x7d_extract_quarantine" ->
       """WITH toks AS (
@@ -2019,6 +2181,8 @@ object SparkEntry {
     "v10_pq_adc" -> v10Sql,
     "v10b_pq_rerank" -> v10bSql,
     "v12_ivfpq" -> v12Sql,
+    "v12b_ivfpq_trained" -> v12bSql,
+    "v16b_pq_recall" -> v16bSql,
     "m1_decode_features" ->
       """SELECT doc_id AS asset_id, source,
            strlen(text) AS n_bytes,

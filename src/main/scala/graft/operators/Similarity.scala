@@ -966,10 +966,28 @@ object Similarity {
     * spec-asserted by byte identity). At 100 TB this is the operation
     * that keeps an ANN index serving while the corpus grows: per-batch
     * cost is |delta| × K scoring plus |delta| rows written, independent
-    * of index size. */
-  def ivfIndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit =
-    assignAgainst(delta, spark.read.parquet(s"$path/_centroids"))
-      .write.mode("append").partitionBy("cent_id").parquet(path)
+    * of index size.
+    *
+    * Idempotent per vector (round-11 recover-on-open audit): the index
+    * IS the ledger — rows of the delta already landed are dropped by
+    * an anti-join before the write, so a retried batch (crash after a
+    * partial append, an at-least-once upstream) never duplicates. The
+    * membership probe is BOUNDED: assignment is deterministic against
+    * the index's fixed centroid table, so a re-delivered row can only
+    * sit in the delta's own cells — the semi-join on cent_id prunes
+    * the probe to those cell directories, never the index. */
+  def ivfIndexAppend(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val assigned = assignAgainst(delta, spark.read.parquet(s"$path/_centroids"))
+      .persist()
+    try {
+      val landed = spark.read.parquet(path)
+        .join(broadcast(assigned.select(col("cent_id")).distinct()),
+          Seq("cent_id"), "left_semi")
+        .select(col("vec_id"))
+      assigned.join(landed, Seq("vec_id"), "left_anti")
+        .write.mode("append").partitionBy("cent_id").parquet(path)
+    } finally { assigned.unpersist(true); () }
+  }
 
   /** v9d's held-out delta — shared with the spec so the split the spec
     * byte-checks is always the split the operator ships. */
@@ -1033,6 +1051,63 @@ object Similarity {
       materializeIvf(spark, dir, p)
       ivfIndexDelete(spark, p,
         embeddings(spark, dir).filter(deletionDoomed).select(col("vec_id")))
+    }
+    ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
+  }
+
+  /** The derived next-release EMBEDDING snapshot — SnapshotDiff's
+    * nextRelease (SnapshotDiff.scala:65) lifted to the vector corpus,
+    * exercising all three mutation kinds with the same md5-bucket
+    * derivation the s19 oracle mirrors. Rows below [[IvfCentroids]]
+    * never mutate (removing a coarse centroid is a re-train, the v9e
+    * rule; the query vector 0 stays stable for the probe). Updated
+    * rows REVERSE their embedding — an exact, engine-portable
+    * transform (array reversal moves floats, never computes with
+    * them) that genuinely changes the vector's direction. Added rows
+    * are twins at vec_id + AddOffset. */
+  private[graft] def nextEmbeddingRelease(e: DataFrame): DataFrame = {
+    val b = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("bigint"), lit(SnapshotDiff.DeriveBuckets.toLong))
+    val mutable = col("vec_id") >= IvfCentroids
+    val kept = e.filter(!mutable || b =!= 0)
+      .withColumn("embedding",
+        when(mutable && b === 1, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val added = e.filter(mutable && b === 2)
+      .withColumn("vec_id", col("vec_id") + SnapshotDiff.AddOffset)
+    kept.unionByName(added)
+  }
+
+  // landing memo for the CDC-maintained index (v9f)
+  private val ivfCdcLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** V9f: CDC-to-serving-index — the release loop CLOSED over the ANN
+    * tier (round-10 verdict task #2). A corpus release lands as a
+    * changelog ([[SnapshotDiff.changelog]], the s19 machinery), and the
+    * changelog applies to the LANDED index through the existing
+    * maintenance verbs instead of a rebuild: deleted + updated keys go
+    * through [[ivfIndexDelete]] (partition-scoped copy-on-write, only
+    * affected cells rewrite), inserted + updated rows come back through
+    * [[ivfIndexAppend]] (assign against the index's own centroids,
+    * append inside cell dirs). The oracle is v9b's probe SQL over the
+    * v2 corpus derived DIRECTLY — hash equality proves
+    * changelog-apply ≡ rebuild at the serving tier, the s19b argument
+    * lifted from snapshots to indexes. At 100 TB this is the nightly
+    * release path: cost tracks |changes| × (affected cells + append
+    * rows), never the index size. */
+  def ivfCdcTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = landOnce(spark, dir, "graft_ivf_cdc", ivfCdcLanded) { p =>
+      val v1 = embeddings(spark, dir)
+      materializeIvf(spark, dir, p)
+      // change-sized and consumed twice (delete keys + append rows)
+      val log = SnapshotDiff.changelog(v1, nextEmbeddingRelease(v1),
+        Seq("vec_id"), Seq("embedding", "label")).localCheckpoint(true)
+      ivfIndexDelete(spark, p,
+        log.filter(col("op").isin("deleted", "updated")).select(col("vec_id")))
+      ivfIndexAppend(spark, p,
+        log.filter(col("op") =!= "deleted")
+          .select(col("vec_id"), col("label"), col("embedding")))
     }
     ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
   }
@@ -1123,6 +1198,118 @@ object Similarity {
       landOnce(spark, dir, "graft_ivfpq_idx", ivfPqLanded)(
         materializeIvfPq(spark, dir, _)),
       queryId, k)
+
+  /** TRAINED PQ codebook — converged Lloyd per SUBSPACE (round-10
+    * verdict task #5: v10/v12 shipped first-32-by-id codebooks while
+    * kmeansConverged sat unwired). Each of the [[PqSubspaces]]
+    * subspaces trains its own [[PqCodebook]]-entry quantizer over the
+    * corpus' subvectors under squared L2 (the PQ objective, Jégou et
+    * al. 2011); all subspaces iterate in ONE loop — subspace is just a
+    * key, so a round is one broadcast-join assignment (8×32 = 256
+    * centroid rows) plus one partial-agged mean, never 8 sequential
+    * jobs. Determinism: subvector components quantize to ppm integers
+    * at extraction, so every shuffle-crossing sum is exact integer
+    * arithmetic; the mean's single division and the L2 folds are
+    * fixed-order doubles (the lloydLoop discipline). Init = the
+    * first-PqCodebook-by-id subvectors (the untrained tier as round
+    * 0). Returns the [[pqCodebook]] SHAPE — 32 rows of 64-dim arrays,
+    * subspace m's centroid k living in slice [m·8, m·8+8) scaled back
+    * to the raw domain — so [[pqEncode]], the LUT build, and the ADC
+    * fold are REUSED verbatim: each subspace only ever reads its own
+    * slice. */
+  private[graft] def pqCodebookTrained(e0: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    import CacheOps.shared
+    // (vec_id, m, sv: array<bigint>[PqSubDim]) in the ppm-integer domain
+    val sv = shared(e0.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}), m -> struct(
+              m AS m,
+              transform(sequence(0, ${PqSubDim - 1}), j ->
+                cast(floor(cast(element_at(embedding, m * $PqSubDim + j + 1) as double)
+                  * 1000000.0) as bigint)) AS sv))""")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv")))
+    var cents = sv.filter(col("vec_id") < PqCodebook)
+      .select(col("m"), col("vec_id").cast("int").as("cb_k"),
+        expr("transform(sv, v -> cast(v as double))").as("cvec"))
+      .localCheckpoint(true)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > 0.0) {
+      val assigned = sv.join(broadcast(cents), Seq("m"))
+        .withColumn("d", expr(
+          """aggregate(zip_with(sv, cvec, (a, b) ->
+               (cast(a as double) - b) * (cast(a as double) - b)),
+             0.0d, (acc, x) -> acc + x)"""))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("cb_k"), col("sv"))).as("s"))
+        .select(col("m"), col("s.cb_k").as("cb_k"), col("s.sv").as("sv"))
+      // exact integer sums cross the exchange; ONE division per component
+      val est = assigned.select(col("m"), col("cb_k"), posexplode(col("sv")))
+        .groupBy(col("m"), col("cb_k"), col("pos"))
+        .agg((sum(col("col")).cast("double") / count(lit(1))).as("comp"))
+        .groupBy(col("m"), col("cb_k"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("new_vec"))
+      val next = cents.join(est, Seq("m", "cb_k"), "left")
+        .select(col("m"), col("cb_k"),
+          coalesce(col("new_vec"), col("cvec")).as("cvec"), // empty code keeps its centroid
+          col("cvec").as("old_vec"))
+        .localCheckpoint(true)
+      val movedRow = next.select(aggregate(zip_with(col("cvec"), col("old_vec"),
+          (a, b) => abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x)).as("mv"))
+        .agg(max(col("mv"))).collect()(0)
+      moved = if (movedRow.isNullAt(0)) 0.0 else movedRow.getDouble(0)
+      cents = next.drop("old_vec")
+      iter += 1
+    }
+    if (moved > 0.0)
+      System.err.println(
+        f"[v12b] WARNING: PQ Lloyd stopped at maxIters=$maxIters with movement $moved%.3f ppm")
+    val out = cents.groupBy(col("cb_k"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cvec")))),
+        x => x.getField("cvec")).as("vecs"))
+      .select(col("cb_k"),
+        expr("transform(flatten(vecs), v -> v / 1000000.0)").as("cb_emb"))
+    CacheOps.materializeAndRelease(out, sv)
+  }
+
+  // landing memo for the TRAINED-codebook IVF+PQ index (v12b)
+  private val ivfPqTrainedLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The landed trained-PQ index's path, recorded for the v12b/v16b
+    * oracles (the v9c artifact-as-input treatment: Lloyd's float
+    * iteration is not mirrored in SQL — the oracle reads the landed
+    * `_codebook/` and independently recomputes encode, LUT, ADC and
+    * re-rank from it). */
+  @volatile private[graft] var pqTrainedPathForOracle: Option[String] = None
+
+  /** Land the IVF+PQ index with TRAINED codebooks — [[materializeIvfPq]]
+    * with [[pqCodebookTrained]] swapped through the same frames (the
+    * seam its scaladoc promised). Coarse centroids stay first-8
+    * (training them is v9c's tier); only the subspace quantizers
+    * change. */
+  def materializeIvfPqTrained(spark: SparkSession, dir: String,
+      outPath: String): String = {
+    val e = embeddings(spark, dir)
+    val cb = pqCodebookTrained(e)
+    val codes = pqEncode(e, cb).drop("label")
+    writeIndex(centroidAssignment(e).join(codes, Seq("vec_id")), outPath)
+    e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .write.mode("overwrite").parquet(s"$outPath/_centroids")
+    cb.write.mode("overwrite").parquet(s"$outPath/_codebook")
+    outPath
+  }
+
+  /** v12b gate form: land the trained-codebook IVF+PQ index once,
+    * probe with v12's exact plan — only the codebook table differs. */
+  def ivfPqTrainedTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = landOnce(spark, dir, "graft_ivfpq_trained", ivfPqTrainedLanded)(
+      materializeIvfPqTrained(spark, dir, _))
+    pqTrainedPathForOracle = Some(path)
+    ivfPqTopKOverIndex(spark, path, queryId, k)
+  }
 
   /** The flagship retrieval query string — shared by v4, x7c and their
     * oracles (interpolated into the SQL so both engines embed the SAME
@@ -1355,9 +1542,87 @@ object Similarity {
       .select(col("query_id"), lit(k.toLong).as("k"),
         coalesce(col("n_ann"), lit(0L)).as("n_ann"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)) * lit(1000000L) / lit(k.toLong))
-          .cast("bigint").as("recall_ppm"))
+        // integral `div`, matching the oracle's `//` bit-for-bit: float
+        // division + cast is exact only when k divides 10^6 (round-10
+        // ADVICE — a caller-supplied k could hit a double-rounding
+        // off-by-one against the oracle)
+        expr(s"(coalesce(n_hit, 0L) * 1000000L) div ${k.toLong}L")
+          .as("recall_ppm"))
       .orderBy(col("query_id"))
     materializeAndRelease(out, assigned, ann)
+  }
+
+  /** V16b: the recall monitor extended to the PQ tier (round-10 verdict
+    * task #5's "done" clause) — ADC@k recall against the exact
+    * inner-product top-k, for BOTH codebook tiers side by side: the
+    * first-32-by-id codebook (v10/v12's untrained baseline) and the
+    * Lloyd-trained codebook read from the landed v12b artifact. One
+    * shared corpus/query/exact frame set feeds both tiers, so the
+    * numbers are comparable by construction; SimilaritySpec pins
+    * trained ≥ first-32 at the suite level (training minimizes exactly
+    * the quantization error ADC ranking pays for). Integer outputs
+    * only (recall_ppm = n_hit·10⁶ div k, integral division). */
+  def pqRecallAtK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    // the monitor measures the SERVING ARTIFACTS: both tiers' codes are
+    // read straight off their landed indexes (columnar projection of
+    // the 8 int code columns — floats never read, no re-encode pass;
+    // the first full-gate bench measured the re-encoding form at
+    // 3.7 s vs ~1.6 s for this one, and re-deriving what the index
+    // already stores was the wrong thing to monitor anyway)
+    val path32 = landOnce(spark, dir, "graft_ivfpq_idx", ivfPqLanded)(
+      materializeIvfPq(spark, dir, _))
+    val trainedPath = landOnce(spark, dir, "graft_ivfpq_trained", ivfPqTrainedLanded)(
+      materializeIvfPqTrained(spark, dir, _))
+    pqTrainedPathForOracle = Some(trainedPath)
+    val e = shared(embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")))
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("vec_id"))
+    val exact = shared(corpus.crossJoin(broadcast(qs))
+      .withColumn("score", Vectors.dot(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id")))
+    // per-tier: read the landed codes, fan queries over them, pin each
+    // code's per-query LUT entry by broadcast join, rank the ADC sum
+    def hitsOf(idxPath: String, outCol: String): DataFrame = {
+      val cb = spark.read.parquet(s"$idxPath/_codebook")
+      val codes = spark.read.parquet(idxPath)
+        .filter(col("vec_id") >= nQueries)
+        .select(Seq(col("vec_id")) ++
+          (0 until PqSubspaces).map(m => col(s"c$m")): _*)
+      val lut = qs.crossJoin(broadcast(cb))
+        .select(Seq(col("query_id"), col("cb_k")) ++
+          (0 until PqSubspaces).map(m =>
+            subDot(col("q_emb"), col("cb_emb"), m).as(s"lut$m")): _*)
+      val fanned = codes.crossJoin(broadcast(qs.select(col("query_id"))))
+      val joined = (0 until PqSubspaces).foldLeft(fanned) { (acc, m) =>
+        acc.join(broadcast(lut.select(col("query_id"),
+          col("cb_k").as(s"c$m"), col(s"lut$m"))), Seq("query_id", s"c$m"))
+      }
+      val adc = (1 until PqSubspaces).foldLeft(col("lut0"))((acc, m) => acc + col(s"lut$m"))
+      joined.withColumn("score", adc)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(outCol))
+    }
+    val h32 = hitsOf(path32, "n_hit_cb32")
+    val ht = hitsOf(trainedPath, "n_hit_trained")
+    val out = qs.select(col("query_id"))
+      .join(h32, Seq("query_id"), "left")
+      .join(ht, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hit_cb32"), lit(0L)).as("n_hit_cb32"),
+        coalesce(col("n_hit_trained"), lit(0L)).as("n_hit_trained"),
+        expr(s"(coalesce(n_hit_cb32, 0L) * 1000000L) div ${k.toLong}L")
+          .as("recall_cb32_ppm"),
+        expr(s"(coalesce(n_hit_trained, 0L) * 1000000L) div ${k.toLong}L")
+          .as("recall_trained_ppm"))
+      .orderBy(col("query_id"))
+    materializeAndRelease(out, e, exact)
   }
 }

@@ -80,6 +80,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfPqTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfIncrementalTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfDeletedTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfCdcTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfPqTrainedTopK(spark, emptyDir).count() === 0)
+    assert(Similarity.pqRecallAtK(spark, emptyDir).count() === 0)
   }
 
   test("dashboard fan-out returns zero families on an empty scope") {
@@ -122,6 +125,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bm25IncrementalTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25Faceted(spark, emptyDir).count() === 0)
     assert(TextOps.bm25DeletedTopK(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25CdcTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25CompactedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25StreamedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25BatchTopK(spark, emptyDir).count() === 0)

@@ -178,4 +178,68 @@ class EventsStreamSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((10L, 3L, 6.0), (20L, 1L, 5.0)))
   }
+
+  test("append-mode sessions EVICT at the watermark: finalized once, late event dropped, open sessions unemitted") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_evict")
+    sys.addShutdownHook(rmTree(root.toFile))
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    def t(min: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // file→batch order must be DETERMINISTIC: FileStreamSource orders
+    // by modification time, so each file gets an explicit mtime (the
+    // ss-late spec's discipline — same-millisecond writes split
+    // arbitrarily and the late event would ride in the first batch)
+    def land(name: String,
+        rows: Seq[(Long, Timestamp, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      val dst = new java.io.File(srcDir, name)
+      assert(part.renameTo(dst))
+      assert(dst.setLastModified(modTime))
+    }
+    val now = System.currentTimeMillis()
+    // Three batches, each element earned empirically (the st3
+    // discipline): the session store merges a batch's input into
+    // still-open state BEFORE evicting, so a late event one batch
+    // after the watermark jump would still MERGE — the session must
+    // be evicted by an intervening batch for the drop to be
+    // observable.
+    // batch 1: user 10's session [0,2] plus a stray at 60 that pushes
+    // the 10-min watermark to 50 — far past the session's end+gap (7)
+    land("f1.parquet", Seq(
+      (1L, t(0), 10L, "view", 1.0, "{}"),
+      (2L, t(2), 10L, "view", 2.0, "{}"),
+      (3L, t(60), 99L, "view", 9.0, "{}")), now - 120000)
+    // batch 2: runs WITH wm=50 → finalizes and EVICTS user 10's
+    // session (emitted once, n=2); user 20's session opens fresh
+    land("f2.parquet", Seq(
+      (5L, t(55), 20L, "view", 5.0, "{}")), now - 60000)
+    // batch 3: a LATE event for user 10 at minute 3 — inside the
+    // evicted session's gap window but behind the watermark: it must
+    // be DROPPED, not resurrected as a new session (its end+gap=8 is
+    // behind the watermark, so a resurrection would emit (10,1,3.0))
+    land("f3.parquet", Seq(
+      (4L, t(3), 10L, "view", 3.0, "{}")), now)
+    val emissions = EventsStream.sessionWindowsStreamingFinal(spark, srcDir,
+        "sess_evict_spec", globFilter = "*.parquet", maxFilesPerTrigger = Some(1))
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // append mode emits only sessions the watermark FINALIZED: user
+    // 10's session closed at watermark 50 with its batch-1 content —
+    // exactly one emission, n=2. Had the late event merged, the
+    // emission would be (10, 3, 6.0); had it resurrected a session
+    // past eviction, a second finalized row (10, 1, 3.0) would emit
+    // (its end+gap=8 is far behind the watermark). Users 20 and 99's
+    // sessions are still OPEN at end of stream (end+gap beyond the
+    // watermark) — state retained, nothing emitted.
+    assert(emissions === Seq((10L, 2L, 3.0)),
+      s"expected exactly the finalized pre-late-event session, got $emissions")
+  }
 }

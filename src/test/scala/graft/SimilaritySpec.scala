@@ -685,6 +685,71 @@ class SimilaritySpec extends SparkSpec {
     deleteRec(tmp)
   }
 
+  test("v9f: changelog-applied ANN index equals a v2 rebuild, content and probe") {
+    import graft.operators.{Similarity, SnapshotDiff}
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val v2 = Similarity.nextEmbeddingRelease(e)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_cdc_spec").toFile
+    // the gate composition, applied by hand so the index CONTENT is
+    // inspectable: full v1 index, then the s19 changelog through the
+    // delete + append maintenance verbs
+    val path = tmp.getAbsolutePath + "/idx"
+    Similarity.materializeIvfOf(e, path)
+    val log = SnapshotDiff.changelog(e, v2, Seq("vec_id"), Seq("embedding", "label"))
+      .localCheckpoint(true)
+    assert(log.filter(col("op") === "deleted").count() > 0)
+    assert(log.filter(col("op") === "updated").count() > 0)
+    assert(log.filter(col("op") === "inserted").count() > 0)
+    Similarity.ivfIndexDelete(spark, path,
+      log.filter(col("op").isin("deleted", "updated")).select(col("vec_id")))
+    Similarity.ivfIndexAppend(spark, path,
+      log.filter(col("op") =!= "deleted")
+        .select(col("vec_id"), col("label"), col("embedding")))
+    // content row-for-row equals a rebuild over the derived v2 corpus
+    val rebuiltPath = tmp.getAbsolutePath + "/idx_v2"
+    Similarity.materializeIvfOf(v2, rebuiltPath)
+    def contents(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(contents(path) === contents(rebuiltPath),
+      "changelog-applied index diverged from v2 rebuild")
+    // and the gate probe equals the rebuild's probe exactly
+    val viaCdc = Similarity.ivfCdcTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val viaRebuilt = Similarity.ivfTopKOverIndex(spark, rebuiltPath, 0L, 10, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCdc === viaRebuilt)
+    assert(viaCdc.nonEmpty)
+    deleteRec(tmp)
+  }
+
+  test("v12b/v16b: trained PQ codebooks converge and never lose recall to the first-32 tier") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = Similarity.pqCodebookTrained(e)
+    // shape: exactly PqCodebook 64-dim rows (the pqCodebook contract,
+    // so pqEncode/LUT/ADC are reusable verbatim)
+    val rows = cb.collect()
+    assert(rows.length === Similarity.PqCodebook)
+    rows.foreach(r => assert(r.getSeq[Double](1).length === 64))
+    // training must not move a centroid outside the data's range
+    // (means of member subvectors stay inside the convex hull)
+    rows.foreach(r => r.getSeq[Double](1).foreach(v => assert(math.abs(v) <= 1.0 + 1e-6)))
+    // the recall monitor: the trained tier never loses to first-32 at
+    // the suite level (training minimizes the quantization error the
+    // ADC ranking pays for)
+    val recall = Similarity.pqRecallAtK(spark, sfDir).collect()
+    assert(recall.length === 8)
+    val sum32 = recall.map(_.getAs[Long]("n_hit_cb32")).sum
+    val sumTr = recall.map(_.getAs[Long]("n_hit_trained")).sum
+    assert(sumTr >= sum32,
+      s"trained codebook lost recall: trained=$sumTr first32=$sum32")
+    // and the v12b gate probe runs green over the landed artifact
+    val page = Similarity.ivfPqTrainedTopK(spark, sfDir).collect()
+    assert(page.nonEmpty)
+    assert(page.map(_.getLong(0)).distinct.length === page.length)
+  }
+
   test("index maintenance composes with compaction: fragmented cells compact, probe unchanged") {
     import graft.operators.{Partitioned, Similarity}
     import org.apache.spark.sql.functions.{col, not}

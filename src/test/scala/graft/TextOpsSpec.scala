@@ -540,6 +540,24 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("t11g: changelog-applied index serves exactly what a v2 rebuild serves") {
+    import graft.operators.SnapshotDiff
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_cdc_spec").toFile
+    // diff-apply ≡ rebuild at the fixture scale: the gate form (landed
+    // index + s19 changelog through delete/append) against a fresh
+    // index built directly over the derived v2 corpus
+    val rebuilt = tmp.getAbsolutePath + "/idx_v2"
+    TextOps.materializeBm25IndexOf(SnapshotDiff.nextRelease(docs), rebuilt)
+    val viaCdc = TextOps.bm25CdcTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaRebuilt = TextOps.bm25OverIndex(spark, rebuilt, TextOps.Bm25Terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaCdc === viaRebuilt, "changelog-applied index diverged from v2 rebuild")
+    assert(viaCdc.nonEmpty)
+    rmTree(tmp)
+  }
+
   test("bm25 batch (t11h): one probe serves every query exactly its solo page") {
     import spark.implicits._
     val docs = Seq(
