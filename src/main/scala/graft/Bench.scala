@@ -166,10 +166,29 @@ object Bench {
     // the complete artifact (full warm + cold maps), for the committed
     // per-round BENCH_r{N}_full.json
     val fullLine = s"""{"metric":"total","value":${r3(total)},$meta,"n_queries":${results.size},"queries":${jsonNum(_._2)},"cold":${jsonNum(_._3)}}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_full_latest.json")
+    // a SPARK_GRAFT_BENCH_ONLY mini-run writes its own file: it must
+    // neither clobber the full-suite artifact (the old pitfall — a
+    // targeted re-measurement destroyed the committed-run evidence)
+    // nor masquerade as a round artifact
+    val fullPath = java.nio.file.Paths.get(
+      if (only.isEmpty) "BENCH_full_latest.json" else "BENCH_mini_latest.json")
     java.nio.file.Files.write(fullPath,
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full artifact -> ${fullPath.toAbsolutePath}")
+    if (only.isEmpty) {
+      // the round-named copy is written by the SAME run that wrote
+      // BENCH_full_latest.json, so the pair can never de-sync (round-10
+      // verdict #2: a bench re-run after the gate's mid-round sync step
+      // left BENCH_r10_full.json carrying a different, noisier run)
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val prior = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+        .collect { case rx(n) => n.toInt }
+      val round = if (prior.isEmpty) 1 else prior.max + 1
+      val dst = java.nio.file.Paths.get(f"BENCH_r$round%02d_full.json")
+      java.nio.file.Files.write(dst,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] round artifact -> ${dst.toAbsolutePath}")
+    }
 
     // compact stdout line: slowest queries first until the byte budget
     val LineBudget = 1800

@@ -59,22 +59,25 @@ print('total %.1fs over %d queries (compact line %d chars, lists %d, omitted_max
     d['value'], d['n_queries'], len(line), len(d['queries']), d['omitted_max']))
 EOF
 
-echo "=== sync round-named full bench artifact ==="
-# round 9 shipped BENCH_r09_full.json as a stale 160-query snapshot while
-# BENCH_full_latest.json held the final 163-query run. Keep the round-named
-# copy identical to the latest full run, and assert the three bench files
-# agree on n_queries.
+echo "=== round-named full bench artifact in sync ==="
+# graft.Bench itself writes BENCH_r{N}_full.json alongside
+# BENCH_full_latest.json on every full-suite run (same run, so the pair
+# cannot de-sync — round-10 verdict #2: the old mid-gate copy went stale
+# when a later bench re-ran). This step ASSERTS the three artifacts
+# carry the same run: n_queries AND total value.
 python3 - <<'EOF'
-import glob, json, re, shutil
+import glob, json, re
 rounds = [int(m.group(1)) for p in glob.glob('BENCH_r[0-9]*.json')
           if (m := re.match(r'BENCH_r(\d+)\.json$', p))]
 n = max(rounds) + 1 if rounds else 1  # the in-progress round
 full = json.load(open('BENCH_full_latest.json'))
-dst = f'BENCH_r{n:02d}_full.json'
-shutil.copyfile('BENCH_full_latest.json', dst)
+rn = json.load(open(f'BENCH_r{n:02d}_full.json'))
 compact = json.load(open('/tmp/check_bench.json'))
-assert full['n_queries'] == compact['n_queries'] == len(full['queries']), \
-    f"bench artifacts disagree: full={full['n_queries']} compact={compact['n_queries']}"
-print(f"synced {dst}: {full['n_queries']} queries, total {full['value']:.1f}s")
+assert full['n_queries'] == compact['n_queries'] == rn['n_queries'] == len(full['queries']), \
+    f"bench artifacts disagree on count: full={full['n_queries']} round={rn['n_queries']} compact={compact['n_queries']}"
+assert full['value'] == rn['value'] == compact['value'], \
+    f"bench artifacts carry different runs: full={full['value']} round={rn['value']} compact={compact['value']}"
+print(f"in sync: BENCH_r{n:02d}_full.json == BENCH_full_latest.json "
+      f"({full['n_queries']} queries, total {full['value']:.1f}s)")
 EOF
 echo "ALL GREEN"
