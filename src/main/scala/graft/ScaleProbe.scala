@@ -355,7 +355,39 @@ object ScaleProbe {
       // g4: the g2 wedge join + three role projections — edge-linear;
       // the orientation bound is what keeps support attribution from
       // curving up with the hottest node
-      "g4_edge_support"      -> (operators.Graph.weakEdges(_, _)))
+      "g4_edge_support"      -> (operators.Graph.weakEdges(_, _)),
+      // CDC-to-index apply-cost decomposition (t11g's 100 TB claim:
+      // release cost tracks the CHANGE volume, never the corpus). The
+      // change set is FIXED across factors — doc_id < 500 exists only
+      // in salted copy 0, so |changes| is constant while the corpus
+      // grows k× — and both entries land to a fresh UUID path per rep
+      // (no memo hits). cdc_cycle − build_v1 per factor = the
+      // diff+apply+probe share, which must stay FLAT as k grows.
+      "bm25_build_v1"        -> ((s, d) => {
+        val p = s"$outRoot/cdcb_${java.util.UUID.randomUUID().toString.take(8)}"
+        operators.TextOps.materializeBm25IndexOf(Tables.documents(s, d), p)
+        // salted copies rewrite every token to <tok>_c<copy>, so the
+        // probe terms carry both the raw and the copy-0 salted forms
+        operators.TextOps.bm25OverIndex(s, p,
+          operators.TextOps.Bm25Terms.flatMap(t => Seq(t, t + "_c0")), 10)
+      }),
+      "bm25_cdc_cycle"       -> ((s, d) => {
+        val p = s"$outRoot/cdcc_${java.util.UUID.randomUUID().toString.take(8)}"
+        val v1 = Tables.documents(s, d)
+        operators.TextOps.materializeBm25IndexOf(v1, p)
+        val v2 = v1.withColumn("text",
+          when(col("doc_id") < 500, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+        val log = operators.SnapshotDiff.changelog(v1, v2,
+          Seq("doc_id"), Seq("text", "lang", "source")).localCheckpoint(true)
+        operators.TextOps.bm25IndexDelete(s, p,
+          log.filter(col("op").isin("deleted", "updated")).select(col("doc_id")))
+        operators.TextOps.bm25IndexAppend(s, p,
+          log.filter(col("op") =!= "deleted")
+            .select(col("doc_id"), col("text"), col("lang")))
+        operators.TextOps.bm25OverIndex(s, p,
+          operators.TextOps.Bm25Terms.flatMap(t => Seq(t, t + "_c0")), 10)
+      }))
 
     // optional name filter (csv of exact names) — large factors are only
     // affordable for the tiers under study

@@ -324,6 +324,11 @@ object SparkEntry {
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
     "st4_streaming_index"     -> ((s, d) => TextOps.bm25StreamedTopK(s, d)),
+    // st6: streaming ingestion into the landed ANN index — embedding
+    // micro-batches append through the v9d seam (idempotent per
+    // vector: the index is the ledger); v9b's oracle verbatim proves
+    // the stream-maintained index equals a batch rebuild
+    "st6_ann_stream"          -> ((s, d) => Similarity.ivfStreamedTopK(s, d)),
     // t11h: batched multi-query BM25 — one pruned index probe serves
     // three queries; per-term df shared, per-query WindowGroupLimit
     // top-k; oracle = UNION ALL of the solo pages
@@ -1750,6 +1755,9 @@ object SparkEntry {
     // st4: the stream-maintained index answers the full-corpus page —
     // hash equality proves micro-batched ingestion equals a rebuild
     "st4_streaming_index" -> bm25PageSql,
+    // st6: the stream-maintained ANN index answers the full-corpus
+    // nprobe=2 probe verbatim
+    "st6_ann_stream" -> ivfNprobe2Sql,
     // t11h: the batch answers every query's solo page under its id —
     // hash equality proves batching is invisible per query
     "t11h_batch_queries" -> bm25BatchPageSql,

@@ -1112,6 +1112,43 @@ object Similarity {
     ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
   }
 
+  // landing memo for the stream-maintained index (st6)
+  private val ivfStreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST6 gate form: land the index from the corpus MINUS the v9d
+    * holdout, stream the holdout in as two single-file micro-batches
+    * through [[graft.streaming.IndexStream.ivfIndexIngest]], probe at
+    * nprobe=2. Answers v9b's oracle VERBATIM — hash equality proves
+    * the stream-maintained ANN index equals a batch rebuild regardless
+    * of micro-batching (the st4 argument for the vector tier). */
+  def ivfStreamedTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val path = landOnce(spark, dir, "graft_ivf_stream", ivfStreamLanded) { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a re-landing (regenerated fixture) must forget the previous
+      // stream's progress or the drained files would be skipped
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p}_checkpoint"), true)
+      val e = embeddings(spark, dir)
+      materializeIvfOf(e.filter(!incrementalHoldout), p)
+      val incoming = s"${p}_incoming"
+      val hold = e.filter(incrementalHoldout)
+      // two single-file writes → two micro-batches at
+      // maxFilesPerTrigger=1 (deterministic batching; the final index
+      // is batching-invariant anyway)
+      hold.filter(col("vec_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(incoming)
+      hold.filter(col("vec_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(incoming)
+      val q = graft.streaming.IndexStream.ivfIndexIngest(
+        spark, incoming, p, s"${p}_checkpoint")
+      // stop in finally: a foreachBatch failure must not leak a zombie
+      // query that a retrying landing would then race
+      try q.processAllAvailable() finally q.stop()
+    }
+    ivfTopKOverIndex(spark, path, queryId, k, nprobe = 2)
+  }
+
   // landing memo for the IVF+PQ index (v12) — fingerprint discipline
   private val ivfPqLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -1013,9 +1013,25 @@ object TextOps {
     * (the tombstoned updated docs re-add — the delete→re-append round
     * trip the ledger supports by design). The oracle derives the v2
     * corpus directly and runs t11's page SQL over it — hash equality
-    * proves changelog-apply ≡ rebuild for lexical serving. Release
-    * cost tracks the CHANGE volume (affected buckets + appended
-    * postings), never the corpus. */
+    * proves changelog-apply ≡ rebuild for lexical serving.
+    *
+    * Cost, probed honestly (ScaleProbe bm25_cdc_cycle, PLANS.md round
+    * 11): the changelog and the APPEND leg are change-sized, but the
+    * DELETE leg rewrites every bucket holding a doomed doc's tokens —
+    * and because docs spread their tokens across the hash alphabet,
+    * a change set past a few hundred docs touches ALL buckets, so the
+    * delete leg is bounded by index bytes per release, not by the
+    * change volume (the probe: apply share flat 1×→10×, then
+    * index-bytes-shaped at 30×). Amortization: one delete pass per
+    * release covers every doomed doc, and the rewrite parallelizes
+    * per bucket. The 100 TB fix is Lucene's liveness model — ledger-
+    * only (tombstone) delete with the probe filtering dead docs and
+    * physical reclaim riding compaction — which needs GENERATION-
+    * tagged posting rows so a delete→re-add doc's old rows stay dead;
+    * the ledger already carries the tombstones, the generation tag is
+    * the next-round schema step. The ANN twin ([[Similarity
+    * .ivfCdcTopK]]) does NOT share this boundary: a vector lives in
+    * exactly one cell, so its delete leg stays change-local. */
   def bm25CdcTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bm25OverIndex(spark,
       Similarity.landOnce(spark, dir, "graft_bm25_cdc", bm25CdcLanded,

@@ -72,4 +72,36 @@ object IndexStream {
       }
       .start()
   }
+
+  /** Streaming ingestion into the landed ANN index — the st4
+    * composition applied to the VECTOR tier: embedding batches arrive
+    * as files and append through [[graft.operators.Similarity
+    * .ivfIndexAppend]] (the v9d seam, unchanged), so the index serves
+    * nearest-neighbor queries continuously while the corpus grows.
+    * Exactly-once by the same argument as the lexical stream: the
+    * checkpoint gives batches stable identity, and the append is
+    * idempotent PER VECTOR — the index itself is the ledger (already-
+    * landed vec_ids anti-join away, probe bounded to the delta's own
+    * cells), so retries, restarts, and full redelivery under a fresh
+    * checkpoint publish nothing. Single publish step (one
+    * partitioned append), so there is no multi-artifact mid-publish
+    * window to recover — the `_appendlog` machinery is the lexical
+    * index's three-artifact problem, not this one's. */
+  def ivfIndexIngest(spark: SparkSession, incomingDir: String,
+      indexPath: String, checkpoint: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      queryName: String =
+        "ivf_index_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
+    spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incomingDir)
+      .writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfIndexAppend(batch.sparkSession, indexPath, batch)
+      }
+      .start()
+  }
 }

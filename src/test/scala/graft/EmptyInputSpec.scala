@@ -83,6 +83,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfCdcTopK(spark, emptyDir).count() === 0)
     assert(Similarity.ivfPqTrainedTopK(spark, emptyDir).count() === 0)
     assert(Similarity.pqRecallAtK(spark, emptyDir).count() === 0)
+    assert(Similarity.ivfStreamedTopK(spark, emptyDir).count() === 0)
   }
 
   test("dashboard fan-out returns zero families on an empty scope") {

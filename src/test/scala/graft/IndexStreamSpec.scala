@@ -143,4 +143,52 @@ class IndexStreamSpec extends SparkSpec {
     assert(postings(idx) === postings(clean), "orphan drop must not touch live artifacts")
     rmTree(tmp)
   }
+
+  test("st6: ANN micro-batches append through the v9d seam; full redelivery is a no-op (the index is the ledger)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // planted one-hot geometry: vecs 0..3 are the centroids, 4..11
+    // assign to the axis they point along
+    def vec(axis: Int) = { val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v }
+    val base = (0L until 8L).map(i => (i, s"l${i % 2}", vec((i % 4).toInt)))
+      .toDF("vec_id", "label", "embedding")
+    val arriving1 = Seq((8L, "l0", vec(1)), (9L, "l1", vec(2)))
+      .toDF("vec_id", "label", "embedding")
+    val arriving2 = Seq((10L, "l0", vec(3)), (11L, "l1", vec(0)))
+      .toDF("vec_id", "label", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_stream_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    // the centroid table takes vec_id < IvfCentroids (= 8): the full
+    // 8-row base keeps it well-formed while arrivals stay above it
+    Similarity.materializeIvfOf(base, idx)
+    arriving1.coalesce(1).write.mode("overwrite").parquet(incoming)
+    arriving2.coalesce(1).write.mode("append").parquet(incoming)
+    val q = graft.streaming.IndexStream.ivfIndexIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp1")
+    try q.processAllAvailable() finally q.stop()
+    def contents() = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val streamed = contents()
+    // the streamed index holds row-for-row what a batch rebuild holds
+    val rebuilt = tmp.getAbsolutePath + "/idx_rebuilt"
+    Similarity.materializeIvfOf(
+      base.unionByName(arriving1).unionByName(arriving2), rebuilt)
+    val full = spark.read.parquet(rebuilt)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === full, "stream-maintained ANN index diverged from batch rebuild")
+    assert(streamed.keySet === (0L until 12L).toSet)
+    // FULL redelivery under a fresh checkpoint: every file replays;
+    // the per-vector ledger guard publishes nothing
+    val before = spark.read.parquet(idx).count()
+    val q2 = graft.streaming.IndexStream.ivfIndexIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(idx).count() === before,
+      "replayed batches must append nothing")
+    assert(contents() === full, "replay changed the index")
+    rmTree(tmp)
+  }
 }
