@@ -141,6 +141,22 @@ class IndexStreamSpec extends SparkSpec {
     assert(actions === Seq("dropped=__append_staging_orphan"))
     assert(stagingDirs().isEmpty)
     assert(postings(idx) === postings(clean), "orphan drop must not touch live artifacts")
+
+    // the OTHER end of the window: crash after the claim but before
+    // ANY rename — recovery replays the whole batch from staging
+    val arriving2 = Seq((4L, "epsilon zeta", "en")).toDF("doc_id", "text", "lang")
+    TextOps.publishFaultHook =
+      sub => if (sub == "postings") throw new RuntimeException("injected pre-rename crash")
+    intercept[Exception] { TextOps.bm25IndexAppend(spark, idx, arriving2) }
+    TextOps.publishFaultHook = _ => ()
+    assert(logRecords().size === 1 && stagingDirs().size === 1)
+    val replayActions = TextOps.bm25IndexRecover(spark, idx)
+    assert(replayActions.size === 1 && replayActions.head.startsWith("replayed="))
+    TextOps.bm25IndexAppend(spark, clean, arriving2)
+    assert(postings(idx) === postings(clean),
+      "claimed-but-unrenamed batch must replay to exactly the clean append")
+    assert(stats(idx) === stats(clean))
+    assert(docids(idx) === docids(clean))
     rmTree(tmp)
   }
 
