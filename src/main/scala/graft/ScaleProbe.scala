@@ -363,6 +363,12 @@ object ScaleProbe {
       // grows k× — and both entries land to a fresh UUID path per rep
       // (no memo hits). cdc_cycle − build_v1 per factor = the
       // diff+apply+probe share, which must stay FLAT as k grows.
+      // v12b trainer at FIXED 3 rounds (the v6b fixed-round
+      // discipline so per-round cost is comparable across factors): a
+      // round is one 256-row broadcast-join assignment plus a
+      // partial-agged integer mean — wall must track corpus rows
+      "v12b_pq_train_3rounds" -> ((s, d) =>
+        operators.Similarity.pqCodebookTrained(Tables.embeddings(s, d), 3)),
       "bm25_build_v1"        -> ((s, d) => {
         val p = s"$outRoot/cdcb_${java.util.UUID.randomUUID().toString.take(8)}"
         operators.TextOps.materializeBm25IndexOf(Tables.documents(s, d), p)
