@@ -168,8 +168,43 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5,
         s"write-write conflict: version(s) ${conflicting.map(_.version).mkString(",")} " +
           s"already replaced partition(s) ${conflicting.flatMap(_.parts).toSet.intersect(dirNames.toSet).mkString(",")} " +
           "since this writer's base — re-derive from the current table state and retry")
+      // A claimed record whose staging dir STILL SURVIVES and whose
+      // parts intersect this write is an unpublished commit on the same
+      // partitions — at ANY version (round-11 ADVICE, medium). At or
+      // below base it is the silent-loss case: this writer's snapshot
+      // read is numbered past the claim yet physically lacks its data,
+      // so the version>base check is blind to it, and once this write
+      // lands the supersededByLater guard would block the claim's
+      // replay FOREVER. Refuse loudly instead: the claim either
+      // replays at a recover() after the grace window, or its live
+      // writer finishes — then this write retries against real state.
+      val unrecovered = recs.filter { r =>
+        r.parts.toSet.intersect(dirNames.toSet).nonEmpty &&
+          r.staging.exists(s => fs.exists(new Path(s))) }
+      require(unrecovered.isEmpty,
+        s"unrecovered claimed version(s) ${unrecovered.map(_.version).mkString(",")} " +
+          "still stage intersecting partition(s): a crashed (or live) writer's " +
+          "commit is unpublished — run recover() first (it replays claims older " +
+          "than the grace window) rather than silently superseding the claim")
       val next = recs.lastOption.map(_.version).getOrElse(0L) + 1L
       if (claim(fs, log, next, body)) {
+        // post-claim re-check closes the read-then-claim TOCTOU: a
+        // writer that claimed a version in (base, next) AFTER our
+        // records() read above would be invisibly clobbered by our
+        // publish. The claim order is authoritative, so on detection we
+        // retract OUR OWN claim (delete the record; the staging dir
+        // stays for the caller's cleanup) and abort as a conflict.
+        val late = records(fs, log).filter { r =>
+          r.version > base && r.version < next &&
+            r.parts.toSet.intersect(dirNames.toSet).nonEmpty }
+        if (late.nonEmpty) {
+          fs.delete(new Path(log, s"v$next.json"), false)
+          require(late.isEmpty,
+            s"write-write conflict detected after claim: version(s) " +
+              s"${late.map(_.version).mkString(",")} claimed intersecting " +
+              "partition(s) between this writer's log read and its CAS — " +
+              "claim retracted; re-derive from the current table state and retry")
+        }
         dirNames.foreach { d =>
           val src = new Path(stagingPath, d)
           val dst = new Path(table, d)
@@ -202,8 +237,14 @@ object OptimisticLogCommit {
     * writer's claim-to-rename window exceeds the grace (renames are
     * metadata ops — seconds, not minutes); a genuinely crashed claim
     * simply waits out the grace and replays at the next open after
-    * it. Callers that KNOW no writer is live (offline repair, tests
-    * simulating an old crash) pass graceMs=0. */
+    * it — and it CANNOT be silently superseded meanwhile, because
+    * commitPartitions refuses any write intersecting a claim whose
+    * staging dir survives (round-11 ADVICE: without that refusal, a
+    * writer whose base was numbered past the gated claim would pass
+    * the version conflict check, land, and block the claim's replay
+    * forever via supersededByLater). Callers that KNOW no writer is
+    * live (offline repair, tests simulating an old crash) pass
+    * graceMs=0. */
   val DefaultRecoveryGraceMs: Long = 10L * 60L * 1000L
 
   /** One committed (claimed) version: the partition dirs it replaced,

@@ -39,6 +39,17 @@ object Partitioned {
   def deleteByKey(spark: SparkSession, tablePath: String, keyCol: String,
       partCol: String, doomed: DataFrame,
       commit: CommitProtocol = RenameCommit,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Seq[String] =
+    deleteByKeys(spark, tablePath, Seq(keyCol), partCol, doomed, commit, schema)
+
+  /** Multi-column-key form of [[deleteByKey]] — the doomed frame names
+    * COMPOSITE keys (e.g. the bm25 compaction reclaim deletes
+    * `(doc_id, gen)` pairs so a re-added doc's LIVE generation rows
+    * survive the purge of its dead ones). Same partition-scoped
+    * contract: only partitions holding a doomed key rewrite. */
+  def deleteByKeys(spark: SparkSession, tablePath: String, keyCols: Seq[String],
+      partCol: String, doomed: DataFrame,
+      commit: CommitProtocol = RenameCommit,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Seq[String] = {
     commit.begin(spark, tablePath)
     val reader = schema.fold(spark.read)(spark.read.schema)
@@ -47,7 +58,7 @@ object Partitioned {
     // corpus-proportional (round-9 ADVICE) — AQE picks broadcast when
     // the set is actually small, and a shuffled semi/anti join stays
     // bounded by the affected partitions' bytes otherwise
-    val affected = table.join(doomed, Seq(keyCol), "left_semi")
+    val affected = table.join(doomed, keyCols, "left_semi")
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (affected.nonEmpty) {
@@ -62,7 +73,7 @@ object Partitioned {
       // a failed STAGING write published nothing — clean up and rethrow
       // (the same no-leak rule the commit path enforces below)
       try table.filter(pred)
-        .join(doomed, Seq(keyCol), "left_anti")
+        .join(doomed, keyCols, "left_anti")
         .repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(staging)
       catch { case e: Throwable =>

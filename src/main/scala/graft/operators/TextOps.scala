@@ -725,7 +725,8 @@ object TextOps {
         val n = s.getPath.getName
         n.startsWith("__append_staging") || n.contains("__delete_staging") ||
           n.contains("__compact_staging") || n.contains("__retired_") ||
-          n == Bm25AppendLogDir // stale redo records must not replay into a rebuilt index
+          n == Bm25AppendLogDir || // stale redo records must not replay into a rebuilt index
+          n == "tombs" // a prior index's liveness sidecar would kill fresh rows
       }.foreach(s => fs.delete(s.getPath, true))
     writeBm25Batch(docs, path)
   }
@@ -772,33 +773,49 @@ object TextOps {
       // a fully-duplicate (retried) batch is a TRUE no-op — no junk
       // (0,0) stats partial, no empty artifacts, no publish
       if (!fresh.isEmpty) {
-        val stagingName =
-          s"__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-        val staging = s"$path/$stagingName"
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // failure while STAGING published nothing — clean up and rethrow
-        try writeBm25Batch(fresh, staging)
-        catch { case e: Throwable =>
-          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-          throw e
-        }
-        // CLAIM the publish before any rename: the record makes a crash
-        // anywhere in the rename sequence replayable. A failure BETWEEN
-        // here and the record delete must KEEP both the staging dir and
-        // the record — together they are the redo copy (some files may
-        // already be live; re-staging would duplicate them)
-        val logDir = new org.apache.hadoop.fs.Path(path, Bm25AppendLogDir)
-        fs.mkdirs(logDir)
-        val rec = new org.apache.hadoop.fs.Path(logDir, s"$stagingName.json")
-        val out = fs.create(rec, false)
-        try out.write(staging.getBytes("UTF-8")) finally out.close()
-        publishStaged(fs, staging, path)
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-        fs.delete(rec, false)
-        ()
+        // generation tag: one past the ledger's max — monotonic per
+        // index, so a re-added doc's new rows outrank its tombstoned
+        // ones. The ledger is read anyway (the anti-join above); this
+        // is one extra doc-cardinality scalar agg, never postings-sized
+        val gen = 1L + spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
+          .agg(coalesce(max(col("gen")), lit(-1L))).collect()(0).getLong(0)
+        stageAndPublish(spark, path)(writeBm25Batch(fresh, _, gen))
       }
     } finally { fresh.unpersist(true); () }
+  }
+
+  /** The shared crash-safe publish seam for index MAINTENANCE writes
+    * (append batches AND tombstone deletes): stage the artifacts fully
+    * under a per-writer `__append_staging_*` dir (a crash there
+    * publishes nothing), CLAIM a `_appendlog/` redo record, then
+    * publish by bounded file renames. A crash anywhere in the rename
+    * sequence is replayed by [[bm25IndexRecover]] at the next open —
+    * the record + surviving staging dir are together the redo copy
+    * (some files may already be live; re-staging would duplicate
+    * them), so every maintenance verb is all-or-nothing to readers at
+    * the next open. */
+  private def stageAndPublish(spark: SparkSession, path: String)(
+      stage: String => Unit): Unit = {
+    val stagingName =
+      s"__append_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = s"$path/$stagingName"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // failure while STAGING published nothing — clean up and rethrow
+    try stage(staging)
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
+    }
+    val logDir = new org.apache.hadoop.fs.Path(path, Bm25AppendLogDir)
+    fs.mkdirs(logDir)
+    val rec = new org.apache.hadoop.fs.Path(logDir, s"$stagingName.json")
+    val out = fs.create(rec, false)
+    try out.write(staging.getBytes("UTF-8")) finally out.close()
+    publishStaged(fs, staging, path)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(rec, false)
+    ()
   }
 
   private[graft] val Bm25AppendLogDir = "_appendlog"
@@ -885,6 +902,8 @@ object TextOps {
       else Seq.empty
     publishFaultHook("postings")
     bucketDirs.foreach(b => moveFiles(s"postings/$b"))
+    publishFaultHook("tombs")
+    moveFiles("tombs") // staged only by the delete verb; absent for appends
     publishFaultHook("stats")
     moveFiles("stats")
     publishFaultHook("docids")
@@ -894,8 +913,15 @@ object TextOps {
   /** Write one batch's index artifacts under `path` (a fresh dir: the
     * materializer's live root or an appender's staging root). ONE
     * tokenization pass — the base projection is persisted and feeds
-    * stats, docids, and postings. */
-  private def writeBm25Batch(docs: DataFrame, path: String): Unit = {
+    * stats, docids, and postings. `gen` is the batch's GENERATION tag
+    * (0 for a fresh build, max-ledger-gen + 1 for an append): it rides
+    * every posting row AND the docids add rows so a later tombstone can
+    * name exactly this generation's rows dead — the liveness model that
+    * lets delete→re-add serve only the re-added text without any
+    * posting rewrite. The add rows also carry `dl` (the doc's token
+    * count) so the DELETE leg's stats discount reads the doc-sized
+    * ledger instead of scanning corpus-sized postings. */
+  private def writeBm25Batch(docs: DataFrame, path: String, gen: Long = 0L): Unit = {
     import CacheOps.shared
     val base = shared(docs.select(col("doc_id"), col("lang"),
       tokens(lower(col("text"))).as("w")))
@@ -903,12 +929,14 @@ object TextOps {
       base.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("tot"))
         .write.mode("overwrite").parquet(s"$path/stats")
-      base.select(col("doc_id"), lit(0).as("tomb"))
+      base.select(col("doc_id"), lit(0).as("tomb"), lit(gen).as("gen"),
+          size(col("w")).cast("long").as("dl"))
         .write.mode("overwrite").parquet(s"$path/docids")
       base.select(col("doc_id"), col("lang"),
           size(col("w")).cast("long").as("dl"), explode(col("w")).as("tok"))
         .groupBy(col("doc_id"), col("lang"), col("dl"), col("tok"))
         .agg(count(lit(1)).as("tf"))
+        .withColumn("gen", lit(gen))
         .withColumn("bucket", pmod(xxhash64(col("tok")), lit(Bm25Buckets.toLong)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
@@ -924,61 +952,72 @@ object TextOps {
   private[graft] def bm25Doomed: Column = col("doc_id") % 9 === 7
 
   /** T11e: DELETE documents from the landed lexical index — takedown
-    * parity with the ANN tier (v9e). Three artifacts, three moves:
-    *  1. postings — [[Partitioned.deleteByKey]] (doc_id within bucket
-    *     partitions): only the buckets holding the doomed docs' rows
-    *     rewrite, through the CommitProtocol seam, untouched buckets
-    *     never opened (byte-identity spec-asserted);
-    *  2. stats — one NEGATIVE partial row (−n, −Σdl) appends; the
-    *     probe's SUM nets it out, so the stats lifecycle stays
-    *     append-only for growth AND shrinkage;
-    *  3. docids — one TOMBSTONE row per doomed member appends; the
-    *     ledger ([[bm25Members]]) then reads the doc as gone, so a
-    *     later re-add is possible (right-to-be-forgotten must not
-    *     block re-consent — spec-asserted by a delete→re-append round
-    *     trip), and no mutable membership table ever needs a
-    *     delete-then-rename swap.
+    * parity with the ANN tier (v9e), via TOMBSTONE LIVENESS (the
+    * Lucene model — round-11 verdict task #1). The delete APPENDS
+    * three small change-sized artifacts and rewrites NOTHING:
+    *  1. tombs — one (doc_id, gen) row per victim, naming the doomed
+    *     doc's live add GENERATION. Probes anti-join this sidecar, so
+    *     dead posting rows stop serving immediately while staying on
+    *     disk; a later re-add's rows carry a HIGHER gen and are never
+    *     matched — delete→re-add serves only the new generation
+    *     (spec-asserted) without touching the old rows.
+    *  2. stats — one NEGATIVE partial row (−n, −Σdl); the probe's SUM
+    *     nets it out. Σdl comes from the LEDGER's add rows (which
+    *     carry dl), so accounting is doc-cardinality — the delete
+    *     never opens postings at all.
+    *  3. docids — one TOMBSTONE row per victim; the ledger
+    *     ([[bm25Members]]) then reads the doc as gone, so a later
+    *     re-add is possible (right-to-be-forgotten must not block
+    *     re-consent — spec-asserted by a delete→re-append round trip).
     *
-    * Recovery contract, stated honestly: the three artifacts mutate in
-    * separate jobs (accounting is computed BEFORE any mutation, then
-    * postings → stats → tombstones), so a crash BETWEEN steps leaves
-    * the index transiently inconsistent (e.g. postings gone but stats
-    * not yet discounted). Re-running the SAME delete after the
-    * tombstones landed is a no-op (membership excludes the doomed
-    * set); after a mid-sequence crash the safe repair on plain parquet
-    * is RE-LANDING the index — exactly the redo-log boundary the
-    * CommitProtocol scaladoc records, which a table-format
-    * implementation lifts into its transaction log. Because df
-    * recomputes from probed postings, the completed delete answers
-    * EXACTLY what a rebuild over the filtered corpus answers. */
+    * Physical reclaim rides [[bm25IndexCompact]]: compaction purges
+    * the tombstoned (doc_id, gen) posting rows bucket-locally and
+    * clears the sidecar — the background-maintenance cadence, off the
+    * delete path. So a CDC release's delete leg is |changes|-shaped at
+    * ANY dispersion of the doomed docs' tokens across buckets — the
+    * round-11 probe showed the old rewrite-on-delete going
+    * index-bytes-shaped (6.4 s → 64 s at 30×) once a release's changes
+    * spanned all 64 buckets; tombstones make that boundary vanish.
+    *
+    * Crash-safety is INHERITED from the append seam: all three
+    * artifacts stage under one `__append_staging_*` dir and publish
+    * through the same `_appendlog/` redo record ([[stageAndPublish]]),
+    * so a crash anywhere leaves the next open serving the whole delete
+    * or none of it — strictly stronger than the old three-job
+    * sequence, whose mid-sequence crash needed a re-landing. A retried
+    * delete after publish is a no-op (membership excludes the
+    * victims). Because df recomputes from probed LIVE postings, the
+    * tombstoned index answers EXACTLY what a rebuild over the filtered
+    * corpus answers. */
   def bm25IndexDelete(spark: SparkSession, path: String,
       doomed: DataFrame): Seq[String] = {
-    // victims' accounting BEFORE any mutation (dl rides the posting
-    // rows and is unrecoverable after the rewrite; membership comes
-    // from the ledger so token-less docs still count toward n)
-    // no broadcast hints: the doomed set (and its member intersection)
-    // is corpus-proportional under a takedown backlog (round-9 ADVICE);
-    // AQE broadcasts when small, and a shuffled semi join stays bounded
-    // by the affected buckets' bytes otherwise
-    val member = bm25Members(spark, path)
+    // recover-on-open, shared with append: a half-published prior
+    // maintenance write must finish before the ledger is read
+    bm25IndexRecover(spark, path)
+    // victims = the doomed docs' LIVE add rows. Generation (names
+    // exactly which posting rows die) and dl (the stats discount) both
+    // ride the doc-cardinality ledger. No broadcast hints: a takedown
+    // backlog can be corpus-proportional (round-9 ADVICE); AQE
+    // broadcasts when the set is actually small
+    val victims = bm25LiveAdds(spark, path)
       .join(doomed, Seq("doc_id"), "left_semi").persist()
     try {
-      val nDel = member.count()
-      if (nDel > 0) {
-        val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
-        val totDel = postings.join(member, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("dl")).distinct()
-          .agg(coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
-        Partitioned.deleteByKey(spark, s"$path/postings", "doc_id", "bucket",
-          member, schema = Some(bm25PostingsSchema))
+      val acct = victims
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
+        .collect()(0)
+      val (nDel, totDel) = (acct.getLong(0), acct.getLong(1))
+      if (nDel > 0) stageAndPublish(spark, path) { staging =>
+        victims.select(col("doc_id"), col("gen"))
+          .write.mode("overwrite").parquet(s"$staging/tombs")
         import spark.implicits._
         Seq((-nDel, -totDel)).toDF("n", "tot")
-          .write.mode("append").parquet(s"$path/stats")
-        member.select(col("doc_id"), lit(1).as("tomb"))
-          .write.mode("append").parquet(s"$path/docids")
+          .write.mode("overwrite").parquet(s"$staging/stats")
+        victims.select(col("doc_id"), lit(1).as("tomb"), col("gen"),
+            lit(0L).as("dl"))
+          .write.mode("overwrite").parquet(s"$staging/docids")
       }
       Seq(s"deleted=$nDel")
-    } finally { member.unpersist(true); () }
+    } finally { victims.unpersist(true); () }
   }
 
   // landing memo for the delete-maintained index (t11e)
@@ -1015,23 +1054,18 @@ object TextOps {
     * corpus directly and runs t11's page SQL over it — hash equality
     * proves changelog-apply ≡ rebuild for lexical serving.
     *
-    * Cost, probed honestly (ScaleProbe bm25_cdc_cycle, PLANS.md round
-    * 11): the changelog and the APPEND leg are change-sized, but the
-    * DELETE leg rewrites every bucket holding a doomed doc's tokens —
-    * and because docs spread their tokens across the hash alphabet,
-    * a change set past a few hundred docs touches ALL buckets, so the
-    * delete leg is bounded by index bytes per release, not by the
-    * change volume (the probe: apply share flat 1×→10×, then
-    * index-bytes-shaped at 30×). Amortization: one delete pass per
-    * release covers every doomed doc, and the rewrite parallelizes
-    * per bucket. The 100 TB fix is Lucene's liveness model — ledger-
-    * only (tombstone) delete with the probe filtering dead docs and
-    * physical reclaim riding compaction — which needs GENERATION-
-    * tagged posting rows so a delete→re-add doc's old rows stay dead;
-    * the ledger already carries the tombstones, the generation tag is
-    * the next-round schema step. The ANN twin ([[Similarity
-    * .ivfCdcTopK]]) does NOT share this boundary: a vector lives in
-    * exactly one cell, so its delete leg stays change-local. */
+    * Cost (ScaleProbe bm25_cdc_cycle; PLANS.md rounds 11-12): BOTH
+    * legs are now change-sized. Round 11 probed the old
+    * rewrite-on-delete leg going index-bytes-shaped at 30× (6.4 s →
+    * 64 s once the fixed change set's tokens spanned all 64 buckets);
+    * round 12 replaced it with tombstone liveness ([[bm25IndexDelete]]
+    * appends a (doc_id, gen) sidecar + ledger rows, probes anti-join
+    * it, physical reclaim rides [[bm25IndexCompact]]), so a release's
+    * apply cost tracks the CHANGE volume at any token dispersion —
+    * the round-12 probe table shows the cycle flat to 100×. The ANN
+    * twin ([[Similarity.ivfCdcTopK]]) never had the boundary: a
+    * vector lives in exactly one cell, so its delete leg is
+    * change-local by layout. */
   def bm25CdcTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bm25OverIndex(spark,
       Similarity.landOnce(spark, dir, "graft_bm25_cdc", bm25CdcLanded,
@@ -1090,9 +1124,11 @@ object TextOps {
   // schema inference over an empty dir throws — the schema is this
   // module's contract anyway
   private val bm25PostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT, lang STRING, dl BIGINT, tok STRING, tf BIGINT, bucket BIGINT")
+    "doc_id BIGINT, lang STRING, dl BIGINT, tok STRING, tf BIGINT, gen BIGINT, bucket BIGINT")
   private val bm25DocidsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT, tomb INT")
+    "doc_id BIGINT, tomb INT, gen BIGINT, dl BIGINT")
+  private val bm25TombsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, gen BIGINT")
 
   /** Current index membership from the append-only docids LEDGER:
     * adds are (doc_id, 0) rows, takedowns append (doc_id, 1)
@@ -1106,6 +1142,19 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(lit(1) - col("tomb") * 2).as("live"))
       .filter(col("live") > 0).select(col("doc_id"))
+
+  /** Per LIVE doc, the latest add generation and its token count —
+    * one ledger pass (max over a (gen, dl) struct ignores the
+    * tombstone rows' nulls; gen is monotonic, so max = latest add).
+    * The delete verb's whole read side: victims' generations name the
+    * dying posting rows, their dl sums to the stats discount. */
+  private def bm25LiveAdds(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(bm25DocidsSchema).parquet(s"$path/docids")
+      .groupBy(col("doc_id"))
+      .agg(sum(lit(1) - col("tomb") * 2).as("live"),
+        max(when(col("tomb") === 0, struct(col("gen"), col("dl")))).as("g"))
+      .filter(col("live") > 0)
+      .select(col("doc_id"), col("g.gen").as("gen"), col("g.dl").as("dl"))
 
   /** The solo page: a batch of one through the SAME scoring pipeline
     * (bm25ScoredOverIndex — so the t11b family and t11h cannot
@@ -1126,8 +1175,16 @@ object TextOps {
     * IO grows with FILE COUNT (one task minimum per file, footer reads,
     * tiny row groups) even when live data doesn't, and the membership
     * anti-join pays the full ledger. Compaction folds the history out
-    * in three independently equivalence-preserving rewrites:
+    * in four independently equivalence-preserving rewrites:
     *
+    *  0. RECLAIM — the deferred physical half of the tombstone delete:
+    *     the tombs sidecar's dead (doc_id, gen) pairs purge from
+    *     postings bucket-locally ([[Partitioned.deleteByKeys]] — only
+    *     buckets holding a dead row rewrite), then the sidecar drops so
+    *     probes stop paying the liveness anti-join. This is where the
+    *     index-bytes-shaped work the delete verb REFUSES to do lands —
+    *     amortized over a compaction cycle's whole churn, off the CDC
+    *     release path.
     *  1. postings — [[Partitioned.compact]] (the s16b primitive, shared
     *     verbatim): each fragmented bucket directory rewrites to ONE
     *     file through the CommitProtocol seam; already-compact buckets
@@ -1136,13 +1193,16 @@ object TextOps {
     *     negative delete rows) collapse to ONE row holding their SUM —
     *     exactly the value every probe computes, so the rewrite cannot
     *     change an answer by construction.
-    *  3. docids — the ledger collapses to its LIVE set as plain add
-    *     rows (adds > tombstones ⇒ one (doc_id, 0) row): membership
-    *     and re-append semantics are unchanged, history is gone.
+    *  3. docids — the ledger collapses to its LIVE set: each live
+    *     doc's latest add row survives VERBATIM (gen and dl intact —
+    *     membership, delete accounting, and generation monotonicity
+    *     are all preserved), tombstone history is gone.
     *
-    * Unlike the delete's multi-artifact seam, a crash BETWEEN these
-    * steps leaves a fully CONSISTENT index — each step alone preserves
-    * every answer — so compaction is always safe to re-run, and a
+    * A crash BETWEEN these steps leaves a fully CONSISTENT index —
+    * each step alone preserves every answer (reclaim's windows
+    * converge: purged-but-uncleared tombs anti-join nothing; a
+    * mid-purge crash leaves unpurged buckets still covered by the
+    * sidecar) — so compaction is always safe to re-run, and a
     * re-run over an already-compact index is a LISTING-only no-op:
     * every artifact's guard is pure file metadata (postings dirs with
     * >1 data file; stats with >1 data file; docids with more files
@@ -1168,9 +1228,28 @@ object TextOps {
     *
     * Returns the compacted posting-bucket values. */
   def bm25IndexCompact(spark: SparkSession, path: String): Seq[String] = {
-    val buckets = Partitioned.compact(spark, s"$path/postings", "bucket")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 0. PHYSICAL RECLAIM of tombstoned postings — the deferred half of
+    //    the delete verb's liveness model. The sidecar's (doc_id, gen)
+    //    pairs purge bucket-locally through the partition-scoped delete
+    //    (only buckets holding a dead row rewrite), then the sidecar
+    //    drops so probes stop paying the anti-join. Crash windows all
+    //    converge: purge-then-crash leaves tombs rows naming now-absent
+    //    postings (the anti-join is a no-op on them; the re-run's purge
+    //    finds nothing and the clear completes), and a mid-purge crash
+    //    leaves the unpurged buckets still covered by the sidecar
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    if (fs.exists(tombsDir)) {
+      if (Partitioned.dataFiles(fs, tombsDir).nonEmpty)
+        Partitioned.deleteByKeys(spark, s"$path/postings",
+          Seq("doc_id", "gen"), "bucket",
+          spark.read.schema(bm25TombsSchema).parquet(s"$path/tombs"),
+          schema = Some(bm25PostingsSchema))
+      fs.delete(tombsDir, true)
+      ()
+    }
+    val buckets = Partitioned.compact(spark, s"$path/postings", "bucket")
     def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       // stats/docids can legitimately be absent (empty-corpus build) —
       // the exists guard lives HERE, not in the shared predicate,
@@ -1203,8 +1282,13 @@ object TextOps {
       val ledger = dataFiles(s"$path/docids")
       val nOut = math.max(1L, math.min(64L, ledger.map(_.getLen).sum / (64L << 20))).toInt
       if (ledger.length > nOut) {
+        // the fold keeps each live doc's latest add row VERBATIM (gen
+        // and dl included): membership, a later delete's accounting,
+        // and generation monotonicity all survive the history fold
         swapArtifact(spark, s"$path/docids",
-          bm25Members(spark, path).withColumn("tomb", lit(0)).coalesce(nOut))
+          bm25LiveAdds(spark, path)
+            .select(col("doc_id"), lit(0).as("tomb"), col("gen"), col("dl"))
+            .coalesce(nOut))
         pass += 1
       } else converged = true
     }
@@ -1304,8 +1388,21 @@ object TextOps {
       "bm25 needs at least one term per query")
     val allTerms = queries.flatMap(_._2).distinct
     val buckets = allTerms.map(bm25BucketOf).distinct
-    val postings = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
+    val pruned = spark.read.schema(bm25PostingsSchema).parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) && col("tok").isin(allTerms: _*))
+    // liveness: dead (doc_id, gen) rows stay on disk until compaction
+    // reclaims them — serving anti-joins the tombs sidecar (bounded by
+    // takedown churn since the last compaction, Lucene's live-docs
+    // model). The gen equality is what keeps a delete→re-add doc's NEW
+    // rows serving while its old generation stays dead. Absent sidecar
+    // (no deletes, or just compacted) skips the join entirely — the
+    // hot t11b/t11h path pays one metadata existence check
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val hasTombs = tombsDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombsDir)
+    val postings = if (!hasTombs) pruned
+      else pruned.join(spark.read.schema(bm25TombsSchema).parquet(s"$path/tombs"),
+        Seq("doc_id", "gen"), "left_anti")
     val stats = spark.read.parquet(s"$path/stats")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("tot")), lit(0L)).as("tot"))

@@ -99,11 +99,15 @@ class IndexStreamSpec extends SparkSpec {
     // window round-10's verdict named: postings + stats of the batch are
     // live, the ledger is blind, and an un-recovered retry would
     // re-append the whole batch
+    // try/finally around the injected hook: a failed assertion between
+    // injection and reset must not leak the crash hook into every later
+    // test sharing this JVM (round-11 ADVICE)
     TextOps.publishFaultHook =
       sub => if (sub == "docids") throw new RuntimeException("injected mid-publish crash")
-    val q = IndexStream.bm25IndexIngest(spark, incoming, idx, cp)
-    intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    TextOps.publishFaultHook = _ => ()
+    try {
+      val q = IndexStream.bm25IndexIngest(spark, incoming, idx, cp)
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally TextOps.publishFaultHook = _ => ()
     assert(logRecords().size === 1, "the crashed publish must leave its redo record")
     assert(stagingDirs().size === 1, "the crashed publish must keep its staging dir (the redo copy)")
     assert(spark.read.parquet(s"$idx/stats").count() === 2,
@@ -147,8 +151,8 @@ class IndexStreamSpec extends SparkSpec {
     val arriving2 = Seq((4L, "epsilon zeta", "en")).toDF("doc_id", "text", "lang")
     TextOps.publishFaultHook =
       sub => if (sub == "postings") throw new RuntimeException("injected pre-rename crash")
-    intercept[Exception] { TextOps.bm25IndexAppend(spark, idx, arriving2) }
-    TextOps.publishFaultHook = _ => ()
+    try intercept[Exception] { TextOps.bm25IndexAppend(spark, idx, arriving2) }
+    finally TextOps.publishFaultHook = _ => ()
     assert(logRecords().size === 1 && stagingDirs().size === 1)
     val replayActions = TextOps.bm25IndexRecover(spark, idx)
     assert(replayActions.size === 1 && replayActions.head.startsWith("replayed="))

@@ -378,8 +378,11 @@ class PartitionedSpec extends SparkSpec {
     assert(again.isEmpty, s"second recovery must be a no-op, replayed $again")
     assert(rowsOf(pA) === Set((uA, 777L)))
 
-    // superseded claim: v4 crashed pre-publish on pA, then v5 COMPLETED
-    // on pA — recovery must drop v4's stale staged copy, not resurrect it
+    // unrecovered claim: v4 crashed pre-publish on pA. A later writer
+    // on pA — even one whose base is numbered PAST the claim — must be
+    // REFUSED while v4's staging survives (round-11 ADVICE: its
+    // snapshot is numbered past the claim yet physically lacks the
+    // claim's data; letting it land would block v4's replay forever)
     val staleStaging = s"${path}__staging_stale"
     Seq((uA, "click", 111L, 1.0, "updated", pA))
       .toDF("user_id", "event_type", "n_events", "total_value", "merge_action", "part")
@@ -387,14 +390,35 @@ class PartitionedSpec extends SparkSpec {
     val out4 = fs.create(new Path(s"$path/_log/v4.json"), false)
     out4.write(OptimisticLogCommit.recordBody(staleStaging, Seq(s"part=$pA")))
     out4.close()
-    // v5 completes on pA through the raw commit path (no recover-on-open,
-    // so v4's crash state is still pending when v5 lands)
     val stagingV5 = s"${path}__staging_v5"
     Seq((uA, "click", 555L, 5.0, "updated", pA))
       .toDF("user_id", "event_type", "n_events", "total_value", "merge_action", "part")
       .write.mode("overwrite").partitionBy("part").parquet(stagingV5)
-    new OptimisticLogCommit(baseVersion = 4L)
-      .commitPartitions(spark, stagingV5, path, Seq(s"part=$pA"))
+    val refused = intercept[IllegalArgumentException] {
+      new OptimisticLogCommit(baseVersion = 4L)
+        .commitPartitions(spark, stagingV5, path, Seq(s"part=$pA"))
+    }
+    assert(refused.getMessage.contains("unrecovered claimed version"),
+      s"same-partition write over a surviving claim must be refused, got: ${refused.getMessage}")
+    // a DISJOINT write is not blocked by the pending claim
+    val uD = (1 to 40).map(i => s"u$i")
+      .find(u => !Set(pA, pB, partOf("u1"), partOf(uC)).contains(partOf(u))).get
+    MergeOps.mergeIntoPartitioned(spark, path,
+      Seq((uD, "click", 444L, 4.0)).toDF("user_id", "event_type", "n_events", "total_value"),
+      keys, numParts, new OptimisticLogCommit()) // default grace: v4 stays gated, disjoint write proceeds
+    assert(fs.exists(new Path(staleStaging)), "disjoint write must not disturb the gated claim")
+    // SUPERSEDED claim — the state only the read-then-claim race can
+    // now produce (both writers read the log before either claimed):
+    // fabricate the race outcome directly. v6's record + data land
+    // completed on pA while v4's staging still survives (the uD merge
+    // above took v5); recovery must drop v4's stale staged copy, not
+    // resurrect it over the completed later version.
+    val out5 = fs.create(new Path(s"$path/_log/v6.json"), false)
+    out5.write(OptimisticLogCommit.recordBody(s"${path}__staging_v6_published", Seq(s"part=$pA")))
+    out5.close()
+    fs.delete(new Path(s"$path/part=$pA"), true)
+    assert(fs.rename(new Path(s"$stagingV5/part=$pA"), new Path(s"$path/part=$pA")))
+    fs.delete(new Path(stagingV5), true)
     assert(spark.read.parquet(path).filter(col("user_id") === uA)
       .collect().head.getAs[Long]("n_events") === 555L)
     val afterStale = OptimisticLogCommit.recover(spark, path, graceMs = 0L)

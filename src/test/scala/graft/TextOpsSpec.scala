@@ -474,7 +474,8 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
-  test("bm25 delete (t11e): bucket-scoped rewrite, accounting nets out, re-add possible") {
+  test("bm25 delete (t11e): tombstone liveness — zero rewrites, accounting nets, " +
+      "re-add serves only the new generation") {
     import spark.implicits._
     val docs = Seq(
       (0L, "alpha beta beta gamma", "en"),
@@ -487,9 +488,31 @@ class TextOpsSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("bm25_del_spec").toFile
     val idx = tmp.getAbsolutePath + "/idx"
     TextOps.materializeBm25IndexOf(docs, idx)
+    def postingFiles(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$idx/postings"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val postingsBefore = postingFiles()
     val doomed = Seq(1L, 3L).toDF("doc_id")
     TextOps.bm25IndexDelete(spark, idx, doomed)
-    // content equals a rebuild over the filtered corpus
+    // THE liveness property: the delete rewrote NO posting file — every
+    // landed file byte-identical, dead rows still on disk (reclaim is
+    // compaction's job). This is what keeps a CDC release's delete leg
+    // change-sized at any token dispersion (the round-11 30× boundary)
+    assert(postingFiles() === postingsBefore,
+      "tombstone delete must not touch posting files")
+    val deadIds = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 3L).subsetOf(deadIds), "dead postings should remain until compaction")
+    // the tombs sidecar names the victims' (doc_id, generation)
+    val tombs = spark.read.parquet(s"$idx/tombs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tombs === Set((1L, 0L), (3L, 0L)), "tombs sidecar wrong")
+    // serving equals a rebuild over the filtered corpus
     val rebuilt = tmp.getAbsolutePath + "/idx_rebuilt"
     TextOps.materializeBm25IndexOf(
       docs.filter(!col("doc_id").isin(1L, 3L)), rebuilt)
@@ -500,17 +523,13 @@ class TextOpsSpec extends SparkSpec {
     assert(viaDeleted === viaRebuilt, "delete diverged from filtered rebuild")
     assert(viaDeleted.nonEmpty)
     // accounting: initial partial + negative partial net to the 3
-    // survivors' totals
+    // survivors' totals — Σdl now comes from the ledger's add rows,
+    // never from a postings scan
     val stats = spark.read.parquet(s"$idx/stats").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(stats.length === 2, "delete must append a negative partial, not rewrite")
     assert(stats.map(_._1).sum === 3L)
     assert(stats.map(_._2).sum === 4L + 8L + 2L, "netted token total wrong")
-    // no doomed doc_id in postings; the ledger reads them as gone via
-    // TOMBSTONES (append-only — the add rows are still there)
-    val leftIds = spark.read.parquet(s"$idx/postings")
-      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
-    assert(leftIds.intersect(Set(1L, 3L)).isEmpty, "doomed postings survived")
     val ledger = spark.read.parquet(s"$idx/docids")
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(ledger.count(_._2 == 1) === 2, "delete must append one tombstone per doomed doc")
@@ -526,17 +545,66 @@ class TextOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/docids")
       .collect().count(_.getInt(1) == 1) === 2,
       "retried delete must not append more tombstones")
-    // right-to-be-forgotten must not block re-consent: the deleted doc
-    // re-appends and scores again
-    TextOps.bm25IndexAppend(spark, idx,
-      Seq((1L, "alpha alpha alpha alpha delta", "en")).toDF("doc_id", "text", "lang"))
+    // right-to-be-forgotten must not block re-consent — and the
+    // re-added doc's text DIFFERS from its deleted generation, so any
+    // leak of the gen-0 posting rows (4× "alpha") past the liveness
+    // anti-join would inflate tf and break the rebuild equality:
+    // delete→re-add serves ONLY the new generation
+    val rev2 = Seq((1L, "alpha delta delta", "en")).toDF("doc_id", "text", "lang")
+    TextOps.bm25IndexAppend(spark, idx, rev2)
+    val genIds = spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") === 1L).select(col("gen")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(genIds === Set(0L, 1L), "both generations should coexist on disk")
     val reAdded = TextOps.bm25OverIndex(spark, idx, terms, 10)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     val fullAgain = TextOps.bm25OverIndex(spark, {
       val p = tmp.getAbsolutePath + "/idx_full2"
-      TextOps.materializeBm25IndexOf(docs.filter(col("doc_id") =!= 3L), p); p
+      TextOps.materializeBm25IndexOf(
+        docs.filter(!col("doc_id").isin(1L, 3L)).unionByName(rev2), p); p
     }, terms, 10).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    assert(reAdded === fullAgain, "re-added doc does not score like a rebuild")
+    assert(reAdded === fullAgain,
+      "re-added doc must score from its NEW generation only")
+    rmTree(tmp)
+  }
+
+  test("bm25 delete publish is crash-safe: kill mid-publish, recover on open") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta beta gamma", "en"),
+      (1L, "alpha alpha alpha alpha delta", "en"),
+      (2L, "beta beta beta beta beta beta beta beta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_del_kill_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(docs, idx)
+    // kill between the stats and docids renames: tombs + stats are live,
+    // the ledger's tombstone rows are not — the exact torn state the
+    // shared _appendlog redo record exists to replay
+    TextOps.publishFaultHook =
+      sub => if (sub == "docids") throw new RuntimeException("injected mid-publish crash")
+    try intercept[RuntimeException] {
+      TextOps.bm25IndexDelete(spark, idx, Seq(1L).toDF("doc_id"))
+    } finally TextOps.publishFaultHook = _ => ()
+    // next open (any maintenance verb) replays the claimed publish;
+    // the state then equals a clean delete
+    val actions = TextOps.bm25IndexRecover(spark, idx)
+    assert(actions.exists(_.startsWith("replayed=")), s"expected a replay, got $actions")
+    val clean = tmp.getAbsolutePath + "/idx_clean"
+    TextOps.materializeBm25IndexOf(docs, clean)
+    TextOps.bm25IndexDelete(spark, clean, Seq(1L).toDF("doc_id"))
+    val viaRecovered = TextOps.bm25OverIndex(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaClean = TextOps.bm25OverIndex(spark, clean, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaRecovered === viaClean, "recovered delete diverged from a clean delete")
+    assert(spark.read.parquet(s"$idx/docids").collect().count(_.getInt(1) == 1) === 1,
+      "replay must land exactly one tombstone")
+    // and a RETRIED delete after recovery is a no-op
+    TextOps.bm25IndexDelete(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$idx/stats").count() === 2,
+      "retry after recovery must not append another stats partial")
     rmTree(tmp)
   }
 
@@ -620,6 +688,14 @@ class TextOpsSpec extends SparkSpec {
       assert(data.length <= 1, s"bucket ${d.getName} still fragmented: ${data.length} files")
     }
     assert(compacted.nonEmpty, "the appended buckets were fragmented — compact must touch them")
+    // PHYSICAL RECLAIM: the tombstoned doc's posting rows — left on
+    // disk by the delete verb — are purged here, and the liveness
+    // sidecar drops (probes stop paying the anti-join)
+    val leftIds = spark.read.parquet(s"$idx/postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(!leftIds.contains(1L), "compaction must reclaim tombstoned postings")
+    assert(!new java.io.File(s"$idx/tombs").exists(),
+      "compaction must drop the tombs sidecar")
     // stats: the 3 partials (build, append, negative delete) fold to ONE
     // row holding their sum — the 4 survivors' (n, Σdl)
     val stats = spark.read.parquet(s"$idx/stats").collect()
