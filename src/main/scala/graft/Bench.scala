@@ -179,11 +179,32 @@ object Bench {
       // the round-named copy is written by the SAME run that wrote
       // BENCH_full_latest.json, so the pair can never de-sync (round-10
       // verdict #2: a bench re-run after the gate's mid-round sync step
-      // left BENCH_r10_full.json carrying a different, noisier run)
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val prior = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
-        .collect { case rx(n) => n.toInt }
-      val round = if (prior.isEmpty) 1 else prior.max + 1
+      // left BENCH_r10_full.json carrying a different, noisier run).
+      // Round numbering (round-11 ADVICE, low): SPARK_GRAFT_ROUND is
+      // the single source of truth when set (check_all.sh computes it
+      // once and passes it here AND to its own sync assert); the
+      // max-compact+1 inference is only the unset fallback, and it
+      // warns on its two failure modes — a cwd that is not the repo
+      // root (the file listing would see no artifacts and misnumber to
+      // round 1), and a full re-run AFTER this round's compact artifact
+      // landed (the numbering would shift to round+1, orphaning the
+      // round-full artifact the re-run meant to refresh).
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        if (!new java.io.File("build.sbt").exists())
+          System.err.println("[bench] WARNING: cwd is not the repo root — " +
+            "round inference over BENCH_r*.json sees nothing here; set " +
+            "SPARK_GRAFT_ROUND or run from the repo root")
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val prior = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+          .collect { case rx(n) => n.toInt }
+        val r = if (prior.isEmpty) 1 else prior.max + 1
+        if (prior.nonEmpty && new java.io.File(f"BENCH_r${prior.max}%02d_full.json").exists())
+          System.err.println(s"[bench] NOTE: inferring round $r because " +
+            f"BENCH_r${prior.max}%02d.json exists; if this run is meant to refresh " +
+            f"round ${prior.max}'s artifact instead, re-run with SPARK_GRAFT_ROUND=${prior.max} " +
+            f"(otherwise BENCH_r${prior.max}%02d_full.json stays behind as a prior-round artifact)")
+        r
+      }
       val dst = java.nio.file.Paths.get(f"BENCH_r$round%02d_full.json")
       java.nio.file.Files.write(dst,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -55,6 +55,17 @@ object RunPipeline {
       import spark.implicits._
       Seq(("events_frontier", frontier)).toDF("table_name", "frontier")
     }),
+    // COLD-START stage: land every session-shared corpus frame
+    // (serving indexes, pair/rank frames, rare grams, tokenized
+    // corpus) CONCURRENTLY before the training-data tier touches any
+    // of them — the operational pattern that fronts the landings once
+    // instead of paying them serially at first query (round-11 verdict
+    // task #7). Emits one (landing, seconds) row per landing.
+    "land_shared"       -> (() => {
+      import spark.implicits._
+      graft.operators.Warmup.landShared(spark, sfDir)
+        .toDF("landing", "seconds").orderBy(col("landing"))
+    }),
     // training-data tier, in corpus-build order: curation rollup
     // (quality → dedup → near-dup → split), benchmark decontamination
     // over the same corpus, then the mixture emission a trainer reads

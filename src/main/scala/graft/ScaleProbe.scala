@@ -369,6 +369,38 @@ object ScaleProbe {
       // partial-agged integer mean — wall must track corpus rows
       "v12b_pq_train_3rounds" -> ((s, d) =>
         operators.Similarity.pqCodebookTrained(Tables.embeddings(s, d), 3)),
+      // v9f twin (round-12 verdict task #4): the ANN CDC cycle under the
+      // SAME fixed-change-set protocol as the lexical probe — changed
+      // vec_ids exist only in salted copy 0, so |changes| is constant
+      // while the corpus grows k×; fresh UUID paths per rep (no memo
+      // hits). Claim under test, previously ARGUED from assignment
+      // determinism: the vector delete leg is change-LOCAL by layout
+      // (each vector lives in exactly one cell), so the apply share
+      // must stay flat with no tombstone machinery. Centroid rows
+      // (vec_id < IvfCentroids) never mutate — the v9e re-train rule,
+      // and the probe's query vector stays stable.
+      "ivf_build_v1"         -> ((s, d) => {
+        val p = s"$outRoot/icdb_${java.util.UUID.randomUUID().toString.take(8)}"
+        operators.Similarity.materializeIvfOf(Tables.embeddings(s, d), p)
+        operators.Similarity.ivfTopKOverIndex(s, p, 0L, 10, nprobe = 2)
+      }),
+      "ivf_cdc_cycle"        -> ((s, d) => {
+        val p = s"$outRoot/icdc_${java.util.UUID.randomUUID().toString.take(8)}"
+        val v1 = Tables.embeddings(s, d)
+        operators.Similarity.materializeIvfOf(v1, p)
+        val changed = col("vec_id") >= operators.Similarity.IvfCentroids &&
+          col("vec_id") < 500
+        val v2 = v1.withColumn("embedding",
+          when(changed, reverse(col("embedding"))).otherwise(col("embedding")))
+        val log = operators.SnapshotDiff.changelog(v1, v2,
+          Seq("vec_id"), Seq("embedding", "label")).localCheckpoint(true)
+        operators.Similarity.ivfIndexDelete(s, p,
+          log.filter(col("op").isin("deleted", "updated")).select(col("vec_id")))
+        operators.Similarity.ivfIndexAppend(s, p,
+          log.filter(col("op") =!= "deleted")
+            .select(col("vec_id"), col("label"), col("embedding")))
+        operators.Similarity.ivfTopKOverIndex(s, p, 0L, 10, nprobe = 2)
+      }),
       "bm25_build_v1"        -> ((s, d) => {
         val p = s"$outRoot/cdcb_${java.util.UUID.randomUUID().toString.take(8)}"
         operators.TextOps.materializeBm25IndexOf(Tables.documents(s, d), p)

@@ -333,6 +333,10 @@ object SparkEntry {
     // three queries; per-term df shared, per-query WindowGroupLimit
     // top-k; oracle = UNION ALL of the solo pages
     "t11h_batch_queries"      -> ((s, d) => TextOps.bm25BatchTopK(s, d)),
+    // t11i: the t11h batch composed with w5b's keyset pagination — N
+    // queries each fetch page 2 with the cursor their page-1 response
+    // carried; the keyset filter runs BEFORE the per-query top-k
+    "t11i_batch_page2"        -> ((s, d) => TextOps.bm25BatchPage2(s, d)),
     // c9: cluster-balanced diversity selection — cap per SEMANTIC
     // cluster (the c7 cap over embedding cells instead of sources),
     // keeping each cell's highest-quality docs; composition of the
@@ -929,6 +933,25 @@ object SparkEntry {
          ORDER BY query_id, doc_id"""
   }
 
+  /** t11i's oracle: each query's OFFSET page-2 slice — the ranking
+    * order is total (score desc, doc_id asc), so the engine's keyset
+    * page 2 must equal the offset slice row-for-row. */
+  private lazy val bm25BatchPage2Sql: String = {
+    val chains = operators.TextOps.Bm25Queries.map { case (qid, q) =>
+      bm25CtesOver("documents", operators.TextOps.bm25TermsOf(q), s"_q$qid")
+    }.mkString(",\n         ")
+    val pages = operators.TextOps.Bm25Queries.map { case (qid, _) =>
+      s"""SELECT CAST($qid AS INTEGER) AS query_id, doc_id, lang, score_milli
+           FROM (SELECT doc_id, lang, score_milli FROM bmscored_q$qid
+                 WHERE score_milli > 0
+                 ORDER BY score_milli DESC, doc_id LIMIT 10 OFFSET 10) p$qid"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH $chains
+         SELECT query_id, doc_id, lang, score_milli FROM (
+           $pages) u
+         ORDER BY query_id, doc_id"""
+  }
+
   /** The v13/v13b fusion SQL — the indexed hybrid answers it verbatim. */
   private lazy val oracleSqlOfV13: String =
     s"""${stubSearchSql(operators.Similarity.DefaultQuery, 10)},
@@ -1127,10 +1150,24 @@ object SparkEntry {
   /** The trained codebook read from the landed v12b artifact — `def`:
     * the path is recorded when the v12b/v16b query lands the index,
     * and Verify dumps oracle SQL after every query has run (the v9c
-    * mechanism). */
+    * mechanism). If NEITHER ran in this dump (a query-filtered Verify),
+    * the oracle cannot name a real artifact; it must not interpolate a
+    * sentinel path that would surface as a baffling file-not-found at
+    * verify time (round-11 ADVICE) — instead it emits a SELF-DIAGNOSING
+    * oracle that raises DuckDB's error() with the actual cause. The
+    * dump itself stays valid JSON and every other query's compare is
+    * unaffected; only running v12b/v16b's oracle without its query
+    * fails, and it fails saying why. */
   private def trainedCbSql: String =
-    s"""SELECT cb_k, cb_emb FROM read_parquet(
-           '${operators.Similarity.pqTrainedPathForOracle.getOrElse("PQ_TRAINED_NOT_LANDED")}/_codebook/*.parquet')"""
+    operators.Similarity.pqTrainedPathForOracle match {
+      case Some(p) =>
+        s"""SELECT cb_k, cb_emb FROM read_parquet('$p/_codebook/*.parquet')"""
+      case None =>
+        """SELECT error('v12b trained-codebook artifact was not landed in this
+           Verify run (v12b/v16b did not execute — query-filtered run?); this
+           oracle is only valid in a dump where they ran')::INTEGER AS cb_k,
+           CAST(NULL AS DOUBLE[]) AS cb_emb"""
+    }
 
   private lazy val v10Sql: String =
     s"""WITH $v10Ctes
@@ -1761,6 +1798,9 @@ object SparkEntry {
     // t11h: the batch answers every query's solo page under its id —
     // hash equality proves batching is invisible per query
     "t11h_batch_queries" -> bm25BatchPageSql,
+    // t11i: keyset page 2 ≡ the offset page-2 slice under the total
+    // ranking order — per query, over the same corpus SQL
+    "t11i_batch_page2" -> bm25BatchPage2Sql,
     // v15: the shortlist CTE + k unrolled greedy rounds — hash
     // equality proves the driver greedy IS the MMR selection
     "v15_mmr_rerank" -> mmrSql,

@@ -264,7 +264,7 @@ object Curation {
   // honest generation cost; later calls read the landing.
   private val rareGramsMemo = new SessionMemo[DataFrame]()
 
-  private def rareGramsLanded(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def rareGramsLanded(spark: SparkSession, dir: String): DataFrame = {
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
     rareGramsMemo.getOrCompute(spark, dir, fp) {
       val t0 = System.nanoTime()

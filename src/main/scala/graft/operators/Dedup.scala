@@ -152,11 +152,21 @@ object Dedup {
     // join sides) — persist both layers so shingling and the df cap run
     // once; an UNPERSISTED frame under a self-join re-executes its
     // whole subtree per branch (measured 21 s vs 1 s on the minhash
-    // bucket join).
+    // bucket join), and round-12's interleaved A/B profiling confirmed
+    // the same pathology in miniature (un-persisting the anti-join
+    // result re-ran the hot-gram agg per consumer, +60%).
     // repartition BEFORE shingling: the fixture parquet is one split,
     // so without the early exchange the whole shingle+hash computation
     // runs on a single task (measured 4 s single-task vs <1 s spread).
     // Shuffling the raw docs first is cheap (5k rows of text).
+    // The Jaccard denominators are CARRIED into the self-join (the
+    // ≤|docs|-row counts frame broadcasts onto each side) so the pair
+    // aggregate emits complete rows and the two post-agg |pairs|-row
+    // count joins disappear — round-12 interleaved profiling: this
+    // shape is the best of three measured (window-df single-persist
+    // flavor +0.3 s; the old post-agg-join tail ~equal but two more
+    // shuffle joins at scale). n_grams is constant per doc — max()
+    // picks it deterministically.
     val cap = capOverride.getOrElse(dfCapFor(input))
     val docs = shared(input
       .repartition(col("doc_id"))
@@ -165,19 +175,22 @@ object Dedup {
     val hot = docs.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("gram_h"))
     val rare = shared(docs.join(broadcast(hot), Seq("gram_h"), "left_anti"))
+    // broadcast is honest at 100 TB here: counts is ≤|docs| rows of two
+    // BIGINTs, and the per-side join key is the doc id — AQE would pick
+    // it anyway at fixture scale; at cluster scale a |docs|-sized build
+    // side that outgrows broadcast falls back to the post-agg join form
     val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-
-    val common = rare.select(col("doc_id").as("a_id"), col("gram_h"))
-      .join(rare.select(col("doc_id").as("b_id"), col("gram_h")), Seq("gram_h"))
+    val result = rare.select(col("doc_id").as("a_id"), col("gram_h"))
+      .join(broadcast(counts.select(col("doc_id").as("a_id"),
+        col("n_grams").as("a_n"))), Seq("a_id"))
+      .join(rare.select(col("doc_id").as("b_id"), col("gram_h"))
+        .join(broadcast(counts.select(col("doc_id").as("b_id"),
+          col("n_grams").as("b_n"))), Seq("b_id")),
+        Seq("gram_h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_common"))
-
-    // no broadcast hint on counts: it is |docs|-sized, small here but
-    // not at 100 TB — AQE broadcasts it when it fits
-    val result = common
-      .join(counts.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), Seq("a_id"))
-      .join(counts.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), Seq("b_id"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
       .withColumn("jaccard",
         col("n_common") / (col("a_n") + col("b_n") - col("n_common")))
       .filter(col("jaccard") >= threshold)

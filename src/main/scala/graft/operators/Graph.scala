@@ -48,27 +48,38 @@ object Graph {
       .orderBy(col("doc_id"))
 
   /** Fixed-iteration integer PageRank over an undirected pair frame
-    * (a_id, b_id). Returns (id, r) with r in ppm. */
+    * (a_id, b_id). Returns (id, r) with r in ppm.
+    *
+    * A Pregel round is ONE edge⋈rank join + one dst-keyed sum — the
+    * minimum. Two per-round joins the round-11 shape paid are folded
+    * away (verdict task #2): the out-degree joins onto the edge frame
+    * ONCE before the loop (deg is loop-invariant), and the node-set
+    * re-join after the aggregate was vacuous — the symmetric union
+    * puts every node on both edge ends, so the dst aggregate already
+    * covers the full node set and no rank can be null. Rounds
+    * checkpoint every SECOND iteration: job-scheduling overhead (the
+    * dominant sf0.1 cost of a fixed 10-round loop) halves while
+    * lineage stays bounded at two rounds — values are identical, only
+    * the materialization cadence changes. */
   private[graft] def pagerankOf(pairs: DataFrame, iters: Int): DataFrame = {
     import CacheOps.{materializeAndRelease, shared}
-    val sym = shared(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    val symDeg = shared(sym.join(deg, Seq("src")))
+    var ranks = symDeg.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = sym
+    for (i <- 1 to iters) {
+      val next = symDeg
         .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
-      ranks = deg.select(col("src").as("id"))
-        .join(contrib.select(col("dst").as("id"), col("inr")), Seq("id"), "left")
-        .select(col("id"),
-          expr("150000L + ((850L * coalesce(inr, 0L)) div 1000L)").as("r"))
-        .localCheckpoint(true)
+        .select(col("dst").as("id"),
+          expr("150000L + ((850L * inr) div 1000L)").as("r"))
+      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint(true) else next
     }
-    materializeAndRelease(ranks, sym)
+    materializeAndRelease(ranks, symDeg)
   }
 
   // One-time-per-session memo for the corpus RANK frame (the d7
@@ -81,7 +92,7 @@ object Graph {
   // holds a handle to landed data, not a lazy plan.
   private val rankMemo = new SessionMemo[DataFrame]()
 
-  private def ranksLanded(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def ranksLanded(spark: SparkSession, dir: String): DataFrame = {
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
     rankMemo.getOrCompute(spark, dir, fp) {
       val t0 = System.nanoTime()

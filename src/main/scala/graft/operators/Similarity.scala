@@ -735,7 +735,7 @@ object Similarity {
 
   /** Land the first-8-centroid index into session scratch once
     * (fingerprint-memoized) and return its path. */
-  private def landIvf(spark: SparkSession, dir: String): String =
+  private[operators] def landIvf(spark: SparkSession, dir: String): String =
     landOnce(spark, dir, "graft_ivf_idx", ivfLanded)(materializeIvf(spark, dir, _))
 
   /** v9 gate form: land the index once, probe the query's cell. */

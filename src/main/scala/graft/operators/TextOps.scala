@@ -1374,6 +1374,45 @@ object TextOps {
         source = "documents.parquet")(materializeBm25Index(spark, dir, _)),
       Bm25Queries.map { case (qid, q) => (qid, bm25TermsOf(q)) }, k)
 
+  /** T11i: keyset-paginated BATCH serving — t11h composed with w5b's
+    * keyset discipline (round-11 verdict task #8; the reference's real
+    * dashboard pattern is exactly this: N concurrent queries, each
+    * fetching its NEXT page with the cursor its previous response
+    * carried, app.py:155-170 + main.py:84-87). Page 1 is the t11h
+    * batch; each query's CURSOR is its page-1 last row in ranking
+    * order (min score_milli, then max doc_id — the pair a client
+    * echoes back). Page 2 runs the ONE pruned probe again and applies
+    * the keyset predicate per query — score < s_k OR (score = s_k AND
+    * doc_id > d_k) — BEFORE the per-query top-k, so the window ranks
+    * only past-cursor rows instead of materializing 2k rows and
+    * slicing (the w5b argument, per query: at page N the offset form
+    * re-sorts N·k rows per query, the keyset form always ranks ≤ the
+    * remaining candidates). The ranking order is total (score desc,
+    * doc_id asc), so keyset page 2 ≡ offset page 2 — which is what
+    * the oracle asserts, per query, over the corpus SQL. The cursor
+    * frame is ≤|queries| rows — legitimately broadcast. */
+  def bm25BatchPage2(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val path = Similarity.landOnce(spark, dir, "graft_bm25_idx", bm25Landed,
+      source = "documents.parquet")(materializeBm25Index(spark, dir, _))
+    val queries = Bm25Queries.map { case (qid, q) => (qid, bm25TermsOf(q)) }
+    // the page-1 interaction: the t11h batch, verbatim
+    val cursors = bm25BatchOverIndex(spark, path, queries, k)
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("score_milli"), (-col("doc_id")).as("nd"))).as("c"))
+      .select(col("query_id"), col("c.score_milli").as("s_k"), (-col("c.nd")).as("d_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score_milli"), col("doc_id"))
+    bm25ScoredOverIndex(spark, path, queries)
+      .join(broadcast(cursors), Seq("query_id"))
+      .filter(col("score_milli") < col("s_k") ||
+        (col("score_milli") === col("s_k") && col("doc_id") > col("d_k")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("lang"), col("score_milli"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** The shared probe pipeline — ONE copy of the serving scorer for
     * the solo (t11b family) and batched (t11h) paths, so the two
     * cannot drift: pruned postings read (bucket union as partition
@@ -1651,7 +1690,7 @@ object TextOps {
   // checkpoint-materialized before the memo holds it.
   private val tokBaseMemo = new SessionMemo[DataFrame]()
 
-  private def tokenizedBaseLanded(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tokenizedBaseLanded(spark: SparkSession, dir: String): DataFrame = {
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
     tokBaseMemo.getOrCompute(spark, dir, fp) {
       documents(spark, dir)

@@ -87,6 +87,14 @@ object IndexStream {
     * partitioned append), so there is no multi-artifact mid-publish
     * window to recover — the `_appendlog` machinery is the lexical
     * index's three-artifact problem, not this one's. */
+  // Test seam: invoked with each micro-batch BEFORE the v9d append. A
+  // spec simulates a crash mid-append by landing a PARTIAL slice of
+  // the batch and then throwing — the exact state a killed append
+  // job's already-committed tasks leave (some of the batch's rows
+  // visible in cell dirs, the batch unacknowledged). Identity in
+  // production.
+  private[graft] var ivfIngestFaultHook: DataFrame => Unit = _ => ()
+
   def ivfIndexIngest(spark: SparkSession, incomingDir: String,
       indexPath: String, checkpoint: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -100,6 +108,7 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        ivfIngestFaultHook(batch)
         graft.operators.Similarity.ivfIndexAppend(batch.sparkSession, indexPath, batch)
       }
       .start()

@@ -211,4 +211,56 @@ class IndexStreamSpec extends SparkSpec {
     assert(contents() === full, "replay changed the index")
     rmTree(tmp)
   }
+
+  test("st6 kill mid-append: a killed batch's partial task commits are a no-op on restart") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def vec(axis: Int) = { val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v }
+    val base = (0L until 8L).map(i => (i, s"l${i % 2}", vec((i % 4).toInt)))
+      .toDF("vec_id", "label", "embedding")
+    val arriving = Seq((8L, "l0", vec(1)), (9L, "l1", vec(2)),
+      (10L, "l0", vec(3)), (11L, "l1", vec(0)))
+      .toDF("vec_id", "label", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_kill_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val cp = tmp.getAbsolutePath + "/cp"
+    Similarity.materializeIvfOf(base, idx)
+    arriving.coalesce(1).write.mode("overwrite").parquet(incoming)
+    // KILL the first delivery mid-append: half the batch's rows land
+    // (the committed-task state of a killed append job — real rows in
+    // cell dirs, the batch unacknowledged), then the query dies
+    IndexStream.ivfIngestFaultHook = b => {
+      Similarity.ivfIndexAppend(spark, idx, b.filter(col("vec_id") % 2 === 0))
+      throw new RuntimeException("injected mid-append crash")
+    }
+    try {
+      val q = IndexStream.ivfIndexIngest(spark, incoming, idx, cp)
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally IndexStream.ivfIngestFaultHook = _ => ()
+    // the torn state is real: even ids landed, odd ids did not
+    val midIds = spark.read.parquet(idx)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(Set(8L, 10L).subsetOf(midIds) && !midIds.contains(9L) && !midIds.contains(11L),
+      s"crash fixture must leave a half-appended batch, got $midIds")
+    // restart on the SAME checkpoint: the unacknowledged batch
+    // redelivers in full; the index-is-the-ledger anti-join drops the
+    // already-landed half and appends ONLY the missing rows
+    val q2 = IndexStream.ivfIndexIngest(spark, incoming, idx, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    val clean = tmp.getAbsolutePath + "/idx_clean"
+    Similarity.materializeIvfOf(base, clean)
+    Similarity.ivfIndexAppend(spark, clean, arriving)
+    def contents(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cent_id").cast("long"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(contents(idx) === contents(clean),
+      "recovered ANN index diverged from a clean run")
+    // row-for-row, not byte-for-byte: the retry legitimately lands the
+    // missing half in its own file — COUNT equality is what proves the
+    // already-landed half did not duplicate
+    assert(spark.read.parquet(idx).count() === spark.read.parquet(clean).count(),
+      "retried batch duplicated its already-landed rows")
+    rmTree(tmp)
+  }
 }

@@ -654,6 +654,44 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("bm25 keyset batch page 2 (t11i): equals the offset slice per query, " +
+      "including across a score tie at the page boundary") {
+    import spark.implicits._
+    // enough alpha/beta docs that page 1 (k=2) leaves a real remainder,
+    // including a SCORE TIE across the page boundary (docs 10/11 share
+    // text, so the cursor's doc_id tiebreak is exercised)
+    val docs = ((0L until 10L).map(i =>
+      (i, "alpha " * (i + 1).toInt + "beta", "en")) ++
+      Seq((10L, "alpha beta beta", "fr"), (11L, "alpha beta beta", "de")))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_page2_spec").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(docs, path)
+    val k = 2
+    val queries = Seq(0 -> Seq("alpha", "beta"), 1 -> Seq("beta"))
+    val cursors = TextOps.bm25BatchOverIndex(spark, path, queries, k)
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("score_milli"), (-col("doc_id")).as("nd"))).as("c"))
+      .select(col("query_id"), col("c.score_milli").as("s_k"), (-col("c.nd")).as("d_k"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // oracle slice per query: full ranking, rows k+1..2k
+    queries.foreach { case (qid, terms) =>
+      val full = TextOps.bm25OverIndex(spark, path, terms, 100)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy { case (id, _, s) => (-s, id) }
+      val expect = full.slice(k, 2 * k).sortBy(_._1)
+      val (sK, dK) = cursors(qid)
+      val page2 = TextOps.bm25OverIndex(spark, path, terms, 100)
+        .filter(col("score_milli") < sK ||
+          (col("score_milli") === sK && col("doc_id") > dK))
+        .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(page2 === expect, s"keyset page 2 of query $qid diverged from the offset slice")
+    }
+    rmTree(tmp)
+  }
+
   test("bm25 compact (t11f): artifacts collapse, answers unchanged, ledger still forgets") {
     import spark.implicits._
     val batch1 = Seq(

@@ -39,7 +39,19 @@ print(f'ok: all {len(prior)} scenarios from {arts[-1]} present ({len(now)} total
 EOF
 
 echo "=== bench @ sf0.1 ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+# ONE round-number derivation for the whole gate (round-11 ADVICE):
+# computed here, passed to Bench (which writes BENCH_r{N}_full.json)
+# and reused by the sync assert below — the two can no longer drift.
+GRAFT_ROUND=$(python3 - <<'EOF'
+import glob, re
+rounds = [int(m.group(1)) for p in glob.glob('BENCH_r[0-9]*.json')
+          if (m := re.match(r'BENCH_r(\d+)\.json$', p))]
+print(max(rounds) + 1 if rounds else 1)
+EOF
+)
+echo "round: $GRAFT_ROUND"
+SPARK_GRAFT_ROUND=$GRAFT_ROUND SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '\{"metric".*\}$' > /tmp/check_bench.json
 python3 - <<'EOF'
 import json
@@ -65,11 +77,9 @@ echo "=== round-named full bench artifact in sync ==="
 # cannot de-sync — round-10 verdict #2: the old mid-gate copy went stale
 # when a later bench re-ran). This step ASSERTS the three artifacts
 # carry the same run: n_queries AND total value.
-python3 - <<'EOF'
-import glob, json, re
-rounds = [int(m.group(1)) for p in glob.glob('BENCH_r[0-9]*.json')
-          if (m := re.match(r'BENCH_r(\d+)\.json$', p))]
-n = max(rounds) + 1 if rounds else 1  # the in-progress round
+GRAFT_ROUND=$GRAFT_ROUND python3 - <<'EOF'
+import json, os
+n = int(os.environ['GRAFT_ROUND'])  # the gate's ONE derivation, above
 full = json.load(open('BENCH_full_latest.json'))
 rn = json.load(open(f'BENCH_r{n:02d}_full.json'))
 compact = json.load(open('/tmp/check_bench.json'))
