@@ -409,6 +409,29 @@ object ScaleProbe {
         operators.TextOps.bm25OverIndex(s, p,
           operators.TextOps.Bm25Terms.flatMap(t => Seq(t, t + "_c0")), 10)
       }),
+      // the two halves of the round-12 tombstone-liveness trade,
+      // probed separately: the DELETE leg alone must be change-sized
+      // (it appends three small artifacts), and the deferred RECLAIM
+      // (compaction step 0) is WHERE the index-bytes-shaped work went
+      // — amortized over a compaction cycle's churn, off the release
+      // path. reclaim share = reclaim_cycle − delete_only.
+      "bm25_delete_only"     -> ((s, d) => {
+        val p = s"$outRoot/cdcd_${java.util.UUID.randomUUID().toString.take(8)}"
+        operators.TextOps.materializeBm25IndexOf(Tables.documents(s, d), p)
+        operators.TextOps.bm25IndexDelete(s, p,
+          Tables.documents(s, d).filter(col("doc_id") < 500).select(col("doc_id")))
+        operators.TextOps.bm25OverIndex(s, p,
+          operators.TextOps.Bm25Terms.flatMap(t => Seq(t, t + "_c0")), 10)
+      }),
+      "bm25_reclaim_cycle"   -> ((s, d) => {
+        val p = s"$outRoot/cdcr_${java.util.UUID.randomUUID().toString.take(8)}"
+        operators.TextOps.materializeBm25IndexOf(Tables.documents(s, d), p)
+        operators.TextOps.bm25IndexDelete(s, p,
+          Tables.documents(s, d).filter(col("doc_id") < 500).select(col("doc_id")))
+        operators.TextOps.bm25IndexCompact(s, p)
+        operators.TextOps.bm25OverIndex(s, p,
+          operators.TextOps.Bm25Terms.flatMap(t => Seq(t, t + "_c0")), 10)
+      }),
       "bm25_cdc_cycle"       -> ((s, d) => {
         val p = s"$outRoot/cdcc_${java.util.UUID.randomUUID().toString.take(8)}"
         val v1 = Tables.documents(s, d)

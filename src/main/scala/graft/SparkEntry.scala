@@ -320,6 +320,10 @@ object SparkEntry {
     // changelog applied to the landed postings via delete+re-append;
     // oracle = t11's page over the v2 corpus derived directly
     "t11g_cdc_index"          -> ((s, d) => TextOps.bm25CdcTopK(s, d)),
+    // st7: the t11g release loop as a STREAM — changelog micro-batches
+    // apply through the tombstone maintenance verbs; the round-12
+    // delete makes every batch change-sized
+    "st7_cdc_stream"          -> ((s, d) => TextOps.bm25CdcStreamedTopK(s, d)),
     // st4: streaming ingestion into the landed index — micro-batches
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
@@ -1786,6 +1790,9 @@ object SparkEntry {
     // t11g: diff-apply ≡ rebuild at the lexical serving tier — the
     // oracle never sees the changelog or the index
     "t11g_cdc_index" -> bm25CdcPageSql,
+    // st7: the STREAMED changelog apply answers the identical v2 page —
+    // hash equality proves stream-CDC ≡ rebuild at any micro-batching
+    "st7_cdc_stream" -> bm25CdcPageSql,
     // t11f: the compacted lifecycle answers the same filtered-corpus
     // page — hash equality proves compaction is answer-preserving
     "t11f_compacted_index" -> bm25DeletedPageSql,

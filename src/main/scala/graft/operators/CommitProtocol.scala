@@ -111,6 +111,9 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5,
   // tip version at the writer's table snapshot (begin); None until then
   @volatile private var snapshotBase: Option[Long] = None
 
+  // see the call site in commitPartitions — spec-only interleaving seam
+  private[graft] var preClaimHook: () => Unit = () => ()
+
   override def recover(spark: SparkSession, tablePath: String): Seq[String] =
     OptimisticLogCommit.recover(spark, tablePath, recoveryGraceMs)
 
@@ -186,6 +189,11 @@ class OptimisticLogCommit(baseVersion: Long = -1L, maxRetries: Int = 5,
           "still stage intersecting partition(s): a crashed (or live) writer's " +
           "commit is unpublished — run recover() first (it replays claims older " +
           "than the grace window) rather than silently superseding the claim")
+      // Test seam: invoked after the pre-claim conflict checks and
+      // before the CAS — a spec interleaves a racing writer's claim
+      // here to exercise the post-claim retraction deterministically.
+      // Identity in production.
+      preClaimHook()
       val next = recs.lastOption.map(_.version).getOrElse(0L) + 1L
       if (claim(fs, log, next, body)) {
         // post-claim re-check closes the read-then-claim TOCTOU: a

@@ -1519,6 +1519,44 @@ object TextOps {
       },
       Bm25Terms, k)
 
+  // landing memo for the CDC-stream-maintained index (st7)
+  private val bm25CdcStreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST7 gate form: land the v1 index, write the s19 changelog (v1 →
+    * derived v2) as TWO files on a streaming source, drain through
+    * [[graft.streaming.IndexStream.bm25CdcIngest]] — one micro-batch
+    * per file, each applying its slice of deletes/updates/inserts
+    * through the tombstone maintenance verbs — then probe. Answers
+    * t11g's oracle VERBATIM (the t11 page over the v2 corpus derived
+    * directly): hash equality proves STREAMED changelog apply ≡
+    * rebuild, regardless of how the release was micro-batched. */
+  def bm25CdcStreamedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25OverIndex(spark,
+      Similarity.landOnce(spark, dir, "graft_bm25_cdcst", bm25CdcStreamLanded,
+        source = "documents.parquet") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a re-landing (regenerated fixture) must forget the previous
+        // stream's progress or the drained files would be skipped
+        fs.delete(new org.apache.hadoop.fs.Path(s"${p}_checkpoint"), true)
+        val v1 = documents(spark, dir)
+        materializeBm25Index(spark, dir, p)
+        val log = SnapshotDiff.changelog(v1, SnapshotDiff.nextRelease(v1),
+          Seq("doc_id"), Seq("text", "lang", "source")).localCheckpoint(true)
+        val incoming = s"${p}_incoming"
+        // two files → two micro-batches at maxFilesPerTrigger=1; the
+        // changelog has one row per doc_id, so any split applies
+        // cleanly (batching-invariance is what the oracle then proves)
+        log.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(incoming)
+        log.filter(col("doc_id") % 2 =!= 0)
+          .coalesce(1).write.mode("append").parquet(incoming)
+        val q = graft.streaming.IndexStream.bm25CdcIngest(
+          spark, incoming, p, s"${p}_checkpoint")
+        try q.processAllAvailable() finally q.stop()
+      },
+      Bm25Terms, k)
+
   /** T11f gate form: run the FULL index lifecycle — build minus the
     * t11c holdout, append the holdout, delete the t11e doomed set —
     * then COMPACT, then probe. The oracle is t11e's (the page over the

@@ -129,6 +129,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bm25CdcTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25CompactedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25StreamedTopK(spark, emptyDir).count() === 0)
+    assert(TextOps.bm25CdcStreamedTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25BatchTopK(spark, emptyDir).count() === 0)
     assert(TextOps.bm25BatchPage2(spark, emptyDir).count() === 0)
     assert(Similarity.hybridRrfIndexed(spark, emptyDir).count() === 0)

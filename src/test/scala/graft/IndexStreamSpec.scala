@@ -212,6 +212,38 @@ class IndexStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st7: streamed changelog apply equals a v2 rebuild; fresh-checkpoint replay keeps every answer") {
+    import spark.implicits._
+    import graft.operators.SnapshotDiff
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_cdcst_spec").toFile
+    // the gate form end-to-end (fixture corpus): stream-applied page ≡
+    // a fresh index built directly over the derived v2 corpus
+    val rebuilt = tmp.getAbsolutePath + "/idx_v2"
+    TextOps.materializeBm25IndexOf(SnapshotDiff.nextRelease(docs), rebuilt)
+    val viaStream = TextOps.bm25CdcStreamedTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaRebuilt = TextOps.bm25OverIndex(spark, rebuilt, TextOps.Bm25Terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaStream === viaRebuilt, "streamed changelog apply diverged from v2 rebuild")
+    assert(viaStream.nonEmpty)
+    // FULL redelivery under a fresh checkpoint: the CDC stream is
+    // ANSWER-idempotent (a replayed batch re-tombstones then re-adds
+    // its updated docs under a fresh generation — same text, same
+    // scores; the churned generations are compaction's reclaim food)
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = Tables.scratchDir.getOrElse(
+      System.getProperty("java.io.tmpdir")) + s"/graft_bm25_cdcst_$tag"
+    assert(new java.io.File(idx).exists(), "the gate form must have landed its index in scratch")
+    val q2 = IndexStream.bm25CdcIngest(spark, s"${idx}_incoming", idx,
+      tmp.getAbsolutePath + "/cp_replay")
+    try q2.processAllAvailable() finally q2.stop()
+    val afterReplay = TextOps.bm25OverIndex(spark, idx, TextOps.Bm25Terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(afterReplay === viaStream, "full redelivery changed an answer")
+    rmTree(tmp)
+  }
+
   test("st6 kill mid-append: a killed batch's partial task commits are a no-op on restart") {
     import spark.implicits._
     import graft.operators.Similarity

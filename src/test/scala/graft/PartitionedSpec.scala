@@ -429,6 +429,49 @@ class PartitionedSpec extends SparkSpec {
       "recovery must not clobber the later committed version")
   }
 
+  test("post-claim re-check: a racer's claim landing between the log read and the CAS retracts OUR claim") {
+    import spark.implicits._
+    import graft.operators.OptimisticLogCommit
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_oplog_race")
+    val path = root.toString + "/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/_log"))
+    def fabricate(v: Long, parts: Seq[String]): Unit = {
+      val out = fs.create(new Path(s"$path/_log/v$v.json"), false)
+      out.write(OptimisticLogCommit.recordBody(s"${path}__gone_$v", parts))
+      out.close()
+    }
+    // log state: v1 and v3 completed on DISJOINT partitions (their
+    // staging dirs long gone); v2 is a number GAP — the state a prior
+    // writer's own retraction leaves behind. A racer whose stale log
+    // read predates this writer's can claim INTO that gap.
+    fabricate(1L, Seq("part=9"))
+    fabricate(3L, Seq("part=8"))
+    val staging = s"${path}__staging_ours"
+    Seq(("uX", 1L, 0)).toDF("user_id", "n_events", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(staging)
+    val c = new OptimisticLogCommit(baseVersion = 1L)
+    // the racer claims v2 (intersecting part=0) AFTER our conflict
+    // checks read the log but BEFORE our CAS — the exact read-then-
+    // claim window; our CAS at v4 still SUCCEEDS, so only the
+    // post-claim re-check can see the racer
+    c.preClaimHook = () => { fabricate(2L, Seq("part=0")); c.preClaimHook = () => () }
+    val ex = intercept[IllegalArgumentException] {
+      c.commitPartitions(spark, staging, path, Seq("part=0"))
+    }
+    assert(ex.getMessage.contains("detected after claim"),
+      s"expected the post-claim retraction, got: ${ex.getMessage}")
+    assert(!fs.exists(new Path(s"$path/_log/v4.json")),
+      "our claim must be retracted (deleted), not left as a committed lie")
+    assert(fs.exists(new Path(s"$path/_log/v2.json")),
+      "the racer's claim must be left intact")
+    assert(!fs.exists(new Path(s"$path/part=0")),
+      "nothing of ours may publish after retraction")
+    assert(fs.exists(new Path(staging)),
+      "the staging dir is the caller's cleanup, not the retraction's")
+  }
+
   test("partitioned merge driver form matches the plain full-outer merge") {
     import graft.operators.MergeOps
     val scoped = MergeOps.partitionedMergeUpsert(spark, sfDir)
