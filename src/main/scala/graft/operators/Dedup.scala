@@ -188,6 +188,18 @@ object Dedup {
           col("n_grams").as("b_n"))), Seq("b_id")),
         Seq("gram_h"))
       .filter(col("a_id") < col("b_id"))
+      // LENGTH FILTER (the ppjoin-family size prefilter, sound by
+      // J = c/(a+b−c) ≤ min/max): a pair can only reach the threshold
+      // when the smaller gram set is ≥ t of the larger, so
+      // incompatible-length candidates drop BEFORE the pair aggregate
+      // — the carried counts make it a pipelined map-side cut on the
+      // join output, shrinking the aggregate's input (the 4-core
+      // bottleneck) without touching any answer. Candidates sharing a
+      // gram across very different doc lengths are the common case in
+      // a mixed corpus, so the cut is large exactly when the join is
+      // expensive.
+      .filter(greatest(col("a_n"), col("b_n")) * lit(threshold) <=
+        least(col("a_n"), col("b_n")))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"),
         max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
