@@ -123,6 +123,13 @@ object ScaleProbe {
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d2_ngram_jaccard"     -> (operators.Dedup.ngramJaccardPairs(_, _)),
+      // round-12: the prefix-filtered twin — same pairs, candidate
+      // volume cut ~(p/n)² ≈ 20× before any aggregate. The fixture
+      // measured the posting join FASTER at sf0.1 (barriers dominate at
+      // 5k docs); this probe is where the crossover claim is tested:
+      // d2's wall grows with Σdf² through the pair aggregate, d2b's
+      // with the prefix-cut candidate stream.
+      "d2b_prefix_jaccard"   -> (operators.Dedup.prefixJaccardPairs(_, _)),
       "d3_minhash_lsh"       -> (operators.Dedup.minhashLshPairs(_, _)),
       "d4b_simhash_pairs"    -> (operators.Dedup.simhashPairs(_, _)),
       // d6 probes the FRESH form: the gate/bench entry memoizes the pair

@@ -72,6 +72,10 @@ object SparkEntry {
     "t4_fingerprint"          -> ((s, d) => TextOps.fingerprints(s, d)),
     "d1_exact_dedup"          -> ((s, d) => Dedup.exactDedup(s, d)),
     "d2_ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // d2b: SAME pairs via AllPairs/PPJoin prefix-filtered candidates —
+    // the 100 TB twin (posting self-join volume cut ~20× before any
+    // aggregate); hash-equal to d2 by the shared oracle
+    "d2b_prefix_jaccard"      -> ((s, d) => Dedup.prefixJaccardPairs(s, d)),
     "d3_minhash_lsh"          -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "d4_simhash"              -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "v1_cosine_topk"          -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -1382,6 +1386,44 @@ object SparkEntry {
            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
            FROM reach GROUP BY a)"""
 
+  // d2 mirrors the engine's single-phase shape over the df-capped
+  // posting list: hot grams are removed from the similarity space
+  // (counts AND intersections), so jaccard is over the capped space —
+  // equal to plain jaccard whenever no gram exceeds the cap, as in
+  // the fixtures. Hashing (md5 60-bit prefix) is shared with Dedup;
+  // the cap is corpus-DERIVED on both sides (Dedup.dfCapSql mirrors
+  // dfCapFrame's integer arithmetic as a scalar subquery). Shared by
+  // d2 and its prefix-filter twin d2b, whose result must be
+  // hash-identical.
+  private lazy val d2Sql: String =
+    s"""WITH t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         g0 AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         g AS (
+           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
+           FROM g0),
+         hot AS (
+           SELECT gram_h FROM g GROUP BY gram_h
+           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
+         rare AS (
+           SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, n_common,
+           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN cnt ca ON a_id = ca.doc_id
+         JOIN cnt cb ON b_id = cb.doc_id
+         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
+         ORDER BY a_id, b_id"""
+
   private lazy val d7Sql: String =
     s"""WITH RECURSIVE $d7EdgeCtes,
          $d7ClosureCtes
@@ -1916,41 +1958,10 @@ object SparkEntry {
            FROM documents GROUP BY 1)
          SELECT n_copies, COUNT(*) AS n_groups FROM g
          GROUP BY n_copies ORDER BY n_copies""",
-    // d2 mirrors the engine's single-phase shape over the df-capped
-    // posting list: hot grams are removed from the similarity space
-    // (counts AND intersections), so jaccard is over the capped space —
-    // equal to plain jaccard whenever no gram exceeds the cap, as in
-    // the fixtures. Hashing (md5 60-bit prefix) is shared with Dedup;
-    // the cap is corpus-DERIVED on both sides (Dedup.dfCapSql mirrors
-    // dfCapFrame's integer arithmetic as a scalar subquery).
-    "d2_ngram_jaccard" ->
-      s"""WITH t AS (
-           SELECT doc_id, $toksSql AS w FROM documents),
-         g0 AS (
-           SELECT DISTINCT doc_id, gram FROM (
-             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
-             FROM t, unnest(range(len(w) - 2)) AS x(i)
-             WHERE len(w) >= 3)),
-         g AS (
-           SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_h
-           FROM g0),
-         hot AS (
-           SELECT gram_h FROM g GROUP BY gram_h
-           HAVING COUNT(*) > ${operators.Dedup.dfCapSql("documents")}),
-         rare AS (
-           SELECT * FROM g WHERE gram_h NOT IN (SELECT gram_h FROM hot)),
-         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
-         common AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-           FROM rare a JOIN rare b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT a_id, b_id, n_common,
-           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
-         FROM common
-         JOIN cnt ca ON a_id = ca.doc_id
-         JOIN cnt cb ON b_id = cb.doc_id
-         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
-         ORDER BY a_id, b_id""",
+    "d2_ngram_jaccard" -> d2Sql,
+    // d2b computes the IDENTICAL pair set through prefix-filtered
+    // candidate generation — one oracle proves both plans.
+    "d2b_prefix_jaccard" -> d2Sql,
     "d3_minhash_lsh" ->
       s"""WITH t AS (
            SELECT doc_id, $toksSql AS w FROM documents),

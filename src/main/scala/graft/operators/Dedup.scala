@@ -211,6 +211,94 @@ object Dedup {
     materializeAndRelease(result, docs, rare)
   }
 
+  /** D2b — the SAME pairs via AllPairs/PPJoin prefix-filtered candidate
+    * generation (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    * Similarity Search"; Xiao et al., WWW'08 PPJoin): the 100 TB twin
+    * of [[ngramJaccardPairs]], hash-equal by the shared oracle.
+    *
+    * Shape: per-doc SORTED rare-gram arrays (any global total order
+    * works for correctness — the gram hash itself here, no df join);
+    * only the first p = n − ⌊t·n⌋ + 1 grams of each doc are exploded
+    * into the candidate self-join. Sound because J ≥ t forces overlap
+    * c ≥ ⌈t·a⌉ and ⌈t·b⌉, so the smallest common gram has at most
+    * a − c + 1 ≤ a − ⌈t·a⌉ + 1 predecessors on each side — every
+    * qualifying pair collides inside both prefixes. floor (not ceil)
+    * lengthens p by ≤1: immune to t·n double-rounding UP past the true
+    * integer, which would shorten the prefix and miss pairs. Verify is
+    * exact — shingles are DISTINCT per doc (TextShingles), so
+    * n_common = |array_intersect| of the two sorted arrays, computed
+    * on the raw candidate stream (no pre-distinct barrier; the
+    * qualifying output is tiny, dropDuplicates lands there).
+    *
+    * Why d2 keeps the full posting join at fixture scale: the round-12
+    * interleaved 4-shape probe (PLANS.md) measured the posting join
+    * min 1.44 s vs this shape's 1.73 s at sf0.1/local[4] — at 5k docs
+    * the extra byDoc aggregate + verify joins cost more than the
+    * candidate cut saves. The asymptotics invert at scale: with the df
+    * cap the posting join's aggregate input is Θ(|grams|·cap²) rows,
+    * while the prefix cut admits only ~(p/n)² ≈ 5% of each posting
+    * list's pairs (t = 0.8) — a ~20× cut in the volume that dominates
+    * once the pair stream outgrows the fixed barrier cost; the shuffle
+    * itself shrinks from |postings| rows to ~0.22·|postings|. At
+    * cluster scale the verify joins shuffle on doc_id with the
+    * candidate side orders of magnitude smaller than the corpus.
+    * Reference: dedupe_donors.py pairwise-score loop (same qualifying
+    * semantics; the reference scores all blocked pairs). */
+  def prefixJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    prefixJaccardPairsOf(documents(spark, dir), threshold,
+      capOverride = Some(dfCapForTable(spark, dir)))
+
+  private[graft] def prefixJaccardPairsOf(input: DataFrame, threshold: Double = 0.8,
+      capOverride: Option[Long] = None): DataFrame = {
+    val cap = capOverride.getOrElse(dfCapFor(input))
+    val docs = shared(input
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("gram_h")))
+    val hot = docs.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("gram_h"))
+    // one aggregate yields the verify arrays, the lengths, and the
+    // prefixes; persisted because the prefix join reads it twice and
+    // the verify twice more — but at ≤|docs| rows it is ~50× smaller
+    // than the posting-list persist d2 carries.
+    val byDoc = shared(docs.join(broadcast(hot), Seq("gram_h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gram_h"))).as("grams"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("n"))
+      .withColumn("prefix", slice(col("grams"), lit(1),
+        (col("n") - floor(col("n") * lit(threshold)).cast("int") + lit(1)))))
+    val pre = byDoc.select(col("doc_id"), col("n"),
+      explode(col("prefix")).as("gram_h"))
+    val cand = pre.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+        col("gram_h"))
+      .join(pre.select(col("doc_id").as("b_id"), col("n").as("b_n"),
+        col("gram_h")), Seq("gram_h"))
+      .filter(col("a_id") < col("b_id"))
+      // length filter, sound by J = c/(a+b−c) ≤ min/max — a pipelined
+      // map-side cut on the prefix join's output.
+      .filter(greatest(col("a_n"), col("b_n")) * lit(threshold) <=
+        least(col("a_n"), col("b_n")))
+      .select(col("a_id"), col("b_id"))
+    // verify joins UNHINTED: at fixture scale the persisted byDoc's
+    // in-memory stats select broadcast on their own; at cluster scale
+    // byDoc is corpus-sized and the candidate stream is the small side
+    // — a forced broadcast here would be the dishonest direction.
+    val result = cand
+      .join(byDoc.select(col("doc_id").as("a_id"),
+        col("grams").as("a_g"), col("n").as("a_n")), Seq("a_id"))
+      .join(byDoc.select(col("doc_id").as("b_id"),
+        col("grams").as("b_g"), col("n").as("b_n")), Seq("b_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_g"), col("b_g"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common") / (col("a_n") + col("b_n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(result, docs, byDoc)
+  }
+
   /** D7: near-dup CLUSTERS via distributed connected components — the
     * step after pair generation every dedup pipeline needs (pairwise
     * similarity is not transitive, but the keep-one-per-group decision

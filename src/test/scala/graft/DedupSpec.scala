@@ -14,6 +14,40 @@ class DedupSpec extends SparkSpec {
     assert(sizes.toSeq === Seq(0, 0, 0, 1))
   }
 
+  test("prefix-filtered jaccard (d2b) equals the posting join (d2), incl. threshold-boundary pairs") {
+    // fixture equality (the oracle proves this too; here it runs in CI
+    // without DuckDB)
+    val d2 = Dedup.ngramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d2b = Dedup.prefixJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d2.nonEmpty && d2b === d2)
+
+    // crafted boundary corpus: pairs sitting EXACTLY at jaccard = 0.8,
+    // where a prefix one gram too short (the ceil-vs-floor double-
+    // rounding hazard: 0.8·n computed as 36.000000000000004 → ceil 37)
+    // would silently drop a qualifying pair. Docs of 4..40 tokens →
+    // 2..38 trigram-shingles; each "b" doc drops the final token, so
+    // the pair shares all but the last ⌈3-1⌉ shingles. Include the
+    // n_b = 0.8·n_a exact-ratio family (n_a a multiple of 5).
+    def words(k: Int, tag: String): String =
+      (1 to k).map(i => s"w${tag}_$i").mkString(" ")
+    val rows = (5 to 40).flatMap { k =>
+      Seq((k.toLong * 2, words(k, s"k$k")),
+          (k.toLong * 2 + 1, words(k, s"k$k") + " zzz_tail"))
+    }
+    val frame = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairsOf(frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val prefixed = Dedup.prefixJaccardPairsOf(frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exact.nonEmpty, "boundary corpus should contain qualifying pairs")
+    assert(exact.exists(_._4 == 0.8),
+      s"corpus should plant a pair at exactly the 0.8 threshold: ${exact.map(_._4)}")
+    assert(prefixed === exact,
+      s"missing=${exact.diff(prefixed)} extra=${prefixed.diff(exact)}")
+  }
+
   test("minhash LSH finds the same near-dup pairs as exact n-gram jaccard") {
     val exact = Dedup.ngramJaccardPairs(spark, sfDir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
