@@ -726,7 +726,11 @@ object TextOps {
         n.startsWith("__append_staging") || n.contains("__delete_staging") ||
           n.contains("__compact_staging") || n.contains("__retired_") ||
           n == Bm25AppendLogDir || // stale redo records must not replay into a rebuilt index
-          n == "tombs" // a prior index's liveness sidecar would kill fresh rows
+          n == "tombs" || // a prior index's liveness sidecar would kill fresh rows
+          // stale applied-batch marks would make a RE-LANDED CDC stream
+          // (fresh checkpoint at the same path, batch ids restarting at
+          // 0) skip its first batches as already-applied
+          n == Bm25CdcMarkDir
       }.foreach(s => fs.delete(s.getPath, true))
     writeBm25Batch(docs, path)
   }
@@ -819,6 +823,13 @@ object TextOps {
   }
 
   private[graft] val Bm25AppendLogDir = "_appendlog"
+
+  /** Applied-batch marks for the CDC ingest stream (IndexStream
+    * .bm25CdcIngest): `_cdcmark/<checkpoint-key>.<batchId>` marker
+    * files, created AFTER a micro-batch's delete+append verbs land.
+    * Underscore-prefixed so every parquet read of the index ignores
+    * the dir. Cleared on rebuild (above) with the other sidecars. */
+  private[graft] val Bm25CdcMarkDir = "_cdcmark"
 
   /** Redo-log replay for [[bm25IndexAppend]] — closes the mid-publish
     * crash window (round-10 verdict #1). For every `_appendlog/`

@@ -98,17 +98,27 @@ object IndexStream {
     * non-deleted rows back through [[TextOps.bm25IndexAppend]] (the
     * tombstoned updated docs re-add under a fresh generation).
     *
-    * Idempotence, stated honestly: this stream is ANSWER-idempotent,
-    * not publish-nothing idempotent like the append-only streams. A
-    * redelivered batch's delete leg re-tombstones the docs its append
-    * leg then re-adds (same text, next generation) — every answer is
-    * unchanged (spec-asserted) and the churned generations are exactly
-    * what compaction's reclaim folds out, but artifacts do grow by one
-    * generation per replay. The append-only streams can do better
-    * because their ledger check is membership; a CDC batch MUTATES
-    * membership, so publish-nothing idempotence needs a batch-id
-    * watermark in the index (the foreachBatch batchId pattern) — a
-    * deployment concern a table format's transaction log subsumes. */
+    * Idempotence: a CDC batch MUTATES membership, so the append-only
+    * streams' ledger anti-join cannot make its replay a no-op — the
+    * publish-nothing guarantee instead comes from a BATCH-ID WATERMARK
+    * in the index (the standard foreachBatch idempotent-sink pattern):
+    * after a micro-batch's delete+append verbs land, an applied-batch
+    * mark `_cdcmark/<checkpoint-key>.<batchId>` is created; a
+    * redelivered (checkpoint, batchId) pair — the offset-commit-crashed
+    * restart, the common replay — finds its mark and SKIPS, publishing
+    * nothing (spec-asserted byte-identical artifacts). The key hashes
+    * the checkpoint location because batch ids are only meaningful
+    * within one checkpoint lineage: a FRESH checkpoint (full
+    * redelivery) gets a new key and flows through the verbs again,
+    * where the stream is ANSWER-idempotent — the delete leg
+    * re-tombstones the docs the append leg re-adds under a fresh
+    * generation (same text, same scores, spec-asserted; the churned
+    * generations are compaction's reclaim food). The same fallback
+    * covers the one remaining crash window: between the verbs landing and the
+    * mark creation, a crash replays the batch through the verbs. Marks
+    * are create-once (no rename/overwrite protocol to tear) and are
+    * cleared by index REBUILD together with the other sidecars — a
+    * re-landed stream restarting batch ids at 0 must not skip. */
   def bm25CdcIngest(spark: SparkSession, incomingDir: String,
       indexPath: String, checkpoint: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -116,6 +126,7 @@ object IndexStream {
         "bm25_cdc_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
     import org.apache.spark.sql.functions.col
     TextOps.bm25IndexRecover(spark, indexPath)
+    val key = checkpointKey(spark, checkpoint)
     spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
       .option("maxFilesPerTrigger", 1)
       .parquet(incomingDir)
@@ -123,17 +134,65 @@ object IndexStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // consumed twice (delete keys + append rows) — pin the batch
-        val log = batch.localCheckpoint(true)
-        TextOps.bm25IndexDelete(batch.sparkSession, indexPath,
-          log.filter(col("op").isin("deleted", "updated")).select(col("doc_id")))
-        TextOps.bm25IndexAppend(batch.sparkSession, indexPath,
-          log.filter(col("op") =!= "deleted")
-            .select(col("doc_id"), col("text"), col("lang")))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (!cdcMarkExists(s, indexPath, key, batchId)) {
+          // consumed twice (delete keys + append rows) — pin the batch
+          val log = batch.localCheckpoint(true)
+          TextOps.bm25IndexDelete(s, indexPath,
+            log.filter(col("op").isin("deleted", "updated")).select(col("doc_id")))
+          TextOps.bm25IndexAppend(s, indexPath,
+            log.filter(col("op") =!= "deleted")
+              .select(col("doc_id"), col("text"), col("lang")))
+          writeCdcMark(s, indexPath, key, batchId)
+          cdcIngestFaultHook(batchId)
+        }
+        // else: publish-nothing replay — this (checkpoint, batchId)
+        // already fully applied; only the offset commit was lost
       }
       .start()
   }
+
+  /** Stable identity for a stream's checkpoint lineage: batch ids
+    * restart at 0 under a new checkpoint, so applied-batch marks must
+    * never be read across lineages. */
+  private def checkpointKey(spark: SparkSession, checkpoint: String): String = {
+    val canonical = new org.apache.hadoop.fs.Path(checkpoint)
+      .makeQualified(org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration).getUri,
+        new org.apache.hadoop.fs.Path("/")).toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  private def cdcMarkPath(indexPath: String, key: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(indexPath, TextOps.Bm25CdcMarkDir),
+      s"$key.$batchId")
+
+  private def cdcMarkExists(spark: SparkSession, indexPath: String,
+      key: String, batchId: Long): Boolean = {
+    val p = cdcMarkPath(indexPath, key, batchId)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeCdcMark(spark: SparkSession, indexPath: String,
+      key: String, batchId: Long): Unit = {
+    val p = cdcMarkPath(indexPath, key, batchId)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    // create-once, empty content: existence IS the mark (nothing to
+    // tear — no rename or overwrite protocol needed)
+    fs.create(p, false).close()
+  }
+
+  // Test seam: invoked with the batch id AFTER a CDC micro-batch's
+  // verbs land and its applied-batch mark is written, BEFORE the
+  // checkpoint commits the offset. A spec throws from it to simulate
+  // the offset-commit-crashed restart — the redelivered batch must
+  // find its mark and publish nothing. Identity in production.
+  private[graft] var cdcIngestFaultHook: Long => Unit = _ => ()
 
   // Test seam: invoked with each micro-batch BEFORE the v9d append. A
   // spec simulates a crash mid-append by landing a PARTIAL slice of

@@ -295,4 +295,77 @@ class IndexStreamSpec extends SparkSpec {
       "retried batch duplicated its already-landed rows")
     rmTree(tmp)
   }
+
+  test("st7 offset-commit crash: the redelivered CDC batch finds its applied-batch mark and publishes NOTHING") {
+    import spark.implicits._
+    val v1 = Seq(
+      (0L, "alpha beta gamma", "en"), (1L, "beta gamma delta", "en"),
+      (2L, "gamma delta epsilon", "en"), (3L, "delta epsilon zeta", "en"))
+      .toDF("doc_id", "text", "lang")
+    // changelog across two files → two micro-batches: batch A updates
+    // doc 1 (tombstone + re-add), batch B deletes doc 2 and inserts 4
+    val logA = Seq(("updated", 1L, "beta gamma eta", "en"))
+      .toDF("op", "doc_id", "text", "lang")
+    val logB = Seq(("deleted", 2L, "", ""), ("inserted", 4L, "zeta eta theta", "en"))
+      .toDF("op", "doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_cdcmark_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val cp = tmp.getAbsolutePath + "/cp"
+    TextOps.materializeBm25IndexOf(v1, idx)
+    logA.coalesce(1).write.mode("overwrite").parquet(incoming)
+    logB.coalesce(1).write.mode("append").parquet(incoming)
+    // crash AFTER the first micro-batch's verbs land and its mark is
+    // written, BEFORE the checkpoint commits the offset — the one
+    // restart position where the sink has applied a batch the source
+    // will redeliver
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    IndexStream.cdcIngestFaultHook = id => {
+      if (fired.incrementAndGet() == 1)
+        throw new RuntimeException(s"injected offset-commit crash after batch $id")
+    }
+    try {
+      val q = IndexStream.bm25CdcIngest(spark, incoming, idx, cp)
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally IndexStream.cdcIngestFaultHook = _ => ()
+    assert(fired.get() >= 1, "the fault hook must have fired")
+    // restart on the SAME checkpoint: the unacknowledged batch
+    // redelivers; the mark makes it a publish-nothing skip, then the
+    // remaining batch applies normally
+    val q2 = IndexStream.bm25CdcIngest(spark, incoming, idx, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    // clean twin: same v1, same two micro-batches, no crash
+    val clean = tmp.getAbsolutePath + "/idx_clean"
+    TextOps.materializeBm25IndexOf(v1, clean)
+    val q3 = IndexStream.bm25CdcIngest(spark, incoming, clean,
+      tmp.getAbsolutePath + "/cp_clean")
+    try q3.processAllAvailable() finally q3.stop()
+    // row-level identity across EVERY artifact, generations included —
+    // without the mark the replayed batch would re-tombstone doc 1 and
+    // re-add it under one more generation (answers equal, artifacts
+    // grown); count equality is what pins "published nothing"
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select("doc_id", "tok", "tf", "dl", "lang", "gen", "bucket").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    def stats(p: String) = spark.read.parquet(s"$p/stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def docids(p: String) = spark.read.parquet(s"$p/docids")
+      .select("doc_id", "tomb", "gen", "dl").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    def tombs(p: String) = spark.read.parquet(s"$p/tombs").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(postings(idx) === postings(clean),
+      "replayed CDC batch changed postings (the mark did not skip it)")
+    assert(stats(idx) === stats(clean), "replayed CDC batch added a stats partial")
+    assert(docids(idx) === docids(clean), "replayed CDC batch grew the ledger")
+    assert(tombs(idx) === tombs(clean), "replayed CDC batch re-tombstoned")
+    val terms = Seq("gamma", "eta", "zeta")
+    assert(probe(idx, terms) === probe(clean, terms))
+    assert(probe(idx, terms).nonEmpty)
+    // both applied batches left their marks under this checkpoint's key
+    val marks = Option(new java.io.File(s"$idx/${TextOps.Bm25CdcMarkDir}").list())
+      .getOrElse(Array.empty[String]).filterNot(_.startsWith(".")) // local-FS .crc sidecars
+    assert(marks.length === 2, s"expected 2 marks, got ${marks.toSeq}")
+    rmTree(tmp)
+  }
 }
