@@ -328,6 +328,11 @@ object SparkEntry {
     // apply through the tombstone maintenance verbs; the round-12
     // delete makes every batch change-sized
     "st7_cdc_stream"          -> ((s, d) => TextOps.bm25CdcStreamedTopK(s, d)),
+    // st8: exact dedup AT INGEST — d1's digest dedup as a stream; the
+    // survivor table is built by micro-batched dedup-appends and IS the
+    // replay ledger (arrival order pinned to doc_id order, so the
+    // oracle is the batch min-doc_id winner per digest)
+    "st8_dedup_stream"        -> ((s, d) => Dedup.streamedExactDedup(s, d)),
     // st4: streaming ingestion into the landed index — micro-batches
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
@@ -1835,6 +1840,13 @@ object SparkEntry {
     // st7: the STREAMED changelog apply answers the identical v2 page —
     // hash equality proves stream-CDC ≡ rebuild at any micro-batching
     "st7_cdc_stream" -> bm25CdcPageSql,
+    // st8: the streamed survivor table must equal the batch dedup's
+    // min-doc_id winner per content digest — the stream arranges
+    // arrival order = doc_id order, so first-wins IS min-doc_id
+    "st8_dedup_stream" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents)
+         SELECT MIN(doc_id) AS doc_id, digest FROM d
+         GROUP BY digest ORDER BY doc_id""",
     // t11f: the compacted lifecycle answers the same filtered-corpus
     // page — hash equality proves compaction is answer-preserving
     "t11f_compacted_index" -> bm25DeletedPageSql,

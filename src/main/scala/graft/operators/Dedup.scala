@@ -45,6 +45,62 @@ object Dedup {
       .orderBy(col("n_copies"))
   }
 
+  // landing memo for the stream-built survivor table (st8)
+  private val dedupStreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST8 gate form: exact dedup AT INGEST — d1's digest dedup run as a
+    * stream ([[graft.streaming.DedupStream.exactDedupIngest]]), the
+    * survivor table built by micro-batched dedup-appends instead of a
+    * corpus pass. The corpus arrives as two RANGE-SPLIT files (low
+    * doc_ids first — explicit file mtimes pin the source's oldest-first
+    * order), so arrival-order first-wins equals the batch tier's
+    * min-doc_id winner and the oracle is the plain GROUP BY digest →
+    * MIN(doc_id) over the corpus: hash equality proves the streamed
+    * survivor table ≡ the batch dedup, regardless of micro-batching.
+    * The survivor table IS the replay ledger (see DedupStream's
+    * scaladoc) — DedupStreamSpec asserts redelivery and kill-mid-append
+    * publish nothing / complete without duplicating. */
+  def streamedExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val p = Similarity.landOnce(spark, dir, "graft_dedup_st", dedupStreamLanded,
+      source = "documents.parquet") { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a re-landing (regenerated fixture) must start from an empty
+      // survivor table and forget the previous stream's progress
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p}_checkpoint"), true)
+      val docs = documents(spark, dir)
+      val Array(lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      val incoming = s"${p}_incoming"
+      // arrival order = doc_id order, pinned explicitly: the file
+      // source processes oldest-modification-time first, so each half
+      // lands under its own name with its own mtime (two sub-second
+      // writes into one dir could otherwise tie and flip the order)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incoming))
+      val base = System.currentTimeMillis() - 120000L
+      def landFile(half: DataFrame, tmp: String, name: String, mtime: Long): Unit = {
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(incoming, name)
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target.setLastModified(mtime)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
+      landFile(docs.filter(col("doc_id") <= mid), s"${p}_tmp0", "batch-0.parquet", base)
+      landFile(docs.filter(col("doc_id") > mid), s"${p}_tmp1", "batch-1.parquet", base + 60000L)
+      val q = graft.streaming.DedupStream.exactDedupIngest(
+        spark, incoming, p, s"${p}_checkpoint")
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(p).select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D2: n-gram Jaccard near-dup pairs via inverted-index self-join.
     *
     * doc→shingle posting list, self-join on shingle (candidate pairs

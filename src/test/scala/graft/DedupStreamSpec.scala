@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.DedupStream
+
+/** The stream-built survivor table must equal the batch dedup's
+  * min-doc_id winners (arrival order = doc_id order in every fixture
+  * here), and the survivor table itself — not streaming state — must
+  * be the replay authority: redelivery and killed appends publish
+  * nothing / complete without duplicating. The sf0.01 gate corpus has
+  * ZERO exact duplicates (the oracle proves pass-through there), so
+  * the dup-dropping paths are pinned HERE on planted corpora. */
+class DedupStreamSpec extends SparkSpec {
+
+  private def survivors(p: String) =
+    spark.read.parquet(p).select(col("doc_id"), col("digest")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+  /** Two pinned-order files → two micro-batches (oldest mtime first). */
+  private def landTwoFiles(dir: String,
+      batch0: org.apache.spark.sql.DataFrame,
+      batch1: org.apache.spark.sql.DataFrame): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val base = System.currentTimeMillis() - 120000L
+    Seq((batch0, "batch-0.parquet", base), (batch1, "batch-1.parquet", base + 60000L))
+      .foreach { case (df, name, mtime) =>
+        val tmp = dir + "_tmp_" + name
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(dir, name)
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target.setLastModified(mtime)
+        rmTree(new java.io.File(tmp))
+      }
+  }
+
+  test("st8: cross-batch and within-batch duplicates drop; survivors equal the batch winners") {
+    import spark.implicits._
+    // doc 2 duplicates doc 0 ACROSS batches; docs 4/5 duplicate each
+    // other WITHIN a batch; doc 3 is unique
+    val b0 = Seq((0L, "alpha alpha", "en", "web"), (1L, "beta beta", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq((2L, "alpha alpha", "en", "books"), (3L, "gamma gamma", "en", "web"),
+        (4L, "delta delta", "fr", "web"), (5L, "delta delta", "fr", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_stream_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val out = tmp.getAbsolutePath + "/survivors"
+    landTwoFiles(incoming, b0, b1)
+    val q = DedupStream.exactDedupIngest(spark, incoming, out,
+      tmp.getAbsolutePath + "/cp1")
+    try q.processAllAvailable() finally q.stop()
+    val got = survivors(out)
+    val want = b0.unionByName(b1).withColumn("digest", md5(col("text")))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("digest")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === want, "streamed survivors diverged from batch winners")
+    assert(got.map(_._1) === Seq(0L, 1L, 3L, 4L),
+      "cross-batch dup (2) and within-batch dup (5) must both drop")
+    // the arrival winner keeps ITS row, not the duplicate's: doc 0's
+    // source survives, doc 2's does not
+    val srcOf0 = spark.read.parquet(out).filter(col("doc_id") === 0L)
+      .select(col("source")).collect().map(_.getString(0)).toSeq
+    assert(srcOf0 === Seq("web"))
+
+    // FULL redelivery under a fresh checkpoint: every digest is
+    // already in the survivor table — the ledger anti-join publishes
+    // NOTHING (file count and content both unchanged)
+    def dataFiles() = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val filesBefore = dataFiles()
+    val q2 = DedupStream.exactDedupIngest(spark, incoming, out,
+      tmp.getAbsolutePath + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(survivors(out) === want, "redelivery changed the survivor table")
+    assert(dataFiles() === filesBefore, "redelivery published files")
+    rmTree(tmp)
+  }
+
+  test("st8 kill mid-append: the retry completes the batch without duplicating the landed half") {
+    import spark.implicits._
+    val b0 = Seq((0L, "alpha alpha", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq((1L, "beta beta", "en", "web"), (2L, "gamma gamma", "en", "web"),
+        (3L, "delta delta", "en", "web"), (4L, "alpha alpha", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_kill_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val out = tmp.getAbsolutePath + "/survivors"
+    landTwoFiles(incoming, b0, b1)
+    // kill batch 1 mid-append: half its FRESH rows land (the committed-
+    // task state of a killed append job), then the query dies
+    DedupStream.dedupIngestFaultHook = fresh => {
+      if (fresh.filter(col("doc_id") > 0L).count() > 0) {
+        fresh.filter(col("doc_id") === 1L).write.mode("append").parquet(out)
+        throw new RuntimeException("injected mid-append crash")
+      }
+    }
+    try {
+      val q = DedupStream.exactDedupIngest(spark, incoming, out,
+        tmp.getAbsolutePath + "/cp")
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally DedupStream.dedupIngestFaultHook = _ => ()
+    // torn state is real: doc 1 landed, docs 2/3 did not
+    val mid = survivors(out).map(_._1)
+    assert(mid.contains(1L) && !mid.contains(2L) && !mid.contains(3L),
+      s"crash fixture must leave a half-appended batch, got $mid")
+    // restart on the SAME checkpoint: the batch redelivers in full;
+    // the survivor-table anti-join drops the landed half and appends
+    // ONLY the missing rows — content equals a clean run, and doc 4
+    // (duplicate of 0) still drops
+    val q2 = DedupStream.exactDedupIngest(spark, incoming, out,
+      tmp.getAbsolutePath + "/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(survivors(out).map(_._1) === Seq(0L, 1L, 2L, 3L),
+      "retry must complete the batch exactly once")
+    rmTree(tmp)
+  }
+
+  test("st8 gate form equals the batch dedup on the fixture corpus") {
+    val got = graft.operators.Dedup.streamedExactDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Tables.documents(spark, sfDir)
+      .withColumn("digest", md5(col("text")))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("digest")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+}
