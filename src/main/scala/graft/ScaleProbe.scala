@@ -439,6 +439,26 @@ object ScaleProbe {
         operators.TextOps.bm25OverIndex(s, p,
           operators.TextOps.Bm25Terms.flatMap(t => Seq(t, t + "_c0")), 10)
       }),
+      // st8's per-batch verb under a grown survivor table: the claim
+      // is that a dedup-append's cost tracks the BATCH (anti-join
+      // probe side) plus a digest-COLUMN scan of the survivor table
+      // (one 32-char string per survivor — parquet projection, never
+      // text bytes), so the wall may grow only with that column scan
+      // as the corpus multiplies. Survivor table landed once per
+      // factor (first rep); each rep appends a fresh-id 500-doc batch
+      // (salted text so digests are genuinely new).
+      "st8_dedup_append"     -> ((s, d) => {
+        val p = s"$outRoot/dedupst_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        if (!new java.io.File(p).exists())
+          graft.streaming.DedupStream.dedupAppend(s, Tables.documents(s, d), p)
+        val shift = 1000000000000L * compactEpoch.incrementAndGet()
+        val batch = Tables.documents(s, d)
+          .orderBy(col("doc_id")).limit(500)
+          .withColumn("doc_id", col("doc_id") + shift)
+          .withColumn("text", concat(col("text"), lit(s" [b$shift]")))
+        graft.streaming.DedupStream.dedupAppend(s, batch, p)
+        spark.read.parquet(p).groupBy().count()
+      }),
       "bm25_cdc_cycle"       -> ((s, d) => {
         val p = s"$outRoot/cdcc_${java.util.UUID.randomUUID().toString.take(8)}"
         val v1 = Tables.documents(s, d)

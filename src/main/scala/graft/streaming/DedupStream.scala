@@ -65,29 +65,39 @@ object DedupStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        // within-batch first-wins: min(struct) orders by doc_id first
-        // (unique), one partial-agged aggregate
-        val winners = batch
-          .withColumn("digest", md5(col("text")))
-          .groupBy(col("digest"))
-          .agg(min(struct(col("doc_id"), col("text"), col("lang"),
-            col("source"))).as("w"))
-          .select(col("w.doc_id"), col("w.text"), col("w.lang"),
-            col("w.source"), col("digest"))
-        val root = new org.apache.hadoop.fs.Path(survivorsPath)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val fresh =
-          if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
-            val seen = s.read.parquet(survivorsPath).select(col("digest"))
-            winners.join(seen, Seq("digest"), "left_anti")
-          } else winners
-        val pinned = fresh.localCheckpoint(true)
-        dedupIngestFaultHook(pinned)
-        // a fully-duplicate (replayed) batch is a TRUE no-op — no empty
-        // files, no publish (the bm25IndexAppend rule)
-        if (!pinned.isEmpty) pinned.write.mode("append").parquet(survivorsPath)
+        dedupAppend(batch.sparkSession, batch, survivorsPath)
       }
       .start()
+  }
+
+  /** The per-batch verb, shared with the scale probe: collapse
+    * within-batch duplicates, anti-join the landed survivor digests,
+    * append only the fresh rows. The anti-join's table side reads the
+    * DIGEST COLUMN only (parquet projection) — survivor-cardinality
+    * rows of one 32-char string per batch, never text bytes; the probe
+    * side is batch-sized. */
+  private[graft] def dedupAppend(s: SparkSession, batch: DataFrame,
+      survivorsPath: String): Unit = {
+    // within-batch first-wins: min(struct) orders by doc_id first
+    // (unique), one partial-agged aggregate
+    val winners = batch
+      .withColumn("digest", md5(col("text")))
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"))).as("w"))
+      .select(col("w.doc_id"), col("w.text"), col("w.lang"),
+        col("w.source"), col("digest"))
+    val root = new org.apache.hadoop.fs.Path(survivorsPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
+        val seen = s.read.parquet(survivorsPath).select(col("digest"))
+        winners.join(seen, Seq("digest"), "left_anti")
+      } else winners
+    val pinned = fresh.localCheckpoint(true)
+    dedupIngestFaultHook(pinned)
+    // a fully-duplicate (replayed) batch is a TRUE no-op — no empty
+    // files, no publish (the bm25IndexAppend rule)
+    if (!pinned.isEmpty) pinned.write.mode("append").parquet(survivorsPath)
   }
 }
