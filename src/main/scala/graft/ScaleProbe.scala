@@ -359,6 +359,13 @@ object ScaleProbe {
       // SURVIVING edges, which shrink monotonically; edge-linear
       // under salting like g1/g2
       "g3_kcore"             -> (operators.Graph.kcore(_, _)),
+      // g2b: the incremental twin — base state lands on rep 1 (memo),
+      // min-over-reps reports the warm DELTA apply: wedges at the
+      // ~1/7 arriving nodes + the closure semi join + the merge. The
+      // delta grows with the salted corpus (every copy carries its
+      // share of %7 nodes), so the claim is Δ-linear wall, strictly
+      // under g2's full-join wall at every factor
+      "g2b_incremental"      -> (operators.Graph.trianglesIncremental(_, _)),
       // g4: the g2 wedge join + three role projections — edge-linear;
       // the orientation bound is what keeps support attribution from
       // curving up with the hottest node

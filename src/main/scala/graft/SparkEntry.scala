@@ -420,6 +420,11 @@ object SparkEntry {
     // g2: per-doc triangle counts over the dup graph — clique-vs-chain
     // density the component label can't express
     "g2_triangles"            -> ((s, d) => Graph.triangles(s, d)),
+    // g2b: per-node triangle counts MAINTAINED incrementally — wedges
+    // enumerate at newly-arrived nodes only, close against the landed
+    // pair frame, and merge into the landed base state; hash-equal to
+    // g2's full wedge join by the shared oracle
+    "g2b_incremental_triangles" -> ((s, d) => Graph.trianglesIncremental(s, d)),
     // t15: top bigram collocations by integer-ratio PMI (min-count
     // floored — the Church & Hanks hapax caveat)
     "t15_pmi_collocations"    -> ((s, d) => TextOps.pmiCollocations(s, d)),
@@ -1428,6 +1433,31 @@ object SparkEntry {
          JOIN cnt cb ON b_id = cb.doc_id
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
          ORDER BY a_id, b_id"""
+
+  // g2's oriented wedge count, shared by g2 and its incremental twin
+  // g2b, whose delta-apply plan must hash to the same per-node counts.
+  private lazy val g2Sql: String =
+    s"""WITH $d7EdgeCtes,
+         degs AS MATERIALIZED (
+           SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY a),
+         ore AS MATERIALIZED (
+           SELECT e.a AS u, e.b AS v FROM edges e
+           JOIN degs du ON e.a = du.id JOIN degs dv ON e.b = dv.id
+           WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.a < e.b)),
+         tri AS MATERIALIZED (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ore e1 JOIN ore e2 ON e1.v = e2.u
+           JOIN ore e3 ON e3.u = e1.u AND e3.v = e2.v),
+         members AS (
+           SELECT a AS id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+         tc AS (SELECT id, COUNT(*) AS tri_cnt FROM members GROUP BY id)
+         SELECT d.id AS doc_id, d.deg,
+           CAST(COALESCE(t.tri_cnt, 0) AS BIGINT) AS tri_cnt
+         FROM degs d LEFT JOIN tc t ON d.id = t.id
+         ORDER BY doc_id"""
 
   private lazy val d7Sql: String =
     s"""WITH RECURSIVE $d7EdgeCtes,
@@ -3792,28 +3822,10 @@ object SparkEntry {
     // self-join closed by a third edge join — the oriented frames
     // MATERIALIZED so the three-way reference doesn't re-inline the
     // pair derivation (the v15 lesson)
-    "g2_triangles" ->
-      s"""WITH $d7EdgeCtes,
-         degs AS MATERIALIZED (
-           SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
-           FROM edges GROUP BY a),
-         ore AS MATERIALIZED (
-           SELECT e.a AS u, e.b AS v FROM edges e
-           JOIN degs du ON e.a = du.id JOIN degs dv ON e.b = dv.id
-           WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.a < e.b)),
-         tri AS MATERIALIZED (
-           SELECT e1.u AS a, e1.v AS b, e2.v AS c
-           FROM ore e1 JOIN ore e2 ON e1.v = e2.u
-           JOIN ore e3 ON e3.u = e1.u AND e3.v = e2.v),
-         members AS (
-           SELECT a AS id FROM tri
-           UNION ALL SELECT b FROM tri
-           UNION ALL SELECT c FROM tri),
-         tc AS (SELECT id, COUNT(*) AS tri_cnt FROM members GROUP BY id)
-         SELECT d.id AS doc_id, d.deg,
-           CAST(COALESCE(t.tri_cnt, 0) AS BIGINT) AS tri_cnt
-         FROM degs d LEFT JOIN tc t ON d.id = t.id
-         ORDER BY doc_id""",
+    "g2_triangles" -> g2Sql,
+    // g2b maintains the SAME per-node counts incrementally — one oracle
+    // proves the delta-apply plan equal to the full wedge join.
+    "g2b_incremental_triangles" -> g2Sql,
     // t15: unigram/bigram counts from one token unnest; min-count
     // HAVING before the vocabulary joins; the PMI ratio as all-BIGINT
     // arithmetic with one integral division (log is monotone — the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,90 @@ object Graph {
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
       .orderBy(col("doc_id"))
     materializeAndRelease(out, sym, deg, ore, tri)
+  }
+
+  /** G2b: INCREMENTAL triangle maintenance — the CDC discipline
+    * applied to the graph tier. When new documents arrive, their
+    * near-dup edges arrive with them; re-running the full wedge join
+    * per batch is corpus-shaped, but every triangle the batch creates
+    * contains a new node, so the update enumerates wedges CENTERED AT
+    * NEW NODES only and closes them against the landed pair frame —
+    * Δ-shaped work (Σ deg² over the arriving nodes for the wedge
+    * enumeration; the closure is a semi join whose probe side is those
+    * wedges, the build side the landed frame — the bm25-ledger-read
+    * class, keyed never scanned).
+    *
+    * Once-counting: a triangle with several new corners would be
+    * enumerated from each; it is counted exactly once at its MINIMUM
+    * new corner — a wedge at center n is dropped when its far corner
+    * is new and smaller (the standard edge-age ordering argument,
+    * with node ids as the age proxy since nodes arrive, not edges).
+    * GraphSpec pins the 1-, 2-, and 3-new-corner cases on a crafted
+    * graph.
+    *
+    * The base state (per-node degree + triangle counts over the
+    * old-old edge set) is the maintained artifact a production system
+    * already holds — landed once per session (the ranksLanded
+    * discipline) so the warm gate measures the DELTA apply + merge,
+    * exactly like v9d/t11c measure their appends. Output ≡ g2 over
+    * the full graph (shared oracle, hash-equal). */
+  def trianglesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val base = triBaseMemo.getOrCompute(spark, dir, fp) {
+      val t0 = System.nanoTime()
+      val b = trianglesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
+        !g2bNewNode(col("b_id"))))
+      System.err.println(f"[g2b] one-time base triangle state ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      b
+    }
+    trianglesIncrementalOf(pairs, base, g2bNewNode)
+  }
+
+  /** The g2b arrival split: ~1/7 of the graph counts as newly arrived. */
+  private[graft] def g2bNewNode(c: Column): Column = c % 7 === 3
+
+  private val triBaseMemo = new SessionMemo[DataFrame]()
+
+  private[graft] def trianglesIncrementalOf(pairs: DataFrame, base: DataFrame,
+      isNew: Column => Column): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val delta = shared(pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id")))
+      .select(col("a_id"), col("b_id")))
+    // adjacency restricted to NEW centers (every edge incident to a new
+    // node is by definition a delta edge)
+    val adjN = shared(delta.select(col("a_id").as("n"), col("b_id").as("x"))
+      .union(delta.select(col("b_id").as("n"), col("a_id").as("x")))
+      .filter(isNew(col("n"))))
+    val wedges = adjN.join(adjN.select(col("n"), col("x").as("y")), Seq("n"))
+      .filter(col("x") < col("y"))
+      // once-counting: keep the wedge only at the triangle's minimum
+      // new corner
+      .filter(!(isNew(col("x")) && col("x") < col("n")))
+      .filter(!(isNew(col("y")) && col("y") < col("n")))
+    val closed = wedges.join(
+      pairs.select(least(col("a_id"), col("b_id")).as("x"),
+        greatest(col("a_id"), col("b_id")).as("y")),
+      Seq("x", "y"), "left_semi")
+    val triDelta = closed.select(col("n").as("id"))
+      .union(closed.select(col("x").as("id")))
+      .union(closed.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri_delta"))
+    val degDelta = delta.select(col("a_id").as("id"))
+      .union(delta.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg_delta"))
+    val out = base.select(col("doc_id"), col("deg"), col("tri_cnt"))
+      .join(degDelta.select(col("id").as("doc_id"), col("deg_delta")),
+        Seq("doc_id"), "full_outer")
+      .join(triDelta.select(col("id").as("doc_id"), col("tri_delta")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("deg"), lit(0L)) + coalesce(col("deg_delta"), lit(0L))).as("deg"),
+        (coalesce(col("tri_cnt"), lit(0L)) + coalesce(col("tri_delta"), lit(0L))).as("tri_cnt"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(out, delta, adjN)
   }
 
   private[graft] val KcoreK = 2

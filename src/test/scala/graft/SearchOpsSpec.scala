@@ -220,6 +220,39 @@ class SearchOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("g2b incremental triangles: 1-, 2-, and 3-new-corner triangles each count exactly once") {
+    // old nodes 1-5, arriving nodes 10-12. Crafted so the delta update
+    // must handle: a pure-base triangle {1,2,3} (untouched), one new
+    // corner {1,2,10}, two new corners {4,10,11} (enumerable from
+    // center 10 AND 11 — must count once), three new corners
+    // {10,11,12} (three candidate centers), and a new node in several
+    // triangles (10 closes four).
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L)
+    val all = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L),                    // old-old
+      (1L, 10L), (2L, 10L), (4L, 10L), (10L, 11L), (10L, 12L),   // new-touching
+      (4L, 11L), (11L, 12L), (1L, 12L), (5L, 12L)
+    ).toDF("a_id", "b_id")
+    val base = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val got = Graph.trianglesIncrementalOf(all, Graph.trianglesOf(base), isNew)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val full = Graph.trianglesOf(all)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === full, "delta apply diverged from the full wedge join")
+    assert(got === Map(
+      1L -> (5L, 4L), 2L -> (3L, 2L), 3L -> (2L, 1L), 4L -> (2L, 1L),
+      5L -> (2L, 1L), 10L -> (5L, 4L), 11L -> (3L, 2L), 12L -> (4L, 3L)))
+  }
+
+  test("g2b gate form equals g2 on the fixture corpus") {
+    val got = Graph.trianglesIncremental(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().toSeq
+    val full = Graph.triangles(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
   // ---------------- t15: PMI collocations ----------------
 
   test("PMI page: perfectly-associated pair ranks first, hapax pairs floored") {
