@@ -167,6 +167,13 @@ object ScaleProbe {
       // components over the d2 edge set: rounds ≤ diameter must hold as
       // the salted corpus multiplies component COUNT (not depth)
       "d7_dedup_clusters"    -> (operators.Dedup.dedupClusters(_, _)),
+      // d7c: the incremental twin — base clustering lands on rep 1
+      // (memo), min-over-reps reports the warm delta apply: the
+      // quotient contraction join + CC over the delta-sized quotient +
+      // the compose joins. Unlike g2b's wedge enumeration there is no
+      // unoriented quadratic term — the quotient's edge count IS the
+      // delta edge count, so the claim is Δ-linear at every factor
+      "d7c_incremental"      -> (operators.Dedup.dedupClustersIncremental(_, _)),
       // t6 is the explode+count tier (wall tracks gram count); d8's
       // bloom pass and probe must both stay linear in docs, with the
       // verify side bounded by candidates

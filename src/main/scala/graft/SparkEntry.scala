@@ -290,6 +290,11 @@ object SparkEntry {
     // distributed connected components over the d2 edge set; the oracle
     // recomputes the same fixpoint via a recursive-CTE closure
     "d7_dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
+    // d7c: clusters MAINTAINED incrementally — arriving edges relabel
+    // through the landed clustering (a quotient graph, one node per
+    // cluster), CC runs over that delta-sized quotient, and min-label
+    // composition is exact; hash-equal to d7 by the shared oracle
+    "d7c_incremental_clusters" -> ((s, d) => Dedup.dedupClustersIncremental(s, d)),
     "a15_cube_totals"         -> ((s, d) => Relational.cubeTotals(s, d)),
     "w7_moving_average"       -> ((s, d) => Relational.movingAverage(s, d)),
     // c8: DSIR data selection (Xie et al.) — hashed-bigram importance
@@ -3493,6 +3498,9 @@ object SparkEntry {
     // closure — an INDEPENDENT formulation of the component fixpoint
     // the Spark side reaches by min-label propagation.
     "d7_dedup_clusters" -> d7Sql,
+    // d7c maintains the SAME clustering incrementally — one oracle
+    // proves the quotient-compose plan equal to the full CC.
+    "d7c_incremental_clusters" -> d7Sql,
     // d7b: the large-star/small-star contraction answers to the SAME
     // closure oracle — hash equality proves both algorithms reach the
     // identical component fixpoint on the real edge set

@@ -412,6 +412,80 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D7c: INCREMENTAL cluster maintenance — the CDC discipline applied
+    * to the clustering tier (the g2b companion). When new documents
+    * arrive with their near-dup edges, re-running connected components
+    * over the whole graph is corpus-shaped; instead the landed
+    * clustering is CONTRACTED to its labels (a quotient graph: one
+    * node per existing cluster), the arriving edges are relabeled
+    * through it, and CC runs over that Δ-sized quotient — whose label
+    * composition is EXACT, not approximate: base labels are their
+    * components' min ids, quotient propagation takes the min over
+    * quotient-node ids, and min(mins ∪ new ids) is the global
+    * component min, so the composed labeling equals a full re-run
+    * row-for-row (shared d7 oracle, hash-equal; merge cases
+    * spec-pinned). Clusters untouched by any arriving edge never
+    * enter the quotient and keep their labels — zero work, the
+    * change-locality every maintained artifact in this repo aims for.
+    * The base labeling is the maintained artifact, landed once per
+    * session (the ranks/g2b discipline) so the warm gate measures the
+    * delta apply. */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qualifyingPairsLanded(spark, dir)
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val isNew = Graph.g2bNewNode _
+    val base = d7cBaseMemo.getOrCompute(spark, dir, fp) {
+      val t0 = System.nanoTime()
+      val b = connectedComponents(
+        pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))))
+      System.err.println(f"[d7c] one-time base cluster state ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      b
+    }
+    dedupClustersIncrementalOf(pairs, base, isNew)
+  }
+
+  private val d7cBaseMemo = new SessionMemo[DataFrame]()
+
+  private[graft] def dedupClustersIncrementalOf(pairs: DataFrame,
+      baseLabels: DataFrame, isNew: Column => Column): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val delta = shared(pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id")))
+      .select(col("a_id"), col("b_id")))
+    // contract: map each delta endpoint through the base labeling;
+    // nodes the base never saw (arrivals, or old nodes whose first
+    // edge is a delta edge) stand for themselves
+    val mapped = delta
+      .join(baseLabels.select(col("doc_id").as("a_id"), col("label").as("la")),
+        Seq("a_id"), "left")
+      .join(baseLabels.select(col("doc_id").as("b_id"), col("label").as("lb")),
+        Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val qmap = connectedComponents(mapped)
+      .select(col("doc_id").as("qnode"), col("label").as("qlabel"))
+    // compose: docs keep their base label unless their cluster entered
+    // the quotient; delta-only nodes take their own quotient label
+    val fromBase = baseLabels
+      .join(qmap.select(col("qnode").as("label"), col("qlabel")), Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("qlabel"), col("label")).as("label"))
+    val deltaOnly = delta.select(col("a_id").as("doc_id"))
+      .union(delta.select(col("b_id").as("doc_id"))).distinct()
+      .join(baseLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val fromDelta = deltaOnly
+      .join(qmap.select(col("qnode").as("doc_id"), col("qlabel")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("qlabel"), col("doc_id")).as("label"))
+    val labels = fromBase.unionByName(fromDelta)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    val out = labels
+      .join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(out, delta)
+  }
+
   /** The CC core of d7, shared with the composed curation (c1b): min-
     * label propagation over an undirected pair frame. Returns (doc_id,
     * label) for every endpoint, label = the component's min doc_id. */

@@ -48,6 +48,42 @@ class DedupSpec extends SparkSpec {
       s"missing=${exact.diff(prefixed)} extra=${prefixed.diff(exact)}")
   }
 
+  test("d7c incremental clusters: arriving edges merge, attach, and spawn components exactly like a full CC") {
+    import spark.implicits._
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L, 13L, 14L)
+    // base components {1,2}, {5,6}, {20,21}; old node 9 has NO base
+    // edge. Arrivals: 10 BRIDGES the first two components (merge),
+    // (11,12) is an isolated new pair (spawn), (9,14) gives an
+    // edge-less old node its first edge (attach), {20,21} is untouched
+    // (must keep its label with zero quotient work).
+    val all = Seq((1L, 2L), (5L, 6L), (20L, 21L),
+      (2L, 10L), (10L, 5L), (11L, 12L), (9L, 14L)).toDF("a_id", "b_id")
+    val base = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val got = Dedup.dedupClustersIncrementalOf(all,
+        Dedup.connectedComponents(base), isNew)
+      .as[(Long, Long, Long)].collect().toSet
+    val labelsFull = Dedup.connectedComponents(all)
+    val full = labelsFull
+      .join(labelsFull.groupBy(col("label")).agg(count(lit(1)).as("n")), Seq("label"))
+      .select(col("doc_id"), col("label"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === full, "quotient compose diverged from the full CC")
+    assert(got === Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (5L, 1L, 5L), (6L, 1L, 5L), (10L, 1L, 5L),
+      (11L, 11L, 2L), (12L, 11L, 2L),
+      (9L, 9L, 2L), (14L, 9L, 2L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
+
+  test("d7c gate form equals d7 on the fixture corpus") {
+    val got = Dedup.dedupClustersIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
   test("minhash LSH finds the same near-dup pairs as exact n-gram jaccard") {
     val exact = Dedup.ngramJaccardPairs(spark, sfDir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
