@@ -338,6 +338,12 @@ object SparkEntry {
     // replay ledger (arrival order pinned to doc_id order, so the
     // oracle is the batch min-doc_id winner per digest)
     "st8_dedup_stream"        -> ((s, d) => Dedup.streamedExactDedup(s, d)),
+    // st9: NEAR-dup discovery at ingest — d3's MinHash-LSH tier as a
+    // stream: arriving docs collide their band buckets against the
+    // landed index, verify exactly, and append pairs/buckets/docs
+    // (each artifact its own ledger). Pair discovery is arrival-order
+    // invariant, so the oracle is d3's SQL verbatim
+    "st9_neardup_stream"      -> ((s, d) => Dedup.streamedNearDupPairs(s, d)),
     // st4: streaming ingestion into the landed index — micro-batches
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
@@ -430,6 +436,11 @@ object SparkEntry {
     // pair frame, and merge into the landed base state; hash-equal to
     // g2's full wedge join by the shared oracle
     "g2b_incremental_triangles" -> ((s, d) => Graph.trianglesIncremental(s, d)),
+    // g2c: the same maintenance DEGREE-ORIENTED — each new edge expands
+    // its lower-degree endpoint's adjacency (Σ min-deg work, the
+    // edge-iterator bound applied to the delta), once-counting by
+    // lex-least new edge; closes g2b's measured Σ deg² 30× boundary
+    "g2c_oriented_triangles"  -> ((s, d) => Graph.trianglesIncrementalOriented(s, d)),
     // t15: top bigram collocations by integer-ratio PMI (min-count
     // floored — the Church & Hanks hapax caveat)
     "t15_pmi_collocations"    -> ((s, d) => TextOps.pmiCollocations(s, d)),
@@ -662,9 +673,17 @@ object SparkEntry {
     * path is recorded when the v9c query lands the index, and Verify
     * dumps oracle SQL only after every query has run. */
   private def v9cSql: String = ivfNprobe2SqlOver("embeddings",
-    centsSql = Some(
-      s"""SELECT cent_id, cent_emb FROM read_parquet(
-           '${Similarity.trainedIndexPathForOracle.getOrElse("TRAINED_INDEX_NOT_LANDED")}/_centroids/*.parquet')"""))
+    centsSql = Some(Similarity.trainedIndexPathForOracle match {
+      case Some(p) =>
+        s"""SELECT cent_id, cent_emb FROM read_parquet('$p/_centroids/*.parquet')"""
+      case None =>
+        // Same class as trainedCbSql below (round-11 ADVICE): fail loudly at
+        // oracle time instead of interpolating a sentinel path into read_parquet.
+        """SELECT error('v9c trained-centroid artifact was not landed in this
+           Verify run (v9c did not execute — query-filtered run?); this oracle
+           is only valid in a dump where it ran')::INTEGER AS cent_id,
+           CAST(NULL AS DOUBLE[]) AS cent_emb"""
+    }))
 
   /** v9e: the SAME probe over the corpus minus the doomed predicate —
     * what a rebuild-after-delete would serve; the Spark side serves it
@@ -1439,6 +1458,47 @@ object SparkEntry {
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
          ORDER BY a_id, b_id"""
 
+  // d3's banded-LSH pipeline mirrored end-to-end (signatures, band
+  // buckets, candidate collisions, exact verify). Shared by d3 and the
+  // streaming-ingest twin st9, whose accumulated pair table must be
+  // hash-identical (pair discovery is arrival-order invariant).
+  private lazy val d3Sql: String =
+    s"""WITH t AS (
+           SELECT doc_id, $toksSql AS w FROM documents),
+         gr AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         seeds(seed, band, a, b) AS (VALUES $minhashSeedsSql),
+         mh AS (
+           SELECT g.doc_id, s.seed, s.band,
+             MIN((s.a * CAST('0x' || substr(md5(g.gram), 1, 7) AS BIGINT) + s.b) % 2147483647) AS mhv
+           FROM gr g CROSS JOIN seeds s
+           GROUP BY g.doc_id, s.seed, s.band),
+         bands AS (
+           SELECT doc_id, band,
+             md5(array_to_string(list(mhv ORDER BY seed), ',')) AS bucket
+           FROM mh GROUP BY doc_id, band),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY doc_id),
+         common AS (
+           SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+           FROM cand c
+           JOIN gr ga ON ga.doc_id = c.a_id
+           JOIN gr gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+           GROUP BY c.a_id, c.b_id)
+         SELECT a_id, b_id,
+           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN cnt ca ON a_id = ca.doc_id
+         JOIN cnt cb ON b_id = cb.doc_id
+         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
+         ORDER BY a_id, b_id"""
+
   // g2's oriented wedge count, shared by g2 and its incremental twin
   // g2b, whose delta-apply plan must hash to the same per-node counts.
   private lazy val g2Sql: String =
@@ -2009,42 +2069,10 @@ object SparkEntry {
     // d2b computes the IDENTICAL pair set through prefix-filtered
     // candidate generation — one oracle proves both plans.
     "d2b_prefix_jaccard" -> d2Sql,
-    "d3_minhash_lsh" ->
-      s"""WITH t AS (
-           SELECT doc_id, $toksSql AS w FROM documents),
-         gr AS (
-           SELECT DISTINCT doc_id, gram FROM (
-             SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
-             FROM t, unnest(range(len(w) - 2)) AS x(i)
-             WHERE len(w) >= 3)),
-         seeds(seed, band, a, b) AS (VALUES $minhashSeedsSql),
-         mh AS (
-           SELECT g.doc_id, s.seed, s.band,
-             MIN((s.a * CAST('0x' || substr(md5(g.gram), 1, 7) AS BIGINT) + s.b) % 2147483647) AS mhv
-           FROM gr g CROSS JOIN seeds s
-           GROUP BY g.doc_id, s.seed, s.band),
-         bands AS (
-           SELECT doc_id, band,
-             md5(array_to_string(list(mhv ORDER BY seed), ',')) AS bucket
-           FROM mh GROUP BY doc_id, band),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM bands a JOIN bands b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         cnt AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY doc_id),
-         common AS (
-           SELECT c.a_id, c.b_id, COUNT(*) AS n_common
-           FROM cand c
-           JOIN gr ga ON ga.doc_id = c.a_id
-           JOIN gr gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
-           GROUP BY c.a_id, c.b_id)
-         SELECT a_id, b_id,
-           n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
-         FROM common
-         JOIN cnt ca ON a_id = ca.doc_id
-         JOIN cnt cb ON b_id = cb.doc_id
-         WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
-         ORDER BY a_id, b_id""",
+    "d3_minhash_lsh" -> d3Sql,
+    // st9 accumulates the IDENTICAL pair set by streaming ingest —
+    // discovery is arrival-order invariant, one oracle proves both
+    "st9_neardup_stream" -> d3Sql,
     // d4b oracle is deliberately NOT the banded formulation: brute-force
     // all-pairs hamming at oracle scale, so a hash-match proves the
     // engine's multi-band LSH has full recall (pigeonhole: radius r →
@@ -3834,6 +3862,9 @@ object SparkEntry {
     // g2b maintains the SAME per-node counts incrementally — one oracle
     // proves the delta-apply plan equal to the full wedge join.
     "g2b_incremental_triangles" -> g2Sql,
+    // g2c runs the degree-oriented delta expansion — same answer, the
+    // shared oracle proves the orientation and once-counting exact
+    "g2c_oriented_triangles" -> g2Sql,
     // t15: unigram/bigram counts from one token unnest; min-count
     // HAVING before the vocabulary joins; the PMI ratio as all-BIGINT
     // arithmetic with one integral division (log is monotone — the

@@ -63,42 +63,84 @@ object Dedup {
   def streamedExactDedup(spark: SparkSession, dir: String): DataFrame = {
     val p = Similarity.landOnce(spark, dir, "graft_dedup_st", dedupStreamLanded,
       source = "documents.parquet") { p =>
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a re-landing (regenerated fixture) must start from an empty
-      // survivor table and forget the previous stream's progress
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"${p}_checkpoint"), true)
-      val docs = documents(spark, dir)
-      val Array(lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val mid = lo + (hi - lo) / 2
-      val incoming = s"${p}_incoming"
-      // arrival order = doc_id order, pinned explicitly: the file
-      // source processes oldest-modification-time first, so each half
-      // lands under its own name with its own mtime (two sub-second
-      // writes into one dir could otherwise tie and flip the order)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incoming))
-      val base = System.currentTimeMillis() - 120000L
-      def landFile(half: DataFrame, tmp: String, name: String, mtime: Long): Unit = {
-        half.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val target = new java.io.File(incoming, name)
-        java.nio.file.Files.move(part.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        target.setLastModified(mtime)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        ()
-      }
-      landFile(docs.filter(col("doc_id") <= mid), s"${p}_tmp0", "batch-0.parquet", base)
-      landFile(docs.filter(col("doc_id") > mid), s"${p}_tmp1", "batch-1.parquet", base + 60000L)
+      val incoming = landSplitArrivals(spark, documents(spark, dir), p)
       val q = graft.streaming.DedupStream.exactDedupIngest(
         spark, incoming, p, s"${p}_checkpoint")
       try q.processAllAvailable() finally q.stop()
     }
     spark.read.parquet(p).select(col("doc_id"), col("digest"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Arrange a two-file arrival fixture under `${p}_incoming`: `docs`
+    * range-split at the id midpoint, one file per half, file mtimes
+    * pinned a minute apart so the file source's oldest-first order
+    * equals doc_id order (two sub-second writes into one dir could
+    * otherwise tie and flip batch order). Clears a previous landing's
+    * output and checkpoint first (a regenerated fixture must not
+    * resume the old stream's progress). Shared by the st8/st9 gate
+    * wrappers. */
+  private[graft] def landSplitArrivals(spark: SparkSession, docs: DataFrame,
+      p: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${p}_checkpoint"), true)
+    val Array(lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    val incoming = s"${p}_incoming"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incoming))
+    val base = System.currentTimeMillis() - 120000L
+    def landFile(half: DataFrame, tmp: String, name: String, mtime: Long): Unit = {
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(incoming, name)
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      target.setLastModified(mtime)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+    landFile(docs.filter(col("doc_id") <= mid), s"${p}_tmp0", "batch-0.parquet", base)
+    landFile(docs.filter(col("doc_id") > mid), s"${p}_tmp1", "batch-1.parquet", base + 60000L)
+    incoming
+  }
+
+  // landing memo for the stream-built LSH index (st9)
+  private val neardupStreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST9 gate form: NEAR-dup discovery at ingest — d3's MinHash-LSH
+    * tier run as a stream ([[graft.streaming.NearDupStream
+    * .minhashIngest]]): per micro-batch, signatures for the arriving
+    * docs only, band-bucket collisions against the landed index, exact
+    * verify, three ledgered appends (pairs / buckets / docs). Unlike
+    * st8, the RESULT here is arrival-order-INVARIANT — a pair is
+    * discovered when its later member arrives, whatever the order —
+    * so the accumulated pair table equals [[minhashLshPairs]] as a set
+    * at any micro-batching, and the oracle is d3's SQL verbatim. */
+  def streamedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Similarity.landOnce(spark, dir, "graft_neardup_st", neardupStreamLanded,
+      source = "documents.parquet") { p =>
+      val incoming = landSplitArrivals(spark, documents(spark, dir), p)
+      val q = graft.streaming.NearDupStream.minhashIngest(
+        spark, incoming, p, s"${p}_checkpoint")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // a corpus with no qualifying pairs never writes the pairs artifact
+    // (publish-nothing discipline) — read as the empty relation then
+    val pairsPath = new org.apache.hadoop.fs.Path(s"$p/pairs")
+    val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairs =
+      if (fs.exists(pairsPath)) spark.read.parquet(s"$p/pairs")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
+    pairs.select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** D2: n-gram Jaccard near-dup pairs via inverted-index self-join.
@@ -618,7 +660,7 @@ object Dedup {
     * winnowing fingerprints). Joining on the 60-bit hash instead of the
     * gram string keeps the shuffle narrow with identical counts on both
     * engines (the oracle hashes the same md5 prefix). */
-  private def verifyCandidates(candidates: DataFrame, hashed: DataFrame,
+  private[graft] def verifyCandidates(candidates: DataFrame, hashed: DataFrame,
       threshold: Double): DataFrame = {
     // The candidate pair set is small (pairs sharing a rare gram / band /
     // fingerprint), so materialize it once — it feeds the id semi-join

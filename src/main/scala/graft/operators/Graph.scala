@@ -188,8 +188,14 @@ object Graph {
     * the full graph (shared oracle, hash-equal). */
   def trianglesIncremental(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    trianglesIncrementalOf(pairs, triBase(spark, dir, pairs), g2bNewNode)
+  }
+
+  /** The maintained old-old triangle state, landed once per corpus
+    * fingerprint — shared by both incremental forms (g2b/g2c). */
+  private def triBase(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val base = triBaseMemo.getOrCompute(spark, dir, fp) {
+    triBaseMemo.getOrCompute(spark, dir, fp) {
       val t0 = System.nanoTime()
       val b = trianglesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
         !g2bNewNode(col("b_id"))))
@@ -197,7 +203,6 @@ object Graph {
         f"${(System.nanoTime() - t0) / 1e9}%.3f s")
       b
     }
-    trianglesIncrementalOf(pairs, base, g2bNewNode)
   }
 
   /** The g2b arrival split: ~1/7 of the graph counts as newly arrived. */
@@ -243,6 +248,104 @@ object Graph {
         (coalesce(col("tri_cnt"), lit(0L)) + coalesce(col("tri_delta"), lit(0L))).as("tri_cnt"))
       .orderBy(col("doc_id"))
     materializeAndRelease(out, delta, adjN)
+  }
+
+  /** G2c: incremental triangles, DEGREE-ORIENTED — the fix g2b's own
+    * 30× probe named. g2b enumerates wedges centered at arriving
+    * nodes, Σ deg² over the delta's nodes: once the arrival set holds
+    * high-degree nodes, the unoriented wedge count blows past the
+    * full join's Chiba–Nishizeki O(E^1.5) bound (measured: g2b loses
+    * the 30× point, PLANS.md). This twin runs the EDGE-ITERATOR
+    * orientation over new edges instead: each new edge (x, y) expands
+    * the adjacency of its LOWER-DEGREE endpoint only — Σ min(deg u,
+    * deg v) over the delta's edges, the same orientation argument that
+    * gives the full algorithm its bound, applied to the delta.
+    *
+    * Degrees are MAINTAINED, not recomputed: full-graph degree = the
+    * landed base's old-old degree + a Δ-sized incident count — no
+    * corpus-shaped aggregate on the apply path. The pivot expansion
+    * joins the symmetric edge frame keyed on the pivot node (the
+    * ledger-read class: at 100 TB the landed pair frame is bucketed by
+    * endpoint and the probe ships only the delta's keys).
+    *
+    * Once-counting is by EDGE-AGE ORDER (the standard argument,
+    * lexicographic canonical (min,max) as the total order): a triangle
+    * with several new edges is counted only at its lexicographically
+    * least new edge — a closed wedge is dropped when either remaining
+    * edge is new and precedes the current one. Node-arrival newness
+    * makes edge newness derivable (an edge is new iff it touches a
+    * new node), so the rule needs no edge timestamps.
+    *
+    * Output ≡ g2 over the full graph (shared oracle, hash-equal):
+    * all-old triangles live in the base, every triangle with a new
+    * corner has ≥1 new edge and is counted exactly once. */
+  def trianglesIncrementalOriented(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    trianglesIncrementalOrientedOf(pairs, triBase(spark, dir, pairs), g2bNewNode)
+  }
+
+  private[graft] def trianglesIncrementalOrientedOf(pairs: DataFrame,
+      base: DataFrame, isNew: Column => Column): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    def lexLt(ax: Column, ay: Column, bx: Column, by: Column): Column =
+      ax < bx || (ax === bx && ay < by)
+    // canonical new edges (x < y): every edge touching a new node
+    val delta = shared(pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id")))
+      .select(least(col("a_id"), col("b_id")).as("x"),
+        greatest(col("a_id"), col("b_id")).as("y")))
+    val degDelta = delta.select(col("x").as("id"))
+      .union(delta.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg_delta"))
+    // full-graph degrees from the maintained base + a Δ-sized merge —
+    // the apply path never aggregates the whole edge frame
+    val degFull = base.select(col("doc_id").as("id"), col("deg").as("deg_base"))
+      .join(degDelta, Seq("id"), "full_outer")
+      .select(col("id"), (coalesce(col("deg_base"), lit(0L)) +
+        coalesce(col("deg_delta"), lit(0L))).as("deg_full"))
+    // orient each new edge at its lower-degree endpoint (tie: x —
+    // any deterministic orientation is sound, degree makes it cheap)
+    val pivoted = delta
+      .join(degFull.select(col("id").as("x"), col("deg_full").as("dx")), Seq("x"))
+      .join(degFull.select(col("id").as("y"), col("deg_full").as("dy")), Seq("y"))
+      .select(col("x"), col("y"),
+        when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("pivot"),
+        when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("other"))
+    val sym = pairs.select(col("a_id").as("u"), col("b_id").as("w"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
+    // Σ min(deg) wedge rows; closure = keyed semi probe of the pair frame
+    val wedges = pivoted.join(sym, col("pivot") === col("u"))
+      .filter(col("w") =!= col("other"))
+      .select(col("x"), col("y"), col("pivot"), col("other"), col("w"))
+    val closed = shared(wedges.join(
+      pairs.select(least(col("a_id"), col("b_id")).as("cx"),
+        greatest(col("a_id"), col("b_id")).as("cy")),
+      col("cx") === least(col("other"), col("w")) &&
+        col("cy") === greatest(col("other"), col("w")),
+      "left_semi"))
+    // once-counting: triangle {pivot, other, w} counts at its lex-least
+    // new edge. (pivot,w) exists by construction, (other,w) by closure.
+    val once = closed
+      .filter(!((isNew(col("pivot")) || isNew(col("w"))) &&
+        lexLt(least(col("pivot"), col("w")), greatest(col("pivot"), col("w")),
+          col("x"), col("y"))))
+      .filter(!((isNew(col("other")) || isNew(col("w"))) &&
+        lexLt(least(col("other"), col("w")), greatest(col("other"), col("w")),
+          col("x"), col("y"))))
+    val triDelta = once.select(col("pivot").as("id"))
+      .union(once.select(col("other").as("id")))
+      .union(once.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri_delta"))
+    val out = base.select(col("doc_id"), col("deg"), col("tri_cnt"))
+      .join(degDelta.select(col("id").as("doc_id"), col("deg_delta")),
+        Seq("doc_id"), "full_outer")
+      .join(triDelta.select(col("id").as("doc_id"), col("tri_delta")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("deg"), lit(0L)) + coalesce(col("deg_delta"), lit(0L))).as("deg"),
+        (coalesce(col("tri_cnt"), lit(0L)) + coalesce(col("tri_delta"), lit(0L))).as("tri_cnt"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(out, delta, closed)
   }
 
   private[graft] val KcoreK = 2

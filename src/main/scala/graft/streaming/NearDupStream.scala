@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Streaming NEAR-dup discovery at ingest — d3's MinHash-LSH tier run
+  * CONTINUOUSLY (the st8 discipline extended from exact digests to the
+  * banded similarity space). Documents arrive; each micro-batch
+  * computes signatures for its own rows only, collides its band
+  * buckets against the LANDED bucket index, exactly verifies the
+  * candidates, and appends three artifacts: the discovered pairs, the
+  * batch's bucket rows, and the batch's docs. The batch tier
+  * ([[Dedup.minhashLshPairs]], reference dedupe_donors.py's periodic
+  * full-table pass) re-signatures the corpus per run; at 100 TB the
+  * production shape is this one — per-arrival work is batch-sized map
+  * compute plus keyed index probes, never a corpus re-scan.
+  *
+  * Once-discovery across batches needs no bookkeeping: a pair is found
+  * when its LATER member arrives (the earlier member is already in the
+  * bucket index, the later one is not yet — the g2b "count at the
+  * minimum new corner" argument, with arrival order as the age).
+  * Within a batch, a_id < b_id on the self-collision plus a distinct
+  * across bands counts each pair once.
+  *
+  * EVERY ARTIFACT IS ITS OWN LEDGER (the v9d/st6/st8 rule, applied
+  * per-artifact because this verb publishes three): pairs anti-join
+  * the landed pairs on (a_id, b_id), bucket rows anti-join the landed
+  * buckets on doc_id, docs anti-join the landed docs on doc_id. A
+  * retried batch, a restart, or a full redelivery under a fresh
+  * checkpoint therefore publishes NOTHING (isEmpty-guarded — no empty
+  * files), and a crash between the three appends is completed, not
+  * duplicated, by the retry regardless of which subset landed. The
+  * docs landing doubles as the verify corpus: exact-Jaccard
+  * verification reads old-side texts from it semi-joined to the
+  * (tiny) candidate id set — candidate-sized, never a scan.
+  *
+  * Determinism: the signature, banding, and verify functions are the
+  * batch tier's own (same seeds, same md5-band buckets, same hashed
+  * shingle verify), so the accumulated pair table equals
+  * [[Dedup.minhashLshPairs]] as a SET at any micro-batching and under
+  * any arrival order — pair discovery is order-dependent only in
+  * WHICH batch finds a pair, never in whether or what it finds. The
+  * gate form (`st9_neardup_stream`) shares d3's oracle SQL verbatim.
+  */
+object NearDupStream {
+
+  // Test seam: invoked with each micro-batch's fresh-pair frame BEFORE
+  // any append. A spec lands a partial slice of the batch's artifacts
+  // and throws — the killed-append state. Identity in production.
+  private[graft] var neardupIngestFaultHook: DataFrame => Unit = _ => ()
+
+  /** Start the ingest stream: parquet document files arriving under
+    * `incomingDir` maintain the LSH index rooted at `indexPath`
+    * (`docs/`, `buckets/`, `pairs/`), one file per micro-batch. */
+  def minhashIngest(spark: SparkSession, incomingDir: String,
+      indexPath: String, checkpoint: String, threshold: Double = 0.8,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      queryName: String =
+        "neardup_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
+    spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incomingDir)
+      .writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        neardupAppend(batch.sparkSession, batch, indexPath, threshold)
+      }
+      .start()
+  }
+
+  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(path)) else None
+  }
+
+  /** The per-batch verb, shared with the scale probe. */
+  private[graft] def neardupAppend(s: SparkSession, batch: DataFrame,
+      indexPath: String, threshold: Double): Unit = {
+    val docsPath = s"$indexPath/docs"
+    val bucketsPath = s"$indexPath/buckets"
+    val pairsPath = s"$indexPath/pairs"
+
+    // fresh rows: the docs landing is the arrival ledger (doc_id only
+    // crosses the anti-join — the landed read prunes to one column)
+    val landedDocs = readIfExists(s, docsPath)
+    val fresh = landedDocs
+      .map(d => batch.join(d.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .getOrElse(batch)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return // replayed batch: publish NOTHING
+
+    // batch-sized signature map — the batch tier's exact functions
+    val rowsPerBand = Dedup.MinHashK / Dedup.LshBands
+    val seedsA = (0 until Dedup.MinHashK).map(Dedup.seedA)
+    val seedsB = (0 until Dedup.MinHashK).map(Dedup.seedB)
+    val sigs = fresh.select(col("doc_id"),
+        graft.functions.MinHashSig(Dedup.shingles(col("text")),
+          seedsA, seedsB, Dedup.MinHashP).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandBucket = (0 until Dedup.LshBands).map { b =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+    }
+    val freshBuckets = sigs.select(col("doc_id"),
+        posexplode(array(bandBucket: _*)).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
+
+    // candidates: fresh×landed bucket collisions (keyed probe of the
+    // index — at scale the bucket table partitions by (band, bucket))
+    // plus fresh×fresh within the batch; distinct across bands; the
+    // landed pair set anti-joins away anything already discovered
+    // (only reachable via a partially-published retry)
+    val landedBuckets = readIfExists(s, bucketsPath)
+    val within = freshBuckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(freshBuckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val cand0 = landedBuckets match {
+      case Some(lb) => within.unionByName(
+        freshBuckets.select(col("doc_id").as("n_id"), col("band"), col("bucket"))
+          .join(lb.select(col("doc_id").as("o_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select(least(col("n_id"), col("o_id")).as("a_id"),
+            greatest(col("n_id"), col("o_id")).as("b_id")))
+      case None => within
+    }
+    val landedPairs = readIfExists(s, pairsPath)
+    val cand = landedPairs
+      .map(lp => cand0.distinct()
+        .join(lp.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_anti"))
+      .getOrElse(cand0.distinct())
+      .localCheckpoint(true)
+
+    // exact verify over candidate docs only: new texts from the batch,
+    // old texts from the landed docs semi-joined by the candidate ids
+    val newPairs =
+      if (cand.isEmpty) cand.withColumn("jaccard", lit(0.0d))
+      else {
+        val candIds = cand.select(col("a_id").as("doc_id"))
+          .union(cand.select(col("b_id").as("doc_id"))).distinct()
+        val texts = landedDocs
+          .map(d => fresh.unionByName(d.select(col("doc_id"), col("text"))))
+          .getOrElse(fresh)
+        val hashed = texts.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram"))
+          .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gram_h"))
+        Dedup.verifyCandidates(cand, hashed, threshold)
+      }
+    val pairsPinned = newPairs.localCheckpoint(true)
+
+    neardupIngestFaultHook(pairsPinned)
+
+    // bucket rows get their own ledger guard: a retry after a partial
+    // publish re-enters with `fresh` unchanged (docs land last), so
+    // already-landed bucket rows must drop here, not re-append
+    val bucketsToWrite = landedBuckets
+      .map(lb => freshBuckets.join(lb.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(freshBuckets)
+      .localCheckpoint(true)
+
+    if (!pairsPinned.isEmpty) pairsPinned.write.mode("append").parquet(pairsPath)
+    if (!bucketsToWrite.isEmpty) bucketsToWrite.write.mode("append").parquet(bucketsPath)
+    // the arrival ledger lands LAST: any earlier crash leaves the batch
+    // fresh, and each artifact's own anti-join completes the publish
+    fresh.write.mode("append").parquet(docsPath)
+  }
+}

@@ -244,6 +244,38 @@ class SearchOpsSpec extends SparkSpec {
       5L -> (2L, 1L), 10L -> (5L, 4L), 11L -> (3L, 2L), 12L -> (4L, 3L)))
   }
 
+  test("g2c oriented delta: multi-new-edge triangles count once under edge-age ordering") {
+    // same crafted graph as the g2b spec — the oriented form must agree
+    // with the full wedge join AND the unoriented delta on every case:
+    // pure-base {1,2,3}, one new corner {1,2,10} (one new-EDGE pair:
+    // (1,10),(2,10) — lex-least counts), two new corners {4,10,11}
+    // (three new edges), three new corners {10,11,12} (all edges new)
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L)
+    val all = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L),
+      (1L, 10L), (2L, 10L), (4L, 10L), (10L, 11L), (10L, 12L),
+      (4L, 11L), (11L, 12L), (1L, 12L), (5L, 12L)
+    ).toDF("a_id", "b_id")
+    val base = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val got = Graph.trianglesIncrementalOrientedOf(all, Graph.trianglesOf(base), isNew)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val full = Graph.trianglesOf(all)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === full, "oriented delta apply diverged from the full wedge join")
+    val unoriented = Graph.trianglesIncrementalOf(all, Graph.trianglesOf(base), isNew)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === unoriented)
+  }
+
+  test("g2c gate form equals g2 on the fixture corpus") {
+    val got = Graph.trianglesIncrementalOriented(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().toSeq
+    val full = Graph.triangles(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
   test("g2b gate form equals g2 on the fixture corpus") {
     val got = Graph.trianglesIncremental(spark, sfDir01)
       .as[(Long, Long, Long)].collect().toSeq
