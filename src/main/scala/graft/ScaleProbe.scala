@@ -373,6 +373,11 @@ object ScaleProbe {
       // share of %7 nodes), so the claim is Δ-linear wall, strictly
       // under g2's full-join wall at every factor
       "g2b_incremental"      -> (operators.Graph.trianglesIncremental(_, _)),
+      // g2c: the degree-oriented delta — Σ min(deg) over the delta's
+      // EDGES replaces g2b's Σ deg² over its nodes, so the wall must
+      // stay under g2's full join at the 30× point where g2b loses it
+      // (the boundary g2b's own probe recorded in PLANS.md)
+      "g2c_oriented"         -> (operators.Graph.trianglesIncrementalOriented(_, _)),
       // g4: the g2 wedge join + three role projections — edge-linear;
       // the orientation bound is what keeps support attribution from
       // curving up with the hottest node

@@ -344,6 +344,11 @@ object SparkEntry {
     // (each artifact its own ledger). Pair discovery is arrival-order
     // invariant, so the oracle is d3's SQL verbatim
     "st9_neardup_stream"      -> ((s, d) => Dedup.streamedNearDupPairs(s, d)),
+    // st10: CURATION AT INGEST — c1's quality→exact-dedup→near-dup
+    // composition as one stream, near-dup tier on the MinHash pairs
+    // (the arrival-time-computable tier); rollup oracle-checked
+    // against the single-statement SQL composition
+    "st10_curate_stream"      -> ((s, d) => Curation.streamedCurate(s, d)),
     // st4: streaming ingestion into the landed index — micro-batches
     // append through the t11c seam; t11's oracle verbatim proves the
     // stream-maintained index equals a batch rebuild
@@ -1458,13 +1463,13 @@ object SparkEntry {
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
          ORDER BY a_id, b_id"""
 
-  // d3's banded-LSH pipeline mirrored end-to-end (signatures, band
-  // buckets, candidate collisions, exact verify). Shared by d3 and the
-  // streaming-ingest twin st9, whose accumulated pair table must be
-  // hash-identical (pair discovery is arrival-order invariant).
-  private lazy val d3Sql: String =
-    s"""WITH t AS (
-           SELECT doc_id, $toksSql AS w FROM documents),
+  // d3's banded-LSH pair pipeline (signatures → band buckets →
+  // candidate collisions → exact verify) as a CTE chain over a
+  // parameterizable corpus source — shared by d3/st9 (over documents)
+  // and st10 (over the exact-dedup survivor subset).
+  private def minhashCtesOver(tSrc: String): String =
+    s"""t AS (
+           SELECT doc_id, $toksSql AS w FROM $tSrc),
          gr AS (
            SELECT DISTINCT doc_id, gram FROM (
              SELECT doc_id, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
@@ -1490,7 +1495,13 @@ object SparkEntry {
            FROM cand c
            JOIN gr ga ON ga.doc_id = c.a_id
            JOIN gr gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
-           GROUP BY c.a_id, c.b_id)
+           GROUP BY c.a_id, c.b_id)"""
+
+  // Shared by d3 and the streaming-ingest twin st9, whose accumulated
+  // pair table must be hash-identical (pair discovery is
+  // arrival-order invariant).
+  private lazy val d3Sql: String =
+    s"""WITH ${minhashCtesOver("documents")}
          SELECT a_id, b_id,
            n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
          FROM common
@@ -1498,6 +1509,34 @@ object SparkEntry {
          JOIN cnt cb ON b_id = cb.doc_id
          WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8
          ORDER BY a_id, b_id"""
+
+  // st10: c1's curation composition with the near-dup tier on the
+  // MinHash pairs (the 100 TB swap c1's scaladoc names — the only
+  // pair tier computable at arrival time), checked end-to-end:
+  // quality gate + exact dedup + banded candidates + exact verify +
+  // b-drop + (lang, split) rollup in ONE statement.
+  private lazy val st10Sql: String =
+    s"""WITH toks AS (
+           SELECT doc_id, text, lang, len($toksSql) AS n_tokens FROM documents),
+         q AS (SELECT * FROM toks WHERE n_tokens >= ${operators.Curation.MinTokens}),
+         keepmin AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         ex AS (SELECT q.* FROM q JOIN keepmin USING (doc_id)),
+         ${minhashCtesOver("documents JOIN keepmin USING (doc_id)")},
+         dropped AS (
+           SELECT DISTINCT b_id AS doc_id FROM common
+           JOIN cnt ca ON a_id = ca.doc_id
+           JOIN cnt cb ON b_id = cb.doc_id
+           WHERE n_common / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.8),
+         kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         SELECT lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                  % ${operators.Curation.EvalBuckets} = 0
+             THEN 'eval' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM kept
+         GROUP BY 1, 2
+         ORDER BY 1, 2"""
 
   // g2's oriented wedge count, shared by g2 and its incremental twin
   // g2b, whose delta-apply plan must hash to the same per-node counts.
@@ -2073,6 +2112,7 @@ object SparkEntry {
     // st9 accumulates the IDENTICAL pair set by streaming ingest —
     // discovery is arrival-order invariant, one oracle proves both
     "st9_neardup_stream" -> d3Sql,
+    "st10_curate_stream" -> st10Sql,
     // d4b oracle is deliberately NOT the banded formulation: brute-force
     // all-pairs hamming at oracle scale, so a hash-match proves the
     // engine's multi-band LSH has full recall (pigeonhole: radius r →

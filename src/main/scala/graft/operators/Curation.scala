@@ -756,4 +756,34 @@ object Curation {
       .agg(count(lit(1)).as("n_pairs"), sum(col("idsum")).as("id_sum"))
       .orderBy(col("split_a"), col("split_b"))
   }
+
+  // landing memo for the stream-built curated corpus (st10)
+  private val curateStreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST10 gate form: CURATION AT INGEST — c1's composition (quality
+    * gate → exact dedup → near-dup drop → (lang, split) rollup) run as
+    * a stream ([[graft.streaming.CurationStream.curateIngest]]), with
+    * the near-dup tier on MinHash-LSH pairs — the swap [[curate]]'s
+    * scaladoc names for 100 TB, and the only pair tier computable at
+    * arrival time (d2's df cap is a corpus-global property). Arrival
+    * order is pinned to doc_id order (the st8 fixture), so the
+    * streamed drop-the-arrival rule equals the batch drop-the-greater-
+    * id rule and the rollup is oracle-checked against the single-
+    * statement SQL composition. */
+  def streamedCurate(spark: SparkSession, dir: String): DataFrame = {
+    val p = Similarity.landOnce(spark, dir, "graft_curate_st", curateStreamLanded,
+      source = "documents.parquet") { p =>
+      val incoming = Dedup.landSplitArrivals(spark,
+        graft.Tables.documents(spark, dir), p)
+      val q = graft.streaming.CurationStream.curateIngest(
+        spark, incoming, p, s"${p}_checkpoint")
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(s"$p/curated")
+      .withColumn("split", splitCol(col("doc_id")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
 }

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Curation, Dedup, TextOps}
+
+/** CURATION AT INGEST — the training-corpus front door as one stream:
+  * quality gate → exact dedup → near-dup gate, applied per
+  * micro-batch as documents arrive, so the curated table is always
+  * current instead of rebuilt by a periodic corpus pass (c1's batch
+  * composition; reference load_donations.py + dedupe_donors.py run
+  * these as separate batch jobs over the full table).
+  *
+  * The near-dup tier here is the MinHash-LSH one — exactly the swap
+  * c1's scaladoc names as the 100 TB path ("constant-size signatures
+  * decouple join width from document length"), and the only pair tier
+  * that is INCREMENTALLY computable at all: c1's d2 tier excludes
+  * grams by corpus-wide document frequency, a global property no
+  * arrival-time decision can know, while MinHash signatures are pure
+  * per-doc functions, so band collisions against the landed index
+  * find exactly the batch-tier candidate set regardless of batching.
+  *
+  * Drop rule: the ARRIVING side of every verified pair drops (each
+  * batch's b-drop). Under the gate's pinned arrival order (= doc_id
+  * order) this equals c1's batch rule — drop the greater id of every
+  * qualifying pair — so the rollup is oracle-checked end-to-end
+  * against the one-statement SQL composition. Under out-of-order
+  * arrival the stream drops the later ARRIVAL (what ingest-time
+  * curation means in production: the landed copy was already served),
+  * which diverges from the id rule exactly when a smaller-id doc
+  * arrives after its larger-id near-duplicate — stated honestly, the
+  * st8 first-wins caveat applied to near-dups.
+  *
+  * Dropped docs STAY in the exact table and the bucket index: batch
+  * c1 computes pairs over ALL exact survivors (a doc dropped for
+  * pairing with one neighbor still drops its own later neighbors), so
+  * the index must carry them — only the curated landing excludes them.
+  *
+  * EVERY ARTIFACT IS ITS OWN LEDGER (the st9 rule): curated and
+  * bucket rows anti-join their landings on doc_id, the exact table —
+  * the arrival authority — anti-joins on digest and lands LAST. A
+  * retried batch, a restart, or a full redelivery publishes NOTHING;
+  * a crash between the three appends is completed, not duplicated,
+  * by the retry.
+  *
+  * At 100 TB: per-batch work is batch-sized map compute (tokens,
+  * digest, signature) plus keyed probes of the digest and bucket
+  * ledgers; the verify is candidate-sized. No stage re-scans the
+  * corpus. */
+object CurationStream {
+
+  // Test seam: invoked with each micro-batch's curated rows BEFORE any
+  // append. A spec lands a partial slice and throws — the killed-
+  // publish state. Identity in production.
+  private[graft] var curateIngestFaultHook: DataFrame => Unit = _ => ()
+
+  /** Start the ingest stream: parquet document files arriving under
+    * `incomingDir` maintain the curated corpus rooted at `rootPath`
+    * (`exact/`, `buckets/`, `curated/`), one file per micro-batch. */
+  def curateIngest(spark: SparkSession, incomingDir: String,
+      rootPath: String, checkpoint: String, threshold: Double = 0.8,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      queryName: String =
+        "curate_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
+    spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incomingDir)
+      .writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateAppend(batch.sparkSession, batch, rootPath, threshold)
+      }
+      .start()
+  }
+
+  /** The per-batch verb, shared with the scale probe. */
+  private[graft] def curateAppend(s: SparkSession, batch: DataFrame,
+      rootPath: String, threshold: Double): Unit = {
+    import NearDupStream.{bucketRowsOf, collisionCandidates, readIfExists, verifyOverTexts}
+    val exactPath = s"$rootPath/exact"
+    val bucketsPath = s"$rootPath/buckets"
+    val curatedPath = s"$rootPath/curated"
+
+    // quality gate + within-batch exact dedup (min-doc_id winner per
+    // digest — one partial-agged aggregate, batch-sized)
+    val winners = batch
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= Curation.MinTokens)
+      .withColumn("digest", md5(col("text")))
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("text"), col("lang"),
+        col("n_tokens"))).as("w"))
+      .select(col("w.doc_id"), col("w.text"), col("w.lang"),
+        col("w.n_tokens"), col("digest"))
+
+    // cross-batch exact dedup: the exact table is the digest ledger
+    val landedExact = readIfExists(s, exactPath)
+    val freshEx = landedExact
+      .map(d => winners.join(d.select(col("digest")), Seq("digest"), "left_anti"))
+      .getOrElse(winners)
+      .localCheckpoint(true)
+    if (freshEx.isEmpty) return // replayed batch: publish NOTHING
+
+    // near-dup gate: band collisions against the landed index, exact
+    // verify, drop the arriving (b) side of every qualifying pair
+    val freshBuckets = bucketRowsOf(freshEx).localCheckpoint(true)
+    val landedBuckets = readIfExists(s, bucketsPath)
+    val cand = collisionCandidates(freshBuckets, landedBuckets).localCheckpoint(true)
+    val curatedRows =
+      if (cand.isEmpty) freshEx
+      else {
+        val dropIds = verifyOverTexts(cand,
+            freshEx.select(col("doc_id"), col("text")), landedExact, threshold)
+          .select(col("b_id").as("doc_id")).distinct()
+        freshEx.join(dropIds, Seq("doc_id"), "left_anti")
+      }
+
+    // per-artifact ledgers; the exact table (the arrival authority)
+    // lands LAST so any earlier crash leaves the batch fresh and the
+    // anti-joins complete the publish on retry
+    val curatedToWrite = readIfExists(s, curatedPath)
+      .map(c => curatedRows.join(c.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .getOrElse(curatedRows)
+      .localCheckpoint(true)
+    val bucketsToWrite = landedBuckets
+      .map(lb => freshBuckets.join(lb.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(freshBuckets)
+      .localCheckpoint(true)
+
+    curateIngestFaultHook(curatedToWrite)
+
+    if (!curatedToWrite.isEmpty) curatedToWrite.write.mode("append").parquet(curatedPath)
+    if (!bucketsToWrite.isEmpty) bucketsToWrite.write.mode("append").parquet(bucketsPath)
+    freshEx.write.mode("append").parquet(exactPath)
+  }
+}

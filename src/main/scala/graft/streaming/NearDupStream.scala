@@ -73,10 +73,68 @@ object NearDupStream {
       .start()
   }
 
-  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
+  private[streaming] def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(path)) else None
+  }
+
+  /** (doc_id, band, bucket) rows for a (doc_id, text, ...) frame — the
+    * batch tier's exact signature and banding functions, map-side.
+    * Docs too short to signature (null sig) emit no rows. */
+  private[graft] def bucketRowsOf(docs: DataFrame): DataFrame = {
+    val rowsPerBand = Dedup.MinHashK / Dedup.LshBands
+    val seedsA = (0 until Dedup.MinHashK).map(Dedup.seedA)
+    val seedsB = (0 until Dedup.MinHashK).map(Dedup.seedB)
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.MinHashSig(Dedup.shingles(col("text")),
+          seedsA, seedsB, Dedup.MinHashP).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandBucket = (0 until Dedup.LshBands).map { b =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandBucket: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Candidate pairs (a_id < b_id, distinct) for a batch's bucket rows:
+    * fresh×landed collisions (keyed probe of the index — at scale the
+    * bucket table partitions by (band, bucket)) plus fresh×fresh within
+    * the batch. Shared by the st9 and st10 ingest verbs. */
+  private[graft] def collisionCandidates(freshBuckets: DataFrame,
+      landedBuckets: Option[DataFrame]): DataFrame = {
+    val within = freshBuckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(freshBuckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val all = landedBuckets match {
+      case Some(lb) => within.unionByName(
+        freshBuckets.select(col("doc_id").as("n_id"), col("band"), col("bucket"))
+          .join(lb.select(col("doc_id").as("o_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select(least(col("n_id"), col("o_id")).as("a_id"),
+            greatest(col("n_id"), col("o_id")).as("b_id")))
+      case None => within
+    }
+    all.distinct()
+  }
+
+  /** Exact-Jaccard verification of `cand` over texts drawn from the
+    * batch plus the landed corpus, candidate-sized (the texts frame
+    * semi-joins the broadcast candidate ids before shingling). */
+  private[graft] def verifyOverTexts(cand: DataFrame, freshTexts: DataFrame,
+      landedTexts: Option[DataFrame], threshold: Double): DataFrame = {
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val texts = landedTexts
+      .map(d => freshTexts.unionByName(d.select(col("doc_id"), col("text"))))
+      .getOrElse(freshTexts)
+    val hashed = texts.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gram_h"))
+    Dedup.verifyCandidates(cand, hashed, threshold)
   }
 
   /** The per-batch verb, shared with the scale probe. */
@@ -97,63 +155,26 @@ object NearDupStream {
     if (fresh.isEmpty) return // replayed batch: publish NOTHING
 
     // batch-sized signature map — the batch tier's exact functions
-    val rowsPerBand = Dedup.MinHashK / Dedup.LshBands
-    val seedsA = (0 until Dedup.MinHashK).map(Dedup.seedA)
-    val seedsB = (0 until Dedup.MinHashK).map(Dedup.seedB)
-    val sigs = fresh.select(col("doc_id"),
-        graft.functions.MinHashSig(Dedup.shingles(col("text")),
-          seedsA, seedsB, Dedup.MinHashP).as("sig"))
-      .filter(col("sig").isNotNull)
-    val bandBucket = (0 until Dedup.LshBands).map { b =>
-      md5(concat_ws(",",
-        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-    }
-    val freshBuckets = sigs.select(col("doc_id"),
-        posexplode(array(bandBucket: _*)).as(Seq("band", "bucket")))
-      .localCheckpoint(true)
+    val freshBuckets = bucketRowsOf(fresh).localCheckpoint(true)
 
-    // candidates: fresh×landed bucket collisions (keyed probe of the
-    // index — at scale the bucket table partitions by (band, bucket))
-    // plus fresh×fresh within the batch; distinct across bands; the
-    // landed pair set anti-joins away anything already discovered
-    // (only reachable via a partially-published retry)
+    // candidates: fresh×landed collisions + fresh×fresh, distinct
+    // across bands; the landed pair set anti-joins away anything
+    // already discovered (only reachable via a partially-published
+    // retry)
     val landedBuckets = readIfExists(s, bucketsPath)
-    val within = freshBuckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
-      .join(freshBuckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-    val cand0 = landedBuckets match {
-      case Some(lb) => within.unionByName(
-        freshBuckets.select(col("doc_id").as("n_id"), col("band"), col("bucket"))
-          .join(lb.select(col("doc_id").as("o_id"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .select(least(col("n_id"), col("o_id")).as("a_id"),
-            greatest(col("n_id"), col("o_id")).as("b_id")))
-      case None => within
-    }
+    val cand0 = collisionCandidates(freshBuckets, landedBuckets)
     val landedPairs = readIfExists(s, pairsPath)
     val cand = landedPairs
-      .map(lp => cand0.distinct()
+      .map(lp => cand0
         .join(lp.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_anti"))
-      .getOrElse(cand0.distinct())
+      .getOrElse(cand0)
       .localCheckpoint(true)
 
     // exact verify over candidate docs only: new texts from the batch,
     // old texts from the landed docs semi-joined by the candidate ids
     val newPairs =
       if (cand.isEmpty) cand.withColumn("jaccard", lit(0.0d))
-      else {
-        val candIds = cand.select(col("a_id").as("doc_id"))
-          .union(cand.select(col("b_id").as("doc_id"))).distinct()
-        val texts = landedDocs
-          .map(d => fresh.unionByName(d.select(col("doc_id"), col("text"))))
-          .getOrElse(fresh)
-        val hashed = texts.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram"))
-          .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gram_h"))
-        Dedup.verifyCandidates(cand, hashed, threshold)
-      }
+      else verifyOverTexts(cand, fresh, landedDocs, threshold)
     val pairsPinned = newPairs.localCheckpoint(true)
 
     neardupIngestFaultHook(pairsPinned)

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.CurationStream
+import graft.operators.{Curation, Dedup}
+
+/** Curation at ingest: the streamed curated table must hold exactly
+  * the batch composition's kept set (quality gate + exact dedup +
+  * near-dup b-drop under id-ordered arrival), and the three landed
+  * artifacts must each be their own replay ledger. Planted corpora pin
+  * the reject paths; the sf0.01 gate form is oracle-checked against
+  * the single-statement SQL composition. */
+class CurationStreamSpec extends SparkSpec {
+
+  private val pad = (1 to 30).map(i => s"w$i").mkString(" ") // ≥ MinTokens filler
+
+  private def curated(root: String): Seq[Long] =
+    spark.read.parquet(s"$root/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+
+  private def landTwoFiles(dir: String,
+      batch0: org.apache.spark.sql.DataFrame,
+      batch1: org.apache.spark.sql.DataFrame): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val base = System.currentTimeMillis() - 120000L
+    Seq((batch0, "batch-0.parquet", base), (batch1, "batch-1.parquet", base + 60000L))
+      .foreach { case (df, name, mtime) =>
+        val tmp = dir + "_tmp_" + name
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(dir, name)
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target.setLastModified(mtime)
+        rmTree(new java.io.File(tmp))
+      }
+  }
+
+  test("st10: quality rejects, exact dups, and near dups all gate; chains drop per the b-rule") {
+    import spark.implicits._
+    // doc 0: survives everything. doc 1: too short (quality reject).
+    // doc 2: exact dup of 0 ACROSS batches (drops, and must not enter
+    // the index). doc 3: identical to 0 -> near-... no: identical is
+    // exact; doc 3 is a distinct text. doc 4: exact dup of 3 within
+    // its batch. doc 5: near-dup CHAIN head case — 5 is dropped for
+    // pairing with 3, and doc 6 pairing ONLY with 5 must STILL drop
+    // (batch b-rule: b falls whether or not a also fell).
+    val t0 = s"alpha bravo charlie delta echo foxtrot golf hotel $pad"
+    val t3 = s"november oscar papa quebec romeo sierra tango uniform $pad"
+    // t5: t3 with one word changed (high jaccard); t6: t5 with another
+    // word changed (pairs with t5; may or may not pair with t3)
+    val t5 = t3.replace("november", "zulu")
+    val t6 = t5.replace("oscar", "yankee")
+    val b0 = Seq((0L, t0, "en"), (1L, "too short", "en"), (3L, t3, "en"))
+      .toDF("doc_id", "text", "lang")
+    val b1 = Seq((2L, t0, "en"), (4L, t3, "fr"), (5L, t5, "en"), (6L, t6, "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("curate_stream_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val root = tmp.getAbsolutePath + "/corpus"
+    landTwoFiles(incoming, b0, b1)
+    val q = CurationStream.curateIngest(spark, incoming, root,
+      tmp.getAbsolutePath + "/cp1")
+    try q.processAllAvailable() finally q.stop()
+
+    // the batch-rule mirror, computed independently: exact survivors
+    // minus the b-side of every qualifying minhash pair
+    val all = b0.unionByName(b1)
+      .withColumn("n_tokens", size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= Curation.MinTokens)
+    val ex = all.withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+          .orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk").localCheckpoint(true)
+    val corpusDir = tmp.getAbsolutePath + "/asTable"
+    ex.select(col("doc_id"), col("text")).write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    val drops = Dedup.minhashLshPairs(spark, corpusDir)
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    val want = ex.select(col("doc_id")).collect().map(_.getLong(0))
+      .filterNot(drops).toSeq.sorted
+    assert(curated(root) === want, "streamed curated set diverged from the batch rule")
+    // the planted paths actually exercised: 1 (quality), 2 and 4
+    // (exact), 5 and 6 (near-dup, including the chain case)
+    assert(curated(root) === Seq(0L, 3L))
+    // dropped near-dups stay in the index (future arrivals must still
+    // collide with them); exact dups and quality rejects do not
+    val exIds = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(exIds === Seq(0L, 3L, 5L, 6L))
+
+    // full redelivery under a fresh checkpoint publishes NOTHING
+    def files(sub: String) = new java.io.File(s"$root/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = Seq("exact", "buckets", "curated").map(files)
+    val q2 = CurationStream.curateIngest(spark, incoming, root,
+      tmp.getAbsolutePath + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Seq("exact", "buckets", "curated").map(files) === before,
+      "redelivery published files")
+    rmTree(tmp)
+  }
+
+  test("st10 kill between appends: the retry completes the publish without duplicating") {
+    import spark.implicits._
+    val t0 = s"alpha bravo charlie delta echo foxtrot golf hotel $pad"
+    val t3 = s"november oscar papa quebec romeo sierra tango uniform $pad"
+    val b0 = Seq((0L, t0, "en")).toDF("doc_id", "text", "lang")
+    val b1 = Seq((3L, t3, "en"), (5L, t3.replace("november", "zulu"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("curate_kill_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val root = tmp.getAbsolutePath + "/corpus"
+    landTwoFiles(incoming, b0, b1)
+    // crash batch 1 between its appends: curated lands, then the query
+    // dies before buckets and exact publish
+    CurationStream.curateIngestFaultHook = rows => {
+      if (rows.filter(col("doc_id") >= 3L).count() > 0) {
+        rows.write.mode("append").parquet(s"$root/curated")
+        throw new RuntimeException("injected mid-publish crash")
+      }
+    }
+    try {
+      val q = CurationStream.curateIngest(spark, incoming, root,
+        tmp.getAbsolutePath + "/cp")
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally CurationStream.curateIngestFaultHook = _ => ()
+    // torn state: batch 1's curated row landed, its exact rows did not
+    assert(curated(root) === Seq(0L, 3L))
+    val exMid = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exMid === Set(0L), s"crash fixture must leave batch 1's exact unlanded, got $exMid")
+    // restart on the SAME checkpoint: every artifact completes exactly
+    // once — 5 still drops (near-dup of 3), nothing doubles
+    val q2 = CurationStream.curateIngest(spark, incoming, root,
+      tmp.getAbsolutePath + "/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(curated(root) === Seq(0L, 3L), "retry must not duplicate or resurrect drops")
+    val exIds = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(exIds === Seq(0L, 3L, 5L))
+    val bucketDups = spark.read.parquet(s"$root/buckets")
+      .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(bucketDups === 0L)
+    rmTree(tmp)
+  }
+
+  test("st10 gate form matches the batch composition on the fixture corpus") {
+    val got = Curation.streamedCurate(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum > 0)
+    // independent mirror: batch-rule kept set over the same corpus
+    import spark.implicits._
+    val all = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= Curation.MinTokens)
+    val ex = all.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+          .orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk").localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("curate_gate_mirror").toFile
+    ex.select(col("doc_id"), col("text")).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath + "/documents.parquet")
+    val drops = Dedup.minhashLshPairs(spark, tmp.getAbsolutePath)
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    val want = ex.filter(!col("doc_id").isin(drops.toSeq: _*))
+      .withColumn("split",
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % Curation.EvalBuckets === 0, lit("eval")).otherwise(lit("train")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    rmTree(tmp)
+  }
+}
