@@ -478,6 +478,46 @@ object ScaleProbe {
         graft.streaming.DedupStream.dedupAppend(s, batch, p)
         spark.read.parquet(p).groupBy().count()
       }),
+      // st9's per-batch verb under a grown LSH index: batch-sized
+      // signature map + a keyed (band, bucket) probe of the landed
+      // bucket table + candidate-sized verify. The batch re-uses
+      // copy-0 texts with a per-rep suffix, so each doc near-dups its
+      // copy-0 original (~500 real pairs discovered per append —
+      // honest dup pressure at every factor; salted copies share no
+      // grams, so pair volume does NOT grow with the factor). The
+      // claim: wall grows only with the bucket/docs column scans as
+      // the index multiplies, never with a corpus re-signature.
+      "st9_neardup_append"   -> ((s, d) => {
+        val p = s"$outRoot/ndst_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        if (!new java.io.File(p).exists())
+          graft.streaming.NearDupStream.neardupAppend(
+            s, Tables.documents(s, d).select(col("doc_id"), col("text")), p, 0.8)
+        val shift = 1000000000000L * compactEpoch.incrementAndGet()
+        val batch = Tables.documents(s, d)
+          .orderBy(col("doc_id")).limit(500)
+          .select((col("doc_id") + shift).as("doc_id"),
+            concat(col("text"), lit(s" [b$shift]")).as("text"))
+        graft.streaming.NearDupStream.neardupAppend(s, batch, p, 0.8)
+        spark.read.parquet(s"$p/docs").groupBy().count()
+      }),
+      // st10's per-batch verb under a grown curated corpus: the full
+      // front door (quality gate + digest anti-join + LSH collide +
+      // verify + three ledgered appends) must stay batch-sized the
+      // same way — the composition adds the digest-column probe on
+      // top of st9's bucket probe, nothing corpus-shaped
+      "st10_curate_append"   -> ((s, d) => {
+        val p = s"$outRoot/curst_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        if (!new java.io.File(p).exists())
+          graft.streaming.CurationStream.curateAppend(
+            s, Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")), p, 0.8)
+        val shift = 1000000000000L * compactEpoch.incrementAndGet()
+        val batch = Tables.documents(s, d)
+          .orderBy(col("doc_id")).limit(500)
+          .select((col("doc_id") + shift).as("doc_id"),
+            concat(col("text"), lit(s" [b$shift]")).as("text"), col("lang"))
+        graft.streaming.CurationStream.curateAppend(s, batch, p, 0.8)
+        spark.read.parquet(s"$p/exact").groupBy().count()
+      }),
       "bm25_cdc_cycle"       -> ((s, d) => {
         val p = s"$outRoot/cdcc_${java.util.UUID.randomUUID().toString.take(8)}"
         val v1 = Tables.documents(s, d)

@@ -477,6 +477,11 @@ object SparkEntry {
     // g4: per-edge triangle support — support-0 edges are the
     // unsupported bridges graph cleaning drops before closure
     "g4_edge_support"         -> ((s, d) => Graph.weakEdges(s, d)),
+    // g4b: the edge-level CDC companion (nodes g2b/g2c, clusters d7c,
+    // edges here) — delta triangles add support to their three edges,
+    // including old-old edges a new corner now supports; merged over
+    // the landed old-old support frame
+    "g4b_incremental_support" -> ((s, d) => Graph.weakEdgesIncremental(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -4013,8 +4018,15 @@ object SparkEntry {
          ORDER BY asset_id, frame_idx""",
     // g4: g2's oriented CTEs + three role projections of the closed
     // triples, partial-agged on the normalized edge key
-    "g4_edge_support" ->
-      s"""WITH $d7EdgeCtes,
+    "g4_edge_support" -> g4Sql,
+    // g4b maintains the same per-edge support incrementally (delta
+    // triangles merged over the landed old-old support frame) — the
+    // shared oracle proves the delta apply ≡ the full role projection
+    "g4b_incremental_support" -> g4Sql,
+  )
+
+  private lazy val g4Sql: String =
+    s"""WITH $d7EdgeCtes,
          degs AS MATERIALIZED (
            SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
            FROM edges GROUP BY a),
@@ -4034,8 +4046,7 @@ object SparkEntry {
          SELECT p.a_id, p.b_id,
            CAST(COALESCE(s.support, 0) AS BIGINT) AS support
          FROM pairs p LEFT JOIN supc s ON p.a_id = s.x AND p.b_id = s.y
-         ORDER BY p.a_id, p.b_id""",
-  )
+         ORDER BY p.a_id, p.b_id"""
 
   /** t16's oracle: vocabulary with document frequency, prefix page. */
   private lazy val autocompleteSql: String =

@@ -284,9 +284,17 @@ object Graph {
     trianglesIncrementalOrientedOf(pairs, triBase(spark, dir, pairs), g2bNewNode)
   }
 
-  private[graft] def trianglesIncrementalOrientedOf(pairs: DataFrame,
-      base: DataFrame, isNew: Column => Column): DataFrame = {
-    import CacheOps.{materializeAndRelease, shared}
+  /** The shared Δ-triangle enumeration behind g2c and g4b: canonical
+    * new edges (`x < y`, every edge touching a new node), oriented at
+    * the lower-degree endpoint, closed against the pair frame, counted
+    * once at the lexicographically least new edge. Returns (the
+    * once-counted closed-wedge frame with columns x, y, pivot, other,
+    * w — one row per delta TRIANGLE — and the Δ-sized per-node
+    * incident-edge counts). The closed frame arrives `shared`; callers
+    * release it via materializeAndRelease. */
+  private[graft] def orientedDeltaTriangles(pairs: DataFrame,
+      base: DataFrame, isNew: Column => Column): (DataFrame, DataFrame, DataFrame) = {
+    import CacheOps.shared
     def lexLt(ax: Column, ay: Column, bx: Column, by: Column): Column =
       ax < bx || (ax === bx && ay < by)
     // canonical new edges (x < y): every edge touching a new node
@@ -317,21 +325,28 @@ object Graph {
     val wedges = pivoted.join(sym, col("pivot") === col("u"))
       .filter(col("w") =!= col("other"))
       .select(col("x"), col("y"), col("pivot"), col("other"), col("w"))
-    val closed = shared(wedges.join(
+    val closed = wedges.join(
       pairs.select(least(col("a_id"), col("b_id")).as("cx"),
         greatest(col("a_id"), col("b_id")).as("cy")),
       col("cx") === least(col("other"), col("w")) &&
         col("cy") === greatest(col("other"), col("w")),
-      "left_semi"))
+      "left_semi")
     // once-counting: triangle {pivot, other, w} counts at its lex-least
     // new edge. (pivot,w) exists by construction, (other,w) by closure.
-    val once = closed
+    val once = shared(closed
       .filter(!((isNew(col("pivot")) || isNew(col("w"))) &&
         lexLt(least(col("pivot"), col("w")), greatest(col("pivot"), col("w")),
           col("x"), col("y"))))
       .filter(!((isNew(col("other")) || isNew(col("w"))) &&
         lexLt(least(col("other"), col("w")), greatest(col("other"), col("w")),
-          col("x"), col("y"))))
+          col("x"), col("y")))))
+    (once, delta, degDelta)
+  }
+
+  private[graft] def trianglesIncrementalOrientedOf(pairs: DataFrame,
+      base: DataFrame, isNew: Column => Column): DataFrame = {
+    import CacheOps.materializeAndRelease
+    val (once, delta, degDelta) = orientedDeltaTriangles(pairs, base, isNew)
     val triDelta = once.select(col("pivot").as("id"))
       .union(once.select(col("other").as("id")))
       .union(once.select(col("w").as("id")))
@@ -345,7 +360,59 @@ object Graph {
         (coalesce(col("deg"), lit(0L)) + coalesce(col("deg_delta"), lit(0L))).as("deg"),
         (coalesce(col("tri_cnt"), lit(0L)) + coalesce(col("tri_delta"), lit(0L))).as("tri_cnt"))
       .orderBy(col("doc_id"))
-    materializeAndRelease(out, delta, closed)
+    materializeAndRelease(out, delta, once)
+  }
+
+  // landed old-old edge-support state for g4b (the triBase discipline)
+  private val supBaseMemo = new SessionMemo[DataFrame]()
+
+  /** G4b: per-edge triangle support MAINTAINED incrementally — the
+    * edge-level companion of g2c, completing the graph tier's CDC
+    * story (nodes: g2b/g2c; clusters: d7c; edges: here). Every delta
+    * triangle (≥1 new corner) adds support 1 to each of its three
+    * edges — including OLD-old edges a new corner now supports, which
+    * is why the merge is a full-outer over the base support frame,
+    * not an append. New edges closing no triangle still appear with
+    * support 0 (g4's weak-edge semantics). Output ≡ g4 over the full
+    * graph (shared oracle, hash-equal); Δ-shaped work: the oriented
+    * enumeration plus one |Δ-triangles|·3-row aggregate. */
+  def weakEdgesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val baseSup = supBaseMemo.getOrCompute(spark, dir, fp) {
+      val t0 = System.nanoTime()
+      val b = weakEdgesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
+        !g2bNewNode(col("b_id"))))
+      System.err.println(f"[g4b] one-time base edge-support state ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      b
+    }
+    weakEdgesIncrementalOf(pairs, triBase(spark, dir, pairs), baseSup, g2bNewNode)
+  }
+
+  private[graft] def weakEdgesIncrementalOf(pairs: DataFrame, triBase: DataFrame,
+      baseSup: DataFrame, isNew: Column => Column): DataFrame = {
+    import CacheOps.materializeAndRelease
+    val (once, delta, _) = orientedDeltaTriangles(pairs, triBase, isNew)
+    // each delta triangle supports its three canonical edges
+    val supDelta = once.select(col("x"), col("y"))
+      .union(once.select(least(col("pivot"), col("w")).as("x"),
+        greatest(col("pivot"), col("w")).as("y")))
+      .union(once.select(least(col("other"), col("w")).as("x"),
+        greatest(col("other"), col("w")).as("y")))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup_delta"))
+    // edge universe = base edges (support included) ∪ the delta's new
+    // edges (support 0 unless a delta triangle names them)
+    val out = baseSup.select(col("a_id"), col("b_id"), col("support").as("base_sup"))
+      .join(delta.select(col("x").as("a_id"), col("y").as("b_id")),
+        Seq("a_id", "b_id"), "full_outer")
+      .join(supDelta.select(col("x").as("a_id"), col("y").as("b_id"), col("sup_delta")),
+        Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        (coalesce(col("base_sup"), lit(0L)) +
+          coalesce(col("sup_delta"), lit(0L))).as("support"))
+      .orderBy(col("a_id"), col("b_id"))
+    materializeAndRelease(out, delta, once)
   }
 
   private[graft] val KcoreK = 2

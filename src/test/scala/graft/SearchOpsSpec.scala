@@ -276,6 +276,37 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("g4b incremental edge support: old-old edges gain support from new corners") {
+    // crafted graph from the g2b spec. Key case: old edge (1,2) has
+    // base support 1 ({1,2,3}) and gains 1 from the new corner 10
+    // ({1,2,10}) — the merge must UPDATE it, not just append new edges
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L)
+    val all = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L),
+      (1L, 10L), (2L, 10L), (4L, 10L), (10L, 11L), (10L, 12L),
+      (4L, 11L), (11L, 12L), (1L, 12L), (5L, 12L)
+    ).toDF("a_id", "b_id")
+    val old = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val got = Graph.weakEdgesIncrementalOf(all,
+        Graph.trianglesOf(old), Graph.weakEdgesOf(old), isNew)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val full = Graph.weakEdgesOf(all)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === full, "delta support apply diverged from the full role projection")
+    assert(got((1L, 2L)) === 2L, "old-old edge must gain support from the new corner")
+    assert(got((1L, 5L)) === 1L,
+      "base-weak old edge (support 0 over old-old) must gain its support from {1,5,12}")
+  }
+
+  test("g4b gate form equals g4 on the fixture corpus") {
+    val got = Graph.weakEdgesIncremental(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().toSeq
+    val full = Graph.weakEdges(spark, sfDir01)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
   test("g2b gate form equals g2 on the fixture corpus") {
     val got = Graph.trianglesIncremental(spark, sfDir01)
       .as[(Long, Long, Long)].collect().toSeq
