@@ -378,6 +378,10 @@ object ScaleProbe {
       // stay under g2's full join at the 30× point where g2b loses it
       // (the boundary g2b's own probe recorded in PLANS.md)
       "g2c_oriented"         -> (operators.Graph.trianglesIncrementalOriented(_, _)),
+      // g3b: the anchored regrowth — apply cost tracks the PEELED
+      // region + Δ, never the full edge frame; must sit at-or-under
+      // g3's fixed-round full peel at every factor
+      "g3b_incremental"      -> (operators.Graph.kcoreIncremental(_, _)),
       // g4: the g2 wedge join + three role projections — edge-linear;
       // the orientation bound is what keeps support attribution from
       // curving up with the hottest node

@@ -458,6 +458,11 @@ object SparkEntry {
     // g3: 2-core extraction — fixed-round peel over the landed pair
     // graph; pendants and chains drop, mutually-supported cores stay
     "g3_kcore"                -> ((s, d) => Graph.kcore(s, d)),
+    // g3b: incremental k-core — edge addition is monotone, so the
+    // apply peels ONLY the candidate region (old peeled + arrivals)
+    // with landed-core edges as permanent anchors; old core members
+    // gain degree from delta edges and promoted neighbors
+    "g3b_incremental_kcore"   -> ((s, d) => Graph.kcoreIncremental(s, d)),
     // t16: prefix autocomplete from the corpus' own vocabulary,
     // ranked by document frequency
     "t16_autocomplete"        -> ((s, d) => TextOps.autocomplete(s, d)),
@@ -3976,12 +3981,11 @@ object SparkEntry {
          ORDER BY q.query_id""",
     // g3: the d7 edge CTEs + the fixed-round peel unroll — degree
     // HAVING then a both-endpoints prune per round
-    "g3_kcore" ->
-      s"""WITH $d7EdgeCtes,
-         ${kcoreCtes(operators.Graph.KcoreRounds)}
-         SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
-         FROM e${operators.Graph.KcoreRounds}
-         GROUP BY u ORDER BY doc_id""",
+    "g3_kcore" -> g3Sql,
+    // g3b regrows the core over the peeled region only (anchored peel
+    // against the landed core) — the shared oracle proves the
+    // monotone-addition argument exact, degrees included
+    "g3b_incremental_kcore" -> g3Sql,
     // t16/t16b: per-doc-distinct terms → df counts, prefix filter
     // before the count, page by (df desc, term) — the landed form
     // answers the SAME SQL (hash equality proves the letter-partition
@@ -4024,6 +4028,13 @@ object SparkEntry {
     // shared oracle proves the delta apply ≡ the full role projection
     "g4b_incremental_support" -> g4Sql,
   )
+
+  private lazy val g3Sql: String =
+    s"""WITH $d7EdgeCtes,
+         ${kcoreCtes(operators.Graph.KcoreRounds)}
+         SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         FROM e${operators.Graph.KcoreRounds}
+         GROUP BY u ORDER BY doc_id"""
 
   private lazy val g4Sql: String =
     s"""WITH $d7EdgeCtes,

@@ -307,6 +307,44 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("g3b anchored regrowth: chain resurrection, anchored promotion, pendant rejection, degree gains") {
+    // old graph: peeled path 1-2-3-4-5 hanging off core triangle
+    // {6,7,8} via anchor edge (5,6). Arrivals: 10 bridges the path's
+    // ends into a cycle (the whole chain must RESURRECT), 11 lands
+    // with two core anchors (immediate promotion), 12 is a pendant
+    // (stays out, and 8 must NOT gain degree from it)
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L)
+    val all = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (6L, 8L),
+      (1L, 10L), (5L, 10L), (6L, 11L), (7L, 11L), (8L, 12L)
+    ).toDF("a_id", "b_id")
+    val old = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val (core, cand, anchor) = Graph.kcoreBaseOf(old, 2, 8)
+    // base sanity: the chain peeled, only the triangle cored
+    assert(core.select("doc_id").as[Long].collect().sorted.toSeq === Seq(6L, 7L, 8L))
+    val got = Graph.kcoreIncrementalOf(all, core, cand, anchor, isNew, 2, 8)
+      .as[(Long, Long)].collect().toMap
+    val full = Graph.kcoreOf(all, 2, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === full, "anchored regrowth diverged from the full peel")
+    assert(got === Map(
+      1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 10L -> 2L, // resurrected cycle
+      6L -> 4L, // base 2 + promoted anchor 5 + delta edge to 11
+      7L -> 3L, 8L -> 2L, // 8 unchanged: 12 was not promoted
+      11L -> 2L)) // anchored promotion
+    assert(!got.contains(12L), "pendant arrival must stay out of the core")
+  }
+
+  test("g3b gate form equals g3 on the fixture corpus") {
+    val got = Graph.kcoreIncremental(spark, sfDir01)
+      .as[(Long, Long)].collect().toSeq
+    val full = Graph.kcore(spark, sfDir01)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
   test("g2b gate form equals g2 on the fixture corpus") {
     val got = Graph.trianglesIncremental(spark, sfDir01)
       .as[(Long, Long, Long)].collect().toSeq
