@@ -557,7 +557,17 @@ object Graph {
       .union(adj.select(col("v").as("id")))
       .union(anchorCnt.select(col("cand").as("id")))
       .distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Early exit at the peel's fixpoint: unlike g3's full peel (where
+    // fixed rounds keep the oracle's unroll in lockstep), stopping
+    // here cannot change the RESULT — once no candidate dropped in a
+    // round, no later round can drop one (degrees are unchanged), so
+    // the surviving set is already the fixpoint the oracle's full
+    // unroll reaches. The per-round count is a bounded driver scalar
+    // (the I3 frontier class); without the exit the apply pays all 8
+    // checkpoint barriers even when the candidate region dies in 2.
+    var prev = alive.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("cd"))
       val keep = alive
         .join(deg.select(col("u").as("id"), col("cd")), Seq("id"), "left")
@@ -565,9 +575,14 @@ object Graph {
         .filter(coalesce(col("cd"), lit(0L)) + coalesce(col("na"), lit(0L)) >= k)
         .select(col("id"))
       alive = keep.localCheckpoint(true)
-      adj = adj.join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint(true)
+      val n = alive.count()
+      if (n == prev) converged = true
+      else {
+        prev = n
+        adj = adj.join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+      }
     }
     // promoted survivors with their within-core degrees
     val survDeg = adj.groupBy(col("u")).agg(count(lit(1)).as("cd"))
