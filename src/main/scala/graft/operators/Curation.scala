@@ -779,7 +779,8 @@ object Curation {
         spark, incoming, p, s"${p}_checkpoint")
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(s"$p/curated")
+    Dedup.readOrEmpty(spark, s"$p/curated",
+        "doc_id BIGINT, text STRING, lang STRING, n_tokens BIGINT, digest STRING")
       .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),

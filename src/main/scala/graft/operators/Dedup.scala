@@ -68,8 +68,21 @@ object Dedup {
         spark, incoming, p, s"${p}_checkpoint")
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(p).select(col("doc_id"), col("digest"))
+    readOrEmpty(spark, p, "doc_id BIGINT, text STRING, lang STRING, source STRING, digest STRING")
+      .select(col("doc_id"), col("digest"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Read a stream-landed artifact dir, or the empty relation with the
+    * given schema when the stream never published (publish-nothing on
+    * an empty corpus — the zero-row case EmptyInputSpec pins). */
+  private[graft] def readOrEmpty(spark: SparkSession, path: String,
+      ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
 
   /** Arrange a two-file arrival fixture under `${p}_incoming`: `docs`
@@ -130,16 +143,8 @@ object Dedup {
     }
     // a corpus with no qualifying pairs never writes the pairs artifact
     // (publish-nothing discipline) — read as the empty relation then
-    val pairsPath = new org.apache.hadoop.fs.Path(s"$p/pairs")
-    val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pairs =
-      if (fs.exists(pairsPath)) spark.read.parquet(s"$p/pairs")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
-    pairs.select(col("a_id"), col("b_id"), col("jaccard"))
+    readOrEmpty(spark, s"$p/pairs", "a_id BIGINT, b_id BIGINT, jaccard DOUBLE")
+      .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -46,6 +46,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Bpe.bpeTokenize(spark, emptyDir).count() === 0)
   }
 
+  test("graph maintenance twins and ingest streams survive an empty corpus") {
+    // incremental forms: empty base + empty delta → empty output
+    assert(Graph.trianglesIncremental(spark, emptyDir).count() === 0)
+    assert(Graph.trianglesIncrementalOriented(spark, emptyDir).count() === 0)
+    assert(Graph.kcoreIncremental(spark, emptyDir).count() === 0)
+    assert(Graph.weakEdgesIncremental(spark, emptyDir).count() === 0)
+    assert(Dedup.dedupClustersIncremental(spark, emptyDir).count() === 0)
+    // ingest streams publish NOTHING on zero rows; the gate readers
+    // must return the empty relation, not throw on a missing dir
+    assert(Dedup.streamedExactDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.streamedNearDupPairs(spark, emptyDir).count() === 0)
+    assert(Curation.streamedCurate(spark, emptyDir).count() === 0)
+  }
+
   test("curation tier returns empty frames on an empty corpus") {
     assert(Curation.curate(spark, emptyDir).count() === 0)
     assert(Curation.decontaminate(spark, emptyDir).count() === 0)
