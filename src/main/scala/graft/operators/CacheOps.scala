@@ -63,4 +63,20 @@ private[graft] final class SessionMemo[V] {
       else (sc, fingerprint, gen)
     })._3
   }
+
+  /** The full landing shape every memo site used to hand-roll (review
+    * finding, round 12): source fingerprint over `$dir/$source`, the
+    * getOrCompute guard, and the timed one-time stderr line. `tag`
+    * names the owning query family in the log. */
+  def landed(spark: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      what: String, source: String = "documents.parquet")(gen: => V): V = {
+    val fp = MergeOps.sourceFingerprint(spark, s"$dir/$source")
+    getOrCompute(spark, dir, fp) {
+      val t0 = System.nanoTime()
+      val v = gen
+      System.err.println(f"[$tag] one-time $what ($dir): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      v
+    }
+  }
 }

@@ -80,10 +80,8 @@ object Curation {
     * kept anti-join, and without the memo every call re-ran the
     * quality-gate scan + md5 dedup window the pair memo was
     * introduced to stop re-billing. */
-  private def survivorsAndPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    pairsMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
+  private def survivorsAndPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pairsMemo.landed(spark, dir, "c1", "survivor pair frame") {
       // persisted: ngramJaccardPairsOf reads its input twice (df-cap
       // count + posting-list build)
       val exact = CacheOps.shared(exactSurvivors(spark, dir))
@@ -93,11 +91,8 @@ object Curation {
           exact.select(col("doc_id"), col("text")))
         .select(col("a_id"), col("b_id"))
       val survivors = CacheOps.materializeAndRelease(exact, exact)
-      System.err.println(f"[c1] one-time survivor pair frame ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
       (survivors, pairs)
     }
-  }
 
   /** c1: the curated-corpus rollup — (lang, split) → docs + tokens.
     * Small, totally ordered, hash-comparable.
@@ -264,17 +259,11 @@ object Curation {
   // honest generation cost; later calls read the landing.
   private val rareGramsMemo = new SessionMemo[DataFrame]()
 
-  private[operators] def rareGramsLanded(spark: SparkSession, dir: String): DataFrame = {
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    rareGramsMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
+  private[operators] def rareGramsLanded(spark: SparkSession, dir: String): DataFrame =
+    rareGramsMemo.landed(spark, dir, "c3", "rare-gram frame") {
       val (rare, cached) = rareGramsFrame(spark, dir, persist = true)
-      val out = CacheOps.materializeAndRelease(rare, cached.toSeq: _*)
-      System.err.println(f"[c3] one-time rare-gram frame ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      out
+      CacheOps.materializeAndRelease(rare, cached.toSeq: _*)
     }
-  }
 
   /** The gram generation: shingle posting list + corpus-wide df cap.
     * `persist = true` shares the gram frame between the cap aggregate

@@ -438,16 +438,10 @@ object Dedup {
   // the source-content fingerprint (a regenerated fixture recomputes).
   private val rawPairsMemo = new SessionMemo[DataFrame]()
 
-  private[operators] def qualifyingPairsLanded(spark: SparkSession, dir: String): DataFrame = {
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    rawPairsMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
-      val pairs = ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
-      System.err.println(f"[d7] one-time corpus pair frame ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      pairs
+  private[operators] def qualifyingPairsLanded(spark: SparkSession, dir: String): DataFrame =
+    rawPairsMemo.landed(spark, dir, "d7", "corpus pair frame") {
+      ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
     }
-  }
 
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     val pairs = qualifyingPairsLanded(spark, dir)
@@ -479,15 +473,10 @@ object Dedup {
     * delta apply. */
   def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
     val pairs = qualifyingPairsLanded(spark, dir)
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
     val isNew = Graph.g2bNewNode _
-    val base = d7cBaseMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
-      val b = connectedComponents(
+    val base = d7cBaseMemo.landed(spark, dir, "d7c", "base cluster state") {
+      connectedComponents(
         pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))))
-      System.err.println(f"[d7c] one-time base cluster state ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      b
     }
     dedupClustersIncrementalOf(pairs, base, isNew)
   }
@@ -496,7 +485,6 @@ object Dedup {
 
   private[graft] def dedupClustersIncrementalOf(pairs: DataFrame,
       baseLabels: DataFrame, isNew: Column => Column): DataFrame = {
-    import CacheOps.{materializeAndRelease, shared}
     val delta = shared(pairs
       .filter(isNew(col("a_id")) || isNew(col("b_id")))
       .select(col("a_id"), col("b_id")))
@@ -518,12 +506,17 @@ object Dedup {
     val fromBase = baseLabels
       .join(qmap.select(col("qnode").as("label"), col("qlabel")), Seq("label"), "left")
       .select(col("doc_id"), coalesce(col("qlabel"), col("label")).as("label"))
-    val deltaOnly = delta.select(col("a_id").as("doc_id"))
-      .union(delta.select(col("b_id").as("doc_id"))).distinct()
-      .join(baseLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val fromDelta = deltaOnly
-      .join(qmap.select(col("qnode").as("doc_id"), col("qlabel")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("qlabel"), col("doc_id")).as("label"))
+    // delta-only nodes (arrivals, or old nodes whose first edge is a
+    // delta edge) are EXACTLY qmap's non-base qnodes: a mapped edge
+    // drops as a self-loop only when both endpoints carried base
+    // labels, and a base label (a base member's doc_id) can never
+    // equal a delta-only id — so every delta-only node reaches the
+    // quotient and one anti-join derives them, no fallback label
+    // needed (review finding: the old two-scan + distinct + left-join
+    // form recomputed this set with a dead coalesce)
+    val fromDelta = qmap
+      .join(baseLabels.select(col("doc_id").as("qnode")), Seq("qnode"), "left_anti")
+      .select(col("qnode").as("doc_id"), col("qlabel").as("label"))
     val labels = fromBase.unionByName(fromDelta)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
     val out = labels

@@ -92,16 +92,10 @@ object Graph {
   // holds a handle to landed data, not a lazy plan.
   private val rankMemo = new SessionMemo[DataFrame]()
 
-  private[operators] def ranksLanded(spark: SparkSession, dir: String): DataFrame = {
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    rankMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
-      val ranks = pagerankOf(Dedup.qualifyingPairsLanded(spark, dir), PagerankIters)
-      System.err.println(f"[g1] one-time corpus rank frame ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      ranks
+  private[operators] def ranksLanded(spark: SparkSession, dir: String): DataFrame =
+    rankMemo.landed(spark, dir, "g1", "corpus rank frame") {
+      pagerankOf(Dedup.qualifyingPairsLanded(spark, dir), PagerankIters)
     }
-  }
 
   /** G1b: centrality-canonical selection — one row per d7 cluster
     * carrying the member with the highest PageRank (ties to the
@@ -193,17 +187,11 @@ object Graph {
 
   /** The maintained old-old triangle state, landed once per corpus
     * fingerprint — shared by both incremental forms (g2b/g2c). */
-  private def triBase(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    triBaseMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
-      val b = trianglesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
+  private def triBase(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame =
+    triBaseMemo.landed(spark, dir, "g2b", "base triangle state") {
+      trianglesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
         !g2bNewNode(col("b_id"))))
-      System.err.println(f"[g2b] one-time base triangle state ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      b
     }
-  }
 
   /** The g2b arrival split: ~1/7 of the graph counts as newly arrived. */
   private[graft] def g2bNewNode(c: Column): Column = c % 7 === 3
@@ -378,14 +366,9 @@ object Graph {
     * enumeration plus one |Δ-triangles|·3-row aggregate. */
   def weakEdgesIncremental(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.qualifyingPairsLanded(spark, dir)
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val baseSup = supBaseMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
-      val b = weakEdgesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
+    val baseSup = supBaseMemo.landed(spark, dir, "g4b", "base edge-support state") {
+      weakEdgesOf(pairs.filter(!g2bNewNode(col("a_id")) &&
         !g2bNewNode(col("b_id"))))
-      System.err.println(f"[g4b] one-time base edge-support state ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      b
     }
     weakEdgesIncrementalOf(pairs, triBase(spark, dir, pairs), baseSup, g2bNewNode)
   }
@@ -494,16 +477,12 @@ object Graph {
   def kcoreIncremental(spark: SparkSession, dir: String): DataFrame = {
     import CacheOps.shared
     val pairs = Dedup.qualifyingPairsLanded(spark, dir)
-    val fp = MergeOps.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val (core, candEdges, anchorEdges) = kcoreBaseMemo.getOrCompute(spark, dir, fp) {
-      val t0 = System.nanoTime()
-      val base = kcoreBaseOf(
-        pairs.filter(!g2bNewNode(col("a_id")) && !g2bNewNode(col("b_id"))),
-        KcoreK, KcoreRounds)
-      System.err.println(f"[g3b] one-time peeled-region state ($dir): " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
-      base
-    }
+    val (core, candEdges, anchorEdges) =
+      kcoreBaseMemo.landed(spark, dir, "g3b", "peeled-region state") {
+        kcoreBaseOf(
+          pairs.filter(!g2bNewNode(col("a_id")) && !g2bNewNode(col("b_id"))),
+          KcoreK, KcoreRounds)
+      }
     kcoreIncrementalOf(pairs, core, candEdges, anchorEdges, g2bNewNode,
       KcoreK, KcoreRounds)
   }
