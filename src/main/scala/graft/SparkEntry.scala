@@ -256,6 +256,11 @@ object SparkEntry {
     // probe + exact verify loses and invents nothing (the bloom stays
     // a pure physical optimization)
     "d8_incremental_dedup"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // d11: cross-source vocabulary overlap by HLL union — K sketches,
+    // K²/2 pair estimates, no gram join on the production path; the
+    // gate emits exact anchors + a within-5%-of-(n_a+n_b) boolean
+    // (the a5b tolerance-oracle discipline)
+    "d11_source_overlap"      -> ((s, d) => Dedup.sourceOverlap(s, d)),
     // d9: SEMANTIC dedup (SemDeDup) — embed, cluster coarsely, drop
     // within-cell pairs over the cosine threshold; the paraphrase
     // catcher the lexical tiers structurally miss
@@ -3371,6 +3376,44 @@ object SparkEntry {
          FROM batch b JOIN firsts f USING (digest)
          ORDER BY b.doc_id""",
     "d9_semantic_dedup" -> d9Sql,
+    // d11: sketch internals are engine-specific (DataSketches vs
+    // DuckDB's approx_count_distinct), so the a5b discipline applies —
+    // exact anchors hash-compared, each engine's inclusion-exclusion
+    // estimate asserted within 5% of (n_a + n_b) as a boolean
+    "d11_source_overlap" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, $toksSql AS w FROM documents),
+         g AS (
+           SELECT DISTINCT source, gram FROM (
+             SELECT source, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         per AS (
+           SELECT source, COUNT(DISTINCT gram) AS n,
+             approx_count_distinct(gram) AS ap
+           FROM g GROUP BY source),
+         pr AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b, a.ap AS ap_a, b.ap AS ap_b
+           FROM per a JOIN per b ON a.source < b.source),
+         uni AS (
+           SELECT p.source_a, p.source_b, approx_count_distinct(g.gram) AS ap_u
+           FROM pr p JOIN g ON g.source IN (p.source_a, p.source_b)
+           GROUP BY 1, 2),
+         eo AS (
+           SELECT x.source AS source_a, y.source AS source_b,
+             COUNT(DISTINCT x.gram) AS ov
+           FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(eo.ov, 0) AS BIGINT) AS ov_exact,
+           abs((p.ap_a + p.ap_b - u.ap_u) - COALESCE(eo.ov, 0))
+             <= 0.05 * (p.n_a + p.n_b) AS ov_ok
+         FROM pr p
+         JOIN uni u USING (source_a, source_b)
+         LEFT JOIN eo USING (source_a, source_b)
+         ORDER BY source_a, source_b""",
     "t8_bpe_merges" -> t8Sql,
     "t8b_bpe_tokenize" -> t8bSql,
     // d10: the island rule mirrors the Scala window exactly — the

@@ -1321,4 +1321,64 @@ object Dedup {
       .orderBy(col("doc_id"))
     materializeAndRelease(result, cached: _*)
   }
+
+  /** D11: cross-source VOCABULARY overlap by HLL sketch union — the
+    * mixture-design diagnostic ("how much does source A's gram space
+    * overlap source B's?") that at 100 TB must NOT be a join: per
+    * source, one HLL sketch over its distinct 3-gram space (a single
+    * partial-agged corpus pass — sketches merge per-task); every
+    * source pair is then estimated from the K landed sketches alone,
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) with `hll_union` a pure
+    * column function over two binary sketch blobs on a K²-row frame.
+    * The DSIR/mixture tier (c5/c8) consumes exactly this shape when
+    * weighing sources against each other.
+    *
+    * Oracle discipline is a5b's: sketch INTERNALS are engine-specific
+    * (DataSketches HLL here, DuckDB's own approx_count_distinct
+    * there), so the gate emits the exact anchors (distinct gram
+    * counts, exact overlap — the verification columns a production
+    * monitor drops) plus a BOOLEAN per pair asserting the engine's own
+    * estimate lands within 5% of (n_a + n_b) of the exact overlap —
+    * both engines' sketches are near-exact at fixture cardinalities,
+    * so hash equality proves each engine's inclusion-exclusion
+    * pipeline works without demanding cross-engine sketch parity.
+    * The absolute-of-sum bound (not relative-to-overlap) keeps the
+    * verdict meaningful when two sources share little: three ±ε
+    * sketch terms compound against a small intersection, which is the
+    * published caveat of inclusion-exclusion on HLLs. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(documents(spark, dir))
+
+  private[graft] def sourceOverlapOf(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union}
+    val g = shared(input
+      .repartition(col("doc_id")) // spread the shingle map (d2's note)
+      .select(col("source"), explode(shingles(col("text"))).as("gram"))
+      .distinct())
+    val per = g.groupBy(col("source")).agg(
+      hll_sketch_agg(col("gram")).as("sk"),
+      count_distinct(col("gram")).as("n"))
+    val a = per.select(col("source").as("source_a"), col("sk").as("sk_a"), col("n").as("n_a"))
+    val b = per.select(col("source").as("source_b"), col("sk").as("sk_b"), col("n").as("n_b"))
+    // K sources → K²/2 pairs; both sides are K-row frames (broadcast)
+    val est = a.crossJoin(broadcast(b))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))).as("est"))
+    // the exact anchor: gate-time verification only (a corpus-shaped
+    // gram join the production monitor never runs — it reads sketches)
+    val exact = g.select(col("source").as("source_a"), col("gram"))
+      .join(g.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count_distinct(col("gram")).as("ov_exact"))
+    val out = est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("ov_exact"), lit(0L)).as("ov_exact"),
+        (abs(col("est") - coalesce(col("ov_exact"), lit(0L))) <=
+          lit(0.05) * (col("n_a") + col("n_b"))).as("ov_ok"))
+      .orderBy(col("source_a"), col("source_b"))
+    materializeAndRelease(out, g)
+  }
 }

@@ -426,6 +426,33 @@ class DedupSpec extends SparkSpec {
     assert(rescored.count() === 0, "scrub left duplicated spans behind")
   }
 
+  test("d11 source overlap: exact anchors, inclusion-exclusion verdicts, zero-overlap pairs") {
+    import spark.implicits._
+    // A and B share their entire 2-gram vocabulary; C shares nothing.
+    // sourceOverlapOf must anchor the exact intersections (2, 0, 0),
+    // emit a row for EVERY pair including zero-overlap ones, and the
+    // sketch verdict must hold at these (sparse-exact) cardinalities.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4", "srcA"),
+      (2L, "w1 w2 w3 w4", "srcB"),
+      (3L, "q1 q2 q3 q4 q5", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got.keySet === Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    assert(got(("srcA", "srcB")) === ((2L, 2L, 2L, true)))
+    assert(got(("srcA", "srcC")) === ((2L, 3L, 0L, true)))
+    assert(got(("srcB", "srcC")) === ((2L, 3L, 0L, true)))
+  }
+
+  test("d11 fixture verdicts all pass: every pair's estimate within the bound") {
+    val rows = Dedup.sourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(5)),
+      "an inclusion-exclusion estimate fell outside 5% of (n_a + n_b)")
+  }
+
   test("span scrub (d10b) accounting matches d10 on the fixture corpus") {
     // n_removed must equal d10's dup_tokens for every doc d10 reports,
     // and be 0 for every other doc — same islands, two consumers

@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.rollingFingerprintPairs(spark, emptyDir).count() === 0)
     assert(Dedup.dedupClusters(spark, emptyDir).count() === 0)
     assert(Dedup.incrementalDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.sourceOverlap(spark, emptyDir).count() === 0)
     assert(Dedup.semanticDedup(spark, emptyDir).count() === 0)
     assert(Dedup.duplicateSpans(spark, emptyDir).count() === 0)
     assert(TextOps.bigramSurprisal(spark, emptyDir).count() === 0)
