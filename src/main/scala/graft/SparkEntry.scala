@@ -261,6 +261,10 @@ object SparkEntry {
     // gate emits exact anchors + a within-5%-of-(n_a+n_b) boolean
     // (the a5b tolerance-oracle discipline)
     "d11_source_overlap"      -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // c11: d11's overlap matrix consumed downstream — unique-mass
+    // mixture weights in integer ppm (sources covered by another
+    // source sample less; the c5 mixture tier's input form)
+    "c11_overlap_weights"     -> ((s, d) => Curation.overlapWeights(s, d)),
     // d9: SEMANTIC dedup (SemDeDup) — embed, cluster coarsely, drop
     // within-cell pairs over the cosine threshold; the paraphrase
     // catcher the lexical tiers structurally miss
@@ -3414,6 +3418,34 @@ object SparkEntry {
          JOIN uni u USING (source_a, source_b)
          LEFT JOIN eo USING (source_a, source_b)
          ORDER BY source_a, source_b""",
+    // c11: d11's exact-anchor chain + the unique-mass rollup — floor
+    // ppm division, hashable; the estimate path feeds the same rollup
+    // in production (d11's design point)
+    "c11_overlap_weights" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, $toksSql AS w FROM documents),
+         g AS (
+           SELECT DISTINCT source, gram FROM (
+             SELECT source, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         per AS (SELECT source, COUNT(DISTINCT gram) AS n FROM g GROUP BY source),
+         eo AS (
+           SELECT x.source AS sa, y.source AS sb, COUNT(DISTINCT x.gram) AS ov
+           FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+           GROUP BY 1, 2),
+         sides AS (SELECT sa AS source, ov FROM eo
+                   UNION ALL SELECT sb, ov FROM eo),
+         mo AS (SELECT source, MAX(ov) AS max_overlap FROM sides GROUP BY source),
+         um AS (
+           SELECT p.source, p.n AS n_grams,
+             COALESCE(mo.max_overlap, 0) AS max_overlap,
+             p.n - COALESCE(mo.max_overlap, 0) AS uniq
+           FROM per p LEFT JOIN mo USING (source))
+         SELECT source, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(max_overlap AS BIGINT) AS max_overlap,
+           CAST((uniq * 1000000) // (SELECT SUM(uniq) FROM um) AS BIGINT) AS weight_ppm
+         FROM um ORDER BY source""",
     "t8_bpe_merges" -> t8Sql,
     "t8b_bpe_tokenize" -> t8bSql,
     // d10: the island rule mirrors the Scala window exactly — the

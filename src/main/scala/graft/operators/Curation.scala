@@ -746,6 +746,42 @@ object Curation {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** C11: overlap-aware mixture weights — d11's cross-source overlap
+    * matrix consumed the way a mixture designer actually uses it:
+    * sources whose vocabulary is largely covered by another source
+    * carry less UNIQUE mass, so their sampling weight shrinks. The
+    * unique-mass lower bound per source is n_s − max_t ov(s,t)
+    * (subtracting only the single largest overlap never double-counts
+    * a shared gram, so the bound is sound without inclusion-exclusion
+    * over all pairs), and weights are its share of the total in
+    * integer ppm — floor division, hashable cross-engine (the c5
+    * mixture tier consumes weights in exactly this form).
+    *
+    * Scale shape: everything derives from the d11 pair frame (K²/2
+    * rows for K sources — broadcast-scale), plus one 1-row total
+    * crossJoined in (the a9 percentage-of-total pattern). The gate
+    * computes overlap from the exact anchors so the whole chain
+    * hash-checks; the production path feeds the sketch ESTIMATES
+    * through the same rollup, which is the point of d11's design. */
+  def overlapWeights(spark: SparkSession, dir: String): DataFrame =
+    overlapWeightsOf(Dedup.sourceOverlapOf(graft.Tables.documents(spark, dir)))
+
+  private[graft] def overlapWeightsOf(overlap: DataFrame): DataFrame = {
+    val sides = overlap
+      .select(col("source_a").as("source"), col("n_a").as("n"), col("ov_exact"))
+      .unionByName(overlap
+        .select(col("source_b").as("source"), col("n_b").as("n"), col("ov_exact")))
+    val per = sides.groupBy(col("source")).agg(
+      max(col("n")).as("n_grams"),
+      max(col("ov_exact")).as("max_overlap"))
+      .withColumn("unique_mass", col("n_grams") - col("max_overlap"))
+    val total = per.agg(sum(col("unique_mass")).as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_grams"), col("max_overlap"),
+        expr("(unique_mass * 1000000L) div total").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
   // landing memo for the stream-built curated corpus (st10)
   private val curateStreamLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -417,4 +417,23 @@ class CurationSpec extends SparkSpec {
       .map(r => ((r._1, r._2), (r._3, r._4))).toMap
     assert(got === expected)
   }
+
+  test("c11: fully-covered source weighs zero; disjoint source takes the remaining mass") {
+    import spark.implicits._
+    // A's 2 grams are a subset of B's 3; C's 3 grams are disjoint.
+    // unique mass: A = 2−2 = 0, B = 3−2 = 1, C = 3−0 = 3; total 4 →
+    // ppm weights 0 / 250000 / 750000 (floor division, exact here)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4", "srcA"),
+      (2L, "w1 w2 w3 w4 w5", "srcB"),
+      (3L, "q1 q2 q3 q4 q5", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.overlapWeightsOf(graft.operators.Dedup.sourceOverlapOf(docs))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      "srcA" -> ((2L, 2L, 0L)),
+      "srcB" -> ((3L, 2L, 250000L)),
+      "srcC" -> ((3L, 0L, 750000L))))
+  }
 }

@@ -69,6 +69,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.sequencePacking(spark, emptyDir).count() === 0)
     assert(Curation.sourceCaps(spark, emptyDir).count() === 0)
     assert(Curation.clusterCaps(spark, emptyDir).count() === 0)
+    assert(Curation.overlapWeights(spark, emptyDir).count() === 0)
     assert(SnapshotDiff.releaseDiff(spark, emptyDir).count() === 0)
   }
 
