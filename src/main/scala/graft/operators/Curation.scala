@@ -764,7 +764,7 @@ object Curation {
     * hash-checks; the production path feeds the sketch ESTIMATES
     * through the same rollup, which is the point of d11's design. */
   def overlapWeights(spark: SparkSession, dir: String): DataFrame =
-    overlapWeightsOf(Dedup.sourceOverlapOf(graft.Tables.documents(spark, dir)))
+    overlapWeightsOf(Dedup.sourceOverlapLanded(spark, dir))
 
   private[graft] def overlapWeightsOf(overlap: DataFrame): DataFrame = {
     val sides = overlap
