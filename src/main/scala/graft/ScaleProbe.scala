@@ -131,6 +131,17 @@ object ScaleProbe {
       // with the prefix-cut candidate stream.
       "d2b_prefix_jaccard"   -> (operators.Dedup.prefixJaccardPairs(_, _)),
       "d3_minhash_lsh"       -> (operators.Dedup.minhashLshPairs(_, _)),
+      // d11's two paths: the gate form carries the exact anchor (a
+      // corpus-shaped gram join, verification only) while production
+      // reads the K sketches alone — the sketch path's wall must stay
+      // one-corpus-pass-shaped while the anchored form's grows with
+      // the pair join (the salted corpus multiplies sources k×, so
+      // pairs grow k² while the gram pass grows k)
+      "d11_with_anchor"      -> (operators.Dedup.sourceOverlap(_, _)),
+      "d11_sketch_only"      -> ((s, d) => {
+        val (est, g) = operators.Dedup.sourceOverlapEstimates(Tables.documents(s, d))
+        operators.CacheOps.materializeAndRelease(est, g)
+      }),
       "d4b_simhash_pairs"    -> (operators.Dedup.simhashPairs(_, _)),
       // d6 probes the FRESH form: the gate/bench entry memoizes the pair
       // frame per corpus (pure corpus function, the c1 discipline), which

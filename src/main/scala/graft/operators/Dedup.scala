@@ -1362,6 +1362,30 @@ object Dedup {
     }
 
   private[graft] def sourceOverlapOf(input: DataFrame): DataFrame = {
+    val (est, g) = sourceOverlapEstimates(input)
+    // the exact anchor: gate-time verification only (a corpus-shaped
+    // gram join the production monitor never runs — it reads sketches);
+    // rows are unique per (gram_h, pair), so the rollup is count(*)
+    val exact = g.select(col("source").as("source_a"), col("gram_h"))
+      .join(g.select(col("source").as("source_b"), col("gram_h")), Seq("gram_h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("ov_exact"))
+    val out = est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("ov_exact"), lit(0L)).as("ov_exact"),
+        (abs(col("est") - coalesce(col("ov_exact"), lit(0L))) <=
+          lit(0.05) * (col("n_a") + col("n_b"))).as("ov_ok"))
+      .orderBy(col("source_a"), col("source_b"))
+    materializeAndRelease(out, g)
+  }
+
+  /** The PRODUCTION path of d11: per-pair estimates from the K landed
+    * sketches alone — one corpus pass, no gram join. Returns (the
+    * K²/2-row estimate frame, the persisted gram frame for the caller
+    * to extend or release). The gate form adds the exact anchor on
+    * top; the probe measures this path by itself. */
+  private[graft] def sourceOverlapEstimates(input: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union}
     // 60-bit gram hashes, not strings: same counts on both engines
     // absent collisions (~n²/2⁶¹ — the d2 argument), half the shuffle
@@ -1384,20 +1408,6 @@ object Dedup {
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
           hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))).as("est"))
-    // the exact anchor: gate-time verification only (a corpus-shaped
-    // gram join the production monitor never runs — it reads sketches);
-    // rows are unique per (gram_h, pair), so the rollup is count(*)
-    val exact = g.select(col("source").as("source_a"), col("gram_h"))
-      .join(g.select(col("source").as("source_b"), col("gram_h")), Seq("gram_h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("ov_exact"))
-    val out = est.join(exact, Seq("source_a", "source_b"), "left")
-      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        coalesce(col("ov_exact"), lit(0L)).as("ov_exact"),
-        (abs(col("est") - coalesce(col("ov_exact"), lit(0L))) <=
-          lit(0.05) * (col("n_a") + col("n_b"))).as("ov_ok"))
-      .orderBy(col("source_a"), col("source_b"))
-    materializeAndRelease(out, g)
+    (est, g)
   }
 }
