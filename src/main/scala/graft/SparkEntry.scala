@@ -261,6 +261,11 @@ object SparkEntry {
     // gate emits exact anchors + a within-5%-of-(n_a+n_b) boolean
     // (the a5b tolerance-oracle discipline)
     "d11_source_overlap"      -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // d11b: d11's PRODUCTION path gated by itself — estimates from the
+    // LANDED per-source sketches, zero gram joins in the plan; the
+    // verdict is the feasibility envelope the exact marginals impose
+    // (no exact overlap exists sketch-only — that anchor is d11's)
+    "d11b_sketch_overlap"     -> ((s, d) => Dedup.sketchOverlap(s, d)),
     // c11: d11's overlap matrix consumed downstream — unique-mass
     // mixture weights in integer ppm (sources covered by another
     // source sample less; the c5 mixture tier's input form)
@@ -496,6 +501,21 @@ object SparkEntry {
     // including old-old edges a new corner now supports; merged over
     // the landed old-old support frame
     "g4b_incremental_support" -> ((s, d) => Graph.weakEdgesIncremental(s, d)),
+    // g1c: incremental PageRank — frontier-exact maintenance over the
+    // landed rank HISTORY (changedness propagates one hop per round,
+    // so round-i recompute touches the delta's i-hop ball only);
+    // hash-equal to g1's fresh fixed-round run by the shared oracle
+    "g1c_incremental_pagerank" -> ((s, d) => Graph.pagerankIncremental(s, d)),
+    // g2d: the DISPATCHED triangle maintenance verb — routes g2b vs
+    // g2c from two Δ-sized wedge-cost stats (round-12 task #1); the
+    // probe knowledge as code, not PLANS.md prose
+    "g2d_maintained_triangles" -> ((s, d) => Graph.trianglesMaintain(s, d)),
+    // g3c: the dispatched k-core maintenance verb — candidate-region
+    // share routes full peel vs anchored regrowth
+    "g3c_maintained_kcore"    -> ((s, d) => Graph.kcoreMaintain(s, d)),
+    // d7d: the dispatched clustering maintenance verb — |E| vs the
+    // exchange crossover routes full CC vs quotient apply
+    "d7d_maintained_clusters" -> ((s, d) => Dedup.dedupClustersMaintain(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -3418,6 +3438,37 @@ object SparkEntry {
          JOIN uni u USING (source_a, source_b)
          LEFT JOIN eo USING (source_a, source_b)
          ORDER BY source_a, source_b""",
+    // d11b: sketch-only on BOTH engines (no exact-overlap CTE) — each
+    // engine's inclusion-exclusion estimate asserted inside the
+    // feasibility envelope of its exact marginals, widened by d11's
+    // ±5%(n_a+n_b) bound; marginals hash-compared exactly
+    "d11b_sketch_overlap" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, $toksSql AS w FROM documents),
+         g AS (
+           SELECT DISTINCT source, gram FROM (
+             SELECT source, array_to_string(w[x.i+1:x.i+3], ' ') AS gram
+             FROM t, unnest(range(len(w) - 2)) AS x(i)
+             WHERE len(w) >= 3)),
+         per AS (
+           SELECT source, COUNT(DISTINCT gram) AS n,
+             approx_count_distinct(gram) AS ap
+           FROM g GROUP BY source),
+         pr AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b, a.ap AS ap_a, b.ap AS ap_b
+           FROM per a JOIN per b ON a.source < b.source),
+         uni AS (
+           SELECT p.source_a, p.source_b, approx_count_distinct(g.gram) AS ap_u
+           FROM pr p JOIN g ON g.source IN (p.source_a, p.source_b)
+           GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           (p.ap_a + p.ap_b - u.ap_u) >= -0.05 * (p.n_a + p.n_b)
+             AND (p.ap_a + p.ap_b - u.ap_u)
+               <= least(p.n_a, p.n_b) + 0.05 * (p.n_a + p.n_b) AS est_ok
+         FROM pr p JOIN uni u USING (source_a, source_b)
+         ORDER BY source_a, source_b""",
     // c11: d11's exact-anchor chain + the unique-mass rollup — floor
     // ppm division, hashable; the estimate path feeds the same rollup
     // in production (d11's design point)
@@ -3945,12 +3996,11 @@ object SparkEntry {
     "t14_snippets" -> t14Sql,
     // g1: d7's edge CTEs + the integer rank unroll (MATERIALIZED per
     // stage — the v15 lesson)
-    "g1_pagerank" ->
-      s"""WITH $d7EdgeCtes,
-         ${pagerankCtes(operators.Graph.PagerankIters)}
-         SELECT id AS doc_id, r AS rank_ppm
-         FROM r${operators.Graph.PagerankIters}
-         ORDER BY doc_id""",
+    "g1_pagerank" -> g1Sql,
+    // g1c maintains the SAME ranks via the frontier apply over the
+    // landed rank history — the shared oracle proves the hop-ball
+    // argument exact at every integer division
+    "g1c_incremental_pagerank" -> g1Sql,
     // g1b: the rank unroll joined to d7's closure components — argmax
     // rank per cluster, ties to the smaller doc id
     "g1b_canonical_rank" ->
@@ -4102,7 +4152,21 @@ object SparkEntry {
     // triangles merged over the landed old-old support frame) — the
     // shared oracle proves the delta apply ≡ the full role projection
     "g4b_incremental_support" -> g4Sql,
+    // the dispatched maintenance verbs answer their artifacts' own
+    // oracles — routing must be invisible in the result
+    "g2d_maintained_triangles" -> g2Sql,
+    "g3c_maintained_kcore" -> g3Sql,
+    "d7d_maintained_clusters" -> d7Sql,
   )
+
+  // g1: d7's edge CTEs + the integer rank unroll (MATERIALIZED per
+  // stage — the v15 lesson)
+  private lazy val g1Sql: String =
+    s"""WITH $d7EdgeCtes,
+         ${pagerankCtes(operators.Graph.PagerankIters)}
+         SELECT id AS doc_id, r AS rank_ppm
+         FROM r${operators.Graph.PagerankIters}
+         ORDER BY doc_id"""
 
   private lazy val g3Sql: String =
     s"""WITH $d7EdgeCtes,

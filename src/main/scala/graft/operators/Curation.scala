@@ -764,21 +764,35 @@ object Curation {
     * hash-checks; the production path feeds the sketch ESTIMATES
     * through the same rollup, which is the point of d11's design. */
   def overlapWeights(spark: SparkSession, dir: String): DataFrame =
-    overlapWeightsOf(Dedup.sourceOverlapLanded(spark, dir))
+    overlapWeightsOf(Dedup.sourceOverlapLanded(spark, dir),
+      Dedup.sourceSketchesLanded(spark, dir).select(col("source"), col("n_grams")))
 
-  private[graft] def overlapWeightsOf(overlap: DataFrame): DataFrame = {
+  /** `perSource` (source, n_grams) is the AUTHORITATIVE source list —
+    * drawn from the per-source side (the landed sketch frame), which
+    * exists even when the pair frame is empty (a single-source corpus
+    * has no pairs but still deserves weight 1000000 ppm, which is
+    * what the c11 oracle's per-source CTE yields at K=1). Degenerate
+    * totals are guarded rather than divided into null: if every
+    * source's unique mass is 0 (each fully covered by another — a
+    * mirrored-corpus fixture), weights fall back to n_grams-
+    * proportional, and if even total gram mass is 0, to equal. */
+  private[graft] def overlapWeightsOf(overlap: DataFrame,
+      perSource: DataFrame): DataFrame = {
     val sides = overlap
-      .select(col("source_a").as("source"), col("n_a").as("n"), col("ov_exact"))
-      .unionByName(overlap
-        .select(col("source_b").as("source"), col("n_b").as("n"), col("ov_exact")))
-    val per = sides.groupBy(col("source")).agg(
-      max(col("n")).as("n_grams"),
-      max(col("ov_exact")).as("max_overlap"))
+      .select(col("source_a").as("source"), col("ov_exact"))
+      .unionByName(overlap.select(col("source_b").as("source"), col("ov_exact")))
+    val maxOv = sides.groupBy(col("source"))
+      .agg(max(col("ov_exact")).as("max_overlap"))
+    val per = perSource.join(maxOv, Seq("source"), "left")
+      .withColumn("max_overlap", coalesce(col("max_overlap"), lit(0L)))
       .withColumn("unique_mass", col("n_grams") - col("max_overlap"))
-    val total = per.agg(sum(col("unique_mass")).as("total"))
+    val total = per.agg(sum(col("unique_mass")).as("t_unique"),
+      sum(col("n_grams")).as("t_grams"), count(lit(1)).as("k"))
     per.crossJoin(broadcast(total))
       .select(col("source"), col("n_grams"), col("max_overlap"),
-        expr("(unique_mass * 1000000L) div total").as("weight_ppm"))
+        when(col("t_unique") > 0, expr("(unique_mass * 1000000L) div t_unique"))
+          .when(col("t_grams") > 0, expr("(n_grams * 1000000L) div t_grams"))
+          .otherwise(expr("1000000L div k")).as("weight_ppm"))
       .orderBy(col("source"))
   }
 

@@ -97,6 +97,134 @@ object Graph {
       pagerankOf(Dedup.qualifyingPairsLanded(spark, dir), PagerankIters)
     }
 
+  // maintained state for the g1c incremental twin: the base graph's
+  // per-round rank frames R_1..R_iters plus its degree frame — the
+  // rank HISTORY, because a fixed-round integer PageRank is only
+  // exactly maintainable round-by-round (round i's value at a node
+  // depends on round i−1 values at its in-neighbors, which for nodes
+  // OUTSIDE the change's i-hop ball equal the base run's — so the
+  // apply needs the base's per-round values at the frontier's rim).
+  // iters+1 node-sized frames is the storage price of hash-exact
+  // change-local maintenance; the approximate alternative (warm-start
+  // + fixed extra rounds) cannot share g1's oracle.
+  private val rankHistMemo = new SessionMemo[(Seq[DataFrame], DataFrame)]()
+
+  /** G1c: INCREMENTAL PageRank — the one landed graph artifact that
+    * had no maintenance verb (round-12 verdict task #8). Exact, not
+    * warm-start: after i rounds, a node's rank differs from the base
+    * run's iff it lies within i hops of a node whose degree the delta
+    * changed (rank is teleport + pure inflow — changedness PROPAGATES
+    * one hop per round, it does not persist at a node). So the apply
+    * keeps a FRONTIER: F_i = N(F_{i-1} ∪ A) with A = the delta
+    * edges' endpoints, recomputes round-i ranks for F_i only (inflow
+    * reads changed values from F_{i-1}, everything else from the
+    * landed round-(i−1) frame), and composes the final frame as
+    * R_iters overridden by F_iters. Components untouched by the delta
+    * never enter any frontier — zero work, the d7c change-locality.
+    * All joins are keyed by the frontier's ids (the ledger-read
+    * class); no round touches the corpus. Output ≡ g1 over the grown
+    * graph (shared oracle, hash-equal — the integer arithmetic is
+    * identical round-for-round). */
+  def pagerankIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    val isNew = g2bNewNode _
+    val (hist, baseDeg) =
+      rankHistMemo.landed(spark, dir, "g1c", "base rank history") {
+        pagerankHistoryOf(
+          pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), PagerankIters)
+      }
+    pagerankIncrementalOf(pairs, hist, baseDeg, isNew)
+  }
+
+  /** [[pagerankOf]] with every round's frame kept (localCheckpointed)
+    * — the maintained artifact behind [[pagerankIncremental]]. Returns
+    * (R_1..R_iters, the base degree frame). */
+  private[graft] def pagerankHistoryOf(old: DataFrame, iters: Int)
+      : (Seq[DataFrame], DataFrame) = {
+    import CacheOps.shared
+    val sym = old.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(old.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val symDeg = shared(sym.join(deg, Seq("src")))
+    var ranks = symDeg.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      ranks = symDeg
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
+        .select(col("dst").as("id"),
+          expr("150000L + ((850L * inr) div 1000L)").as("r"))
+        .localCheckpoint(true)
+      hist += ranks
+    }
+    val degF = deg.select(col("src").as("id"), col("deg")).localCheckpoint(true)
+    symDeg.unpersist()
+    (hist.toSeq, degF)
+  }
+
+  private[graft] def pagerankIncrementalOf(pairs: DataFrame,
+      hist: Seq[DataFrame], baseDeg: DataFrame,
+      isNew: Column => Column): DataFrame = {
+    import CacheOps.{materializeAndRelease, shared}
+    val iters = hist.size
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // A: endpoints of delta edges — exactly the nodes whose grown
+    // degree (and so whose per-edge outflow) differs from the base
+    val deltaSym = shared(sym.filter(isNew(col("src")) || isNew(col("dst"))))
+    val degDelta = deltaSym.groupBy(col("src")).agg(count(lit(1)).as("dd"))
+    val degA = degDelta
+      .join(baseDeg.select(col("id").as("src"), col("deg")), Seq("src"), "left")
+      .select(col("src").as("id"),
+        (coalesce(col("deg"), lit(0L)) + col("dd")).as("deg"))
+      .localCheckpoint(true)
+    val aIds = degA.select(col("id"))
+    var changed: DataFrame = null // D_{i-1}: round-(i−1) ranks on F_{i-1}
+    for (i <- 1 to iters) {
+      val srcSet =
+        if (i == 1) aIds
+        else changed.select(col("id")).union(aIds).distinct()
+      // F_i = N(D_{i-1} ∪ A): keyed semi probe of the pair frame
+      val fIds = sym
+        .join(srcSet.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+      // in-edges of the frontier, src labeled with its GROWN degree
+      // (delta-touched nodes override the base frame)
+      val inE = sym
+        .join(fIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(degA.select(col("id").as("src"), col("deg").as("da")),
+          Seq("src"), "left")
+        .join(baseDeg.select(col("id").as("src"), col("deg").as("db")),
+          Seq("src"), "left")
+        .withColumn("sdeg", coalesce(col("da"), col("db")))
+      // src round-(i−1) ranks: changed values win, the landed history
+      // covers the rim (round 0 is the all-1000000 constant)
+      val withR =
+        if (i == 1) inE.withColumn("pr", lit(1000000L))
+        else inE
+          .join(changed.select(col("id").as("src"), col("r").as("rc")),
+            Seq("src"), "left")
+          .join(hist(i - 2).select(col("id").as("src"), col("r").as("rb")),
+            Seq("src"), "left")
+          .withColumn("pr", coalesce(col("rc"), col("rb")))
+      changed = withR
+        .select(col("dst"), expr("pr div sdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
+        .select(col("dst").as("id"),
+          expr("150000L + ((850L * inr) div 1000L)").as("r"))
+        .localCheckpoint(true)
+    }
+    val out = hist.last
+      .join(changed.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(changed)
+      .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(out, deltaSym)
+  }
+
   /** G1b: centrality-canonical selection — one row per d7 cluster
     * carrying the member with the highest PageRank (ties to the
     * smaller doc_id). The curation story's last step: dedup clusters
@@ -351,6 +479,83 @@ object Graph {
     materializeAndRelease(out, delta, once)
   }
 
+  /** The wedge budget above which an unoriented centered enumeration
+    * (g2b) is routed away even when it is the "natural" shape: the
+    * round-12 hub probe's indifference band. At 2M centered wedges
+    * g2b still won on overhead (1.38 s vs 1.78 s); at 32M it lost 6×
+    * (11.7 s vs 1.9 s); the midpoint is chosen because near the
+    * boundary BOTH twins run in low seconds (misrouting is cheap
+    * there — the blowup cases sit orders of magnitude apart). */
+  private[graft] val CenteredWedgeBudget = 4000000L
+
+  /** G2d: the DISPATCHED maintenance verb for per-node triangle
+    * counts — round-12 verdict task #1. The round-12 probes proved
+    * each twin wins a different regime (g2b by ~0.4 s fixed overhead
+    * on ordinary arrivals; g2c flat at hub-degree 8000 where g2b goes
+    * 11.7 s), but the choice lived in PLANS.md prose; a 100 TB
+    * pipeline can't read prose, so this verb reads the two cost
+    * drivers off already-landed state and routes:
+    *
+    *   centered = Σ_new-nodes C(deg_Δ, 2)   (g2b's wedge frame)
+    *   oriented = Σ_Δ-edges min(deg_full)   (g2c's wedge frame)
+    *
+    * Both are Δ-sized column aggregates (degrees of NEW nodes are
+    * their delta degrees; full degrees of touched nodes come from the
+    * maintained base joined on the Δ's keys only) collected as two
+    * driver scalars — the dispatcher's whole overhead. Routing: g2b
+    * unless its wedge frame exceeds [[CenteredWedgeBudget]] AND the
+    * oriented frame is at least 4× smaller (both large → the cheaper
+    * one still wins; both small → g2b's lower fixed overhead wins).
+    * Output ≡ g2 either way (shared oracle, hash-equal). */
+  def trianglesMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    trianglesMaintainOf(pairs, triBase(spark, dir, pairs), g2bNewNode)._1
+  }
+
+  /** (centered, oriented) wedge-cost stats for the dispatch decision —
+    * two Δ-sized aggregates, two driver scalars. */
+  private[graft] def triangleRegimeStats(pairs: DataFrame, base: DataFrame,
+      isNew: Column => Column): (Long, Long) = {
+    val delta = pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id")))
+      .select(least(col("a_id"), col("b_id")).as("x"),
+        greatest(col("a_id"), col("b_id")).as("y"))
+      .localCheckpoint(true)
+    val degDelta = delta.select(col("x").as("id"))
+      .union(delta.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dd"))
+      .localCheckpoint(true)
+    // a NEW node's full degree IS its delta degree (all its edges are
+    // delta edges), so g2b's wedge count needs no base lookup
+    val centered = degDelta.filter(isNew(col("id")))
+      .agg(coalesce(sum(expr("dd * (dd - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    // full degrees of the Δ's endpoints = maintained base degree + the
+    // Δ-sized incident count — the base joins on the Δ's keys only
+    val degTouched = degDelta
+      .join(base.select(col("doc_id").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("deg"), lit(0L)) + col("dd")).as("df"))
+    val oriented = delta
+      .join(degTouched.select(col("id").as("x"), col("df").as("dx")), Seq("x"))
+      .join(degTouched.select(col("id").as("y"), col("df").as("dy")), Seq("y"))
+      .agg(coalesce(sum(least(col("dx"), col("dy"))), lit(0L)))
+      .head().getLong(0)
+    delta.unpersist()
+    degDelta.unpersist()
+    (centered, oriented)
+  }
+
+  /** The routed apply; returns (result, chosen twin) so the dispatch
+    * spec pins BOTH probe regimes without reading logs. */
+  private[graft] def trianglesMaintainOf(pairs: DataFrame, base: DataFrame,
+      isNew: Column => Column): (DataFrame, String) = {
+    val (centered, oriented) = triangleRegimeStats(pairs, base, isNew)
+    if (centered > CenteredWedgeBudget && centered > 4L * oriented)
+      (trianglesIncrementalOrientedOf(pairs, base, isNew), "g2c")
+    else (trianglesIncrementalOf(pairs, base, isNew), "g2b")
+  }
+
   // landed old-old edge-support state for g4b (the triBase discipline)
   private val supBaseMemo = new SessionMemo[DataFrame]()
 
@@ -475,16 +680,57 @@ object Graph {
     * pendant path pays when a new edge closes it into a cycle —
     * spec-pinned). Output ≡ g3 over the full graph (shared oracle). */
   def kcoreIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import CacheOps.shared
     val pairs = Dedup.qualifyingPairsLanded(spark, dir)
-    val (core, candEdges, anchorEdges) =
-      kcoreBaseMemo.landed(spark, dir, "g3b", "peeled-region state") {
-        kcoreBaseOf(
-          pairs.filter(!g2bNewNode(col("a_id")) && !g2bNewNode(col("b_id"))),
-          KcoreK, KcoreRounds)
-      }
+    val (core, candEdges, anchorEdges) = kcoreBase(spark, dir, pairs)
     kcoreIncrementalOf(pairs, core, candEdges, anchorEdges, g2bNewNode,
       KcoreK, KcoreRounds)
+  }
+
+  private def kcoreBase(spark: SparkSession, dir: String,
+      pairs: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    kcoreBaseMemo.landed(spark, dir, "g3b", "peeled-region state") {
+      kcoreBaseOf(
+        pairs.filter(!g2bNewNode(col("a_id")) && !g2bNewNode(col("b_id"))),
+        KcoreK, KcoreRounds)
+    }
+
+  /** The candidate-region share above which the anchored regrowth
+    * (g3b) is routed back to the full peel (g3): both round-12 probe
+    * regimes sit far from it (the dup-graph fixture re-peels ~100% of
+    * the graph and g3 wins every factor; the core-dense graph re-peels
+    * ~5% and g3b wins 3.4-4.7×), and at one-half the two peels touch
+    * comparable edge volume while g3b still pays its classification
+    * joins — so the full peel gets the benefit of the doubt. */
+  private[graft] val CandRegionShare = 0.5
+
+  /** G3c: the DISPATCHED maintenance verb for the k-core artifact —
+    * round-12 verdict task #1's second family. The decision input is
+    * ONE ratio read off already-landed state: the share of the edge
+    * frame inside the candidate region g3b would re-peel (the landed
+    * cand-cand + anchor frames, maintained by the g3b landing, plus
+    * the Δ's edges) over the whole pair frame — all materialized
+    * frames, so the counts are metadata-cheap driver scalars. Core-
+    * dominant corpus → tiny share → anchored regrowth; pendant-heavy
+    * corpus (this suite's dup graphs) → share ≈ 1 → full peel.
+    * Output ≡ g3 either way (shared oracle, hash-equal). */
+  def kcoreMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    val (core, candEdges, anchorEdges) = kcoreBase(spark, dir, pairs)
+    kcoreMaintainOf(pairs, core, candEdges, anchorEdges, g2bNewNode,
+      KcoreK, KcoreRounds)._1
+  }
+
+  /** The routed apply; returns (result, chosen twin) for the spec. */
+  private[graft] def kcoreMaintainOf(pairs: DataFrame, core: DataFrame,
+      candEdges: DataFrame, anchorEdges: DataFrame, isNew: Column => Column,
+      k: Int, rounds: Int): (DataFrame, String) = {
+    val deltaN = pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id"))).count()
+    val candRegion = candEdges.count() / 2 + anchorEdges.count() + deltaN
+    val total = pairs.count() max 1L
+    if (candRegion.toDouble / total <= CandRegionShare)
+      (kcoreIncrementalOf(pairs, core, candEdges, anchorEdges, isNew, k, rounds), "g3b")
+    else (kcoreOf(pairs, k, rounds), "g3")
   }
 
   /** The g3b maintained state over an old-edge frame: (core with

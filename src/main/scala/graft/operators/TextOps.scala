@@ -1057,8 +1057,10 @@ object TextOps {
     * ([[SnapshotDiff.changelog]] against [[SnapshotDiff.nextRelease]] —
     * the exact s19/s19b machinery) applies to the LANDED BM25 index
     * through the maintenance verbs instead of a rebuild: deleted +
-    * updated doc_ids go through [[bm25IndexDelete]] (bucket-scoped
-    * postings rewrite, negative stats partial, tombstones), then
+    * updated doc_ids go through [[bm25IndexDelete]]
+    * (tombstone liveness: three change-sized appends — the (doc_id,
+    * gen) tombs sidecar, the negative stats partial, the ledger row —
+    * no postings bytes touched), then
     * inserted + updated docs come back through [[bm25IndexAppend]]
     * (the tombstoned updated docs re-add — the delete→re-append round
     * trip the ledger supports by design). The oracle derives the v2

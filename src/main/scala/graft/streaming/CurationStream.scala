@@ -22,16 +22,20 @@ import graft.operators.{Curation, Dedup, TextOps}
   * per-doc functions, so band collisions against the landed index
   * find exactly the batch-tier candidate set regardless of batching.
   *
-  * Drop rule: the ARRIVING side of every verified pair drops (each
-  * batch's b-drop). Under the gate's pinned arrival order (= doc_id
-  * order) this equals c1's batch rule — drop the greater id of every
-  * qualifying pair — so the rollup is oracle-checked end-to-end
-  * against the one-statement SQL composition. Under out-of-order
-  * arrival the stream drops the later ARRIVAL (what ingest-time
-  * curation means in production: the landed copy was already served),
-  * which diverges from the id rule exactly when a smaller-id doc
-  * arrives after its larger-id near-duplicate — stated honestly, the
-  * st8 first-wins caveat applied to near-dups.
+  * Drop rule — ARRIVAL-AUTHORITATIVE, implemented by carrying each
+  * candidate's roles through verification
+  * ([[NearDupStream.collisionCandidatesWithRoles]]'s drop_id) rather
+  * than canonicalizing them away: within a batch the greater id drops
+  * (simultaneous arrival, batch c1's tie rule); against the landed
+  * corpus the ARRIVING side drops regardless of id order (what
+  * ingest-time curation means in production: the landed copy was
+  * already served). Under the gate's pinned arrival order (= doc_id
+  * order) the arriving side IS the greater id, so the rollup equals
+  * c1's batch rule and is oracle-checked end-to-end against the
+  * one-statement SQL composition; under out-of-order arrival the
+  * stream keeps the first arrival and drops the smaller-id late
+  * twin — the divergence from the batch id rule is pinned by spec
+  * (CurationStreamSpec's permuted-arrival case), not just stated.
   *
   * Dropped docs STAY in the exact table and the bucket index: batch
   * c1 computes pairs over ALL exact survivors (a doc dropped for
@@ -55,6 +59,13 @@ object CurationStream {
   // append. A spec lands a partial slice and throws — the killed-
   // publish state. Identity in production.
   private[graft] var curateIngestFaultHook: DataFrame => Unit = _ => ()
+
+  // Test seam #2: invoked with the batch's fresh exact rows AFTER the
+  // curated and buckets appends, BEFORE the exact append — the torn
+  // window where the batch's own bucket rows are landed but its docs
+  // are still fresh (the path [[NearDupStream.collisionCandidatesWithRoles]]
+  // treats as within-batch on retry). Identity in production.
+  private[graft] var curatePreExactFaultHook: DataFrame => Unit = _ => ()
 
   /** Start the ingest stream: parquet document files arriving under
     * `incomingDir` maintain the curated corpus rooted at `rootPath`
@@ -80,7 +91,7 @@ object CurationStream {
   /** The per-batch verb, shared with the scale probe. */
   private[graft] def curateAppend(s: SparkSession, batch: DataFrame,
       rootPath: String, threshold: Double): Unit = {
-    import NearDupStream.{bucketRowsOf, collisionCandidates, readIfExists, verifyOverTexts}
+    import NearDupStream.{bucketRowsOf, collisionCandidatesWithRoles, readIfExists, verifyOverTexts}
     val exactPath = s"$rootPath/exact"
     val bucketsPath = s"$rootPath/buckets"
     val curatedPath = s"$rootPath/curated"
@@ -105,17 +116,23 @@ object CurationStream {
       .localCheckpoint(true)
     if (freshEx.isEmpty) return // replayed batch: publish NOTHING
 
-    // near-dup gate: band collisions against the landed index, exact
-    // verify, drop the arriving (b) side of every qualifying pair
+    // near-dup gate: band collisions against the landed index with the
+    // arriving side of each candidate tracked (drop_id), exact verify
+    // on the canonical pair, drop the tracked side of every qualifier
     val freshBuckets = bucketRowsOf(freshEx).localCheckpoint(true)
     val landedBuckets = readIfExists(s, bucketsPath)
-    val cand = collisionCandidates(freshBuckets, landedBuckets).localCheckpoint(true)
+    val cand = collisionCandidatesWithRoles(freshBuckets, landedBuckets)
+      .localCheckpoint(true)
     val curatedRows =
       if (cand.isEmpty) freshEx
       else {
-        val dropIds = verifyOverTexts(cand,
-            freshEx.select(col("doc_id"), col("text")), landedExact, threshold)
-          .select(col("b_id").as("doc_id")).distinct()
+        val verified = verifyOverTexts(cand.select(col("a_id"), col("b_id")),
+          freshEx.select(col("doc_id"), col("text")), landedExact, threshold)
+        // drop_id is always a FRESH doc (within: the greater of two
+        // fresh ids; landed: the arriving side), so the anti-join on
+        // the batch is the complete drop action
+        val dropIds = verified.join(cand, Seq("a_id", "b_id"))
+          .select(col("drop_id").as("doc_id")).distinct()
         freshEx.join(dropIds, Seq("doc_id"), "left_anti")
       }
 
@@ -136,6 +153,7 @@ object CurationStream {
 
     if (!curatedToWrite.isEmpty) curatedToWrite.write.mode("append").parquet(curatedPath)
     if (!bucketsToWrite.isEmpty) bucketsToWrite.write.mode("append").parquet(bucketsPath)
+    curatePreExactFaultHook(freshEx)
     freshEx.write.mode("append").parquet(exactPath)
   }
 }

@@ -52,6 +52,13 @@ object NearDupStream {
   // and throws — the killed-append state. Identity in production.
   private[graft] var neardupIngestFaultHook: DataFrame => Unit = _ => ()
 
+  // Test seam #2: invoked with the batch's fresh docs AFTER the pairs
+  // and buckets appends, BEFORE the docs append — the torn window where
+  // the batch's own bucket rows are landed but its docs are not (the
+  // window whose retry reaches the n_id == o_id self-collision path in
+  // [[collisionCandidates]]). Identity in production.
+  private[graft] var neardupPreDocsFaultHook: DataFrame => Unit = _ => ()
+
   /** Start the ingest stream: parquet document files arriving under
     * `incomingDir` maintain the LSH index rooted at `indexPath`
     * (`docs/`, `buckets/`, `pairs/`), one file per micro-batch. */
@@ -114,10 +121,55 @@ object NearDupStream {
         freshBuckets.select(col("doc_id").as("n_id"), col("band"), col("bucket"))
           .join(lb.select(col("doc_id").as("o_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
+          // n_id == o_id is reachable on exactly one path: a retried
+          // batch whose BUCKETS landed but whose docs did not (crash in
+          // the buckets→docs window), where the batch's own bucket rows
+          // are now in the landed index. Without this guard those rows
+          // become (x,x) self-candidates that verify at jaccard 1.0 and
+          // poison the pairs ledger permanently.
+          .filter(col("n_id") =!= col("o_id"))
           .select(least(col("n_id"), col("o_id")).as("a_id"),
             greatest(col("n_id"), col("o_id")).as("b_id")))
       case None => within
     }
+    all.distinct()
+  }
+
+  /** Like [[collisionCandidates]] but preserving WHICH side of each
+    * collision is the ARRIVING doc: returns (a_id, b_id, drop_id)
+    * where (a_id < b_id) canonicalizes the pair for verification and
+    * drop_id names the doc an ingest-time curation rule discards —
+    * the greater id within a batch (simultaneous arrival, batch c1's
+    * rule) and the ARRIVING side against the landed corpus regardless
+    * of id order (the landed copy was already served). Landed bucket
+    * rows whose doc is still in the fresh batch — reachable only via
+    * a retried partial publish where buckets landed before the
+    * arrival ledger — are excluded from the landed side, so a retry
+    * reaches the same drop decisions as a clean run (those pairs
+    * appear on the within-batch path with the within-batch rule). */
+  private[graft] def collisionCandidatesWithRoles(freshBuckets: DataFrame,
+      landedBuckets: Option[DataFrame]): DataFrame = {
+    val within = freshBuckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(freshBuckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("b_id").as("drop_id"))
+    val all = landedBuckets match {
+      case Some(lb) =>
+        val freshIds = freshBuckets.select(col("doc_id")).distinct()
+        val genuinelyLanded = lb.join(freshIds, Seq("doc_id"), "left_anti")
+        within.unionByName(
+          freshBuckets.select(col("doc_id").as("n_id"), col("band"), col("bucket"))
+            .join(genuinelyLanded.select(col("doc_id").as("o_id"), col("band"), col("bucket")),
+              Seq("band", "bucket"))
+            .select(least(col("n_id"), col("o_id")).as("a_id"),
+              greatest(col("n_id"), col("o_id")).as("b_id"),
+              col("n_id").as("drop_id")))
+      case None => within
+    }
+    // drop_id is a function of the pair and its path, and the two paths
+    // are disjoint (within needs both sides fresh; landed excludes fresh
+    // docs), so distinct keeps exactly one row per canonical pair
     all.distinct()
   }
 
@@ -190,6 +242,7 @@ object NearDupStream {
 
     if (!pairsPinned.isEmpty) pairsPinned.write.mode("append").parquet(pairsPath)
     if (!bucketsToWrite.isEmpty) bucketsToWrite.write.mode("append").parquet(bucketsPath)
+    neardupPreDocsFaultHook(fresh)
     // the arrival ledger lands LAST: any earlier crash leaves the batch
     // fresh, and each artifact's own anti-join completes the publish
     fresh.write.mode("append").parquet(docsPath)

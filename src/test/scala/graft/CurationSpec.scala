@@ -428,12 +428,69 @@ class CurationSpec extends SparkSpec {
       (2L, "w1 w2 w3 w4 w5", "srcB"),
       (3L, "q1 q2 q3 q4 q5", "srcC"))
       .toDF("doc_id", "text", "source")
-    val got = Curation.overlapWeightsOf(graft.operators.Dedup.sourceOverlapOf(docs))
+    val got = Curation.overlapWeightsOf(graft.operators.Dedup.sourceOverlapOf(docs),
+        perSourceOf(docs))
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got === Map(
       "srcA" -> ((2L, 2L, 0L)),
       "srcB" -> ((3L, 2L, 250000L)),
       "srcC" -> ((3L, 0L, 750000L))))
+  }
+
+  private def perSourceOf(docs: org.apache.spark.sql.DataFrame) = {
+    val g = graft.operators.Dedup.sourceGramFrame(docs)
+    val per = graft.operators.Dedup.perSourceSketches(g)
+      .select(col("source"), col("n_grams")).localCheckpoint(true)
+    g.unpersist()
+    per
+  }
+
+  test("c11 degenerate shapes: a single source weighs 1000000 ppm; zero unique mass falls back proportional") {
+    import spark.implicits._
+    // K = 1: no pairs exist, but the per-source side still names the
+    // source — the oracle's per-source CTE yields weight 1000000 at
+    // K = 1, so must the engine (the round-12 empty-result hole)
+    val solo = Seq((1L, "w1 w2 w3 w4", "only")).toDF("doc_id", "text", "source")
+    val gotSolo = Curation.overlapWeightsOf(
+        graft.operators.Dedup.sourceOverlapOf(solo), perSourceOf(solo))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(gotSolo === Map("only" -> ((2L, 0L, 1000000L))))
+
+    // mirrored corpus: each source fully covered by the other → every
+    // unique mass is 0; weights must fall back to n_grams-proportional
+    // (NOT divide into null — the round-12 ÷0 hole)
+    val mirror = Seq(
+      (1L, "w1 w2 w3 w4", "left"),
+      (2L, "w1 w2 w3 w4", "right"))
+      .toDF("doc_id", "text", "source")
+    val gotMirror = Curation.overlapWeightsOf(
+        graft.operators.Dedup.sourceOverlapOf(mirror), perSourceOf(mirror))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(gotMirror === Map(
+      "left" -> ((2L, 2L, 500000L)),
+      "right" -> ((2L, 2L, 500000L))))
+  }
+
+  test("d11b: sketch-only estimates stay inside the exact-marginal envelope with hash-stable marginals") {
+    import spark.implicits._
+    // the landed-sketch production path on a planted corpus: marginals
+    // exact, every estimate inside [−5%(n_a+n_b), min+5%(n_a+n_b)]
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5", "srcA"),
+      (2L, "w1 w2 w3 q4 q5", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val g = graft.operators.Dedup.sourceGramFrame(docs)
+    val per = graft.operators.Dedup.perSourceSketches(g).localCheckpoint(true)
+    g.unpersist()
+    val got = graft.operators.Dedup.estimatesFromSketches(per)
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        (col("est") >= lit(-0.05) * (col("n_a") + col("n_b")) &&
+          col("est") <= least(col("n_a"), col("n_b")) +
+            lit(0.05) * (col("n_a") + col("n_b"))).as("ok"))
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("srcA", "srcB", 3L, 3L, true)))
   }
 }

@@ -147,6 +147,94 @@ class CurationStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st10 out-of-order arrival: the arriving smaller-id twin drops, the landed larger-id copy survives") {
+    import spark.implicits._
+    val t7 = s"november oscar papa quebec romeo sierra tango uniform $pad"
+    val t5 = t7.replace("november", "zulu") // near-dup of t7
+    // PERMUTED arrival: the LARGER id lands first, its smaller-id
+    // near-twin arrives a batch later — the inversion of the gate's
+    // pinned id-ordered fixtures
+    val b0 = Seq((7L, t7, "en")).toDF("doc_id", "text", "lang")
+    val b1 = Seq((5L, t5, "en")).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("curate_ooo_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val root = tmp.getAbsolutePath + "/corpus"
+    landTwoFiles(incoming, b0, b1)
+    val q = CurationStream.curateIngest(spark, incoming, root,
+      tmp.getAbsolutePath + "/cp")
+    try q.processAllAvailable() finally q.stop()
+    // arrival-authoritative semantics: the landed copy (7) was already
+    // served, the late arrival (5) is the redundant one — 5 drops even
+    // though the batch id rule would have kept it and dropped 7
+    assert(curated(root) === Seq(7L),
+      "out-of-order near-dup arrival must drop the ARRIVING side")
+    // the batch-rule mirror REALLY diverges here (this spec pins a
+    // divergence, not an equality): batch c1 keeps the smaller id
+    val corpusDir = tmp.getAbsolutePath + "/asTable"
+    b0.unionByName(b1).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val batchDrops = Dedup.minhashLshPairs(spark, corpusDir)
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    assert(batchDrops === Set(7L), "fixture must invert the batch rule")
+    // the dropped arrival still enters the exact table and the bucket
+    // index (future arrivals must collide with it)
+    val exIds = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(exIds === Seq(5L, 7L))
+    rmTree(tmp)
+  }
+
+  test("st10 kill in the buckets→exact window: the retry reaches the same drops as a clean run") {
+    import spark.implicits._
+    val t0 = s"alpha bravo charlie delta echo foxtrot golf hotel $pad"
+    val t3 = s"november oscar papa quebec romeo sierra tango uniform $pad"
+    val b0 = Seq((0L, t0, "en")).toDF("doc_id", "text", "lang")
+    val b1 = Seq((3L, t3, "en"), (5L, t3.replace("november", "zulu"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("curate_kill2_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val root = tmp.getAbsolutePath + "/corpus"
+    landTwoFiles(incoming, b0, b1)
+    // crash batch 1 AFTER curated and buckets land, BEFORE exact: the
+    // retry re-enters with 3 and 5 still fresh but their bucket rows
+    // already in the landed index — those rows must be treated as
+    // within-batch (drop the greater id), not as landed older copies
+    CurationStream.curatePreExactFaultHook = freshEx => {
+      val ids = freshEx.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      if (ids.contains(3L))
+        throw new RuntimeException("injected crash before the exact append")
+    }
+    try {
+      val q = CurationStream.curateIngest(spark, incoming, root,
+        tmp.getAbsolutePath + "/cp")
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally CurationStream.curatePreExactFaultHook = _ => ()
+    // torn state: curated and buckets landed for batch 1, exact did not
+    assert(curated(root) === Seq(0L, 3L))
+    val exMid = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exMid === Set(0L), s"crash fixture must leave batch 1's exact unlanded, got $exMid")
+    val bucketDocsMid = spark.read.parquet(s"$root/buckets")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(bucketDocsMid === Set(0L, 3L, 5L))
+    // restart on the SAME checkpoint: final state equals a clean run —
+    // 3 kept, 5 dropped (NOT both dropped, NOT 3 dropped for colliding
+    // with its own landed bucket rows)
+    val q2 = CurationStream.curateIngest(spark, incoming, root,
+      tmp.getAbsolutePath + "/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(curated(root) === Seq(0L, 3L),
+      "retry reached different drops than a clean run")
+    val exIds = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(exIds === Seq(0L, 3L, 5L))
+    val bucketDups = spark.read.parquet(s"$root/buckets")
+      .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(bucketDups === 0L)
+    rmTree(tmp)
+  }
+
   test("st10 gate form matches the batch composition on the fixture corpus") {
     val got = Curation.streamedCurate(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq

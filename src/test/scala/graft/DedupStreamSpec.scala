@@ -119,6 +119,39 @@ class DedupStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st8 out-of-order arrival: the first ARRIVAL wins, the digest set stays arrival-invariant") {
+    import spark.implicits._
+    // PERMUTED arrival: the LARGER id of an exact-dup group arrives
+    // first, its smaller-id copy a batch later — the inversion of the
+    // pinned id-ordered fixtures, pinning what first-wins-by-arrival
+    // actually does when arrival order and id order disagree
+    val b0 = Seq((9L, "the quick brown fox jumps over the lazy dog", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+      (3L, "a second document with entirely different words", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_ooo_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val out = tmp.getAbsolutePath + "/survivors"
+    landTwoFiles(incoming, b0, b1)
+    val q = DedupStream.exactDedupIngest(spark, incoming, out,
+      tmp.getAbsolutePath + "/cp")
+    try q.processAllAvailable() finally q.stop()
+    // the landed copy (9) wins; the late smaller-id arrival (2) is the
+    // duplicate — the batch min-id rule would have chosen 2 instead
+    val ids = survivors(out).map(_._1)
+    assert(ids === Seq(3L, 9L),
+      "out-of-order arrival must keep the FIRST arrival, not the min id")
+    // the digest SET — what dedup exists to bound — equals the batch
+    // tier's under any arrival order
+    val digests = survivors(out).map(_._2).toSet
+    val wantDigests = b0.unionByName(b1).withColumn("digest", md5(col("text")))
+      .select(col("digest")).distinct().collect().map(_.getString(0)).toSet
+    assert(digests === wantDigests)
+    rmTree(tmp)
+  }
+
   test("st8 gate form equals the batch dedup on the fixture corpus") {
     val got = graft.operators.Dedup.streamedExactDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq

@@ -141,6 +141,62 @@ class NearDupStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st9 kill in the buckets→docs window: the retry must not mint self-pairs from its own landed bucket rows") {
+    import spark.implicits._
+    val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs tonight"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_kill2_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val idx = tmp.getAbsolutePath + "/index"
+    landTwoFiles(incoming, b0, b1)
+    // crash batch 1 AFTER its pairs and buckets appends, BEFORE the
+    // docs append: the retry re-enters with the batch still fresh but
+    // its own bucket rows already in the landed index — the window
+    // where fresh×landed collisions can degenerate into (x, x)
+    NearDupStream.neardupPreDocsFaultHook = fresh => {
+      val ids = fresh.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      if (ids.contains(10L))
+        throw new RuntimeException("injected crash before the docs append")
+    }
+    try {
+      val q = NearDupStream.minhashIngest(spark, incoming, idx,
+        tmp.getAbsolutePath + "/cp")
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally NearDupStream.neardupPreDocsFaultHook = _ => ()
+    // torn state is real: batch 1's pair and bucket rows landed, docs did not
+    assert(pairsOf(idx).map(p => (p._1, p._2)) === Seq((0L, 10L)))
+    val bucketDocsMid = spark.read.parquet(s"$idx/buckets")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(bucketDocsMid === Set(0L, 10L, 11L),
+      s"crash fixture must leave batch 1's buckets landed, got $bucketDocsMid")
+    val docsMid = spark.read.parquet(s"$idx/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(docsMid === Set(0L), s"crash fixture must leave batch 1's docs unlanded, got $docsMid")
+    // restart on the SAME checkpoint: batch 1 redelivers in full; its
+    // own landed bucket rows must produce NO self-candidates, and the
+    // already-landed pair must not re-append
+    val q2 = NearDupStream.minhashIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    val got = pairsOf(idx)
+    assert(got.forall(p => p._1 != p._2),
+      s"self-pairs poisoned the pairs ledger: $got")
+    val want = batchPairs(b0.unionByName(b1), tmp.getAbsolutePath + "/corpus")
+    assert(got === want, "retry diverged from the batch tier")
+    val docs = spark.read.parquet(s"$idx/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(docs === Seq(0L, 10L, 11L), "docs must land exactly once each")
+    val bucketDups = spark.read.parquet(s"$idx/buckets")
+      .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(bucketDups === 0L, "bucket rows must not duplicate across the retry")
+    rmTree(tmp)
+  }
+
   test("st9 gate form equals the batch MinHash-LSH tier on the fixture corpus") {
     val got = Dedup.streamedNearDupPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

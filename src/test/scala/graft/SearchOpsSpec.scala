@@ -354,6 +354,162 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---------------- g2d/g3c/d7d: dispatched maintenance ----------------
+
+  test("g2d dispatch: ordinary arrivals route to g2b, a hub arrival routes to g2c — result identical either way") {
+    // ordinary regime: the crafted g2b fixture — small delta degrees,
+    // centered wedges far under the budget → g2b (lower fixed overhead)
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L)
+    val all = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L),
+      (1L, 10L), (2L, 10L), (4L, 10L), (10L, 11L), (10L, 12L),
+      (4L, 11L), (11L, 12L), (1L, 12L), (5L, 12L)
+    ).toDF("a_id", "b_id")
+    val base = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val (res, chosen) = Graph.trianglesMaintainOf(all, Graph.trianglesOf(base), isNew)
+    assert(chosen === "g2b", "ordinary arrivals must route to the centered twin")
+    val full = Graph.trianglesOf(all)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(res.as[(Long, Long, Long)].collect().toSeq === full)
+
+    // hub regime: the round-12 probe's shape — a ring of old deg-2
+    // nodes plus ONE arriving hub wired to h of them. centered =
+    // C(h, 2) crosses the 4M budget at h = 3000 while oriented stays
+    // ~3h, so the dispatcher must route to the oriented twin
+    val n = 9000L
+    val h = 3000L
+    val hub = 1000000L
+    val ring = spark.range(n)
+      .select(least(col("id"), (col("id") + 1) % n).as("a_id"),
+        greatest(col("id"), (col("id") + 1) % n).as("b_id"))
+    val spokes = spark.range(h)
+      .select(col("id").as("a_id"), lit(hub).as("b_id"))
+    val allHub = ring.unionByName(spokes).localCheckpoint(true)
+    val isHub = (c: org.apache.spark.sql.Column) => c === hub
+    val baseHub = Graph.trianglesOf(allHub.filter(col("b_id") =!= hub))
+      .localCheckpoint(true)
+    val (centered, oriented) = Graph.triangleRegimeStats(allHub, baseHub, isHub)
+    assert(centered === h * (h - 1) / 2, "centered = C(hub degree, 2)")
+    assert(centered > Graph.CenteredWedgeBudget && centered > 4L * oriented)
+    val (resHub, chosenHub) = Graph.trianglesMaintainOf(allHub, baseHub, isHub)
+    assert(chosenHub === "g2c", "a hub arrival must route to the oriented twin")
+    // hub + each wired consecutive ring pair closes a triangle: h−1 of
+    // them, one per spoke pair (i, i+1) — spot-check the hub's count
+    // and the total instead of re-running the full join on 12k edges
+    val counts = resHub.as[(Long, Long, Long)].collect()
+    assert(counts.find(_._1 == hub).map(_._3) === Some(h - 1))
+    assert(counts.map(_._3).sum === 3L * (h - 1), "each triangle counts at 3 corners")
+  }
+
+  test("g3c dispatch: pendant-heavy graph routes to the full peel, core-dense to anchored regrowth") {
+    // pendant-heavy: the g3b crafted fixture — the candidate region
+    // (chain + anchors + delta) is ~77% of the edge frame → g3
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L, 12L)
+    val all = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (6L, 8L),
+      (1L, 10L), (5L, 10L), (6L, 11L), (7L, 11L), (8L, 12L)
+    ).toDF("a_id", "b_id")
+    val old = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val (core, cand, anchor) = Graph.kcoreBaseOf(old, 2, 8)
+    val (res, chosen) = Graph.kcoreMaintainOf(all, core, cand, anchor, isNew, 2, 8)
+    assert(chosen === "g3", "a dominant candidate region must route to the full peel")
+    assert(res.as[(Long, Long)].collect().toMap ===
+      Graph.kcoreOf(all, 2, 8).as[(Long, Long)].collect().toMap)
+
+    // core-dense: the landed graph IS the core (triangle), the arrival
+    // a small anchored fringe — candidate share 2/5 → g3b
+    val allDense = Seq(
+      (6L, 7L), (7L, 8L), (6L, 8L),
+      (6L, 10L), (7L, 10L)
+    ).toDF("a_id", "b_id")
+    val isNewD = (c: org.apache.spark.sql.Column) => c === 10L
+    val oldD = allDense.filter(!isNewD(col("a_id")) && !isNewD(col("b_id")))
+    val (coreD, candD, anchorD) = Graph.kcoreBaseOf(oldD, 2, 8)
+    val (resD, chosenD) = Graph.kcoreMaintainOf(allDense, coreD, candD, anchorD, isNewD, 2, 8)
+    assert(chosenD === "g3b", "a core-dominant graph must route to anchored regrowth")
+    assert(resD.as[(Long, Long)].collect().toMap ===
+      Graph.kcoreOf(allDense, 2, 8).as[(Long, Long)].collect().toMap)
+  }
+
+  test("d7d dispatch: below the exchange crossover the full CC runs; above it the quotient apply — same labels") {
+    val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L)
+    // two base clusters {1,2} {4,5}, arrival 10 merges them, arrival 11
+    // spawns its own with 7; cluster {20,21} untouched
+    val all = Seq(
+      (1L, 2L), (4L, 5L), (20L, 21L),
+      (2L, 10L), (4L, 10L), (7L, 11L)
+    ).toDF("a_id", "b_id")
+    val base = Dedup.connectedComponents(
+      all.filter(!isNew(col("a_id")) && !isNew(col("b_id"))))
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq
+    val want = labelsOf(Dedup.dedupClustersMaintainOf(all, base, isNew)._1)
+    // the fixture sits far below the 2M-edge crossover → full CC
+    assert(Dedup.dedupClustersMaintainOf(all, base, isNew)._2 === "d7")
+    // forcing the crossover down pins the other route on the same data
+    val (resQ, chosenQ) = Dedup.dedupClustersMaintainOf(all, base, isNew, crossover = 1L)
+    assert(chosenQ === "d7c")
+    assert(labelsOf(resQ) === want, "routing must be invisible in the labels")
+    // and a corpus-sized delta refuses the quotient even above the
+    // crossover (quotient ≈ full graph there)
+    val isAllNew = (c: org.apache.spark.sql.Column) => c >= 0L
+    assert(Dedup.dedupClustersMaintainOf(all,
+      Dedup.connectedComponents(all.limit(0)), isAllNew, crossover = 1L)._2 === "d7")
+  }
+
+  // ---------------- g1c: incremental PageRank ----------------
+
+  test("g1c frontier apply is hash-exact against the fresh fixed-round run") {
+    // component X: path 1-2-3 grown by arrival 10 at node 1 (ranks
+    // shift through the 10-hop ball = the whole component); component
+    // Y: triangle 20-21-22 untouched by any delta edge (zero frontier
+    // work, base ranks must pass through bit-identical)
+    val isNew = (c: org.apache.spark.sql.Column) => c === 10L
+    val all = Seq(
+      (1L, 2L), (2L, 3L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (1L, 10L)
+    ).toDF("a_id", "b_id")
+    val old = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val (hist, baseDeg) = Graph.pagerankHistoryOf(old, Graph.PagerankIters)
+    val got = Graph.pagerankIncrementalOf(all, hist, baseDeg, isNew)
+      .as[(Long, Long)].collect().toMap
+    val fresh = Graph.pagerankOf(all, Graph.PagerankIters)
+      .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap
+    assert(got === fresh, "frontier apply diverged from the fresh run")
+    // the untouched component passed through from the landed history
+    val baseRanks = hist.last.as[(Long, Long)].collect().toMap
+    assert(Seq(20L, 21L, 22L).forall(id => got(id) === baseRanks(id)))
+    // and the touched component really changed (the spec is not vacuous)
+    assert(got(2L) !== baseRanks(2L))
+  }
+
+  test("g1c degenerate deltas: no delta returns the base frame; an empty base is a fresh run") {
+    val isNone = (_: org.apache.spark.sql.Column) => lit(false)
+    val graph = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val (hist, baseDeg) = Graph.pagerankHistoryOf(graph, Graph.PagerankIters)
+    val got = Graph.pagerankIncrementalOf(graph, hist, baseDeg, isNone)
+      .as[(Long, Long)].collect().toMap
+    assert(got === hist.last.as[(Long, Long)].collect().toMap)
+
+    val isAll = (_: org.apache.spark.sql.Column) => lit(true)
+    val (histE, baseDegE) = Graph.pagerankHistoryOf(graph.limit(0), Graph.PagerankIters)
+    val gotE = Graph.pagerankIncrementalOf(graph, histE, baseDegE, isAll)
+      .as[(Long, Long)].collect().toMap
+    val freshE = Graph.pagerankOf(graph, Graph.PagerankIters)
+      .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap
+    assert(gotE === freshE, "an empty base must degrade to the fresh run")
+  }
+
+  test("g1c gate form equals g1 on the fixture corpus") {
+    val got = Graph.pagerankIncremental(spark, sfDir01)
+      .as[(Long, Long)].collect().toSeq
+    val full = Graph.pagerank(spark, sfDir01)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
   // ---------------- t15: PMI collocations ----------------
 
   test("PMI page: perfectly-associated pair ranks first, hapax pairs floored") {
