@@ -42,12 +42,14 @@ import graft.operators.{Curation, Dedup, TextOps}
   * pairing with one neighbor still drops its own later neighbors), so
   * the index must carry them — only the curated landing excludes them.
   *
-  * EVERY ARTIFACT IS ITS OWN LEDGER (the st9 rule): curated and
-  * bucket rows anti-join their landings on doc_id, the exact table —
-  * the arrival authority — anti-joins on digest and lands LAST. A
-  * retried batch, a restart, or a full redelivery publishes NOTHING;
-  * a crash between the three appends is completed, not duplicated,
-  * by the retry.
+  * ONE LEDGER, ONE BARRIER (the st9 rule, round-12 task #2): the
+  * three artifacts publish atomically through
+  * [[IngestCommit.stageAndPublish]] (staged → redo record claimed →
+  * renamed in, replayed to completion by [[IngestCommit.recover]] at
+  * stream start), so only the exact table — the arrival authority —
+  * is read as a ledger (anti-join on digest). A retried batch, a
+  * restart, or a full redelivery publishes NOTHING; no crash can
+  * leave a partial artifact subset for a retry to reason about.
   *
   * At 100 TB: per-batch work is batch-sized map compute (tokens,
   * digest, signature) plus keyed probes of the digest and bucket
@@ -55,26 +57,17 @@ import graft.operators.{Curation, Dedup, TextOps}
   * corpus. */
 object CurationStream {
 
-  // Test seam: invoked with each micro-batch's curated rows BEFORE any
-  // append. A spec lands a partial slice and throws — the killed-
-  // publish state. Identity in production.
-  private[graft] var curateIngestFaultHook: DataFrame => Unit = _ => ()
-
-  // Test seam #2: invoked with the batch's fresh exact rows AFTER the
-  // curated and buckets appends, BEFORE the exact append — the torn
-  // window where the batch's own bucket rows are landed but its docs
-  // are still fresh (the path [[NearDupStream.collisionCandidatesWithRoles]]
-  // treats as within-batch on retry). Identity in production.
-  private[graft] var curatePreExactFaultHook: DataFrame => Unit = _ => ()
-
   /** Start the ingest stream: parquet document files arriving under
     * `incomingDir` maintain the curated corpus rooted at `rootPath`
-    * (`exact/`, `buckets/`, `curated/`), one file per micro-batch. */
+    * (`exact/`, `buckets/`, `curated/`), one file per micro-batch. Any
+    * publish a previous run's crash left mid-rename is replayed to
+    * completion before the first batch. */
   def curateIngest(spark: SparkSession, incomingDir: String,
       rootPath: String, checkpoint: String, threshold: Double = 0.8,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       queryName: String =
         "curate_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
+    IngestCommit.recover(spark, rootPath)
     spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
       .option("maxFilesPerTrigger", 1)
       .parquet(incomingDir)
@@ -94,7 +87,6 @@ object CurationStream {
     import NearDupStream.{bucketRowsOf, collisionCandidatesWithRoles, readIfExists, verifyOverTexts}
     val exactPath = s"$rootPath/exact"
     val bucketsPath = s"$rootPath/buckets"
-    val curatedPath = s"$rootPath/curated"
 
     // quality gate + within-batch exact dedup (min-doc_id winner per
     // digest — one partial-agged aggregate, batch-sized)
@@ -134,26 +126,14 @@ object CurationStream {
         val dropIds = verified.join(cand, Seq("a_id", "b_id"))
           .select(col("drop_id").as("doc_id")).distinct()
         freshEx.join(dropIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
       }
 
-    // per-artifact ledgers; the exact table (the arrival authority)
-    // lands LAST so any earlier crash leaves the batch fresh and the
-    // anti-joins complete the publish on retry
-    val curatedToWrite = readIfExists(s, curatedPath)
-      .map(c => curatedRows.join(c.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-      .getOrElse(curatedRows)
-      .localCheckpoint(true)
-    val bucketsToWrite = landedBuckets
-      .map(lb => freshBuckets.join(lb.select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
-      .getOrElse(freshBuckets)
-      .localCheckpoint(true)
-
-    curateIngestFaultHook(curatedToWrite)
-
-    if (!curatedToWrite.isEmpty) curatedToWrite.write.mode("append").parquet(curatedPath)
-    if (!bucketsToWrite.isEmpty) bucketsToWrite.write.mode("append").parquet(bucketsPath)
-    curatePreExactFaultHook(freshEx)
-    freshEx.write.mode("append").parquet(exactPath)
+    // one barrier: all three artifacts stage, then publish atomically
+    // (exact — the arrival authority — renamed last). The atomic
+    // publish is what lets curated and buckets carry no ledgers of
+    // their own: no crash leaves a partial subset.
+    IngestCommit.stageAndPublish(s, rootPath, Seq(
+      "curated" -> curatedRows, "buckets" -> freshBuckets, "exact" -> freshEx))
   }
 }

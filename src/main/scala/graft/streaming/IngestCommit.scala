@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ONE-BARRIER atomic publish for multi-artifact ingest streams — the
+  * round-12 verdict task #2. st9 (pairs/buckets/docs) and st10
+  * (curated/buckets/exact) previously published through three
+  * sequential appends, each guarded by its own ledger anti-join so a
+  * crash between appends could be completed by the retry; the probe
+  * showed that per-artifact bookkeeping (3 ledger reads + 3-4
+  * localCheckpoints + 3 sequential append barriers) costing ~3× st8's
+  * single-artifact wall per micro-batch — all fixed stack, none of it
+  * corpus work.
+  *
+  * This seam is the `stageAndPublish` discipline TextOps already
+  * applies to its three index artifacts (TextOps.scala stage → claim
+  * `_appendlog` record → bounded renames → recover-on-open),
+  * generalized: a batch's artifacts are written FULLY under one
+  * `__ingest_staging_<uuid>` dir (a crash there publishes nothing), a
+  * redo record is CLAIMED under `_ingestlog/`, then every staged file
+  * renames into its live dir and the record drops. A crash mid-rename
+  * is REPLAYED to completion by [[recover]] at the next stream start —
+  * so to every reader and to the stream's own next batch the publish
+  * is all-or-nothing, which is exactly what lets the per-artifact
+  * ledgers go: the ONE arrival-authority ledger (docs / exact) decides
+  * batch freshness, and no other artifact can be partially present.
+  *
+  * Rename-atomicity scope: per-file rename on HDFS-like filesystems
+  * (the RenameCommit contract); single writer per index root (the
+  * stream's own contract — one query owns a checkpoint). At 100 TB
+  * the same seam lifts to a transaction-log commit exactly like
+  * CommitProtocol's OptimisticLogCommit — the verbs' plan shapes
+  * don't change. */
+private[graft] object IngestCommit {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  val LogDir = "_ingestlog"
+
+  // Test seams. `stagingFaultHook` fires after all artifacts are
+  // staged, BEFORE the redo record is claimed (a crash there must
+  // publish nothing and leave no debris after recover).
+  // `publishFaultHook` fires with each artifact name immediately
+  // before that artifact's staged files rename (a crash there must be
+  // replayed to completion by recover). Identity in production.
+  private[graft] var stagingFaultHook: String => Unit = _ => ()
+  private[graft] var publishFaultHook: String => Unit = _ => ()
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage every non-empty artifact frame under one staging dir, claim
+    * the redo record, publish by file renames in the given order (put
+    * the arrival-authority artifact LAST so concurrent readers between
+    * renames never see it without its companions), drop staging +
+    * record. `artifacts` preserves order; empty frames stage nothing
+    * (no empty files in live dirs — the bm25IndexAppend rule). */
+  def stageAndPublish(spark: SparkSession, root: String,
+      artifacts: Seq[(String, DataFrame)]): Unit = {
+    val fs = fsOf(spark, root)
+    val stagingName =
+      s"__ingest_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = s"$root/$stagingName"
+    try {
+      artifacts.foreach { case (sub, df) =>
+        if (!df.isEmpty) df.write.parquet(s"$staging/$sub")
+      }
+      stagingFaultHook(stagingName)
+    } catch { case e: Throwable =>
+      fs.delete(new Path(staging), true)
+      throw e
+    }
+    val logDir = new Path(root, LogDir)
+    fs.mkdirs(logDir)
+    val rec = new Path(logDir, s"$stagingName.json")
+    val out = fs.create(rec, false)
+    try out.write(artifacts.map(_._1).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    publishStaged(fs, staging, root, artifacts.map(_._1))
+    fs.delete(new Path(staging), true)
+    fs.delete(rec, false)
+    ()
+  }
+
+  /** Move every staged data file of each artifact into its live dir.
+    * Part-file names are UUID-unique, so rename cannot collide and the
+    * file-level replay is idempotent (already-published files are no
+    * longer staged). */
+  private def publishStaged(fs: FileSystem, staging: String, root: String,
+      order: Seq[String]): Unit = {
+    order.foreach { sub =>
+      publishFaultHook(sub)
+      val src = new Path(staging, sub)
+      if (fs.exists(src)) {
+        val files = fs.listStatus(src)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val dst = new Path(root, sub)
+        if (files.nonEmpty) fs.mkdirs(dst)
+        files.foreach { f =>
+          // Hadoop rename signals failure by returning false — an
+          // unchecked false would silently drop an artifact's files
+          // while later artifacts still publish
+          if (!fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"failed to publish staged file ${f.getPath} into $dst")
+        }
+      }
+    }
+  }
+
+  /** Redo-log replay, called at stream start before the first batch:
+    * a claimed record whose staging dir survives is PUBLISHED to
+    * completion (the crash was mid-rename); a record without its
+    * staging dir only missed cleanup (the record drops); an unclaimed
+    * staging dir crashed mid-staging — incomplete and unpublished, it
+    * drops. Idempotent; single-recoverer by the stream's single-writer
+    * contract. Returns the actions taken (empty = clean). */
+  def recover(spark: SparkSession, root: String): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(rootP)) return Nil
+    val actions = Seq.newBuilder[String]
+    val claimed = scala.collection.mutable.Set.empty[String]
+    val logDir = new Path(rootP, LogDir)
+    if (fs.exists(logDir))
+      fs.listStatus(logDir).filter(_.isFile).foreach { s =>
+        val stagingName = s.getPath.getName.stripSuffix(".json")
+        claimed += stagingName
+        val staging = new Path(rootP, stagingName)
+        if (fs.exists(staging)) {
+          val order = {
+            val in = fs.open(s.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toList.filter(_.nonEmpty)
+            finally in.close()
+          }
+          publishStaged(fs, staging.toString, root, order)
+          fs.delete(staging, true)
+          actions += s"replayed=$stagingName"
+        } else actions += s"cleared=$stagingName"
+        fs.delete(s.getPath, false)
+        ()
+      }
+    fs.listStatus(rootP).filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith("__ingest_staging") &&
+        !claimed.contains(s.getPath.getName)
+    }.foreach { s =>
+      fs.delete(s.getPath, true)
+      actions += s"dropped=${s.getPath.getName}"
+    }
+    actions.result()
+  }
+}

@@ -25,14 +25,19 @@ import graft.operators.Dedup
   * Within a batch, a_id < b_id on the self-collision plus a distinct
   * across bands counts each pair once.
   *
-  * EVERY ARTIFACT IS ITS OWN LEDGER (the v9d/st6/st8 rule, applied
-  * per-artifact because this verb publishes three): pairs anti-join
-  * the landed pairs on (a_id, b_id), bucket rows anti-join the landed
-  * buckets on doc_id, docs anti-join the landed docs on doc_id. A
-  * retried batch, a restart, or a full redelivery under a fresh
-  * checkpoint therefore publishes NOTHING (isEmpty-guarded — no empty
-  * files), and a crash between the three appends is completed, not
-  * duplicated, by the retry regardless of which subset landed. The
+  * ONE LEDGER, ONE BARRIER (round-12 task #2): the three artifacts
+  * publish ATOMICALLY through [[IngestCommit.stageAndPublish]] —
+  * staged fully, claimed in the `_ingestlog` redo log, renamed in,
+  * replayed to completion by [[IngestCommit.recover]] at stream start
+  * if a crash interrupts the renames. All-or-nothing publish is what
+  * lets the per-artifact replay ledgers go: only the docs landing
+  * (the arrival authority) is read per batch, and a retried batch, a
+  * restart, or a full redelivery under a fresh checkpoint publishes
+  * NOTHING because its docs anti-join away. The round-12 shape — an
+  * anti-join ledger per artifact so a torn three-append publish could
+  * be completed piecewise — measured ~3× st8's per-batch wall, all
+  * fixed bookkeeping (3 ledger reads + 5 localCheckpoints + 3 append
+  * barriers); the one-barrier commit removes exactly that stack. The
   * docs landing doubles as the verify corpus: exact-Jaccard
   * verification reads old-side texts from it semi-joined to the
   * (tiny) candidate id set — candidate-sized, never a scan.
@@ -47,26 +52,17 @@ import graft.operators.Dedup
   */
 object NearDupStream {
 
-  // Test seam: invoked with each micro-batch's fresh-pair frame BEFORE
-  // any append. A spec lands a partial slice of the batch's artifacts
-  // and throws — the killed-append state. Identity in production.
-  private[graft] var neardupIngestFaultHook: DataFrame => Unit = _ => ()
-
-  // Test seam #2: invoked with the batch's fresh docs AFTER the pairs
-  // and buckets appends, BEFORE the docs append — the torn window where
-  // the batch's own bucket rows are landed but its docs are not (the
-  // window whose retry reaches the n_id == o_id self-collision path in
-  // [[collisionCandidates]]). Identity in production.
-  private[graft] var neardupPreDocsFaultHook: DataFrame => Unit = _ => ()
-
   /** Start the ingest stream: parquet document files arriving under
     * `incomingDir` maintain the LSH index rooted at `indexPath`
-    * (`docs/`, `buckets/`, `pairs/`), one file per micro-batch. */
+    * (`docs/`, `buckets/`, `pairs/`), one file per micro-batch. Any
+    * publish a previous run's crash left mid-rename is replayed to
+    * completion before the first batch. */
   def minhashIngest(spark: SparkSession, incomingDir: String,
       indexPath: String, checkpoint: String, threshold: Double = 0.8,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       queryName: String =
         "neardup_ingest_" + java.util.UUID.randomUUID().toString.take(8)): StreamingQuery = {
+    IngestCommit.recover(spark, indexPath)
     spark.readStream.schema(schema.getOrElse(spark.read.parquet(incomingDir).schema))
       .option("maxFilesPerTrigger", 1)
       .parquet(incomingDir)
@@ -80,7 +76,7 @@ object NearDupStream {
       .start()
   }
 
-  private[streaming] def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
+  private[graft] def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(path)) else None
@@ -121,12 +117,14 @@ object NearDupStream {
         freshBuckets.select(col("doc_id").as("n_id"), col("band"), col("bucket"))
           .join(lb.select(col("doc_id").as("o_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
-          // n_id == o_id is reachable on exactly one path: a retried
-          // batch whose BUCKETS landed but whose docs did not (crash in
-          // the buckets→docs window), where the batch's own bucket rows
-          // are now in the landed index. Without this guard those rows
-          // become (x,x) self-candidates that verify at jaccard 1.0 and
-          // poison the pairs ledger permanently.
+          // n_id == o_id guard: if the landed index ever holds a fresh
+          // doc's own bucket rows, those rows would become (x,x)
+          // self-candidates that verify at jaccard 1.0 and poison the
+          // pairs table permanently. The atomic publish makes that
+          // state unreachable from this stream's own crash windows
+          // (round-12 ADVICE found it reachable under the old
+          // three-append publish); the guard stays as defense in depth
+          // — the landed dirs are plain parquet anyone can write.
           .filter(col("n_id") =!= col("o_id"))
           .select(least(col("n_id"), col("o_id")).as("a_id"),
             greatest(col("n_id"), col("o_id")).as("b_id")))
@@ -174,31 +172,64 @@ object NearDupStream {
   }
 
   /** Exact-Jaccard verification of `cand` over texts drawn from the
-    * batch plus the landed corpus, candidate-sized (the texts frame
-    * semi-joins the broadcast candidate ids before shingling). */
+    * batch plus the landed corpus, candidate-sized. The candidate id
+    * set is COLLECTED (bounded: one id per candidate endpoint, a
+    * batch-dup-sized shortlist — the Similarity shortlist discipline)
+    * and its [min, max] RANGE pushed as a two-literal filter into the
+    * landed text read — parquet file/row-group doc_id statistics prune
+    * the scan (the one-file-per-batch docs layout gives tight per-file
+    * ranges) — while the exact membership stays a broadcast semi-join.
+    * Measured ladder (stprobe, sf0.1 landed index, 500-doc append):
+    * plain semi-join 1.18 s (every landed text byte streams through
+    * the join); a ~1000-literal isin pushed instead 2.01 s (the In
+    * expression tree costs more than the scan it saves — REFUTED);
+    * range + semi-join keeps the scan pruned at two literals. */
   private[graft] def verifyOverTexts(cand: DataFrame, freshTexts: DataFrame,
       landedTexts: Option[DataFrame], threshold: Double): DataFrame = {
-    val candIds = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val s = cand.sparkSession
+    // two bounded driver collects (candidate ids + the batch's ids —
+    // both batch-dup-sized shortlists) replace a checkpoint, a semi
+    // build and two agg jobs: the id set becomes a LOCAL relation the
+    // semi-join broadcasts for free, and the old-side id bounds are
+    // plain driver arithmetic
+    val idArr = cand.select(col("a_id")).union(cand.select(col("b_id")))
+      .distinct().collect().map(_.getLong(0)) // BOUNDED: candidate-sized
+    val freshIds = freshTexts.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet // BOUNDED: batch-sized
+    // bounds over the OLD-side candidates only: the batch's own ids
+    // are typically the table's largest (ids grow with arrival), so a
+    // range over ALL candidate ids would span the whole table
+    val oldIds = idArr.filterNot(freshIds)
+    val candIds = s.createDataset(idArr.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
     val texts = landedTexts
-      .map(d => freshTexts.unionByName(d.select(col("doc_id"), col("text"))))
+      .map { d =>
+        val pruned =
+          if (oldIds.isEmpty) d.filter(lit(false))
+          else d.filter(col("doc_id").between(oldIds.min, oldIds.max))
+        freshTexts.unionByName(pruned.select(col("doc_id"), col("text")))
+      }
       .getOrElse(freshTexts)
+    // pinned: verifyCandidates consumes the gram frame TWICE (per-doc
+    // counts + the common-gram join) — unpinned, the text scan and
+    // shingling run twice (measured ~0.5 s of the append)
     val hashed = texts.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram"))
       .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gram_h"))
-    Dedup.verifyCandidates(cand, hashed, threshold)
+      .localCheckpoint(true)
+    try Dedup.verifyCandidates(cand, hashed, threshold)
+      .localCheckpoint(true)
+    finally { hashed.unpersist(); () }
   }
 
   /** The per-batch verb, shared with the scale probe. */
   private[graft] def neardupAppend(s: SparkSession, batch: DataFrame,
       indexPath: String, threshold: Double): Unit = {
-    val docsPath = s"$indexPath/docs"
-    val bucketsPath = s"$indexPath/buckets"
-    val pairsPath = s"$indexPath/pairs"
-
-    // fresh rows: the docs landing is the arrival ledger (doc_id only
-    // crosses the anti-join — the landed read prunes to one column)
-    val landedDocs = readIfExists(s, docsPath)
+    // the ONE ledger read: the docs landing is the arrival authority
+    // (doc_id only crosses the anti-join — the landed read prunes to
+    // one column). The atomic publish guarantees no other artifact can
+    // be partially present, so pairs and buckets carry no ledgers.
+    val landedDocs = readIfExists(s, s"$indexPath/docs")
     val fresh = landedDocs
       .map(d => batch.join(d.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .getOrElse(batch)
@@ -210,41 +241,20 @@ object NearDupStream {
     val freshBuckets = bucketRowsOf(fresh).localCheckpoint(true)
 
     // candidates: fresh×landed collisions + fresh×fresh, distinct
-    // across bands; the landed pair set anti-joins away anything
-    // already discovered (only reachable via a partially-published
-    // retry)
-    val landedBuckets = readIfExists(s, bucketsPath)
-    val cand0 = collisionCandidates(freshBuckets, landedBuckets)
-    val landedPairs = readIfExists(s, pairsPath)
-    val cand = landedPairs
-      .map(lp => cand0
-        .join(lp.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_anti"))
-      .getOrElse(cand0)
+    // across bands
+    val landedBuckets = readIfExists(s, s"$indexPath/buckets")
+    val cand = collisionCandidates(freshBuckets, landedBuckets)
       .localCheckpoint(true)
 
     // exact verify over candidate docs only: new texts from the batch,
     // old texts from the landed docs semi-joined by the candidate ids
     val newPairs =
       if (cand.isEmpty) cand.withColumn("jaccard", lit(0.0d))
-      else verifyOverTexts(cand, fresh, landedDocs, threshold)
-    val pairsPinned = newPairs.localCheckpoint(true)
+      else verifyOverTexts(cand, fresh, landedDocs, threshold) // pinned inside
 
-    neardupIngestFaultHook(pairsPinned)
-
-    // bucket rows get their own ledger guard: a retry after a partial
-    // publish re-enters with `fresh` unchanged (docs land last), so
-    // already-landed bucket rows must drop here, not re-append
-    val bucketsToWrite = landedBuckets
-      .map(lb => freshBuckets.join(lb.select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
-      .getOrElse(freshBuckets)
-      .localCheckpoint(true)
-
-    if (!pairsPinned.isEmpty) pairsPinned.write.mode("append").parquet(pairsPath)
-    if (!bucketsToWrite.isEmpty) bucketsToWrite.write.mode("append").parquet(bucketsPath)
-    neardupPreDocsFaultHook(fresh)
-    // the arrival ledger lands LAST: any earlier crash leaves the batch
-    // fresh, and each artifact's own anti-join completes the publish
-    fresh.write.mode("append").parquet(docsPath)
+    // one barrier: all three artifacts stage, then publish atomically
+    // (docs — the authority — renamed last)
+    IngestCommit.stageAndPublish(s, indexPath, Seq(
+      "pairs" -> newPairs, "buckets" -> freshBuckets, "docs" -> fresh))
   }
 }

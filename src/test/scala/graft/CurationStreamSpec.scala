@@ -102,7 +102,16 @@ class CurationStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
-  test("st10 kill between appends: the retry completes the publish without duplicating") {
+  private def noDebris(root: String): Unit = {
+    val staged = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("__ingest_staging")).map(_.getName).toSeq
+    assert(staged.isEmpty, s"staging debris survived: $staged")
+    val log = new java.io.File(root, graft.streaming.IngestCommit.LogDir)
+    val recs = Option(log.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+    assert(recs.isEmpty, s"redo records survived: $recs")
+  }
+
+  test("st10 kill mid-staging: nothing publishes; restart drops the debris and completes the batch") {
     import spark.implicits._
     val t0 = s"alpha bravo charlie delta echo foxtrot golf hotel $pad"
     val t3 = s"november oscar papa quebec romeo sierra tango uniform $pad"
@@ -113,30 +122,72 @@ class CurationStreamSpec extends SparkSpec {
     val incoming = tmp.getAbsolutePath + "/incoming"
     val root = tmp.getAbsolutePath + "/corpus"
     landTwoFiles(incoming, b0, b1)
-    // crash batch 1 between its appends: curated lands, then the query
-    // dies before buckets and exact publish
-    CurationStream.curateIngestFaultHook = rows => {
-      if (rows.filter(col("doc_id") >= 3L).count() > 0) {
-        rows.write.mode("append").parquet(s"$root/curated")
-        throw new RuntimeException("injected mid-publish crash")
+    // crash batch 1 after staging, BEFORE the redo record claims
+    var calls = 0
+    graft.streaming.IngestCommit.stagingFaultHook = _ => {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("injected mid-staging crash")
+    }
+    try {
+      val q = CurationStream.curateIngest(spark, incoming, root,
+        tmp.getAbsolutePath + "/cp")
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally graft.streaming.IngestCommit.stagingFaultHook = _ => ()
+    // NOTHING of batch 1 is visible — the one-barrier contract
+    assert(curated(root) === Seq(0L))
+    val exMid = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exMid === Set(0L))
+    // restart on the SAME checkpoint: batch 1 redelivers and completes
+    val q2 = CurationStream.curateIngest(spark, incoming, root,
+      tmp.getAbsolutePath + "/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(curated(root) === Seq(0L, 3L), "5 must still drop (near-dup of 3)")
+    val exIds = spark.read.parquet(s"$root/exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(exIds === Seq(0L, 3L, 5L))
+    noDebris(root)
+    rmTree(tmp)
+  }
+
+  test("st10 kill mid-publish: the claimed publish replays to completion; drops equal a clean run") {
+    import spark.implicits._
+    val t0 = s"alpha bravo charlie delta echo foxtrot golf hotel $pad"
+    val t3 = s"november oscar papa quebec romeo sierra tango uniform $pad"
+    val b0 = Seq((0L, t0, "en")).toDF("doc_id", "text", "lang")
+    val b1 = Seq((3L, t3, "en"), (5L, t3.replace("november", "zulu"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("curate_kill2_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val root = tmp.getAbsolutePath + "/corpus"
+    landTwoFiles(incoming, b0, b1)
+    // crash batch 1 mid-rename: curated and buckets live, the exact
+    // rename (the arrival authority, last) not yet — record claimed
+    var exactRenames = 0
+    graft.streaming.IngestCommit.publishFaultHook = sub => {
+      if (sub == "exact") {
+        exactRenames += 1
+        if (exactRenames == 2)
+          throw new RuntimeException("injected mid-publish crash")
       }
     }
     try {
       val q = CurationStream.curateIngest(spark, incoming, root,
         tmp.getAbsolutePath + "/cp")
       intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    } finally CurationStream.curateIngestFaultHook = _ => ()
-    // torn state: batch 1's curated row landed, its exact rows did not
+    } finally graft.streaming.IngestCommit.publishFaultHook = _ => ()
+    // torn mid-rename state is real — and claimed
     assert(curated(root) === Seq(0L, 3L))
     val exMid = spark.read.parquet(s"$root/exact")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(exMid === Set(0L), s"crash fixture must leave batch 1's exact unlanded, got $exMid")
-    // restart on the SAME checkpoint: every artifact completes exactly
-    // once — 5 still drops (near-dup of 3), nothing doubles
+    assert(exMid === Set(0L), s"crash fixture must leave batch 1's exact staged, got $exMid")
+    val recs = new java.io.File(root, graft.streaming.IngestCommit.LogDir).listFiles()
+    assert(recs != null && recs.nonEmpty, "the crash must leave a claimed redo record")
+    // restart: recover replays the exact rename, redelivery adds nothing
     val q2 = CurationStream.curateIngest(spark, incoming, root,
       tmp.getAbsolutePath + "/cp")
     try q2.processAllAvailable() finally q2.stop()
-    assert(curated(root) === Seq(0L, 3L), "retry must not duplicate or resurrect drops")
+    assert(curated(root) === Seq(0L, 3L), "replay + redelivery must equal a clean run")
     val exIds = spark.read.parquet(s"$root/exact")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
     assert(exIds === Seq(0L, 3L, 5L))
@@ -144,6 +195,7 @@ class CurationStreamSpec extends SparkSpec {
       .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).count()
     assert(bucketDups === 0L)
+    noDebris(root)
     rmTree(tmp)
   }
 
@@ -184,55 +236,22 @@ class CurationStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
-  test("st10 kill in the buckets→exact window: the retry reaches the same drops as a clean run") {
+  test("curation roles: own landed bucket rows are treated as within-batch, not as older copies") {
     import spark.implicits._
-    val t0 = s"alpha bravo charlie delta echo foxtrot golf hotel $pad"
+    // defense-in-depth twin of the st9 self-pair unit test: if the
+    // landed bucket index ever holds rows for docs still in the fresh
+    // batch (unreachable from this stream's own crash windows under
+    // the atomic publish), the drop roles must fall back to the
+    // within-batch rule (greater id drops) — NOT name the fresh doc as
+    // the arriving side of a collision with itself or its batchmate
     val t3 = s"november oscar papa quebec romeo sierra tango uniform $pad"
-    val b0 = Seq((0L, t0, "en")).toDF("doc_id", "text", "lang")
-    val b1 = Seq((3L, t3, "en"), (5L, t3.replace("november", "zulu"), "en"))
-      .toDF("doc_id", "text", "lang")
-    val tmp = java.nio.file.Files.createTempDirectory("curate_kill2_spec").toFile
-    val incoming = tmp.getAbsolutePath + "/incoming"
-    val root = tmp.getAbsolutePath + "/corpus"
-    landTwoFiles(incoming, b0, b1)
-    // crash batch 1 AFTER curated and buckets land, BEFORE exact: the
-    // retry re-enters with 3 and 5 still fresh but their bucket rows
-    // already in the landed index — those rows must be treated as
-    // within-batch (drop the greater id), not as landed older copies
-    CurationStream.curatePreExactFaultHook = freshEx => {
-      val ids = freshEx.select(col("doc_id")).collect().map(_.getLong(0)).toSet
-      if (ids.contains(3L))
-        throw new RuntimeException("injected crash before the exact append")
-    }
-    try {
-      val q = CurationStream.curateIngest(spark, incoming, root,
-        tmp.getAbsolutePath + "/cp")
-      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    } finally CurationStream.curatePreExactFaultHook = _ => ()
-    // torn state: curated and buckets landed for batch 1, exact did not
-    assert(curated(root) === Seq(0L, 3L))
-    val exMid = spark.read.parquet(s"$root/exact")
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(exMid === Set(0L), s"crash fixture must leave batch 1's exact unlanded, got $exMid")
-    val bucketDocsMid = spark.read.parquet(s"$root/buckets")
-      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
-    assert(bucketDocsMid === Set(0L, 3L, 5L))
-    // restart on the SAME checkpoint: final state equals a clean run —
-    // 3 kept, 5 dropped (NOT both dropped, NOT 3 dropped for colliding
-    // with its own landed bucket rows)
-    val q2 = CurationStream.curateIngest(spark, incoming, root,
-      tmp.getAbsolutePath + "/cp")
-    try q2.processAllAvailable() finally q2.stop()
-    assert(curated(root) === Seq(0L, 3L),
-      "retry reached different drops than a clean run")
-    val exIds = spark.read.parquet(s"$root/exact")
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
-    assert(exIds === Seq(0L, 3L, 5L))
-    val bucketDups = spark.read.parquet(s"$root/buckets")
-      .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    assert(bucketDups === 0L)
-    rmTree(tmp)
+    val fresh = Seq((3L, t3), (5L, t3.replace("november", "zulu")))
+      .toDF("doc_id", "text")
+    val fb = graft.streaming.NearDupStream.bucketRowsOf(fresh).localCheckpoint(true)
+    val roles = graft.streaming.NearDupStream.collisionCandidatesWithRoles(fb, Some(fb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(roles.forall(r => r._1 != r._2), s"self-candidates leaked: $roles")
+    assert(roles.forall(r => r._3 == r._2), s"own rows must take the within-batch drop rule: $roles")
   }
 
   test("st10 gate form matches the batch composition on the fixture corpus") {

@@ -92,7 +92,16 @@ class NearDupStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
-  test("st9 kill between appends: the retry completes the publish without duplicating any artifact") {
+  private def noDebris(root: String): Unit = {
+    val staged = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("__ingest_staging")).map(_.getName).toSeq
+    assert(staged.isEmpty, s"staging debris survived: $staged")
+    val log = new java.io.File(root, graft.streaming.IngestCommit.LogDir)
+    val recs = Option(log.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+    assert(recs.isEmpty, s"redo records survived: $recs")
+  }
+
+  test("st9 kill mid-staging: nothing publishes; restart drops the debris and completes the batch") {
     import spark.implicits._
     val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
@@ -104,44 +113,39 @@ class NearDupStreamSpec extends SparkSpec {
     val incoming = tmp.getAbsolutePath + "/incoming"
     val idx = tmp.getAbsolutePath + "/index"
     landTwoFiles(incoming, b0, b1)
-    // crash batch 1 between its appends: the pairs artifact lands, then
-    // the query dies before buckets and docs publish — the torn state a
-    // killed three-artifact publish leaves behind
-    NearDupStream.neardupIngestFaultHook = pairs => {
-      if (!pairs.isEmpty) {
-        pairs.write.mode("append").parquet(s"$idx/pairs")
-        throw new RuntimeException("injected mid-publish crash")
-      }
+    // crash batch 1 after its artifacts staged, BEFORE the redo record
+    // claims — an unclaimed staging dir a restart must discard
+    var calls = 0
+    graft.streaming.IngestCommit.stagingFaultHook = _ => {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("injected mid-staging crash")
     }
     try {
       val q = NearDupStream.minhashIngest(spark, incoming, idx,
         tmp.getAbsolutePath + "/cp")
       intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    } finally NearDupStream.neardupIngestFaultHook = _ => ()
-    // torn state is real: the pair landed, batch 1's docs did not
-    assert(pairsOf(idx).map(p => (p._1, p._2)) === Seq((0L, 10L)))
+    } finally graft.streaming.IngestCommit.stagingFaultHook = _ => ()
+    // NOTHING of batch 1 is visible: the one-barrier contract (batch 0
+    // found no pairs, so the live pairs dir must not even exist yet)
+    assert(!new java.io.File(s"$idx/pairs").exists(),
+      "a mid-staging crash must publish nothing")
     val docsMid = spark.read.parquet(s"$idx/docs")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(docsMid === Set(0L), s"crash fixture must leave batch 1 unlanded, got $docsMid")
-    // restart on the SAME checkpoint: batch 1 redelivers in full; each
-    // artifact's own anti-join drops what already landed and appends
-    // only the rest — content equals a clean run, nothing doubled
+    assert(docsMid === Set(0L))
+    // restart on the SAME checkpoint: batch 1 redelivers and completes
     val q2 = NearDupStream.minhashIngest(spark, incoming, idx,
       tmp.getAbsolutePath + "/cp")
     try q2.processAllAvailable() finally q2.stop()
     val want = batchPairs(b0.unionByName(b1), tmp.getAbsolutePath + "/corpus")
-    assert(pairsOf(idx) === want, "retry must not re-append the landed pair")
+    assert(pairsOf(idx) === want)
     val docs = spark.read.parquet(s"$idx/docs")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
     assert(docs === Seq(0L, 10L, 11L), "docs must land exactly once each")
-    val bucketDups = spark.read.parquet(s"$idx/buckets")
-      .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    assert(bucketDups === 0L, "bucket rows must not duplicate across the retry")
+    noDebris(idx)
     rmTree(tmp)
   }
 
-  test("st9 kill in the buckets→docs window: the retry must not mint self-pairs from its own landed bucket rows") {
+  test("st9 kill mid-publish: the claimed publish replays to completion at restart; redelivery adds nothing") {
     import spark.implicits._
     val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
@@ -153,48 +157,66 @@ class NearDupStreamSpec extends SparkSpec {
     val incoming = tmp.getAbsolutePath + "/incoming"
     val idx = tmp.getAbsolutePath + "/index"
     landTwoFiles(incoming, b0, b1)
-    // crash batch 1 AFTER its pairs and buckets appends, BEFORE the
-    // docs append: the retry re-enters with the batch still fresh but
-    // its own bucket rows already in the landed index — the window
-    // where fresh×landed collisions can degenerate into (x, x)
-    NearDupStream.neardupPreDocsFaultHook = fresh => {
-      val ids = fresh.select(col("doc_id")).collect().map(_.getLong(0)).toSet
-      if (ids.contains(10L))
-        throw new RuntimeException("injected crash before the docs append")
+    // crash batch 1 mid-rename: pairs and buckets are live, the docs
+    // rename has not happened, the redo record is claimed — the exact
+    // window the _ingestlog replay exists for
+    var docsRenames = 0
+    graft.streaming.IngestCommit.publishFaultHook = sub => {
+      if (sub == "docs") {
+        docsRenames += 1
+        if (docsRenames == 2)
+          throw new RuntimeException("injected mid-publish crash")
+      }
     }
     try {
       val q = NearDupStream.minhashIngest(spark, incoming, idx,
         tmp.getAbsolutePath + "/cp")
       intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    } finally NearDupStream.neardupPreDocsFaultHook = _ => ()
-    // torn state is real: batch 1's pair and bucket rows landed, docs did not
+    } finally graft.streaming.IngestCommit.publishFaultHook = _ => ()
+    // torn mid-rename state is real — and CLAIMED
     assert(pairsOf(idx).map(p => (p._1, p._2)) === Seq((0L, 10L)))
-    val bucketDocsMid = spark.read.parquet(s"$idx/buckets")
-      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
-    assert(bucketDocsMid === Set(0L, 10L, 11L),
-      s"crash fixture must leave batch 1's buckets landed, got $bucketDocsMid")
     val docsMid = spark.read.parquet(s"$idx/docs")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(docsMid === Set(0L), s"crash fixture must leave batch 1's docs unlanded, got $docsMid")
-    // restart on the SAME checkpoint: batch 1 redelivers in full; its
-    // own landed bucket rows must produce NO self-candidates, and the
-    // already-landed pair must not re-append
+    assert(docsMid === Set(0L), s"crash fixture must leave batch 1's docs staged, got $docsMid")
+    val recs = new java.io.File(idx, graft.streaming.IngestCommit.LogDir).listFiles()
+    assert(recs != null && recs.nonEmpty, "the crash must leave a claimed redo record")
+    // restart on the SAME checkpoint: recover finishes the renames
+    // BEFORE the first batch, whose redelivery then anti-joins away
     val q2 = NearDupStream.minhashIngest(spark, incoming, idx,
       tmp.getAbsolutePath + "/cp")
     try q2.processAllAvailable() finally q2.stop()
-    val got = pairsOf(idx)
-    assert(got.forall(p => p._1 != p._2),
-      s"self-pairs poisoned the pairs ledger: $got")
     val want = batchPairs(b0.unionByName(b1), tmp.getAbsolutePath + "/corpus")
-    assert(got === want, "retry diverged from the batch tier")
+    assert(pairsOf(idx) === want, "replay + redelivery must equal a clean run")
     val docs = spark.read.parquet(s"$idx/docs")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
     assert(docs === Seq(0L, 10L, 11L), "docs must land exactly once each")
     val bucketDups = spark.read.parquet(s"$idx/buckets")
       .groupBy(col("doc_id"), col("band")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).count()
-    assert(bucketDups === 0L, "bucket rows must not duplicate across the retry")
+    assert(bucketDups === 0L, "bucket rows must not duplicate across the replay")
+    noDebris(idx)
     rmTree(tmp)
+  }
+
+  test("collision candidates mint no self-pairs even if the landed index held the batch's own bucket rows") {
+    import spark.implicits._
+    // defense-in-depth for the round-12 ADVICE finding: feed the
+    // collision join a landed side containing the fresh batch's own
+    // rows (no longer reachable from this stream's crash windows under
+    // the atomic publish, but the dirs are plain parquet)
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fb = NearDupStream.bucketRowsOf(fresh).localCheckpoint(true)
+    val cand = NearDupStream.collisionCandidates(fb, Some(fb))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cand === Seq((10L, 11L)), s"self-pairs leaked: $cand")
+    val roles = NearDupStream.collisionCandidatesWithRoles(fb, Some(fb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // own rows are excluded from the landed side entirely, so only the
+    // within-batch path remains — greater id drops
+    assert(roles === Seq((10L, 11L, 11L)), s"roles diverged: $roles")
   }
 
   test("st9 gate form equals the batch MinHash-LSH tier on the fixture corpus") {
