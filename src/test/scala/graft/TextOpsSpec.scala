@@ -774,6 +774,42 @@ class TextOpsSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("bm25 maintain policy: below the churn bound a footer no-op, above it the cycle fires itself") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, s"alpha beta doc$i word$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val terms = Seq("alpha", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_maint_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(docs, idx)
+    def page(p: String) = TextOps.bm25OverIndex(spark, p, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // no tombs at all: the policy never fires (footer listing only)
+    assert(!TextOps.bm25IndexMaintain(spark, idx))
+    TextOps.bm25IndexDelete(spark, idx, Seq(0L).toDF("doc_id"))
+    val afterDelete = page(idx)
+    // 1 tomb / 9 live = 0.11 ≤ 0.2: the policy DEFERS — the sidecar
+    // stays, probes keep paying the change-sized anti-join, answers
+    // unchanged (the guard is pure cadence, never correctness)
+    assert(!TextOps.bm25IndexMaintain(spark, idx))
+    assert(new java.io.File(s"$idx/tombs").exists(),
+      "a deferred cycle must not touch the sidecar")
+    assert(page(idx) === afterDelete)
+    // 3 tombs / 7 live = 0.43 > 0.2: the cycle fires ITSELF — reclaim
+    // purges the tombstoned postings and drops the sidecar
+    TextOps.bm25IndexDelete(spark, idx, Seq(1L, 2L).toDF("doc_id"))
+    assert(TextOps.bm25IndexMaintain(spark, idx))
+    assert(!new java.io.File(s"$idx/tombs").exists(),
+      "a fired cycle must reclaim the sidecar")
+    // answers equal a survivor rebuild — the cycle preserved the page
+    val rebuilt = tmp.getAbsolutePath + "/idx_rebuilt"
+    TextOps.materializeBm25IndexOf(docs.filter(col("doc_id") >= 3L), rebuilt)
+    assert(page(idx) === page(rebuilt))
+    // and the fired cycle left nothing to fire: the next call no-ops
+    assert(!TextOps.bm25IndexMaintain(spark, idx))
+    rmTree(tmp)
+  }
+
   test("faceted search (t11d): facets count the matching set, hits mirror the t11 page") {
     import graft.operators.TextOps
     val rows = TextOps.bm25Faceted(spark, sfDir01).collect()
