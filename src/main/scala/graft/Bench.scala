@@ -45,6 +45,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // STATIC conf, default 100: a 200+-query suite interleaving per
+      // pass evicts every generated class between its own passes, so
+      // codegen-heavy queries (j7's similarity chains) pay Janino
+      // recompilation on EVERY rep — warm medians then measure the
+      // compiler, not the query. Production long-lived sessions size
+      // this to their plan count for the same reason.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -145,6 +145,15 @@ object IndexStream {
             log.filter(col("op") =!= "deleted")
               .select(col("doc_id"), col("text"), col("lang")))
           writeCdcMark(s, indexPath, key, batchId)
+          // the reclaim cadence POLICY, wired into the front door: the
+          // churn each CDC batch accumulates (tombstones per update/
+          // delete) fires the t11f cycle itself when it crosses the
+          // footer-read bound — a deferred call is a listing no-op, a
+          // fired one is answer-preserving and safe at any crash point
+          // (every compaction step is independently equivalence-
+          // preserving), so it sits after the mark: a replayed batch
+          // skips it and a later batch's call picks the churn up
+          TextOps.bm25IndexMaintain(s, indexPath)
           cdcIngestFaultHook(batchId)
         }
         // else: publish-nothing replay — this (checkpoint, batchId)

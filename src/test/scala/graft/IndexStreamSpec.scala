@@ -296,6 +296,53 @@ class IndexStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st7 reclaim cadence: accumulated CDC churn fires the compaction cycle mid-stream") {
+    import spark.implicits._
+    // 10 docs; batch A's churn sits under the 20% bound (1 tomb / 9-10
+    // live -> DEFER: the sidecar survives the batch), batch B's pushes
+    // past it (3 tombs -> FIRE: the cycle reclaims mid-stream with no
+    // operator in the loop) -- the TextOpsSpec policy ladder driven
+    // through the streaming front door
+    val v1 = (0 until 10).map(i => (i.toLong, s"alpha beta word$i tail$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val logA = Seq(("updated", 0L, "alpha beta word0 rev", "en"))
+      .toDF("op", "doc_id", "text", "lang")
+    val logB = Seq(
+      ("updated", 1L, "alpha beta word1 rev", "en"),
+      ("updated", 2L, "alpha beta word2 rev", "en"))
+      .toDF("op", "doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_cadence_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    TextOps.materializeBm25IndexOf(v1, idx)
+    // batch A alone: the policy must DEFER
+    logA.coalesce(1).write.mode("overwrite").parquet(incoming)
+    val qA = IndexStream.bm25CdcIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cpA")
+    try qA.processAllAvailable() finally qA.stop()
+    assert(new java.io.File(s"$idx/tombs").exists(),
+      "under-bound churn must leave the sidecar (deferred cycle)")
+    // batch B arrives: accumulated churn crosses the bound -> the
+    // stream fires the cycle itself
+    logB.coalesce(1).write.mode("append").parquet(incoming)
+    val qB = IndexStream.bm25CdcIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cpA")
+    try qB.processAllAvailable() finally qB.stop()
+    assert(!new java.io.File(s"$idx/tombs").exists(),
+      "over-bound churn must fire the reclaim mid-stream")
+    // and the fired cycle preserved every answer: equals a rebuild of
+    // the fully-revised corpus
+    val rebuilt = tmp.getAbsolutePath + "/idx_rebuilt"
+    TextOps.materializeBm25IndexOf(
+      (0 until 10).map(i =>
+        (i.toLong, if (i < 3) s"alpha beta word$i rev" else s"alpha beta word$i tail$i", "en"))
+        .toDF("doc_id", "text", "lang"), rebuilt)
+    val terms = Seq("alpha", "rev")
+    assert(probe(idx, terms) === probe(rebuilt, terms))
+    assert(probe(idx, terms).nonEmpty)
+    rmTree(tmp)
+  }
+
   test("st7 offset-commit crash: the redelivered CDC batch finds its applied-batch mark and publishes NOTHING") {
     import spark.implicits._
     val v1 = Seq(
@@ -352,8 +399,13 @@ class IndexStreamSpec extends SparkSpec {
     def docids(p: String) = spark.read.parquet(s"$p/docids")
       .select("doc_id", "tomb", "gen", "dl").collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
-    def tombs(p: String) = spark.read.parquet(s"$p/tombs").collect()
-      .map(_.toSeq).sortBy(_.toString).toSeq
+    // the reclaim policy is wired into the stream and this fixture's
+    // churn crosses its bound (1 tomb > 0.2 × 4 live), so the sidecar
+    // may legitimately be reclaimed — in BOTH runs identically
+    def tombs(p: String) =
+      if (!new java.io.File(s"$p/tombs").exists()) Seq.empty
+      else spark.read.parquet(s"$p/tombs").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
     assert(postings(idx) === postings(clean),
       "replayed CDC batch changed postings (the mark did not skip it)")
     assert(stats(idx) === stats(clean), "replayed CDC batch added a stats partial")
