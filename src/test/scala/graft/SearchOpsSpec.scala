@@ -501,6 +501,34 @@ class SearchOpsSpec extends SparkSpec {
     assert(gotE === freshE, "an empty base must degrade to the fresh run")
   }
 
+  test("g1c property: hash-exact on seeded random graphs and arrival splits") {
+    // the frontier argument is subtle (oscillating changedness, rim
+    // reads from history, saturation collapse) — 4 seeded random
+    // graphs with random arrival splits guard the algebra beyond the
+    // crafted cases; failures print the full fixture for replay
+    val rnd = new scala.util.Random(1337L)
+    (1 to 4).foreach { caseNo =>
+      val n = 12 + rnd.nextInt(6)
+      val edges = (0 until (n + rnd.nextInt(n))).map { _ =>
+        val a = rnd.nextInt(n); var b = rnd.nextInt(n)
+        while (b == a) b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.distinct
+      val newIds = (0 until n).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val isNew = (c: org.apache.spark.sql.Column) =>
+        if (newIds.isEmpty) lit(false) else c.isin(newIds: _*)
+      val all = edges.toDF("a_id", "b_id")
+      val old = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+      val (hist, deg) = Graph.pagerankHistoryOf(old, Graph.PagerankIters)
+      val got = Graph.pagerankIncrementalOf(all, hist, deg, isNew)
+        .as[(Long, Long)].collect().toMap
+      val fresh = Graph.pagerankOf(all, Graph.PagerankIters)
+        .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap
+      assert(got === fresh,
+        s"case $caseNo diverged: n=$n edges=$edges new=$newIds")
+    }
+  }
+
   test("g1c gate form equals g1 on the fixture corpus") {
     val got = Graph.pagerankIncremental(spark, sfDir01)
       .as[(Long, Long)].collect().toSeq
