@@ -516,6 +516,10 @@ object SparkEntry {
     // d7d: the dispatched clustering maintenance verb — |E| vs the
     // exchange crossover routes full CC vs quotient apply
     "d7d_maintained_clusters" -> ((s, d) => Dedup.dedupClustersMaintain(s, d)),
+    // g1d: the dispatched PageRank maintenance verb — delta-endpoint
+    // share routes fresh fixed-round vs the frontier apply (the one
+    // low-stakes dispatch: g1c has no blowup regime)
+    "g1d_maintained_pagerank" -> ((s, d) => Graph.pagerankMaintain(s, d)),
   )
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
@@ -4157,6 +4161,7 @@ object SparkEntry {
     "g2d_maintained_triangles" -> g2Sql,
     "g3c_maintained_kcore" -> g3Sql,
     "d7d_maintained_clusters" -> d7Sql,
+    "g1d_maintained_pagerank" -> g1Sql,
   )
 
   // g1: d7's edge CTEs + the integer rank unroll (MATERIALIZED per

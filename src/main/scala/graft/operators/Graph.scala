@@ -136,6 +136,73 @@ object Graph {
     pagerankIncrementalOf(pairs, hist, baseDeg, isNew)
   }
 
+  /** The delta-endpoint share below which the frontier apply (g1c) is
+    * routed over a fresh run. Deliberately conservative: the frontier
+    * after 10 rounds is a hop-ball whose size the dispatcher cannot
+    * know for one column agg's cost, so the rule only trusts the
+    * apply when the seed set is tiny. Mis-routing is LOW-STAKES in
+    * both directions — g1c has no blowup regime (its per-round work
+    * is bounded by map-side corpus scans; measured worst case 1.6×
+    * fresh on the dup fixture where the delta touches 2/7 of nodes,
+    * vs 0.8× fresh on a 2M-node ring with a 1-node delta), unlike
+    * g2b's Σ deg² cliff where dispatch is load-bearing. */
+  private[graft] val PagerankDeltaShare = 0.01
+
+  /** G1d: the dispatched PageRank maintenance verb — completes the
+    * family (triangles g2d, k-core g3c, clusters d7d, ranks here).
+    * Inputs: |A| (the delta edges' endpoints — one Δ-sized distinct
+    * count) against |V| (the landed base degree frame's count + |A|,
+    * both materialized). Routes to the frontier apply only when the
+    * delta share is under [[PagerankDeltaShare]]; the rank HISTORY is
+    * by-name, so the fresh route never lands it. Output ≡ g1 either
+    * way (shared oracle, hash-equal). */
+  def pagerankMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qualifyingPairsLanded(spark, dir)
+    val isNew = g2bNewNode _
+    pagerankMaintainOf(pairs,
+      rankHistMemo.landed(spark, dir, "g1c", "base rank history") {
+        pagerankHistoryOf(
+          pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), PagerankIters)
+      }, isNew)._1
+  }
+
+  /** The routed apply; returns (result, chosen twin) for the spec. */
+  private[graft] def pagerankMaintainOf(pairs: DataFrame,
+      histAndDeg: => (Seq[DataFrame], DataFrame),
+      isNew: Column => Column): (DataFrame, String) = {
+    val aCount = pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id")))
+      .select(col("a_id")).union(pairs
+        .filter(isNew(col("a_id")) || isNew(col("b_id"))).select(col("b_id")))
+      .distinct().count()
+    if (aCount == 0L) {
+      // no delta: the landed history IS the answer, but callers without
+      // a landing shouldn't pay one — a fresh run over the (unchanged)
+      // graph is the same frame either way; prefer the landing if the
+      // thunk is already materialized is not knowable here, so route
+      // fresh for simplicity (the d7d no-op convention)
+      return (pagerankOf(pairs, PagerankIters)
+        .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+        .orderBy(col("doc_id")), "g1")
+    }
+    val route = {
+      // |V| from the landed degree frame requires the landing; to keep
+      // the FRESH route landing-free, bound |V| from below by the
+      // grown graph's Δ-side estimate only when cheap — the pair frame
+      // is landed/materialized, so one count is metadata-cheap
+      val totalNodes = pairs.select(col("a_id")).union(pairs.select(col("b_id")))
+        .distinct().count()
+      if (aCount.toDouble <= PagerankDeltaShare * totalNodes) "g1c" else "g1"
+    }
+    if (route == "g1c") {
+      val (h, d) = histAndDeg
+      (pagerankIncrementalOf(pairs, h, d, isNew), "g1c")
+    } else
+      (pagerankOf(pairs, PagerankIters)
+        .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+        .orderBy(col("doc_id")), "g1")
+  }
+
   /** [[pagerankOf]] with every round's frame kept (localCheckpointed)
     * — the maintained artifact behind [[pagerankIncremental]]. Returns
     * (R_1..R_iters, the base degree frame). */
@@ -212,29 +279,45 @@ object Graph {
           .localCheckpoint(true)
       } else {
         // no distinct on either set: both feed semi-join build sides,
-        // which dedup internally — each distinct was a per-round shuffle
+        // which dedup internally — each distinct was a per-round shuffle.
+        // EVERY join in a round keeps the big frames (sym, degGrown,
+        // hist) on the STREAMED side of a broadcast: a small⋈big left
+        // join would shuffle the node-sized frame once per round per
+        // lookup — the ring probe measured the apply LOSING to the
+        // fresh run on a 500k-node graph for exactly that reason.
         val srcSet =
           if (i == 1) aIds
           else changed.select(col("id")).union(aIds)
-        // F_i = N(D_{i-1} ∪ A): keyed semi probe of the pair frame
+        // F_i = N(D_{i-1} ∪ A): map-side scan of sym, srcSet broadcast
+        // fIds has ONE consumer (the broadcast build below) — no pin;
+        // inE0 has three (degree slice, rank slice, the rank join)
         val fIds = sym
-          .join(srcSet.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(broadcast(srcSet.select(col("id").as("src"))), Seq("src"), "left_semi")
           .select(col("dst").as("id"))
-        // in-edges of the frontier, src labeled with its grown degree
-        val inE = sym
-          .join(fIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          .join(degGrown.select(col("id").as("src"), col("deg").as("sdeg")),
-            Seq("src"))
+        val inE0 = sym
+          .join(broadcast(fIds.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        // … their src degrees, by broadcast-semi SLICING the node-sized
+        // frame down to the frontier's srcs before any join
+        val degSmall = degGrown
+          .select(col("id").as("src"), col("deg").as("sdeg"))
+          .join(broadcast(inE0.select(col("src"))), Seq("src"), "left_semi")
+        val inE = inE0.join(broadcast(degSmall), Seq("src"))
         // src round-(i−1) ranks: changed values win, the landed history
-        // covers the rim (round 0 is the all-1000000 constant)
+        // covers the rim (round 0 is the all-1000000 constant); the
+        // history frame is likewise sliced map-side, never shuffled
         val withR =
           if (i == 1) inE.withColumn("pr", lit(1000000L))
-          else inE
-            .join(changed.select(col("id").as("src"), col("r").as("rc")),
-              Seq("src"), "left")
-            .join(hist(i - 2).select(col("id").as("src"), col("r").as("rb")),
-              Seq("src"), "left")
-            .withColumn("pr", coalesce(col("rc"), col("rb")))
+          else {
+            val rimVals = hist(i - 2)
+              .select(col("id").as("src"), col("r").as("rb"))
+              .join(broadcast(inE0.select(col("src"))), Seq("src"), "left_semi")
+            inE
+              .join(broadcast(changed.select(col("id").as("src"), col("r").as("rc"))),
+                Seq("src"), "left")
+              .join(broadcast(rimVals), Seq("src"), "left")
+              .withColumn("pr", coalesce(col("rc"), col("rb")))
+          }
         // checkpoint EVERY round: `changed` feeds two consumers next
         // round (frontier union + rank join) — the pagerankOf every-2nd
         // cadence was tried and measured ~2× WORSE here (odd rounds

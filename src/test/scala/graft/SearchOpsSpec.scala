@@ -501,6 +501,38 @@ class SearchOpsSpec extends SparkSpec {
     assert(gotE === freshE, "an empty base must degrade to the fresh run")
   }
 
+  test("g1d dispatch: a wide delta routes fresh (history never lands), a tiny delta routes to the frontier apply") {
+    // wide regime: the delta touches 4 of 5 nodes — far over the 1%
+    // share. The history thunk THROWS if evaluated: the fresh route
+    // must never land the (iters × node-frame) artifact.
+    val isNewWide = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L)
+    val allW = Seq((1L, 2L), (2L, 3L), (3L, 10L), (10L, 11L), (11L, 1L))
+      .toDF("a_id", "b_id")
+    val (resW, cW) = Graph.pagerankMaintainOf(allW,
+      sys.error("the fresh route must not land the rank history"), isNewWide)
+    assert(cW === "g1")
+    assert(resW.as[(Long, Long)].collect().toMap ===
+      Graph.pagerankOf(allW, Graph.PagerankIters)
+        .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap)
+
+    // tiny regime: a 300-node path grown by ONE arrival — |A| = 2 of
+    // ~302 nodes, under the share → the frontier apply, hash-equal
+    val hub = 1000000L
+    val isNewN = (c: org.apache.spark.sql.Column) => c === hub
+    val path = spark.range(299)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val allN = path.unionByName(
+        spark.range(1).select(lit(0L).as("a_id"), lit(hub).as("b_id")))
+      .localCheckpoint(true)
+    val oldN = allN.filter(col("b_id") =!= hub)
+    val hd = Graph.pagerankHistoryOf(oldN, Graph.PagerankIters)
+    val (resN, cN) = Graph.pagerankMaintainOf(allN, hd, isNewN)
+    assert(cN === "g1c", "a tiny delta must route to the frontier apply")
+    assert(resN.as[(Long, Long)].collect().toMap ===
+      Graph.pagerankOf(allN, Graph.PagerankIters)
+        .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap)
+  }
+
   test("g1c property: hash-exact on seeded random graphs and arrival splits") {
     // the frontier argument is subtle (oscillating changedness, rim
     // reads from history, saturation collapse) — 4 seeded random
