@@ -6,8 +6,10 @@ import graft.operators.{Curation, Dedup}
 
 /** Curation at ingest: the streamed curated table must hold exactly
   * the batch composition's kept set (quality gate + exact dedup +
-  * near-dup b-drop under id-ordered arrival), and the three landed
-  * artifacts must each be their own replay ledger. Planted corpora pin
+  * near-dup b-drop under id-ordered arrival; the ARRIVING side drops
+  * under out-of-order arrival), and the three landed artifacts must
+  * publish as ONE atomic commit (kill mid-staging → nothing visible,
+  * kill mid-publish → replayed at stream start). Planted corpora pin
   * the reject paths; the sf0.01 gate form is oracle-checked against
   * the single-statement SQL composition. */
 class CurationStreamSpec extends SparkSpec {

@@ -7,9 +7,10 @@ import graft.operators.Dedup
 /** The stream-accumulated pair table must equal the batch MinHash-LSH
   * tier as a set at any micro-batching (pair discovery is arrival-order
   * invariant — a pair is found when its later member arrives), and the
-  * three landed artifacts (pairs / buckets / docs) must each be their
-  * own replay ledger: redelivery publishes nothing, a killed multi-
-  * artifact publish is completed, not duplicated, by the retry. The
+  * three landed artifacts (pairs / buckets / docs) must publish as
+  * ONE atomic commit: redelivery publishes nothing, a kill
+  * mid-staging leaves nothing visible, a kill mid-publish is
+  * replayed to completion at the next stream start. The
   * dup-discovery paths are pinned here on planted corpora; the sf0.01
   * gate form is oracle-checked against d3's SQL. */
 class NearDupStreamSpec extends SparkSpec {
