@@ -3499,7 +3499,18 @@ object SparkEntry {
            FROM per p LEFT JOIN mo USING (source))
          SELECT source, CAST(n_grams AS BIGINT) AS n_grams,
            CAST(max_overlap AS BIGINT) AS max_overlap,
-           CAST((uniq * 1000000) // (SELECT SUM(uniq) FROM um) AS BIGINT) AS weight_ppm
+           -- the engine's degenerate-corpus fallbacks, mirrored so the
+           -- gate stays meaningful on mirrored/empty corpora: zero
+           -- total unique mass -> n_grams-proportional; zero gram mass
+           -- -> equal split (all masses are non-negative, so // and
+           -- Spark's div agree)
+           CAST(CASE
+             WHEN (SELECT SUM(uniq) FROM um) > 0
+               THEN (uniq * 1000000) // (SELECT SUM(uniq) FROM um)
+             WHEN (SELECT SUM(n_grams) FROM um) > 0
+               THEN (n_grams * 1000000) // (SELECT SUM(n_grams) FROM um)
+             ELSE 1000000 // (SELECT COUNT(*) FROM um)
+           END AS BIGINT) AS weight_ppm
          FROM um ORDER BY source""",
     "t8_bpe_merges" -> t8Sql,
     "t8b_bpe_tokenize" -> t8bSql,

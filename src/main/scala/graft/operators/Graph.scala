@@ -40,6 +40,14 @@ object Graph {
 
   private[graft] val PagerankIters = 10
 
+  /** Frontier-size bound above which [[pagerankIncrementalOf]] stops
+    * broadcast-hinting its per-round slices and lets AQE pick join
+    * strategies. 2M (id, r) rows ≈ 32 MB raw — comfortably inside any
+    * executor/driver budget, while a frontier past it is node-scale
+    * and a forced broadcast would fight the 8 GB hard cap instead of
+    * degrading to a shuffle join. */
+  private[graft] val FrontierBroadcastMax = 2000000L
+
   /** G1: integer PageRank over the d2/d7 qualifying-pair graph —
     * (doc_id, rank_ppm) for every doc in ≥1 near-dup pair. */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
@@ -256,6 +264,19 @@ object Graph {
     val degGrown = baseDeg.join(aIds, Seq("id"), "left_anti")
       .unionByName(degA)
       .localCheckpoint(true)
+    // BROADCAST GUARD: under g1d's 1% dispatch the frontier is tiny by
+    // construction, but the direct g1c verb has no such promise — a
+    // 10-hop ball can cover an arbitrarily large region of a connected
+    // graph, and a FORCED broadcast of a node-scale frame hits Spark's
+    // broadcast limits (or driver memory) instead of degrading to a
+    // shuffle join. The frontier is monotone, so the guard is sticky:
+    // once the tracked bound (|A| + last round's frontier count — the
+    // n already collected per round) crosses the threshold, every
+    // remaining round drops ALL hints and lets AQE pick strategies.
+    val aCount = degA.count() // bounded driver scalar (frame is pinned)
+    var frontierBound = aCount // round 1: srcSet = A
+    def hinted(df: DataFrame): DataFrame =
+      if (frontierBound <= FrontierBroadcastMax) broadcast(df) else df
     var changed: DataFrame = null // D_{i-1}: round-(i−1) ranks on F_{i-1}
     // SATURATION fast path: the frontier is monotone (F_{i-1} ⊆ F_i —
     // every F member keeps a neighbor in F ∪ A), so equal consecutive
@@ -281,10 +302,11 @@ object Graph {
         // no distinct on either set: both feed semi-join build sides,
         // which dedup internally — each distinct was a per-round shuffle.
         // EVERY join in a round keeps the big frames (sym, degGrown,
-        // hist) on the STREAMED side of a broadcast: a small⋈big left
-        // join would shuffle the node-sized frame once per round per
-        // lookup — the ring probe measured the apply LOSING to the
-        // fresh run on a 500k-node graph for exactly that reason.
+        // hist) on the STREAMED side of a broadcast (while the guard
+        // holds — see hinted above): a small⋈big left join would
+        // shuffle the node-sized frame once per round per lookup —
+        // the ring probe measured the apply LOSING to the fresh run
+        // on a 500k-node graph for exactly that reason.
         val srcSet =
           if (i == 1) aIds
           else changed.select(col("id")).union(aIds)
@@ -292,17 +314,17 @@ object Graph {
         // fIds has ONE consumer (the broadcast build below) — no pin;
         // inE0 has three (degree slice, rank slice, the rank join)
         val fIds = sym
-          .join(broadcast(srcSet.select(col("id").as("src"))), Seq("src"), "left_semi")
+          .join(hinted(srcSet.select(col("id").as("src"))), Seq("src"), "left_semi")
           .select(col("dst").as("id"))
         val inE0 = sym
-          .join(broadcast(fIds.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+          .join(hinted(fIds.select(col("id").as("dst"))), Seq("dst"), "left_semi")
           .localCheckpoint(true)
         // … their src degrees, by broadcast-semi SLICING the node-sized
         // frame down to the frontier's srcs before any join
         val degSmall = degGrown
           .select(col("id").as("src"), col("deg").as("sdeg"))
-          .join(broadcast(inE0.select(col("src"))), Seq("src"), "left_semi")
-        val inE = inE0.join(broadcast(degSmall), Seq("src"))
+          .join(hinted(inE0.select(col("src"))), Seq("src"), "left_semi")
+        val inE = inE0.join(hinted(degSmall), Seq("src"))
         // src round-(i−1) ranks: changed values win, the landed history
         // covers the rim (round 0 is the all-1000000 constant); the
         // history frame is likewise sliced map-side, never shuffled
@@ -311,11 +333,11 @@ object Graph {
           else {
             val rimVals = hist(i - 2)
               .select(col("id").as("src"), col("r").as("rb"))
-              .join(broadcast(inE0.select(col("src"))), Seq("src"), "left_semi")
+              .join(hinted(inE0.select(col("src"))), Seq("src"), "left_semi")
             inE
-              .join(broadcast(changed.select(col("id").as("src"), col("r").as("rc"))),
+              .join(hinted(changed.select(col("id").as("src"), col("r").as("rc"))),
                 Seq("src"), "left")
-              .join(broadcast(rimVals), Seq("src"), "left")
+              .join(hinted(rimVals), Seq("src"), "left")
               .withColumn("pr", coalesce(col("rc"), col("rb")))
           }
         // checkpoint EVERY round: `changed` feeds two consumers next
@@ -329,6 +351,7 @@ object Graph {
             expr("150000L + ((850L * inr) div 1000L)").as("r"))
           .localCheckpoint(true)
         val n = changed.count() // bounded driver scalar (the I3 class)
+        frontierBound = n + aCount // next round's srcSet = F_i ∪ A
         if (n == prevN && i < iters) {
           // stable set ⇒ empty rim: pin the frontier's in-edge frame
           // once; every remaining round reuses it
@@ -828,20 +851,65 @@ object Graph {
   private[graft] val CandRegionShare = 0.5
 
   /** G3c: the DISPATCHED maintenance verb for the k-core artifact —
-    * round-12 verdict task #1's second family. The decision input is
+    * round-12 verdict task #1's second family. WARM (a previous g3b/
+    * g3c call landed the base for this corpus), the decision input is
     * ONE ratio read off already-landed state: the share of the edge
     * frame inside the candidate region g3b would re-peel (the landed
-    * cand-cand + anchor frames, maintained by the g3b landing, plus
-    * the Δ's edges) over the whole pair frame — all materialized
-    * frames, so the counts are metadata-cheap driver scalars. Core-
-    * dominant corpus → tiny share → anchored regrowth; pendant-heavy
-    * corpus (this suite's dup graphs) → share ≈ 1 → full peel.
-    * Output ≡ g3 either way (shared oracle, hash-equal). */
+    * cand-cand + anchor frames plus the Δ's edges) over the whole
+    * pair frame — all materialized frames, so the counts are
+    * metadata-cheap driver scalars. COLD, the base is passed BY NAME
+    * (the g1d/d7d convention — round-13 ADVICE: eagerly landing the
+    * whole anchored-regrowth base just to read two counts makes the
+    * pendant-heavy corpus, which routes to the full peel anyway, pay
+    * the base for nothing) and the route reads a LOWER bound on the
+    * candidate-region share from the pair frame alone; only the g3b
+    * route lands the base. Core-dominant corpus → tiny share →
+    * anchored regrowth; pendant-heavy corpus (this suite's dup
+    * graphs) → share ≈ 1 → full peel. Output ≡ g3 either way (shared
+    * oracle, hash-equal). */
   def kcoreMaintain(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.qualifyingPairsLanded(spark, dir)
-    val (core, candEdges, anchorEdges) = kcoreBase(spark, dir, pairs)
-    kcoreMaintainOf(pairs, core, candEdges, anchorEdges, g2bNewNode,
-      KcoreK, KcoreRounds)._1
+    kcoreBaseMemo.peek(spark, dir) match {
+      case Some((core, candEdges, anchorEdges)) =>
+        kcoreMaintainOf(pairs, core, candEdges, anchorEdges, g2bNewNode,
+          KcoreK, KcoreRounds)._1
+      case None =>
+        kcoreMaintainColdOf(pairs, kcoreBase(spark, dir, pairs), g2bNewNode,
+          KcoreK, KcoreRounds)._1
+    }
+  }
+
+  /** The cold route: estimate the candidate-region share from the
+    * pair frame alone — Δ edges plus old edges touching a CERTAINLY
+    * peeled endpoint (old-graph degree < k). That is a sound LOWER
+    * bound on the region (cascade peels are invisible to one degree
+    * pass), so crossing [[CandRegionShare]] proves the full peel is
+    * the right route WITHOUT landing the base; under it, the base
+    * lands (by-name) and the exact warm rule decides — a mis-estimate
+    * can only err toward landing state every later call reuses. */
+  private[graft] def kcoreMaintainColdOf(pairs: DataFrame,
+      base: => (DataFrame, DataFrame, DataFrame), isNew: Column => Column,
+      k: Int, rounds: Int): (DataFrame, String) = {
+    val oldE = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val lowIds = oldE.select(col("a_id").as("id"))
+      .union(oldE.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") < k)
+    val lowEdges = oldE
+      .join(lowIds.select(col("id").as("a_id")).withColumn("la", lit(1)),
+        Seq("a_id"), "left")
+      .join(lowIds.select(col("id").as("b_id")).withColumn("lb", lit(1)),
+        Seq("b_id"), "left")
+      .filter(col("la").isNotNull || col("lb").isNotNull).count()
+    val deltaN = pairs
+      .filter(isNew(col("a_id")) || isNew(col("b_id"))).count()
+    val total = pairs.count() max 1L
+    if ((lowEdges + deltaN).toDouble / total > CandRegionShare)
+      (kcoreOf(pairs, k, rounds), "g3")
+    else {
+      val (core, candEdges, anchorEdges) = base
+      kcoreMaintainOf(pairs, core, candEdges, anchorEdges, isNew, k, rounds)
+    }
   }
 
   /** The routed apply; returns (result, chosen twin) for the spec. */

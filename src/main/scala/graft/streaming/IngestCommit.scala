@@ -39,10 +39,15 @@ private[graft] object IngestCommit {
   // Test seams. `stagingFaultHook` fires after all artifacts are
   // staged, BEFORE the redo record is claimed (a crash there must
   // publish nothing and leave no debris after recover).
-  // `publishFaultHook` fires with each artifact name immediately
-  // before that artifact's staged files rename (a crash there must be
-  // replayed to completion by recover). Identity in production.
+  // `claimFaultHook` fires after the record's .tmp is written but
+  // BEFORE the rename that claims it (a crash there is a torn /
+  // unclaimed record: recover must publish nothing and drop both the
+  // .tmp and the staging dir). `publishFaultHook` fires with each
+  // artifact name immediately before that artifact's staged files
+  // rename (a crash there must be replayed to completion by recover).
+  // Identity in production.
   private[graft] var stagingFaultHook: String => Unit = _ => ()
+  private[graft] var claimFaultHook: String => Unit = _ => ()
   private[graft] var publishFaultHook: String => Unit = _ => ()
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
@@ -69,12 +74,23 @@ private[graft] object IngestCommit {
       fs.delete(new Path(staging), true)
       throw e
     }
+    // Claim ATOMICALLY: write the record to a .tmp sibling, close,
+    // then rename to .json — the rename is the claim. Creating the
+    // record in place at its final path would let a crash leave a
+    // torn record (created, partially written): recover would treat
+    // it as claimed, publish only the listed prefix, and delete the
+    // staging dir — permanently dropping the unlisted artifacts
+    // (always the arrival-authority one, which renames last).
     val logDir = new Path(root, LogDir)
     fs.mkdirs(logDir)
     val rec = new Path(logDir, s"$stagingName.json")
-    val out = fs.create(rec, false)
+    val tmp = new Path(logDir, s"$stagingName.json.tmp")
+    val out = fs.create(tmp, false)
     try out.write(artifacts.map(_._1).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    claimFaultHook(stagingName)
+    if (!fs.rename(tmp, rec))
+      throw new java.io.IOException(s"failed to claim redo record $rec")
     publishStaged(fs, staging, root, artifacts.map(_._1))
     fs.delete(new Path(staging), true)
     fs.delete(rec, false)
@@ -108,11 +124,14 @@ private[graft] object IngestCommit {
   }
 
   /** Redo-log replay, called at stream start before the first batch:
-    * a claimed record whose staging dir survives is PUBLISHED to
-    * completion (the crash was mid-rename); a record without its
-    * staging dir only missed cleanup (the record drops); an unclaimed
-    * staging dir crashed mid-staging — incomplete and unpublished, it
-    * drops. Idempotent; single-recoverer by the stream's single-writer
+    * a claimed record (`*.json` — the claim is the rename from .tmp,
+    * so a .json is complete by construction) whose staging dir
+    * survives is PUBLISHED to completion (the crash was mid-rename);
+    * a record without its staging dir only missed cleanup (the record
+    * drops); a stray `*.json.tmp` crashed mid-claim — unclaimed, it
+    * drops along with its staging dir; an unclaimed staging dir
+    * crashed mid-staging — incomplete and unpublished, it drops.
+    * Idempotent; single-recoverer by the stream's single-writer
     * contract. Returns the actions taken (empty = clean). */
   def recover(spark: SparkSession, root: String): Seq[String] = {
     val rootP = new Path(root)
@@ -121,8 +140,18 @@ private[graft] object IngestCommit {
     val actions = Seq.newBuilder[String]
     val claimed = scala.collection.mutable.Set.empty[String]
     val logDir = new Path(rootP, LogDir)
-    if (fs.exists(logDir))
-      fs.listStatus(logDir).filter(_.isFile).foreach { s =>
+    if (fs.exists(logDir)) {
+      // Stray .tmp records first: never claimed, so their staging
+      // dirs fall through to the unclaimed-dir sweep below.
+      fs.listStatus(logDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json.tmp"))
+        .foreach { s =>
+          fs.delete(s.getPath, false)
+          actions += s"unclaimed=${s.getPath.getName.stripSuffix(".json.tmp")}"
+        }
+      fs.listStatus(logDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .foreach { s =>
         val stagingName = s.getPath.getName.stripSuffix(".json")
         claimed += stagingName
         val staging = new Path(rootP, stagingName)
@@ -140,6 +169,7 @@ private[graft] object IngestCommit {
         fs.delete(s.getPath, false)
         ()
       }
+    }
     fs.listStatus(rootP).filter { s =>
       s.isDirectory && s.getPath.getName.startsWith("__ingest_staging") &&
         !claimed.contains(s.getPath.getName)

@@ -187,26 +187,33 @@ object NearDupStream {
   private[graft] def verifyOverTexts(cand: DataFrame, freshTexts: DataFrame,
       landedTexts: Option[DataFrame], threshold: Double): DataFrame = {
     val s = cand.sparkSession
-    // two bounded driver collects (candidate ids + the batch's ids —
-    // both batch-dup-sized shortlists) replace a checkpoint, a semi
-    // build and two agg jobs: the id set becomes a LOCAL relation the
-    // semi-join broadcasts for free, and the old-side id bounds are
-    // plain driver arithmetic
+    // ONE bounded driver collect (the candidate ids — a batch-dup-sized
+    // shortlist): the id set becomes a LOCAL relation the semi-join
+    // broadcasts for free. The batch's own ids are NOT collected — a
+    // large batch file must not turn into an unbounded driver collect —
+    // so the old-side split is derived distributively below.
     val idArr = cand.select(col("a_id")).union(cand.select(col("b_id")))
       .distinct().collect().map(_.getLong(0)) // BOUNDED: candidate-sized
-    val freshIds = freshTexts.select(col("doc_id"))
-      .collect().map(_.getLong(0)).toSet // BOUNDED: batch-sized
-    // bounds over the OLD-side candidates only: the batch's own ids
-    // are typically the table's largest (ids grow with arrival), so a
-    // range over ALL candidate ids would span the whole table
-    val oldIds = idArr.filterNot(freshIds)
     val candIds = s.createDataset(idArr.toSeq)(
       org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
     val texts = landedTexts
       .map { d =>
+        // bounds over the OLD-side candidates only: the batch's own ids
+        // are typically the table's largest (ids grow with arrival), so
+        // a range over ALL candidate ids would span the whole table.
+        // Old = candidate − fresh, computed as two candidate-sized
+        // broadcast joins (one column-pruned batch scan) reduced to two
+        // driver scalars — never a whole-batch collect.
+        val freshCand = freshTexts.select(col("doc_id"))
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        val oldBounds = candIds
+          .join(broadcast(freshCand), Seq("doc_id"), "left_anti")
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .head()
         val pruned =
-          if (oldIds.isEmpty) d.filter(lit(false))
-          else d.filter(col("doc_id").between(oldIds.min, oldIds.max))
+          if (oldBounds.isNullAt(0)) d.filter(lit(false))
+          else d.filter(col("doc_id").between(
+            oldBounds.getLong(0), oldBounds.getLong(1)))
         freshTexts.unionByName(pruned.select(col("doc_id"), col("text")))
       }
       .getOrElse(freshTexts)

@@ -146,6 +146,58 @@ class NearDupStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st9 kill mid-claim: a torn redo record publishes nothing; restart drops the .tmp and completes the batch") {
+    import spark.implicits._
+    val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs tonight"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_kill3_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val idx = tmp.getAbsolutePath + "/index"
+    landTwoFiles(incoming, b0, b1)
+    // crash batch 1 after the record .tmp is written but BEFORE the
+    // rename that claims it — the torn-record window: recover must NOT
+    // treat the .tmp as claimed (publishing a prefix and dropping the
+    // arrival-authority artifact); it must drop the .tmp and the
+    // staging dir, publish nothing, and let redelivery complete
+    var claims = 0
+    graft.streaming.IngestCommit.claimFaultHook = _ => {
+      claims += 1
+      if (claims == 2) throw new RuntimeException("injected mid-claim crash")
+    }
+    try {
+      val q = NearDupStream.minhashIngest(spark, incoming, idx,
+        tmp.getAbsolutePath + "/cp")
+      intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    } finally graft.streaming.IngestCommit.claimFaultHook = _ => ()
+    // the crash fixture is real: an unclaimed .tmp plus a staging dir
+    val logDir = new java.io.File(idx, graft.streaming.IngestCommit.LogDir)
+    val tmpRecs = Option(logDir.listFiles())
+      .map(_.filter(_.getName.endsWith(".json.tmp")).toSeq).getOrElse(Nil)
+    assert(tmpRecs.nonEmpty, "the crash must leave an unclaimed .tmp record")
+    // NOTHING of batch 1 published
+    assert(!new java.io.File(s"$idx/pairs").exists(),
+      "a mid-claim crash must publish nothing")
+    val docsMid = spark.read.parquet(s"$idx/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(docsMid === Set(0L))
+    // restart on the SAME checkpoint: recover drops the .tmp + staging,
+    // then batch 1 redelivers and completes
+    val q2 = NearDupStream.minhashIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    val want = batchPairs(b0.unionByName(b1), tmp.getAbsolutePath + "/corpus")
+    assert(pairsOf(idx) === want)
+    val docs = spark.read.parquet(s"$idx/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(docs === Seq(0L, 10L, 11L), "docs must land exactly once each")
+    noDebris(idx)
+    rmTree(tmp)
+  }
+
   test("st9 kill mid-publish: the claimed publish replays to completion at restart; redelivery adds nothing") {
     import spark.implicits._
     val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog"))

@@ -432,6 +432,45 @@ class SearchOpsSpec extends SparkSpec {
       Graph.kcoreOf(allDense, 2, 8).as[(Long, Long)].collect().toMap)
   }
 
+  test("g3c cold dispatch: a dominant certainly-peeled region routes to the full peel WITHOUT landing the base") {
+    // core triangle (6,7,8) + five degree-1 pendants: the pendants'
+    // edges are certainly peeled (old degree < k), so the pair-frame
+    // lower bound alone crosses the share and the by-name base thunk
+    // must never evaluate (round-13 ADVICE: the cold dispatcher must
+    // not pay the whole anchored-regrowth base to read two counts)
+    val isNew = (c: org.apache.spark.sql.Column) => c === 10L
+    val all = Seq(
+      (6L, 7L), (7L, 8L), (6L, 8L),
+      (6L, 1L), (6L, 2L), (6L, 3L), (7L, 4L), (7L, 5L),
+      (8L, 10L)
+    ).toDF("a_id", "b_id")
+    var landedBase = false
+    val (res, chosen) = Graph.kcoreMaintainColdOf(all, {
+      landedBase = true
+      Graph.kcoreBaseOf(all.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), 2, 8)
+    }, isNew, 2, 8)
+    assert(chosen === "g3")
+    assert(res.as[(Long, Long)].collect().toMap ===
+      Graph.kcoreOf(all, 2, 8).as[(Long, Long)].collect().toMap)
+    assert(!landedBase, "the g3 route must not evaluate the base thunk")
+
+    // core-dense under the cold estimator: the lower bound stays under
+    // the share, the base lands, and the exact warm rule routes g3b
+    val allDense = Seq(
+      (6L, 7L), (7L, 8L), (6L, 8L), (7L, 9L), (8L, 9L), (6L, 9L),
+      (6L, 10L), (7L, 10L)
+    ).toDF("a_id", "b_id")
+    var landedDense = false
+    val (resD, chosenD) = Graph.kcoreMaintainColdOf(allDense, {
+      landedDense = true
+      Graph.kcoreBaseOf(allDense.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), 2, 8)
+    }, isNew, 2, 8)
+    assert(chosenD === "g3b")
+    assert(landedDense, "the g3b route lands the base")
+    assert(resD.as[(Long, Long)].collect().toMap ===
+      Graph.kcoreOf(allDense, 2, 8).as[(Long, Long)].collect().toMap)
+  }
+
   test("d7d dispatch: below the exchange crossover the full CC runs; above it the quotient apply — same labels") {
     val isNew = (c: org.apache.spark.sql.Column) => c.isin(10L, 11L)
     // two base clusters {1,2} {4,5}, arrival 10 merges them, arrival 11
