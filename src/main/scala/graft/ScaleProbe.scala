@@ -268,6 +268,12 @@ object ScaleProbe {
       // the window runs over the 1/4 sample and assignment is map-side,
       // so the gap vs t7 is the whole-language sort's cost
       "t7b_sampled_buckets"  -> (operators.TextOps.bigramSurprisalSampled(_, _)),
+      // the bench suite's most expensive batch verbs (SCALE.md ladder):
+      // recall monitors, MMR re-rank, BPE apply, semantic dedup
+      "v16b_pq_recall"       -> (operators.Similarity.pqRecallAtK(_, _)),
+      "v15b_mmr_hybrid"      -> (operators.Similarity.mmrRerankHybrid(_, _)),
+      "t8b_bpe_tokenize"     -> (operators.Bpe.bpeTokenize(_, _)),
+      "d9_semantic_dedup"    -> (operators.Dedup.semanticDedup(_, _)),
       "m4_phash_neardup"     -> (operators.Multimodal.phashNeardupRollup(_, _)),
       "j13_session_versions" -> (operators.Scd2.sessionVersions(_, _)),
       "e5_volume_anomaly"    -> (operators.Profile.volumeAnomaly(_, _)),
@@ -369,6 +375,10 @@ object ScaleProbe {
       // under salting (copies share no grams), so the per-round
       // edge⋈rank + dst-sum must track edge count
       "g1_pagerank"          -> (operators.Graph.pagerank(_, _)),
+      // g1c: the frontier apply over the memoized history landing —
+      // the landing bills on rep 1 (min-of-reps discards it), so the
+      // reported wall is the MARGINAL per-maintenance-call cost
+      "g1c_incremental_pagerank" -> (operators.Graph.pagerankIncremental(_, _)),
       // g2: oriented wedge join over the same landed pair frame —
       // edge-linear under salting; the orientation's O(√E) out-degree
       // bound is what must keep the wedge count from curving up
@@ -486,12 +496,21 @@ object ScaleProbe {
         if (!new java.io.File(p).exists())
           graft.streaming.DedupStream.dedupAppend(s, Tables.documents(s, d), p)
         val shift = 1000000000000L * compactEpoch.incrementAndGet()
+        // batch PINNED before the verb: its construction (a corpus-
+        // wide TakeOrdered) is fixture cost, not per-batch verb cost —
+        // a real micro-batch arrives as one file. Same reason the
+        // trailing survivor-table count is gone: it re-read the corpus
+        // inside the timed window (round-14 audit).
+        // ids 0-499 exist at every factor (copy 0 keeps base ids), so
+        // the filter replaces a corpus-wide TakeOrdered with a stat-
+        // pruned scan — batch construction stays flat in the factor
         val batch = Tables.documents(s, d)
-          .orderBy(col("doc_id")).limit(500)
+          .filter(col("doc_id") < 500)
           .withColumn("doc_id", col("doc_id") + shift)
           .withColumn("text", concat(col("text"), lit(s" [b$shift]")))
+          .localCheckpoint(true)
         graft.streaming.DedupStream.dedupAppend(s, batch, p)
-        spark.read.parquet(p).groupBy().count()
+        s.range(1).toDF("ok")
       }),
       // st9's per-batch verb under a grown LSH index: batch-sized
       // signature map + a keyed (band, bucket) probe of the landed
@@ -509,11 +528,12 @@ object ScaleProbe {
             s, Tables.documents(s, d).select(col("doc_id"), col("text")), p, 0.8)
         val shift = 1000000000000L * compactEpoch.incrementAndGet()
         val batch = Tables.documents(s, d)
-          .orderBy(col("doc_id")).limit(500)
+          .filter(col("doc_id") < 500) // stat-pruned, flat in the factor
           .select((col("doc_id") + shift).as("doc_id"),
             concat(col("text"), lit(s" [b$shift]")).as("text"))
+          .localCheckpoint(true) // fixture cost out of the verb wall
         graft.streaming.NearDupStream.neardupAppend(s, batch, p, 0.8)
-        spark.read.parquet(s"$p/docs").groupBy().count()
+        s.range(1).toDF("ok")
       }),
       // st10's per-batch verb under a grown curated corpus: the full
       // front door (quality gate + digest anti-join + LSH collide +
@@ -527,11 +547,12 @@ object ScaleProbe {
             s, Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")), p, 0.8)
         val shift = 1000000000000L * compactEpoch.incrementAndGet()
         val batch = Tables.documents(s, d)
-          .orderBy(col("doc_id")).limit(500)
+          .filter(col("doc_id") < 500) // stat-pruned, flat in the factor
           .select((col("doc_id") + shift).as("doc_id"),
             concat(col("text"), lit(s" [b$shift]")).as("text"), col("lang"))
+          .localCheckpoint(true) // fixture cost out of the verb wall
         graft.streaming.CurationStream.curateAppend(s, batch, p, 0.8)
-        spark.read.parquet(s"$p/exact").groupBy().count()
+        s.range(1).toDF("ok")
       }),
       "bm25_cdc_cycle"       -> ((s, d) => {
         val p = s"$outRoot/cdcc_${java.util.UUID.randomUUID().toString.take(8)}"

@@ -137,6 +137,11 @@ object SparkEntry {
     // oracle = v9b's probe over the v2 corpus derived directly, so
     // hash equality proves changelog-apply ≡ rebuild at the serving tier
     "v9f_cdc_index"           -> ((s, d) => Similarity.ivfCdcTopK(s, d)),
+    // v9g: churn-and-reclaim cycle — the holdout dripped in as many
+    // fragment appends, the per-cell compaction fired by the listing-
+    // only bound; answers v9b's oracle verbatim, proving the reclaim
+    // moves rows without changing any
+    "v9g_maintained_index"    -> ((s, d) => Similarity.ivfMaintainedTopK(s, d)),
     // x7d: model-output validation — malformed/drifted completions
     // quarantined with reasons, valid extractions content-hash-pinned
     "x7d_extract_quarantine"  -> ((s, d) => LlmOps.extractWithQuarantine(s, d)),
@@ -2368,6 +2373,9 @@ object SparkEntry {
     // nprobe=2 oracle — hash equality proves the append path holds
     // row-for-row what a full rebuild holds
     "v9d_incremental_index" -> ivfNprobe2Sql,
+    // v9g: the reclaim-maintained index answers the SAME nprobe=2
+    // oracle — compaction is invisible to every probe
+    "v9g_maintained_index" -> ivfNprobe2Sql,
     "v9e_deleted_index" -> v9eSql,
     // v9f: diff-apply ≡ rebuild at the ANN serving tier
     "v9f_cdc_index" -> v9fSql,

@@ -680,12 +680,7 @@ object Dedup {
       posexplode(array(bandBucket: _*)).as(Seq("band", "bucket"))))
     sigs.unpersist(true)
 
-    val candidates = buckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
-      .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+    val candidates = saltedBandSelfJoin(buckets, HotBandThreshold, HotBandSalts)
       .localCheckpoint(true)
 
     // verify only candidate docs: semi-join BEFORE the shingle explode
@@ -699,6 +694,55 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
     materializeAndRelease(verifyCandidates(candidates, verGrams, threshold), buckets)
+  }
+
+  /** Band-bucket rows above this size are HOT: their self-join leg is
+    * salted. Normal LSH buckets hold a handful of near-dups; a bucket
+    * this deep means a pathological band (near-constant docs all
+    * hashing to one (band, bucket)), where the one shuffle task
+    * holding the key would enumerate h²/2 pairs alone. */
+  private[graft] val HotBandThreshold = 4096L
+  private[graft] val HotBandSalts = 8
+
+  /** The LSH band self-join with HOT buckets salted (the j6b
+    * scatter/replicate transform applied selectively — round-13
+    * verdict task #6): keys above `hotThreshold` split off, their
+    * a-side scattered over `salts` sub-keys by doc_id hash and their
+    * b-side replicated ×salts, so each pair still meets EXACTLY once
+    * while the hot key's pair enumeration spreads across `salts`
+    * tasks; cold keys join plain. Hotness is a property of the KEY,
+    * so hot×cold pairs cannot exist and the union is complete. Output
+    * ≡ the unsalted join (d3's oracle unchanged — the transform is
+    * semantics-preserving; the output VOLUME of a hot key is still
+    * h²/2, which only the verify threshold bounds). The hot-key frame
+    * is pathological-few by construction — both splits are broadcast
+    * semi/anti probes, map-side. st9's fresh×landed collision join
+    * needs no salt: its fresh side broadcasts (batch-sized), so the
+    * landed side streams map-side and no shuffle task owns a key. */
+  private[graft] def saltedBandSelfJoin(buckets: DataFrame,
+      hotThreshold: Long, salts: Int): DataFrame = {
+    val hotKeys = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotThreshold)
+      .select(col("band"), col("bucket"))
+      .localCheckpoint(true) // feeds two broadcast builds
+    val cold = buckets.join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti")
+    val coldPairs = cold.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(cold.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+    val hot = buckets.join(broadcast(hotKeys), Seq("band", "bucket"), "left_semi")
+    val saltA = hot.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .withColumn("__salt", pmod(xxhash64(col("a_id")), lit(salts.toLong)))
+    val saltRange = buckets.sparkSession.range(salts.toLong)
+      .select(col("id").as("__salt"))
+    val repB = hot.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
+      .crossJoin(saltRange)
+    val hotPairs = saltA.join(repB, Seq("band", "bucket", "__salt"))
+      .select(col("a_id"), col("band"), col("bucket"), col("b_id"))
+    coldPairs.unionByName(hotPairs)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 
   /** Exact-Jaccard verification of candidate pairs through a HASHED
@@ -1073,19 +1117,27 @@ object Dedup {
   /** Default index sizing: 2^20 docs ≈ 1.2 MB of bloom at 1% FP. */
   val IndexExpectedItems = 1L << 20
 
-  /** ~1% FP bit count for n items (n·ln p / ln²2), floored at 64. */
-  def bloomBitsFor(n: Long): Long = math.max(64L,
-    math.ceil(-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+  /** FP bit count for n items at rate p (n·ln p / ln²2), floored at
+    * 64. Default 1% — d8's classify tier, where every candidate is
+    * exactly verified anyway; the streaming LedgerIndex sidecars size
+    * at 1e-5 so a typical all-fresh batch has NO candidates and skips
+    * its landed read entirely (P(any FP in a 500-doc batch) ~0.5%). */
+  def bloomBitsFor(n: Long, fpp: Double = 0.01): Long = math.max(64L,
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
-  /** Build a [[DigestIndex]] over a (digest) frame in ONE pass. */
+  /** Build a [[DigestIndex]] over a (digest) frame in ONE pass. Two
+    * indexes MERGE only if built at the same (expectedItems, fpp) —
+    * one sizing per index lineage (mergeIndexes checks expectedItems;
+    * Spark's sketch merge rejects mismatched bit widths). */
   def digestIndexOf(digests: DataFrame,
-      expectedItems: Long = IndexExpectedItems): DigestIndex = {
+      expectedItems: Long = IndexExpectedItems,
+      fpp: Double = 0.01): DigestIndex = {
     import org.apache.spark.sql.GraftShims.{toCol, toExpr}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val bloomAgg = toCol(new BloomFilterAggregate(
       toExpr(xxhash64(col("digest"))),
-      Literal(expectedItems), Literal(bloomBitsFor(expectedItems)))
+      Literal(expectedItems), Literal(bloomBitsFor(expectedItems, fpp)))
       .toAggregateExpression())
     val row = digests.agg(count(lit(1)).as("n_landed"), bloomAgg.as("bloom")).head
     DigestIndex(row.getLong(0), expectedItems, row.getAs[Array[Byte]](1))

@@ -84,7 +84,8 @@ object CurationStream {
   /** The per-batch verb, shared with the scale probe. */
   private[graft] def curateAppend(s: SparkSession, batch: DataFrame,
       rootPath: String, threshold: Double): Unit = {
-    import NearDupStream.{bucketRowsOf, collisionCandidatesWithRoles, readIfExists, verifyOverTexts}
+    import NearDupStream.{bucketRowsOf, collisionCandidatesWithRoles,
+      prunedLandedBuckets, readIfExists, verifyOverTexts, withShard}
     val exactPath = s"$rootPath/exact"
     val bucketsPath = s"$rootPath/buckets"
 
@@ -99,20 +100,30 @@ object CurationStream {
         col("n_tokens"))).as("w"))
       .select(col("w.doc_id"), col("w.text"), col("w.lang"),
         col("w.n_tokens"), col("digest"))
+    // (filterFresh pins the flagged frame itself — one materialization
+    // covers the bloom split's three consumers)
 
-    // cross-batch exact dedup: the exact table is the digest ledger
+    // cross-batch exact dedup: the exact table is the digest ledger,
+    // fronted by the LedgerIndex bloom (the st8 discipline) — never-
+    // seen digests pass with zero landed bytes read; only bloom hits
+    // stream the landed digest column past a broadcast candidate set
     val landedExact = readIfExists(s, exactPath)
-    val freshEx = landedExact
-      .map(d => winners.join(d.select(col("digest")), Seq("digest"), "left_anti"))
-      .getOrElse(winners)
-      .localCheckpoint(true)
+    val idx = LedgerIndex.readOrRebuild(s, exactPath,
+      landedExact.map(_.select(col("digest"))), "digest")
+    val freshEx = ((landedExact, idx) match {
+      case (Some(d), Some(i)) =>
+        LedgerIndex.filterFresh(winners, "digest", i, d.select(col("digest")))
+      case _ => winners
+    }).localCheckpoint(true)
     if (freshEx.isEmpty) return // replayed batch: publish NOTHING
 
     // near-dup gate: band collisions against the landed index with the
     // arriving side of each candidate tracked (drop_id), exact verify
-    // on the canonical pair, drop the tracked side of every qualifier
-    val freshBuckets = bucketRowsOf(freshEx).localCheckpoint(true)
-    val landedBuckets = readIfExists(s, bucketsPath)
+    // on the canonical pair, drop the tracked side of every qualifier.
+    // The landed side reads ONLY the arriving (band, shard) dirs of
+    // the partitioned bucket table (the st9 layout).
+    val freshBuckets = withShard(bucketRowsOf(freshEx)).localCheckpoint(true)
+    val landedBuckets = prunedLandedBuckets(s, bucketsPath, freshBuckets)
     val cand = collisionCandidatesWithRoles(freshBuckets, landedBuckets)
       .localCheckpoint(true)
     val curatedRows =
@@ -129,11 +140,16 @@ object CurationStream {
           .localCheckpoint(true)
       }
 
+    // bloom-AHEAD of the publish (the LedgerIndex ordering rule)
+    LedgerIndex.mergeIncrement(s, exactPath, freshEx.select(col("digest")),
+      "digest", idx)
+
     // one barrier: all three artifacts stage, then publish atomically
     // (exact — the arrival authority — renamed last). The atomic
     // publish is what lets curated and buckets carry no ledgers of
     // their own: no crash leaves a partial subset.
     IngestCommit.stageAndPublish(s, rootPath, Seq(
-      "curated" -> curatedRows, "buckets" -> freshBuckets, "exact" -> freshEx))
+      "curated" -> curatedRows, "buckets" -> freshBuckets, "exact" -> freshEx),
+      partitioned = Map("buckets" -> Seq("band", "bshard")))
   }
 }

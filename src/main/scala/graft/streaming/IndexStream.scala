@@ -100,25 +100,33 @@ object IndexStream {
     *
     * Idempotence: a CDC batch MUTATES membership, so the append-only
     * streams' ledger anti-join cannot make its replay a no-op — the
-    * publish-nothing guarantee instead comes from a BATCH-ID WATERMARK
-    * in the index (the standard foreachBatch idempotent-sink pattern):
-    * after a micro-batch's delete+append verbs land, an applied-batch
-    * mark `_cdcmark/<checkpoint-key>.<batchId>` is created; a
-    * redelivered (checkpoint, batchId) pair — the offset-commit-crashed
-    * restart, the common replay — finds its mark and SKIPS, publishing
-    * nothing (spec-asserted byte-identical artifacts). The key hashes
-    * the checkpoint location because batch ids are only meaningful
-    * within one checkpoint lineage: a FRESH checkpoint (full
-    * redelivery) gets a new key and flows through the verbs again,
-    * where the stream is ANSWER-idempotent — the delete leg
-    * re-tombstones the docs the append leg re-adds under a fresh
-    * generation (same text, same scores, spec-asserted; the churned
-    * generations are compaction's reclaim food). The same fallback
-    * covers the one remaining crash window: between the verbs landing and the
-    * mark creation, a crash replays the batch through the verbs. Marks
-    * are create-once (no rename/overwrite protocol to tear) and are
-    * cleared by index REBUILD together with the other sidecars — a
-    * re-landed stream restarting batch ids at 0 must not skip. */
+    * publish-nothing guarantee instead comes from an applied-batch
+    * mark in the index (the standard foreachBatch idempotent-sink
+    * pattern), keyed by the batch's SOURCE FILE SET
+    * (`_cdcmark/f<md5 of sorted file paths>`): a redelivered batch —
+    * the offset-commit-crashed restart, or a FULL redelivery under a
+    * fresh checkpoint (round-13 verdict task #2: the fresh-checkpoint
+    * replay previously re-tombstoned and re-added every updated doc,
+    * adding a generation per replay) — reads the same files, finds its
+    * mark, and SKIPS, publishing nothing (spec-asserted identical
+    * artifact file sets). Files are the delivery unit
+    * (maxFilesPerTrigger), and ingest never reuses a file path for new
+    * content, so the file set identifies the batch across checkpoint
+    * lineages where a batch id cannot. Two layered fallbacks: rows
+    * whose source files cannot be determined fall back to the
+    * `<checkpoint-key>.<batchId>` mark (same-lineage replays only),
+    * and a redelivery REBATCHED differently (a changed
+    * maxFilesPerTrigger — different file grouping, marks miss) flows
+    * through the verbs, where the stream is ANSWER-idempotent — the
+    * delete leg re-tombstones the docs the append leg re-adds under a
+    * fresh generation (same text, same scores, spec-asserted; the
+    * churned generations are compaction's reclaim food). The same
+    * fallback covers the one remaining crash window: between the verbs
+    * landing and the mark creation, a crash replays the batch through
+    * the verbs. Marks are create-once (no rename/overwrite protocol to
+    * tear) and are cleared by index REBUILD together with the other
+    * sidecars — a re-landed stream over regenerated files must not
+    * skip. */
   def bm25CdcIngest(spark: SparkSession, incomingDir: String,
       indexPath: String, checkpoint: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -136,7 +144,19 @@ object IndexStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        if (!cdcMarkExists(s, indexPath, key, batchId)) {
+        // the batch's source-file set — one bounded collect (≤ files
+        // per trigger); empty when the source exposes no file names
+        // (falls back to the lineage-scoped batch-id key)
+        val srcFiles = batch
+          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted
+        val markName =
+          if (srcFiles.nonEmpty)
+            "f" + java.security.MessageDigest.getInstance("MD5")
+              .digest(srcFiles.mkString("\n").getBytes("UTF-8"))
+              .take(8).map("%02x".format(_)).mkString
+          else s"$key.$batchId"
+        if (!cdcMarkExists(s, indexPath, markName)) {
           // consumed twice (delete keys + append rows) — pin the batch
           val log = batch.localCheckpoint(true)
           TextOps.bm25IndexDelete(s, indexPath,
@@ -144,7 +164,7 @@ object IndexStream {
           TextOps.bm25IndexAppend(s, indexPath,
             log.filter(col("op") =!= "deleted")
               .select(col("doc_id"), col("text"), col("lang")))
-          writeCdcMark(s, indexPath, key, batchId)
+          writeCdcMark(s, indexPath, markName)
           // the reclaim cadence POLICY, wired into the front door: the
           // churn each CDC batch accumulates (tombstones per update/
           // delete) fires the t11f cycle itself when it crosses the
@@ -175,20 +195,19 @@ object IndexStream {
       .take(8).map("%02x".format(_)).mkString
   }
 
-  private def cdcMarkPath(indexPath: String, key: String, batchId: Long) =
+  private def cdcMarkPath(indexPath: String, markName: String) =
     new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(indexPath, TextOps.Bm25CdcMarkDir),
-      s"$key.$batchId")
+      new org.apache.hadoop.fs.Path(indexPath, TextOps.Bm25CdcMarkDir), markName)
 
   private def cdcMarkExists(spark: SparkSession, indexPath: String,
-      key: String, batchId: Long): Boolean = {
-    val p = cdcMarkPath(indexPath, key, batchId)
+      markName: String): Boolean = {
+    val p = cdcMarkPath(indexPath, markName)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private def writeCdcMark(spark: SparkSession, indexPath: String,
-      key: String, batchId: Long): Unit = {
-    val p = cdcMarkPath(indexPath, key, batchId)
+      markName: String): Unit = {
+    val p = cdcMarkPath(indexPath, markName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
     // create-once, empty content: existence IS the mark (nothing to
@@ -226,6 +245,13 @@ object IndexStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ivfIngestFaultHook(batch)
         graft.operators.Similarity.ivfIndexAppend(batch.sparkSession, indexPath, batch)
+        // the reclaim cadence POLICY, wired into the vector front door
+        // exactly like the CDC stream's bm25IndexMaintain call: a
+        // deferred call is a listing no-op; a fired one rewrites only
+        // over-fragmented cells and is answer-preserving at any crash
+        // point (stage-and-rename per cell)
+        graft.operators.Similarity.ivfIndexMaintain(batch.sparkSession, indexPath)
+        ()
       }
       .start()
   }

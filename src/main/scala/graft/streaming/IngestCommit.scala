@@ -58,16 +58,31 @@ private[graft] object IngestCommit {
     * the arrival-authority artifact LAST so concurrent readers between
     * renames never see it without its companions), drop staging +
     * record. `artifacts` preserves order; empty frames stage nothing
-    * (no empty files in live dirs — the bm25IndexAppend rule). */
+    * (no empty files in live dirs — the bm25IndexAppend rule).
+    * `partitioned` names artifacts written `partitionBy` those columns
+    * (the t11b keyed layout for probe-pruned ledgers); their staged
+    * partition subdirs publish by per-file rename with relative paths
+    * preserved. */
   def stageAndPublish(spark: SparkSession, root: String,
-      artifacts: Seq[(String, DataFrame)]): Unit = {
+      artifacts: Seq[(String, DataFrame)],
+      partitioned: Map[String, Seq[String]] = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     val stagingName =
       s"__ingest_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     val staging = s"$root/$stagingName"
     try {
       artifacts.foreach { case (sub, df) =>
-        if (!df.isEmpty) df.write.parquet(s"$staging/$sub")
+        if (!df.isEmpty) partitioned.get(sub) match {
+          case Some(cols) =>
+            // repartition on the partition key first: ONE file per
+            // touched partition per batch — partitionBy alone writes
+            // (tasks × partitions) fragments, and the 300× ladder
+            // measured the resulting small-file read dominating every
+            // later batch's probe
+            df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+              .write.partitionBy(cols: _*).parquet(s"$staging/$sub")
+          case None => df.write.parquet(s"$staging/$sub")
+        }
       }
       stagingFaultHook(stagingName)
     } catch { case e: Throwable =>
@@ -97,27 +112,35 @@ private[graft] object IngestCommit {
     ()
   }
 
-  /** Move every staged data file of each artifact into its live dir.
-    * Part-file names are UUID-unique, so rename cannot collide and the
-    * file-level replay is idempotent (already-published files are no
-    * longer staged). */
+  /** Move every staged data file of each artifact into its live dir,
+    * RECURSIVELY: a partitioned artifact's staged `k=v/...` subdirs
+    * publish file-by-file with relative paths preserved (partition
+    * dirs are created, never renamed wholesale — a live partition dir
+    * may already hold earlier batches' files). Part-file names are
+    * UUID-unique, so rename cannot collide and the file-level replay
+    * is idempotent (already-published files are no longer staged). */
   private def publishStaged(fs: FileSystem, staging: String, root: String,
       order: Seq[String]): Unit = {
+    def walk(dir: Path, rel: String): Seq[(Path, String)] =
+      fs.listStatus(dir).toSeq.flatMap { f =>
+        val name = f.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (f.isFile) Seq((f.getPath, s"$rel/$name"))
+        else walk(f.getPath, s"$rel/$name")
+      }
     order.foreach { sub =>
       publishFaultHook(sub)
       val src = new Path(staging, sub)
       if (fs.exists(src)) {
-        val files = fs.listStatus(src)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        val dst = new Path(root, sub)
-        if (files.nonEmpty) fs.mkdirs(dst)
-        files.foreach { f =>
+        walk(src, sub).foreach { case (file, rel) =>
+          val dst = new Path(root, rel)
+          fs.mkdirs(dst.getParent)
           // Hadoop rename signals failure by returning false — an
           // unchecked false would silently drop an artifact's files
           // while later artifacts still publish
-          if (!fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+          if (!fs.rename(file, dst))
             throw new java.io.IOException(
-              s"failed to publish staged file ${f.getPath} into $dst")
+              s"failed to publish staged file $file into $dst")
         }
       }
     }

@@ -79,8 +79,42 @@ object NearDupStream {
   private[graft] def readIfExists(s: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(path)) else None
+    // the _ledger_index sidecar alone is not a landed table (a crash
+    // between the bloom-ahead index write and the first publish leaves
+    // exactly that state)
+    if (fs.exists(p) && fs.listStatus(p).exists(st =>
+        !st.getPath.getName.startsWith("_"))) Some(s.read.parquet(path))
+    else None
   }
+
+  /** Shard count for the landed bucket table's (band, bshard)
+    * partitioned layout (the t11b treatment — round-13 verdict task
+    * #1): collision probes read only the arriving rows' (band, shard)
+    * dirs instead of scanning the whole bucket table per batch. 16
+    * shards × LshBands dirs keeps per-batch fragmentation bounded
+    * (compaction reclaims it per cycle) while a small batch's probe
+    * touches a fraction of the dirs. */
+  private[graft] val BucketShards = 16
+
+  private[graft] def withShard(buckets: DataFrame): DataFrame =
+    buckets.withColumn("bshard",
+      pmod(xxhash64(col("bucket")), lit(BucketShards.toLong)).cast("int"))
+
+  /** The landed bucket table PRUNED to the arriving rows' (band,
+    * bshard) keys — a partition filter built from one bounded collect
+    * (≤ bands × shards values), so the probe lists and reads only the
+    * dirs the batch can collide in. Pruning by the probe's own key
+    * set is semantics-preserving for the inner collision join. */
+  private[graft] def prunedLandedBuckets(s: SparkSession, path: String,
+      freshBuckets: DataFrame): Option[DataFrame] =
+    readIfExists(s, path).flatMap { lb =>
+      val keys = freshBuckets
+        .select((col("band").cast("long") * BucketShards + col("bshard")).as("k"))
+        .distinct().collect().map(_.getLong(0)) // BOUNDED: ≤ bands × shards
+      if (keys.isEmpty) None
+      else Some(lb.filter((col("band").cast("long") * BucketShards +
+        col("bshard").cast("long")).isin(keys: _*)))
+    }
 
   /** (doc_id, band, bucket) rows for a (doc_id, text, ...) frame — the
     * batch tier's exact signature and banding functions, map-side.
@@ -232,24 +266,35 @@ object NearDupStream {
   /** The per-batch verb, shared with the scale probe. */
   private[graft] def neardupAppend(s: SparkSession, batch: DataFrame,
       indexPath: String, threshold: Double): Unit = {
-    // the ONE ledger read: the docs landing is the arrival authority
-    // (doc_id only crosses the anti-join — the landed read prunes to
-    // one column). The atomic publish guarantees no other artifact can
-    // be partially present, so pairs and buckets carry no ledgers.
-    val landedDocs = readIfExists(s, s"$indexPath/docs")
-    val fresh = landedDocs
-      .map(d => batch.join(d.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-      .getOrElse(batch)
-      .select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
+    // the ONE ledger read: the docs landing is the arrival authority,
+    // fronted by the LedgerIndex bloom (round-13 verdict task #1) —
+    // never-seen doc_ids pass with zero landed bytes read; only bloom
+    // hits stream the landed doc_id column past a broadcast candidate
+    // set (no corpus shuffle). The atomic publish guarantees no other
+    // artifact can be partially present, so pairs and buckets carry no
+    // ledgers of their own.
+    val docsPath = s"$indexPath/docs"
+    val landedDocs = readIfExists(s, docsPath)
+    val idx = LedgerIndex.readOrRebuild(s, docsPath,
+      landedDocs.map(_.select(col("doc_id"))), "doc_id")
+    // no pin here: filterFresh pins the flagged frame itself (one
+    // materialization covers the bloom split's three consumers)
+    val b = batch.select(col("doc_id"), col("text"))
+    val fresh = ((landedDocs, idx) match {
+      case (Some(d), Some(i)) =>
+        LedgerIndex.filterFresh(b, "doc_id", i, d.select(col("doc_id")))
+      case _ => b
+    }).localCheckpoint(true)
     if (fresh.isEmpty) return // replayed batch: publish NOTHING
 
-    // batch-sized signature map — the batch tier's exact functions
-    val freshBuckets = bucketRowsOf(fresh).localCheckpoint(true)
+    // batch-sized signature map — the batch tier's exact functions —
+    // with the (band, bshard) partition key the landed layout prunes by
+    val freshBuckets = withShard(bucketRowsOf(fresh)).localCheckpoint(true)
 
     // candidates: fresh×landed collisions + fresh×fresh, distinct
-    // across bands
-    val landedBuckets = readIfExists(s, s"$indexPath/buckets")
+    // across bands; the landed side reads ONLY the arriving (band,
+    // shard) dirs of the partitioned bucket table
+    val landedBuckets = prunedLandedBuckets(s, s"$indexPath/buckets", freshBuckets)
     val cand = collisionCandidates(freshBuckets, landedBuckets)
       .localCheckpoint(true)
 
@@ -259,9 +304,17 @@ object NearDupStream {
       if (cand.isEmpty) cand.withColumn("jaccard", lit(0.0d))
       else verifyOverTexts(cand, fresh, landedDocs, threshold) // pinned inside
 
+    // bloom-AHEAD of the publish (the LedgerIndex ordering rule: a
+    // crash after this write and before the publish leaves bloom
+    // entries the exact verify corrects on retry — the reverse order
+    // would leave published docs outside the bloom, i.e. duplicates)
+    LedgerIndex.mergeIncrement(s, docsPath, fresh.select(col("doc_id")),
+      "doc_id", idx)
+
     // one barrier: all three artifacts stage, then publish atomically
     // (docs — the authority — renamed last)
     IngestCommit.stageAndPublish(s, indexPath, Seq(
-      "pairs" -> newPairs, "buckets" -> freshBuckets, "docs" -> fresh))
+      "pairs" -> newPairs, "buckets" -> freshBuckets, "docs" -> fresh),
+      partitioned = Map("buckets" -> Seq("band", "bshard")))
   }
 }

@@ -93,8 +93,16 @@ class CurationStreamSpec extends SparkSpec {
     assert(exIds === Seq(0L, 3L, 5L, 6L))
 
     // full redelivery under a fresh checkpoint publishes NOTHING
-    def files(sub: String) = new java.io.File(s"$root/$sub").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // RECURSIVE walk: the buckets artifact is (band, bshard)
+    // partitioned, so its data files live under nested dirs
+    def files(sub: String): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { c =>
+          if (c.isDirectory) walk(c)
+          else if (c.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
+        }
+      walk(new java.io.File(s"$root/$sub")).toSet
+    }
     val before = Seq("exact", "buckets", "curated").map(files)
     val q2 = CurationStream.curateIngest(spark, incoming, root,
       tmp.getAbsolutePath + "/cp2")

@@ -98,6 +98,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall too low: missed ${exact.diff(lsh)}")
   }
 
+  test("hot-band salted self-join equals the plain join; the hot key's a-side spreads over all salts") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // planted hot bucket: 40 docs share one (band, bucket); two cold
+    // buckets hold a pair and a singleton. Threshold 10 marks only the
+    // hot key; the salted join must lose and invent nothing.
+    val hot = (0L until 40L).map(i => (i, 0, "HOTBUCKET"))
+    val cold = Seq((100L, 1, "c1"), (101L, 1, "c1"), (102L, 2, "c2"))
+    val buckets = (hot ++ cold).toDF("doc_id", "band", "bucket")
+      .localCheckpoint(true)
+    def plain = buckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = Dedup.saltedBandSelfJoin(buckets, 10L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted === plain, "salting changed the candidate set")
+    assert(salted.size === 40 * 39 / 2 + 1)
+    // the skew property: the hot key's a-side rows scatter over EVERY
+    // salt sub-key (deterministic doc_id hash), so no single task owns
+    // the hot key's pair enumeration
+    val spread = buckets.filter(col("bucket") === "HOTBUCKET")
+      .select(pmod(xxhash64(col("doc_id")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread === 8L, s"hot rows spread over $spread of 8 salts")
+    // below the threshold nothing salts — the plain plan survives for
+    // ordinary corpora (no crossJoin replication in the plan)
+    val coldOnly = Dedup.saltedBandSelfJoin(buckets, 1000L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(coldOnly === plain)
+  }
+
   test("near-dup pairs have closer simhashes than random pairs") {
     val sims = Dedup.simhashSignatures(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

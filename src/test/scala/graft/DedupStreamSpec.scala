@@ -119,6 +119,39 @@ class DedupStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("st8 dropped ledger sidecar rebuilds from the survivor table; redelivery still publishes nothing") {
+    import spark.implicits._
+    val b0 = Seq((0L, "alpha alpha", "en", "web"), (1L, "beta beta", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq((2L, "alpha alpha", "en", "books"), (3L, "gamma gamma", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_sidecar_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val out = tmp.getAbsolutePath + "/survivors"
+    landTwoFiles(incoming, b0, b1)
+    val q = DedupStream.exactDedupIngest(spark, incoming, out,
+      tmp.getAbsolutePath + "/cp1")
+    try q.processAllAvailable() finally q.stop()
+    val want = survivors(out)
+    assert(want.map(_._1) === Seq(0L, 1L, 3L))
+    // drop the bloom sidecar (a torn overwrite or a pre-sidecar
+    // table); the rebuild path must fold the survivor digests once and
+    // a full redelivery must still publish nothing
+    val sidecar = new java.io.File(out, graft.streaming.LedgerIndex.Dir)
+    assert(sidecar.exists(), "the stream must maintain the bloom sidecar")
+    rmTree(sidecar)
+    def dataFiles() = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = dataFiles()
+    val q2 = DedupStream.exactDedupIngest(spark, incoming, out,
+      tmp.getAbsolutePath + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(survivors(out) === want, "redelivery after sidecar loss changed the table")
+    assert(dataFiles() === before, "redelivery published files")
+    assert(sidecar.exists(), "the sidecar must rebuild on the next open")
+    rmTree(tmp)
+  }
+
   test("st8 out-of-order arrival: the first ARRIVAL wins, the digest set stays arrival-invariant") {
     import spark.implicits._
     // PERMUTED arrival: the LARGER id of an exact-dup group arrives

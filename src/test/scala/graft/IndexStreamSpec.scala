@@ -227,17 +227,33 @@ class IndexStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(viaStream === viaRebuilt, "streamed changelog apply diverged from v2 rebuild")
     assert(viaStream.nonEmpty)
-    // FULL redelivery under a fresh checkpoint: the CDC stream is
-    // ANSWER-idempotent (a replayed batch re-tombstones then re-adds
-    // its updated docs under a fresh generation — same text, same
-    // scores; the churned generations are compaction's reclaim food)
+    // FULL redelivery under a fresh checkpoint must publish NOTHING
+    // (the st8/st9/st10 bar, round-13 verdict task #2): the replayed
+    // batches read the same source files, find their file-set-keyed
+    // applied marks, and skip — the artifact FILE SET is unchanged,
+    // not merely the answers (the pre-mark behavior re-tombstoned and
+    // re-added every updated doc, adding a generation per replay that
+    // only compaction could reclaim)
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = Tables.scratchDir.getOrElse(
       System.getProperty("java.io.tmpdir")) + s"/graft_bm25_cdcst_$tag"
     assert(new java.io.File(idx).exists(), "the gate form must have landed its index in scratch")
+    def allFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { c =>
+          if (c.isDirectory) walk(c) else Seq(c.getPath)
+        }
+      // exclude the mark dir itself: redelivery may add no marks (all
+      // present) but artifacts must be byte-stable regardless
+      walk(new java.io.File(idx))
+        .filterNot(_.contains(TextOps.Bm25CdcMarkDir)).toSet
+    }
+    val filesBefore = allFiles()
     val q2 = IndexStream.bm25CdcIngest(spark, s"${idx}_incoming", idx,
       tmp.getAbsolutePath + "/cp_replay")
     try q2.processAllAvailable() finally q2.stop()
+    assert(allFiles() === filesBefore,
+      "fresh-checkpoint redelivery published files")
     val afterReplay = TextOps.bm25OverIndex(spark, idx, TextOps.Bm25Terms, 10)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(afterReplay === viaStream, "full redelivery changed an answer")

@@ -81,8 +81,16 @@ class NearDupStreamSpec extends SparkSpec {
     // FULL redelivery under a fresh checkpoint: every doc is already in
     // the arrival ledger — publish NOTHING anywhere (file sets of all
     // three artifacts unchanged)
-    def files(sub: String) = new java.io.File(s"$idx/$sub").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // RECURSIVE walk: the buckets artifact is (band, bshard)
+    // partitioned, so its data files live under nested dirs
+    def files(sub: String): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { c =>
+          if (c.isDirectory) walk(c)
+          else if (c.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
+        }
+      walk(new java.io.File(s"$idx/$sub")).toSet
+    }
     val before = Seq("pairs", "buckets", "docs").map(files)
     val q2 = NearDupStream.minhashIngest(spark, incoming, idx,
       tmp.getAbsolutePath + "/cp2")
@@ -270,6 +278,80 @@ class NearDupStreamSpec extends SparkSpec {
     // own rows are excluded from the landed side entirely, so only the
     // within-batch path remains — greater id drops
     assert(roles === Seq((10L, 11L, 11L)), s"roles diverged: $roles")
+  }
+
+  test("st9 bucket probe prunes to the arriving (band, bshard) dirs and loses no collision") {
+    import spark.implicits._
+    val b0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words about entirely other things"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_prune_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val idx = tmp.getAbsolutePath + "/index"
+    landTwoFiles(incoming, b0, b0.limit(0))
+    val q = NearDupStream.minhashIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp")
+    try q.processAllAvailable() finally q.stop()
+    // the landed bucket table is (band, bshard) partitioned
+    val bandDirs = new java.io.File(s"$idx/buckets").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")),
+      s"bucket table not band-partitioned: $bandDirs")
+    // a fresh batch's probe carries the (band, bshard) keys as a
+    // PARTITION filter — the scan lists only the arriving dirs
+    val fresh = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fb = NearDupStream.withShard(NearDupStream.bucketRowsOf(fresh))
+      .localCheckpoint(true)
+    val pruned = NearDupStream.prunedLandedBuckets(spark, s"$idx/buckets", fb)
+    assert(pruned.isDefined)
+    val plan = pruned.get.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("band"))
+    assert(scanLine.isDefined, s"no (band, bshard) partition filter:\n$plan")
+    // pruning by the probe's own key set is lossless: candidates equal
+    // the unpruned probe's
+    def candsOf(lb: Option[org.apache.spark.sql.DataFrame]) =
+      NearDupStream.collisionCandidates(fb, lb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(candsOf(pruned) ===
+      candsOf(Some(spark.read.parquet(s"$idx/buckets"))))
+    assert(candsOf(pruned) === Seq((0L, 10L)))
+    rmTree(tmp)
+  }
+
+  test("st9 dropped ledger sidecar rebuilds from the docs landing; redelivery still publishes nothing") {
+    import spark.implicits._
+    val b0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words about entirely other things"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_sidecar_spec").toFile
+    val incoming = tmp.getAbsolutePath + "/incoming"
+    val idx = tmp.getAbsolutePath + "/index"
+    landTwoFiles(incoming, b0, b1)
+    val q = NearDupStream.minhashIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp1")
+    try q.processAllAvailable() finally q.stop()
+    val want = pairsOf(idx)
+    // drop the bloom sidecar (a torn overwrite or a pre-sidecar index);
+    // the next stream open must REBUILD it from the authoritative docs
+    // landing — redelivery still publishes nothing
+    val sidecar = new java.io.File(s"$idx/docs/${graft.streaming.LedgerIndex.Dir}")
+    assert(sidecar.exists(), "the stream must maintain the bloom sidecar")
+    rmTree(sidecar)
+    val q2 = NearDupStream.minhashIngest(spark, incoming, idx,
+      tmp.getAbsolutePath + "/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(pairsOf(idx) === want, "redelivery after sidecar loss changed the pair table")
+    val docs = spark.read.parquet(s"$idx/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(docs === Seq(0L, 1L, 10L), "docs must land exactly once each")
+    assert(sidecar.exists(), "the sidecar must rebuild on the next open")
+    rmTree(tmp)
   }
 
   test("st9 gate form equals the batch MinHash-LSH tier on the fixture corpus") {

@@ -565,11 +565,40 @@ class SearchOpsSpec extends SparkSpec {
       .localCheckpoint(true)
     val oldN = allN.filter(col("b_id") =!= hub)
     val hd = Graph.pagerankHistoryOf(oldN, Graph.PagerankIters)
-    val (resN, cN) = Graph.pagerankMaintainOf(allN, hd, isNewN)
+    val (resN, cN) = Graph.pagerankMaintainOf(allN, (hd._1, hd._2, None), isNewN)
     assert(cN === "g1c", "a tiny delta must route to the frontier apply")
     assert(resN.as[(Long, Long)].collect().toMap ===
       Graph.pagerankOf(allN, Graph.PagerankIters)
         .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap)
+  }
+
+  test("g1c keyed slices over the src-sharded edge landing are hash-equal to the scan form") {
+    // the landed (eshard-partitioned) edge frame must change bytes
+    // read, never results: the apply over the landing equals both the
+    // scan-form apply and the fresh run
+    val isNew = (c: org.apache.spark.sql.Column) => c === 1000L
+    val all = spark.range(299)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      .unionByName(spark.range(1).select(lit(0L).as("a_id"), lit(1000L).as("b_id")))
+      .localCheckpoint(true)
+    val old = all.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val (hist, deg) = Graph.pagerankHistoryOf(old, Graph.PagerankIters)
+    val tmp = java.nio.file.Files.createTempDirectory("g1c_shard_spec").toFile
+    val p = Graph.landSymSharded(Graph.symOf(all), tmp.getAbsolutePath + "/edges")
+    // the landing is eshard-partitioned on disk
+    val shardDirs = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("eshard=")),
+      s"edge landing not sharded: $shardDirs")
+    val viaLanding = Graph.pagerankIncrementalOf(all, hist, deg, isNew, Some(p))
+      .as[(Long, Long)].collect().toMap
+    val viaScan = Graph.pagerankIncrementalOf(all, hist, deg, isNew)
+      .as[(Long, Long)].collect().toMap
+    val fresh = Graph.pagerankOf(all, Graph.PagerankIters)
+      .select(col("id").as("doc_id"), col("r")).as[(Long, Long)].collect().toMap
+    assert(viaLanding === fresh, "sharded-landing apply diverged from fresh")
+    assert(viaScan === fresh)
+    rmTree(tmp)
   }
 
   test("g1c property: hash-exact on seeded random graphs and arrival splits") {

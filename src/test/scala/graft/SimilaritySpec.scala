@@ -578,6 +578,60 @@ class SimilaritySpec extends SparkSpec {
       s"filtered probe lost dynamic partition pruning:\n$p")
   }
 
+  test("ivf reclaim (v9g): fragmented cells compact to one file, answers unchanged, deferred call is a no-op") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, expr, not}
+    val e = Tables.embeddings(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_reclaim_spec").toFile
+    val path = tmp.getAbsolutePath + "/idx"
+    val isDelta = Similarity.incrementalHoldout
+    Similarity.materializeIvfOf(e.filter(not(isDelta)), path)
+    // drip the holdout in many slivers — fragment files accumulate
+    // inside cell dirs, the long-running-stream shape
+    val slivers = Similarity.IvfReclaimFilesPerCell + 4
+    (0 until slivers).foreach { i =>
+      Similarity.ivfIndexAppend(spark, path,
+        e.filter(isDelta && expr(s"(vec_id div 5) % $slivers") === i))
+    }
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(path).listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("cent_id=")).map { d =>
+        d.getName -> d.listFiles().count(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+      }.toMap
+    assert(cellFiles().values.max > Similarity.IvfReclaimFilesPerCell,
+      "the drip must fragment at least one cell past the bound")
+    val answersBefore = Similarity.ivfTopKOverIndex(spark, path, 0L, 10, 2)
+      .collect().map(_.toString).toSeq
+    // fire: fragmented cells rewrite to ONE file each
+    val reclaimed = Similarity.ivfIndexMaintain(spark, path)
+    assert(reclaimed.nonEmpty, "the reclaim must fire past the bound")
+    assert(cellFiles().values.forall(_ == 1),
+      s"cells not compacted to one file: ${cellFiles()}")
+    assert(Similarity.ivfTopKOverIndex(spark, path, 0L, 10, 2)
+      .collect().map(_.toString).toSeq === answersBefore,
+      "reclaim changed an answer")
+    // membership too, not just the page: the compacted index equals a
+    // full rebuild row-for-row
+    val fullPath = tmp.getAbsolutePath + "/idx_full"
+    Similarity.materializeIvfOf(e, fullPath)
+    assert(spark.read.parquet(path).select(col("vec_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq ===
+      spark.read.parquet(fullPath).select(col("vec_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    // deferred: an all-compact index is a listing-only no-op — no
+    // rewrites, file set byte-identical
+    def allFiles(): Map[String, (Long, Long)] =
+      walkFiles(new java.io.File(path))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    val before = allFiles()
+    assert(Similarity.ivfIndexMaintain(spark, path).isEmpty,
+      "a compact index must defer")
+    assert(allFiles() === before, "a deferred reclaim touched files")
+    rmTree(tmp)
+  }
+
   test("incremental index (v9d): landed files untouched by append, probe equals full rebuild") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.{col, not}
