@@ -64,9 +64,15 @@ object RingProbe {
           Graph.pagerankIncrementalOf(all, hd._1, hd._2, isNew, Some(hd._3)).count())._1).min
         val applyScan = (1 to reps).map(_ => timed(
           Graph.pagerankIncrementalOf(all, hd._1, hd._2, isNew).count())._1).min
-        // exactness: the landed-slice apply is hash-equal to fresh
-        val diffs = Graph.pagerankIncrementalOf(all, hd._1, hd._2, isNew, Some(hd._3))
-          .exceptAll(freshRanks()).count()
+        // exactness: the landed-slice apply is hash-equal to fresh.
+        // SYMMETRIC diff (both exceptAll directions): a one-sided
+        // apply-minus-fresh reports 0 even when the apply silently
+        // DROPS rows (apply ⊂ fresh), so loss bugs would pass the probe
+        val applyDf = Graph.pagerankIncrementalOf(all, hd._1, hd._2, isNew,
+          Some(hd._3)).localCheckpoint(true)
+        val freshDf = freshRanks().localCheckpoint(true)
+        val diffs = applyDf.exceptAll(freshDf).count() +
+          freshDf.exceptAll(applyDf).count()
         println(s"""{"n":$n,"fresh_sec":${r3(fresh)},"landing_sec":${r3(landWall)},""" +
           s""""apply_landed_sec":${r3(applyLanded)},"apply_scan_sec":${r3(applyScan)},""" +
           s""""apply_vs_fresh_diff_rows":$diffs}""")

@@ -32,25 +32,66 @@ object ScaleProbe {
   private def denseEvents: Boolean =
     sys.env.get("SPARK_GRAFT_PROBE_EVENT_DENSITY").contains("1")
 
+  /** SPARK_GRAFT_PROBE_ZIPF_BP=1 plants Zipf-popular BOILERPLATE in the
+    * scaled documents (round-15 task #3: pin d2b's Σdf² tail). Each doc
+    * appends a 10-token sentence owned by its boilerplate GROUP; group
+    * popularity is log-uniform (Zipf(1)-shaped): a doc draws u ∈ [0,1)
+    * from its id hash and joins group ⌊(G+1)^u⌋−1, so group j holds
+    * ~n·ln((j+2)/(j+1))/ln(G+1) docs — a few giant groups (df ≫ the d2
+    * cap → excluded, the cap path) and a long tail straddling the cap
+    * (df ∈ [2, cap] → every pair inside them is a REAL candidate). This
+    * is the hot-gram regime the salted-copy fixture structurally cannot
+    * produce (copies share no grams, so df never concentrates). */
+  private def zipfBoilerplate: Boolean =
+    sys.env.get("SPARK_GRAFT_PROBE_ZIPF_BP").contains("1")
+  private val ZipfGroups = 4096
+
+  /** SPARK_GRAFT_PROBE_TABLES (csv) restricts which tables the scaled
+    * corpus materializes — the 1000× ingest ladder needs only
+    * `documents`, and scaling events/embeddings 1000× onto tmpfs would
+    * cost GBs and minutes for tables the probe never reads. */
+  private def tablesWanted: String => Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_PROBE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    t => only.forall(_.contains(t))
+  }
+
   def buildCorpus(spark: SparkSession, baseDir: String, k: Int, outRoot: String): String = {
-    if (k == 1) return baseDir
-    val out = s"$outRoot/probe_${k}x" + (if (denseEvents) "_dense" else "")
+    if (k == 1 && !zipfBoilerplate) return baseDir
+    val out = s"$outRoot/probe_${k}x" + (if (denseEvents) "_dense" else "") +
+      (if (zipfBoilerplate) "_zipf" else "")
+    val want = tablesWanted
     val docs = Tables.documents(spark, baseDir)
-    val scaledDocs = (0 until k).map { c =>
-      docs.select(
-        (col("doc_id") + lit(c * Salt)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1_c" + c).as("text"),
-        col("lang"), col("source"))
-    }.reduce(_ unionByName _)
-    scaledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // k copies: a crossJoin against range(k) — ONE plan whatever k is
+    // (the per-copy reduce(unionByName) build analyzed k subtrees,
+    // minutes of driver time at the 1000× ladder factor)
+    val copies = spark.range(k.toLong).select(col("id").cast("int").as("__c"))
+    val scaledDocs0 = docs.crossJoin(copies).select(
+      (col("doc_id") + col("__c").cast("long") * Salt).as("doc_id"),
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1_c"), col("__c").cast("string"))).as("text"),
+      col("lang"), col("source"))
+    val scaledDocs =
+      if (!zipfBoilerplate) scaledDocs0
+      else {
+        // group = ⌊(G+1)^u⌋−1 with u ∈ [0,1) hashed off the doc id —
+        // log-uniform group sizes (see zipfBoilerplate scaladoc)
+        val u = (pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double")
+          / lit(1000000.0))
+        val grp = floor(pow(lit((ZipfGroups + 1).toDouble), u)).cast("long") - 1
+        val bp = concat_ws(" ", (0 until 10).map(i =>
+          concat(lit(s"bpz${i}g"), grp.cast("string"))): _*)
+        scaledDocs0.withColumn("text", concat(col("text"), lit(" "), bp))
+      }
+    if (want("documents"))
+      scaledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val embs = Tables.embeddings(spark, baseDir)
-    val scaledEmbs = (0 until k).map { c =>
-      embs.select(
-        (col("vec_id") + lit(c * Salt)).as("vec_id"),
-        col("embedding"),
-        concat(col("label"), lit("_c"), lit(c)).as("label"))
-    }.reduce(_ unionByName _)
-    scaledEmbs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val scaledEmbs = embs.crossJoin(copies).select(
+      (col("vec_id") + col("__c").cast("long") * Salt).as("vec_id"),
+      col("embedding"),
+      concat(col("label"), lit("_c"), col("__c").cast("string")).as("label"))
+    if (want("embeddings"))
+      scaledEmbs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // j7's incremental-linkage shape: the CANDIDATE file (suppliers,
     // the FEC side) grows k×; the entity master (customers) stays 1×.
     // Salted suppkeys, names unchanged — every copy links to the same
@@ -60,14 +101,14 @@ object ScaleProbe {
     // fixed state-blocking trade; the mitigation at that point is a
     // second blocking key, not a faster scorer.)
     val supp = Tables.supplier(spark, baseDir)
-    val scaledSupp = (0 until k).map { c =>
-      supp.select(
-        (col("s_suppkey") + lit(c * Salt)).as("s_suppkey"),
-        col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    }.reduce(_ unionByName _)
-    scaledSupp.write.mode("overwrite").parquet(s"$out/supplier.parquet")
-    Tables.customer(spark, baseDir).write.mode("overwrite")
-      .parquet(s"$out/customer.parquet")
+    val scaledSupp = supp.crossJoin(copies).select(
+      (col("s_suppkey") + col("__c").cast("long") * Salt).as("s_suppkey"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    if (want("supplier"))
+      scaledSupp.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    if (want("customer"))
+      Tables.customer(spark, baseDir).write.mode("overwrite")
+        .parquet(s"$out/customer.parquet")
     // j11's regime: USERS grow k× (salted user_id), per-user event
     // density constant — the band join's claimed linear scaling. Read
     // RAW so ts stays a nanos long (Tables.events on the probe dir
@@ -77,25 +118,25 @@ object ScaleProbe {
     // ts ships as nanos-as-long (older testdata) or native timestamp[us]
     // (current) — offset copies by c microseconds in either encoding.
     val tsIsLong = ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    def tsPlusMicros(c: Int) =
-      if (tsIsLong) (col("ts") + lit(c.toLong * 1000L)).as("ts")
-      else expr(s"timestampadd(MICROSECOND, $c, ts)").as("ts")
-    val scaledEv = (0 until k).map { c =>
+    val tsPlusMicros =
+      if (tsIsLong) (col("ts") + col("__c").cast("long") * lit(1000L)).as("ts")
+      else expr("timestampadd(MICROSECOND, __c, ts)").as("ts")
+    val scaledEv =
       if (denseEvents)
         // same users, k× events each: copies offset by c MICROSECONDS
         // stay inside the same horizon windows, so in-band density —
         // and residual pair count — truly multiplies
-        ev.select(
-          (col("event_id") + lit(c * Salt)).as("event_id"),
-          tsPlusMicros(c),
+        ev.crossJoin(copies).select(
+          (col("event_id") + col("__c").cast("long") * Salt).as("event_id"),
+          tsPlusMicros,
           col("user_id"), col("event_type"), col("value"), col("props"))
       else
-        ev.select(
-          (col("event_id") + lit(c * Salt)).as("event_id"), col("ts"),
-          (col("user_id") + lit(c * Salt)).as("user_id"),
+        ev.crossJoin(copies).select(
+          (col("event_id") + col("__c").cast("long") * Salt).as("event_id"), col("ts"),
+          (col("user_id") + col("__c").cast("long") * Salt).as("user_id"),
           col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionByName _)
-    scaledEv.write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (want("events"))
+      scaledEv.write.mode("overwrite").parquet(s"$out/events.parquet")
     out
   }
 
@@ -274,6 +315,12 @@ object ScaleProbe {
       "v15b_mmr_hybrid"      -> (operators.Similarity.mmrRerankHybrid(_, _)),
       "t8b_bpe_tokenize"     -> (operators.Bpe.bpeTokenize(_, _)),
       "d9_semantic_dedup"    -> (operators.Dedup.semanticDedup(_, _)),
+      // d9b: the trained-centroid production form — cells stay
+      // ~SemCellTarget as the corpus grows, so the within-cell pass is
+      // ~linear where d9's fixed-8-cell form measured (k/8)². The cell
+      // index lands once per corpus (fingerprint memo, first rep);
+      // min-of-reps is the steady query, the v9c/g1c billing rule.
+      "d9b_semantic_dedup_trained" -> (operators.Dedup.semanticDedupTrained(_, _)),
       "m4_phash_neardup"     -> (operators.Multimodal.phashNeardupRollup(_, _)),
       "j13_session_versions" -> (operators.Scd2.sessionVersions(_, _)),
       "e5_volume_anomaly"    -> (operators.Profile.volumeAnomaly(_, _)),
@@ -554,6 +601,30 @@ object ScaleProbe {
         graft.streaming.CurationStream.curateAppend(s, batch, p, 0.8)
         s.range(1).toDF("ok")
       }),
+      // st7's per-RELEASE apply under a grown landed index (round-15
+      // task #4: st8/st9/st10 had committed ladders, the CDC stream did
+      // not): a FIXED 500-doc update release applied to a corpus-sized
+      // bm25 index — delete leg (tombstones, change-sized), append leg
+      // (new generation, change-sized), then the front door's maintain
+      // call (a listing no-op until churn crosses the t11f bound; the
+      // occasional fired cycle is amortized reclaim and falls out of
+      // min-of-reps). Index landed once per factor; release construction
+      // pinned outside the timed verb (the st8 audit rule).
+      "st7_cdc_release"      -> ((s, d) => {
+        val p = s"$outRoot/cdc7_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        if (!new java.io.File(p).exists())
+          operators.TextOps.materializeBm25IndexOf(Tables.documents(s, d), p)
+        val rev = compactEpoch.incrementAndGet()
+        val release = Tables.documents(s, d)
+          .filter(col("doc_id") < 500) // stat-pruned, flat in the factor
+          .select(col("doc_id"),
+            concat(col("text"), lit(s" [rev$rev]")).as("text"), col("lang"))
+          .localCheckpoint(true) // fixture cost out of the verb wall
+        operators.TextOps.bm25IndexDelete(s, p, release.select(col("doc_id")))
+        operators.TextOps.bm25IndexAppend(s, p, release)
+        operators.TextOps.bm25IndexMaintain(s, p)
+        s.range(1).toDF("ok")
+      }),
       "bm25_cdc_cycle"       -> ((s, d) => {
         val p = s"$outRoot/cdcc_${java.util.UUID.randomUUID().toString.take(8)}"
         val v1 = Tables.documents(s, d)
@@ -585,7 +656,8 @@ object ScaleProbe {
     try {
       factors.foreach { k =>
         val dir = buildCorpus(spark, baseDir, k, outRoot)
-        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val nDocs = scala.util.Try(
+          spark.read.parquet(s"$dir/documents.parquet").count()).getOrElse(-1L)
         val timed = selected.map { case (name, fn) =>
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()

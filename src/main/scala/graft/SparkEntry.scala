@@ -279,6 +279,10 @@ object SparkEntry {
     // within-cell pairs over the cosine threshold; the paraphrase
     // catcher the lexical tiers structurally miss
     "d9_semantic_dedup"       -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // d9b: the PRODUCTION form — corpus-scaled trained centroids from
+    // the landed cell index (cells stay ~SemCellTarget as the corpus
+    // grows; d9's fixed 8 cells are the measured (k/8)² blowup)
+    "d9b_semantic_dedup_trained" -> ((s, d) => Dedup.semanticDedupTrained(s, d)),
     // d10: duplicate-SPAN detection (Lee et al. substring dedup) — the
     // "some gram occurs twice" test is a group-by, not a pair join
     "d10_duplicate_spans"     -> ((s, d) => Dedup.duplicateSpans(s, d)),
@@ -1394,11 +1398,37 @@ object SparkEntry {
     * exactly), first-8 coarse cells via the IVF argmax rule, the
     * within-cell pair scan with the threshold drop, per-cell rollup.
     * The whole tier is hash-checked end to end. */
-  private lazy val d9Sql: String =
+  private lazy val d9Sql: String = d9SqlOver(
+    s"""SELECT doc_id AS cent_id, emb AS cent_emb FROM dvec
+           WHERE doc_id < ${operators.Similarity.IvfCentroids}""")
+
+  /** d9b's oracle: the IDENTICAL pipeline, but the centroid table is
+    * the landed trained cell index's own `_centroids/` parquet (the
+    * v9c artifact-as-oracle-input treatment — Lloyd's float iteration
+    * needn't be mirrored; assignment, the ≥τ pair scan, and the rollup
+    * are still recomputed independently in SQL from the landed
+    * centroids). `def`: the path is recorded when the d9b query lands
+    * the index, and Verify dumps oracle SQL only after every query has
+    * run. */
+  private def d9bSql: String = d9SqlOver(
+    operators.Dedup.semCentroidsPathForOracle match {
+      case Some(p) =>
+        s"""SELECT cent_id, cent_emb FROM read_parquet('$p/_centroids/*.parquet')"""
+      case None =>
+        // fail loudly at oracle time instead of interpolating a
+        // sentinel path into read_parquet (the round-11 ADVICE class)
+        """SELECT error('d9b trained-centroid artifact was not landed in this
+           Verify run (d9b did not execute — query-filtered run?); this oracle
+           is only valid in a dump where it ran')::INTEGER AS cent_id,
+           CAST(NULL AS DOUBLE[]) AS cent_emb"""
+    })
+
+  /** The d9/d9b pipeline over a pluggable centroid relation: stub
+    * embeddings, argmax-cosine assignment (ties to the smaller
+    * cent_id), within-cell ≥τ pair scan, per-cell rollup. */
+  private def d9SqlOver(centsSql: String): String =
     s"""WITH $stubDocVecCtes,
-         cents AS (
-           SELECT doc_id AS cent_id, emb AS cent_emb FROM dvec
-           WHERE doc_id < ${operators.Similarity.IvfCentroids}),
+         cents AS ($centsSql),
          assigned AS (
            SELECT doc_id, emb, cent_id FROM (
              SELECT d.doc_id, d.emb, c.cent_id,
@@ -3412,6 +3442,7 @@ object SparkEntry {
          FROM batch b JOIN firsts f USING (digest)
          ORDER BY b.doc_id""",
     "d9_semantic_dedup" -> d9Sql,
+    "d9b_semantic_dedup_trained" -> d9bSql,
     // d11: sketch internals are engine-specific (DataSketches vs
     // DuckDB's approx_count_distinct), so the a5b discipline applies —
     // exact anchors hash-compared, each engine's inclusion-exclusion

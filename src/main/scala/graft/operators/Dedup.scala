@@ -752,15 +752,17 @@ object Dedup {
     * gram string keeps the shuffle narrow with identical counts on both
     * engines (the oracle hashes the same md5 prefix). */
   private[graft] def verifyCandidates(candidates: DataFrame, hashed: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, alreadyPinned: Boolean = false): DataFrame = {
     // The candidate pair set is small (pairs sharing a rare gram / band /
     // fingerprint), so materialize it once — it feeds the id semi-join
     // and both verification joins — and restrict the posting list to
     // candidate docs BEFORE it shuffles: verification cost then scales
     // with |candidate docs|, not |corpus|. The id set broadcasts (ids
     // only); per-doc gram counts stay exact because the semi-join keeps
-    // every gram of a kept doc.
-    val cand = candidates.localCheckpoint(true)
+    // every gram of a kept doc. Stream callers pass alreadyPinned=true:
+    // their candidate frame is checkpointed upstream, and re-pinning it
+    // was one more per-batch job barrier for nothing (round-15).
+    val cand = if (alreadyPinned) candidates else candidates.localCheckpoint(true)
     val ids = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val h = hashed.join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -1243,9 +1245,12 @@ object Dedup {
     * 0.95 keeps fixture drops non-trivial at every SF. */
   val SemanticTau = 0.95
 
-  def semanticDedup(spark: SparkSession, dir: String, tau: Double = SemanticTau): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = SemanticTau): DataFrame =
+    semanticDedupOf(documents(spark, dir), tau)
+
+  private[graft] def semanticDedupOf(docs: DataFrame, tau: Double = SemanticTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = documents(spark, dir)
+    val e = docs
       .select(col("doc_id"), graft.functions.StubEmbed(col("text")).as("emb"))
     val cents = e.filter(col("doc_id") < Similarity.IvfCentroids)
       .select(col("doc_id").as("cent_id"), col("emb").as("cent_emb"))
@@ -1262,6 +1267,15 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("emb"), col("cent_id"),
         graft.functions.Vectors.norm(col("emb")).as("nrm")))
+    materializeAndRelease(withinCellRollup(assigned, tau), assigned)
+  }
+
+  /** The within-cell exact pass + per-cell rollup shared by d9 and the
+    * trained d9b tier: `assigned` carries (doc_id, emb, cent_id, nrm)
+    * with nrm = ‖emb‖ precomputed (see the comment in
+    * [[semanticDedupOf]] — the pair scan is cells × members² and must
+    * not recompute norms per pair). */
+  private def withinCellRollup(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cent_id"), col("doc_id").as("a_id"),
       col("emb").as("a_emb"), col("nrm").as("a_nrm"))
     val b = assigned.select(col("cent_id"), col("doc_id").as("b_id"),
@@ -1275,14 +1289,181 @@ object Dedup {
       .select(col("cent_id"), col("b_id")).distinct()
     val dropAgg = drops.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_dropped"), sum(col("b_id")).as("dropped_id_sum"))
-    val result = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_total"))
+    assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_total"))
       .join(dropAgg, Seq("cent_id"), "left")
       .select(col("cent_id"), col("n_total"),
         (col("n_total") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("dropped_id_sum"), lit(0L)).as("dropped_id_sum"))
       .orderBy(col("cent_id"))
-    materializeAndRelease(result, assigned)
+  }
+
+  /** d9b's target within-cell population. The TRAINED tier scales the
+    * CENTROID COUNT with the corpus (k = ⌈n / SemCellTarget⌉) so cells
+    * stay ~this size as the corpus grows — SemDeDup's own scaling rule,
+    * and the swap that turns d9's measured (k/8)² within-cell blowup
+    * (SCALE.md §1) into linear work: per-cell pairs are bounded, cell
+    * count grows with n, total pair volume ~n × SemCellTarget. 256
+    * keeps the fixture's cells non-trivial from sf0.001 up while the
+    * assignment term (n × k dots) stays probe-affordable at the 100×
+    * ladder; a production run tunes it to whatever pair budget an
+    * executor core absorbs, and past the point where k × dim stops
+    * fitting a task binary (~10⁶ cells) assignment goes hierarchical
+    * (see [[graft.functions.ArgMaxCosine]]). */
+  val SemCellTarget = 256L
+
+  /** Lloyd training inputs for the trained tier: 8 sample vectors per
+    * centroid (floor 20k) keeps the training pass bounded while k
+    * scales with the corpus — training cost is sample×k×dim per round,
+    * the full corpus is touched exactly once (the final assignment). */
+  private val SemTrainPerCell = 8L
+  private val SemTrainFloor = 20000L
+  private val SemTrainIters = 10
+
+  // landing memo for the trained semantic-cell index (the v9c
+  // fingerprint discipline — one landing per corpus content)
+  private val semCellsLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The landed trained-cell index's path, recorded at landing so the
+    * d9b oracle can read the artifact's OWN `_centroids/` table (the
+    * v9c treatment: Lloyd's float iteration needn't be mirrored in
+    * SQL — the oracle takes the landed centroids as input and
+    * independently recomputes assignment, the within-cell pass, and
+    * the rollup from them). */
+  @volatile private[graft] var semCentroidsPathForOracle: Option[String] = None
+
+  /** Lloyd over a bounded hash-sample of the doc-embedding frame, all
+    * assignment map-side through [[graft.functions.ArgMaxCosine]] (the
+    * crossJoin+window form's n×k embedding-wide exchange is exactly
+    * what a corpus-scaled k cannot afford — see the expression's
+    * scaladoc). Init = first k docs by id (the lloydLoop convention);
+    * per round the only shuffle is the k×dim partial-agged centroid
+    * re-estimate, and the only driver state is the k×dim centroid
+    * matrix (bounded, ~0.5 MB per 1000 cells). Empty cells keep their
+    * previous centroid. Returns (cent_ids, centroid matrix). */
+  private[graft] def trainDocCentroids(e: DataFrame, n: Long, k: Int,
+      maxIters: Int = SemTrainIters): (Array[Long], Array[Array[Double]]) = {
+    val init = e.orderBy(col("doc_id")).limit(k).collect() // BOUNDED: k rows
+    val ids = init.map(_.getLong(0))
+    var cents = init.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (ids.isEmpty) return (ids, cents)
+    val target = math.max(k.toLong * SemTrainPerCell, SemTrainFloor)
+    val every = math.max(1L, n / math.max(1L, target))
+    val sample = (if (every == 1L) e
+      else e.filter(pmod(xxhash64(col("doc_id")), lit(every)) === 0))
+      .localCheckpoint(true) // one materialization feeds every round
+    try {
+      val idIdx = ids.zipWithIndex.toMap
+      var iter = 0
+      var moved = Double.MaxValue
+      // float re-estimates never reach an exact fixpoint (sum order is
+      // partition-dependent); 1e-9 on ~unit-norm components is "the
+      // cells stopped moving" at double precision
+      while (iter < maxIters && moved > 1e-9) {
+        val est = sample
+          .withColumn("cent_id",
+            graft.functions.ArgMaxCosine(col("emb"), ids, cents))
+          .select(col("cent_id"), posexplode(col("emb")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg((sum(col("col").cast("double")) / count(lit(1))).as("m"))
+          .collect() // BOUNDED: ≤ k×dim rows
+        val next = cents.map(_.clone())
+        moved = 0.0
+        est.foreach { r =>
+          val i = idIdx(r.getLong(0)); val p = r.getInt(1); val m = r.getDouble(2)
+          moved = math.max(moved, math.abs(m - next(i)(p)))
+          next(i)(p) = m
+        }
+        cents = next
+        iter += 1
+      }
+      (ids, cents)
+    } finally { sample.unpersist(true); () }
+  }
+
+  /** Land the trained semantic-cell index for `dir`'s documents table:
+    * the full assignment partitioned by cell + the centroid table
+    * under `_centroids/` (the materializeIvfTrained layout, lifted
+    * from the embeddings table to StubEmbed(document) vectors). */
+  private[graft] def materializeSemCells(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    materializeSemCellsOf(
+      documents(spark, dir).select(col("doc_id"), col("text")),
+      graft.Tables.parquetRowCount(spark, dir, "documents"), outPath)
+
+  private[graft] def materializeSemCellsOf(docs: DataFrame, n: Long,
+      outPath: String): Unit = {
+    val spark = docs.sparkSession
+    val k = math.min(math.max(8L, (n + SemCellTarget - 1) / SemCellTarget), n max 1L).toInt
+    val e = docs
+      .select(col("doc_id"), graft.functions.StubEmbed(col("text")).as("emb"))
+      .localCheckpoint(true) // feeds training AND the assignment write
+    try {
+      val (ids, cents) = trainDocCentroids(e, n, k)
+      if (ids.isEmpty)
+        // empty corpus: keep the artifact READABLE (one 0-row file with
+        // schema — a write of zero partitions leaves only _SUCCESS and
+        // read-back would fail schema inference)
+        e.withColumn("cent_id", lit(null).cast("long"))
+          .repartition(1).write.mode("overwrite").parquet(outPath)
+      else
+        // FLAT layout, deliberately NOT partitionBy(cent_id) (the IVF
+        // index's layout): d9b consumes EVERY cell in one pass — the
+        // within-cell join shuffles on cent_id regardless — so cell
+        // pruning buys nothing, while file-per-cell at a corpus-scaled
+        // k (n/256 dirs) is exactly the small-file pathology s16b's
+        // compaction exists to undo. ANN probes (few cells per query)
+        // keep the partitioned layout; corpus passes keep flat.
+        e.withColumn("cent_id",
+            graft.functions.ArgMaxCosine(col("emb"), ids, cents))
+          .write.mode("overwrite").parquet(outPath)
+      val centRows = ids.zip(cents).toSeq
+        .map { case (id, c) => org.apache.spark.sql.Row(id, c.toSeq) }
+      spark.createDataFrame(spark.sparkContext.parallelize(centRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cent_emb",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+        .write.mode("overwrite").parquet(s"$outPath/_centroids")
+    } finally { e.unpersist(true); () }
+  }
+
+  /** D9b: semantic dedup against corpus-scaled TRAINED centroids — the
+    * production form the d9 scaladoc names (and round-14's one measured
+    * scale blowup, closed). The index lands once per corpus content
+    * (fingerprint memo, the v9c treatment): converged Lloyd centroids
+    * over the document embeddings, full assignment written partitioned
+    * by cell. The query then reads the landed assignment and runs the
+    * SAME within-cell exact pass + rollup as d9 — per-cell populations
+    * are ~[[SemCellTarget]] by construction, so the pair volume is
+    * linear in the corpus where d9's fixed-8-cell form grows as (k/8)².
+    * Oracle: DuckDB reads the landed `_centroids/` table and
+    * independently recomputes assignment (argmax cosine, ties to the
+    * smaller cent_id), the ≥τ pair scan, and the rollup — hash-checked
+    * end to end; only Lloyd itself (pure training, its OUTPUT is the
+    * checked input) is not re-derived in SQL. */
+  def semanticDedupTrained(spark: SparkSession, dir: String,
+      tau: Double = SemanticTau): DataFrame = {
+    val path = Similarity.landOnce(spark, dir, "graft_semcells",
+      semCellsLanded, source = "documents.parquet")(
+      materializeSemCells(spark, dir, _))
+    semCentroidsPathForOracle = Some(path)
+    semanticDedupOverCells(spark, path, tau)
+  }
+
+  /** The d9b query body over an already-landed cell index (shared with
+    * the spec, which lands fixture frames through
+    * [[materializeSemCellsOf]]). */
+  private[graft] def semanticDedupOverCells(spark: SparkSession,
+      path: String, tau: Double): DataFrame = {
+    val assigned = shared(spark.read.parquet(path)
+      .filter(col("cent_id").isNotNull) // the empty-corpus artifact
+      .select(col("doc_id"), col("emb"),
+        col("cent_id").cast("long").as("cent_id"),
+        graft.functions.Vectors.norm(col("emb")).as("nrm")))
+    materializeAndRelease(withinCellRollup(assigned, tau), assigned)
   }
 
   /** d10's gram width in tokens. Lee et al. use 50 BPE tokens on web

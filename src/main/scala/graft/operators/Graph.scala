@@ -314,14 +314,20 @@ object Graph {
     // 10-hop ball can cover an arbitrarily large region of a connected
     // graph, and a FORCED broadcast of a node-scale frame hits Spark's
     // broadcast limits (or driver memory) instead of degrading to a
-    // shuffle join. The frontier is monotone, so the guard is sticky:
-    // once the tracked bound (|A| + last round's frontier count — the
-    // n already collected per round) crosses the threshold, every
-    // remaining round drops ALL hints and lets AQE pick strategies.
+    // shuffle join. The guard refreshes EVERY round from the round's
+    // own pinned inE0 count (cheap: the frame is eagerly checkpointed,
+    // so the count sums in-memory block sizes) — |inE0| bounds every
+    // hinted frame the round builds (degSmall, rimVals, the semi build
+    // sides, and next round's |F| ≤ |inE0|), where the previous
+    // every-2nd-round sampled frontier count could leave a stale low
+    // bound for up to two rounds after an unsampled explosion. The
+    // frontier is monotone, so the guard is a LATCH: once any round's
+    // bound crosses the threshold, hints are dead for good and the
+    // per-round count stops too.
     val aCount = degA.count() // bounded driver scalar (frame is pinned)
-    var frontierBound = aCount // round 1: srcSet = A
+    var hintsLive = aCount <= FrontierBroadcastMax // round 1: srcSet = A
     def hinted(df: DataFrame): DataFrame =
-      if (frontierBound <= FrontierBroadcastMax) broadcast(df) else df
+      if (hintsLive) broadcast(df) else df
     // KEYED edge slice: all edges whose src is in `ids` (one-column
     // frame — the caller pins it when it is derived, since the shard
     // collect is a second consumer). Against the landed src-sharded
@@ -395,6 +401,9 @@ object Graph {
         val inE0 = edgesFrom(fIds)
           .select(col("dst").as("src"), col("src").as("dst"))
           .localCheckpoint(true)
+        // per-round guard refresh from the frame just pinned (see the
+        // hintsLive scaladoc above); the latch makes this free once dead
+        if (hintsLive) hintsLive = inE0.count() <= FrontierBroadcastMax
         // … their src degrees, by broadcast-semi SLICING the node-sized
         // frame down to the frontier's srcs before any join
         val degSmall = degGrown
@@ -433,7 +442,6 @@ object Graph {
         // as its whole gap to the fresh run at 500k)
         if (i % 2 == 0 || i == iters) {
           val n = changed.count() // bounded driver scalar (the I3 class)
-          frontierBound = n + aCount // next round's srcSet = F_i ∪ A
           if (n == prevN && i < iters) {
             // stable set ⇒ empty rim: pin the frontier's in-edge frame
             // once; every remaining round reuses it

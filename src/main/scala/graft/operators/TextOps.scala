@@ -1378,7 +1378,7 @@ object TextOps {
     * returning false; swallowing it would strand the index with no
     * live artifact and no explanation). A failed staging write leaks
     * nothing. */
-  private def swapArtifact(spark: SparkSession, dir: String,
+  private[graft] def swapArtifact(spark: SparkSession, dir: String,
       replacement: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1389,6 +1389,7 @@ object TextOps {
       fs.delete(new Path(staging), true)
       throw e
     }
+    swapFaultHook("staged", dir)
     val live = new Path(dir)
     val retired = new Path(s"${dir}__retired_$tag")
     // track whether a retired copy actually exists: when the live dir
@@ -1400,6 +1401,7 @@ object TextOps {
         throw new java.io.IOException(s"failed to retire $dir for compaction")
       true
     }
+    swapFaultHook("retired", dir)
     if (!fs.rename(new Path(staging), live)) {
       val restored = didRetire && fs.rename(retired, live) // stay servable
       fs.delete(new Path(staging), true)
@@ -1411,9 +1413,20 @@ object TextOps {
         else s"failed to publish compacted $dir — no live artifact existed " +
           s"before the swap, nothing to restore")
     }
+    swapFaultHook("published", dir)
     if (didRetire) fs.delete(retired, true)
     ()
   }
+
+  // Test seam for the swap's three reader-visible windows: fired with
+  // ("staged", dir) after the replacement is fully staged (live dir
+  // still the OLD data), ("retired", dir) with the live dir ABSENT
+  // (the documented fail-loud window — single writer, readers retry),
+  // and ("published", dir) with the NEW live in place (retired copy
+  // not yet dropped). A spec runs a concurrent reader from each window
+  // to pin the contract: old data, new data, or a loud path-not-found
+  // — never a half-swapped mix. Identity in production.
+  private[graft] var swapFaultHook: (String, String) => Unit = (_, _) => ()
 
   // landing memo for the full-lifecycle compacted index (t11f)
   private val bm25CptLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -110,11 +110,11 @@ object CurationStream {
     val landedExact = readIfExists(s, exactPath)
     val idx = LedgerIndex.readOrRebuild(s, exactPath,
       landedExact.map(_.select(col("digest"))), "digest")
-    val freshEx = ((landedExact, idx) match {
+    val freshEx = (landedExact, idx) match {
       case (Some(d), Some(i)) =>
         LedgerIndex.filterFresh(winners, "digest", i, d.select(col("digest")))
-      case _ => winners
-    }).localCheckpoint(true)
+      case _ => winners.localCheckpoint(true)
+    }
     if (freshEx.isEmpty) return // replayed batch: publish NOTHING
 
     // near-dup gate: band collisions against the landed index with the
@@ -126,7 +126,10 @@ object CurationStream {
     val landedBuckets = prunedLandedBuckets(s, bucketsPath, freshBuckets)
     val cand = collisionCandidatesWithRoles(freshBuckets, landedBuckets)
       .localCheckpoint(true)
-    val curatedRows =
+    // the curated artifact's derivation (verify + drop anti-join) is a
+    // THUNK: it runs on its staging thread, overlapped with the
+    // buckets/exact writes (the st9 rule — see NearDupStream)
+    def curatedRows(): DataFrame =
       if (cand.isEmpty) freshEx
       else {
         val verified = verifyOverTexts(cand.select(col("a_id"), col("b_id")),
@@ -140,16 +143,18 @@ object CurationStream {
           .localCheckpoint(true)
       }
 
-    // bloom-AHEAD of the publish (the LedgerIndex ordering rule)
-    LedgerIndex.mergeIncrement(s, exactPath, freshEx.select(col("digest")),
-      "digest", idx)
-
-    // one barrier: all three artifacts stage, then publish atomically
-    // (exact — the arrival authority — renamed last). The atomic
-    // publish is what lets curated and buckets carry no ledgers of
-    // their own: no crash leaves a partial subset.
-    IngestCommit.stageAndPublish(s, rootPath, Seq(
-      "curated" -> curatedRows, "buckets" -> freshBuckets, "exact" -> freshEx),
-      partitioned = Map("buckets" -> Seq("band", "bshard")))
+    // one barrier: all three artifacts stage CONCURRENTLY with the
+    // bloom-sidecar merge riding the same barrier (alongsideStaging is
+    // awaited before the claim — still bloom-AHEAD of the publish, the
+    // LedgerIndex ordering rule), then publish atomically (exact — the
+    // arrival authority — renamed last). The atomic publish is what
+    // lets curated and buckets carry no ledgers of their own: no crash
+    // leaves a partial subset.
+    IngestCommit.stageAndPublishLazy(s, rootPath, Seq(
+      "curated" -> (() => curatedRows()),
+      "buckets" -> (() => freshBuckets), "exact" -> (() => freshEx)),
+      partitioned = Map("buckets" -> Seq("band", "bshard")),
+      alongsideStaging = () => LedgerIndex.mergeIncrement(s, exactPath,
+        freshEx.select(col("digest")), "digest", idx))
   }
 }

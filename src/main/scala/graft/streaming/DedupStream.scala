@@ -105,12 +105,12 @@ object DedupStream {
     val idx = LedgerIndex.readOrRebuild(s, survivorsPath,
       if (hasLanded) Some(s.read.parquet(survivorsPath).select(col("digest")))
       else None, "digest")
-    val fresh = idx match {
+    // filterFresh returns its own pin — no re-checkpoint (round-15)
+    val pinned = idx match {
       case Some(i) if hasLanded => LedgerIndex.filterFresh(winners, "digest",
         i, s.read.parquet(survivorsPath).select(col("digest")))
-      case _ => winners
+      case _ => winners.localCheckpoint(true)
     }
-    val pinned = fresh.localCheckpoint(true)
     // bloom-AHEAD of the table mutation (see scaladoc ordering note)
     if (!pinned.isEmpty)
       LedgerIndex.mergeIncrement(s, survivorsPath,

@@ -144,21 +144,33 @@ object IndexStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // pin the batch ONCE with its source-file lineage captured as a
+        // column: the file-set key and both verb legs read the same
+        // materialization (the previous shape ran a separate
+        // input_file_name() distinct-collect scan of the batch's source
+        // files BEFORE the pin — one full extra read per micro-batch)
+        val log = batch
+          .withColumn("__src", org.apache.spark.sql.functions.input_file_name())
+          .localCheckpoint(true)
         // the batch's source-file set — one bounded collect (≤ files
-        // per trigger); empty when the source exposes no file names
-        // (falls back to the lineage-scoped batch-id key)
-        val srcFiles = batch
-          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+        // per trigger) off the pin; empty when the source exposes no
+        // file names (falls back to the lineage-scoped batch-id key)
+        val srcFiles = log.select(col("__src"))
           .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted
+        val legacyMark = s"$key.$batchId"
         val markName =
           if (srcFiles.nonEmpty)
             "f" + java.security.MessageDigest.getInstance("MD5")
               .digest(srcFiles.mkString("\n").getBytes("UTF-8"))
               .take(8).map("%02x".format(_)).mkString
-          else s"$key.$batchId"
-        if (!cdcMarkExists(s, indexPath, markName)) {
-          // consumed twice (delete keys + append rows) — pin the batch
-          val log = batch.localCheckpoint(true)
+          else legacyMark
+        // honor marks written by the pre-file-set code too (the
+        // '<key>.<batchId>' form): an index carrying only legacy marks
+        // restarted on the SAME lineage must still skip its applied
+        // batches instead of replaying them through the verbs
+        val applied = cdcMarkExists(s, indexPath, markName) ||
+          (markName != legacyMark && cdcMarkExists(s, indexPath, legacyMark))
+        if (!applied) {
           TextOps.bm25IndexDelete(s, indexPath,
             log.filter(col("op").isin("deleted", "updated")).select(col("doc_id")))
           TextOps.bm25IndexAppend(s, indexPath,

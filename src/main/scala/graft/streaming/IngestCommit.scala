@@ -53,6 +53,20 @@ private[graft] object IngestCommit {
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // staging runs the artifact writes CONCURRENTLY (round-15 task #2:
+  // the sequential three-write stack was most of st9/st10's fixed
+  // per-batch cost — each write is a batch-sized job whose wall is
+  // dominated by job-barrier latency, so overlapping them collapses
+  // ~3 barriers into ~1). Daemon cached pool: threads die with the
+  // JVM, and a stream's batches are sequential so the pool never holds
+  // more than one batch's writers.
+  private lazy val stagePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-ingest-stage")
+        t.setDaemon(true); t
+      }))
+
   /** Stage every non-empty artifact frame under one staging dir, claim
     * the redo record, publish by file renames in the given order (put
     * the arrival-authority artifact LAST so concurrent readers between
@@ -62,28 +76,62 @@ private[graft] object IngestCommit {
     * `partitioned` names artifacts written `partitionBy` those columns
     * (the t11b keyed layout for probe-pruned ledgers); their staged
     * partition subdirs publish by per-file rename with relative paths
-    * preserved. */
+    * preserved.
+    *
+    * `alongsideStaging` runs CONCURRENTLY with the artifact writes and
+    * is awaited before the claim — the seam the streams use to fold
+    * their bloom-sidecar merge into the staging barrier instead of a
+    * serial pre-publish job. Because it completes before any rename,
+    * work done there still happens-before the publish (the LedgerIndex
+    * bloom-AHEAD ordering rule is preserved: a crash anywhere in this
+    * window has written the bloom at most, published nothing). */
   def stageAndPublish(spark: SparkSession, root: String,
       artifacts: Seq[(String, DataFrame)],
-      partitioned: Map[String, Seq[String]] = Map.empty): Unit = {
+      partitioned: Map[String, Seq[String]] = Map.empty,
+      alongsideStaging: () => Unit = () => ()): Unit =
+    stageAndPublishLazy(spark, root,
+      artifacts.map { case (sub, df) => (sub, () => df) },
+      partitioned, alongsideStaging)
+
+  /** Like [[stageAndPublish]] but each artifact frame is a THUNK,
+    * CONSTRUCTED on its staging thread: an artifact whose derivation is
+    * itself eager Spark work (st9's candidate verify — bounded collects
+    * + checkpoints) then overlaps the other artifacts' writes instead
+    * of serializing ahead of them (round-15 task #2; the verify chain
+    * was ~1 s of st9's critical path that the buckets/docs writes can
+    * hide). Thunks must be safe to run concurrently — the streams pass
+    * closures over frames already pinned upstream. */
+  def stageAndPublishLazy(spark: SparkSession, root: String,
+      artifacts: Seq[(String, () => DataFrame)],
+      partitioned: Map[String, Seq[String]] = Map.empty,
+      alongsideStaging: () => Unit = () => ()): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val fs = fsOf(spark, root)
     val stagingName =
       s"__ingest_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     val staging = s"$root/$stagingName"
-    try {
-      artifacts.foreach { case (sub, df) =>
-        if (!df.isEmpty) partitioned.get(sub) match {
-          case Some(cols) =>
-            // repartition on the partition key first: ONE file per
-            // touched partition per batch — partitionBy alone writes
-            // (tasks × partitions) fragments, and the 300× ladder
-            // measured the resulting small-file read dominating every
-            // later batch's probe
-            df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
-              .write.partitionBy(cols: _*).parquet(s"$staging/$sub")
-          case None => df.write.parquet(s"$staging/$sub")
-        }
+    val work: Seq[() => Unit] = artifacts.map { case (sub, mk) => () =>
+      val df = mk()
+      if (!df.isEmpty) partitioned.get(sub) match {
+        case Some(cols) =>
+          // repartition on the partition key first: ONE file per
+          // touched partition per batch — partitionBy alone writes
+          // (tasks × partitions) fragments, and the 300× ladder
+          // measured the resulting small-file read dominating every
+          // later batch's probe
+          df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+            .write.partitionBy(cols: _*).parquet(s"$staging/$sub")
+        case None => df.write.parquet(s"$staging/$sub")
       }
+    } :+ alongsideStaging
+    // await EVERY future (success or failure) before any cleanup — a
+    // straggler write racing a staging-dir delete would resurrect files
+    val outcomes = work.map(f => Future(f())(stagePool))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    try {
+      outcomes.collectFirst { case scala.util.Failure(e) => e }
+        .foreach(e => throw e)
       stagingFaultHook(stagingName)
     } catch { case e: Throwable =>
       fs.delete(new Path(staging), true)

@@ -103,11 +103,15 @@ private[graft] object LedgerIndex {
       if (idx.bloom == null) out.writeInt(-1)
       else { out.writeInt(idx.bloom.length); out.write(idx.bloom) }
     } finally out.close()
-    // tmp+rename: a crash leaves either the old complete file or the
-    // new complete file, never a torn one (missing → rebuild)
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"failed to publish ledger sidecar $p")
+    // tmp + OVERWRITE-rename (FileContext — the FileSystem.rename
+    // contract won't replace an existing dst, and a delete-then-rename
+    // window would leave NO sidecar on a crash in between, forcing a
+    // full ledger-column refold at the next batch): a crash leaves
+    // either the old complete file or the new complete file, never a
+    // torn one and never neither (missing → rebuild)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     memo.put(root, idx)
     ()
   }
@@ -208,10 +212,17 @@ private[graft] object LedgerIndex {
     * constructs the frame (eager construction costs a per-batch file
     * listing + schema inference over the ledger dir). A batch with no
     * bloom hits skips the landed read entirely — the steady all-fresh
-    * state is flat in the corpus size. */
+    * state is flat in the corpus size.
+    *
+    * The returned frame is ALWAYS pinned (localCheckpoint'ed): in the
+    * common no-hit path the flagged pin itself is returned, and the
+    * hit path pins its (batch-sized) union — so callers must not
+    * re-checkpoint the result (round-15: the old shape materialized
+    * the batch TWICE per micro-batch, once here and once in the
+    * caller's own pin — pure fixed-cost stack). */
   def filterFresh(batch: DataFrame, keyCol: String,
       index: Dedup.DigestIndex, landedKeys: => DataFrame): DataFrame = {
-    if (index.bloom == null) return batch
+    if (index.bloom == null) return batch.localCheckpoint(true)
     import org.apache.spark.sql.GraftShims.{toCol, toExpr}
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val might: Column = toCol(BloomFilterMightContain(
@@ -232,6 +243,7 @@ private[graft] object LedgerIndex {
           .distinct() // candidate-bounded
         flagged.filter(!col("__might"))
           .unionByName(hits.join(broadcast(confirmed), Seq(keyCol), "left_anti"))
+          .localCheckpoint(true) // batch-sized
       }
     out.drop("__might")
   }

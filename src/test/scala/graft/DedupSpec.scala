@@ -378,6 +378,93 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("trained semantic dedup (d9b): driver mirror over the landed artifact + d9 parity") {
+    import spark.implicits._
+    // 12 disjoint-vocab groups (near-orthogonal StubEmbed vectors, far
+    // below τ across groups) with planted EXACT copies inside three of
+    // them. Identical texts embed identically and the argmax assignment
+    // is a deterministic per-row function, so copies co-assign under
+    // ANY centroid table — which is what makes the drop set invariant
+    // between d9's first-8 cells and d9b's trained cells.
+    var nextId = 0L
+    val rows = Seq.newBuilder[(Long, String)]
+    val copiesOf = Map(0 -> 3, 3 -> 2, 7 -> 2) // group -> total copies
+    val droppedExpected = Seq.newBuilder[Long]
+    (0 until 12).foreach { g =>
+      val text = (0 until 6).map(t => s"w${g}_$t").mkString(" ")
+      val n = copiesOf.getOrElse(g, 1)
+      val ids = (0 until n).map { _ => val id = nextId; nextId += 1; id }
+      ids.foreach(id => rows += ((id, text)))
+      droppedExpected ++= ids.drop(1) // keep the min id per group
+    }
+    val docs = rows.result().toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_d9b").toString + "/cells"
+    Dedup.materializeSemCellsOf(docs, nextId, p)
+    val got = Dedup.semanticDedupOverCells(spark, p, Dedup.SemanticTau).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    // driver mirror: read the artifact's OWN centroids, re-derive
+    // assignment / pair scan / rollup with the same double arithmetic
+    // (the d9 spec's discipline lifted to the trained tier)
+    val e = docs.select(col("doc_id"), graft.functions.StubEmbed(col("text")).as("emb"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else d / den
+    }
+    val cents = spark.read.parquet(s"$p/_centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cellOf = e.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), -cid) }.max._2 * -1
+    }.toMap
+    val dropSet = (for {
+      (ai, av) <- e.iterator
+      (bi, bv) <- e.iterator
+      if ai < bi && cellOf(ai) == cellOf(bi) && cos(av, bv) >= Dedup.SemanticTau
+    } yield (cellOf(bi), bi)).toSet
+    val expected = e.groupBy { case (id, _) => cellOf(id) }.map { case (cell, members) =>
+      val dropped = dropSet.filter(_._1 == cell).map(_._2)
+      cell -> (members.length.toLong, (members.length - dropped.size).toLong,
+        dropped.size.toLong, dropped.sum)
+    }
+    assert(got === expected)
+
+    // planted truth: exactly the non-min copies drop, nothing else
+    val expectDropped = droppedExpected.result()
+    assert(dropSet.map(_._2) === expectDropped.toSet)
+
+    // d9 parity on the same fixture: the fixed-8-cell form reaches the
+    // same global drop decisions (copies co-assign under any centroids;
+    // cross-group cosines sit far below τ)
+    def totals(rs: Array[(Long, (Long, Long, Long, Long))]) =
+      (rs.map(_._2._1).sum, rs.map(_._2._3).sum, rs.map(_._2._4).sum)
+    val d9 = Dedup.semanticDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(totals(d9) === ((nextId, expectDropped.size.toLong, expectDropped.sum)))
+    assert(totals(got.toArray) === totals(d9))
+  }
+
+  test("ArgMaxCosine: smallest-id tie-break and float/double parity with the window form") {
+    import spark.implicits._
+    // two IDENTICAL centroids under different ids: the strict-greater
+    // scan must keep the first (smallest id) — the oracle's
+    // ROW_NUMBER ... ORDER BY cos DESC, cent_id ASC
+    val embs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("doc_id", "emb")
+    val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.1, 0.9))
+    val ids = Array(7L, 3L, 5L)
+    val got = embs.select(col("doc_id"),
+        graft.functions.ArgMaxCosine(col("emb"), ids, cents).as("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 5L))
+  }
+
   test("duplicate spans (d10) on planted docs: cross-doc, within-doc, island merge") {
     import spark.implicits._
     // k=3 keeps the plants readable; the arithmetic is width-generic

@@ -40,6 +40,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.incrementalDedup(spark, emptyDir).count() === 0)
     assert(Dedup.sourceOverlap(spark, emptyDir).count() === 0)
     assert(Dedup.semanticDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.semanticDedupTrained(spark, emptyDir).count() === 0)
     assert(Dedup.duplicateSpans(spark, emptyDir).count() === 0)
     assert(TextOps.bigramSurprisal(spark, emptyDir).count() === 0)
     assert(TextOps.bigramSurprisalSampled(spark, emptyDir).count() === 0)

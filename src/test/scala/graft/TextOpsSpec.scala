@@ -845,4 +845,51 @@ class TextOpsSpec extends SparkSpec {
     assert(expect.length === 10, "fixture must have >=10 matching docs")
     assert(page.toSeq === expect.toSeq)
   }
+
+  test("compaction swap: a reader at every swap window sees old, new, or fails loud — never a mix") {
+    import spark.implicits._
+    // round-15 task #6: the retire-then-publish swaps
+    // (TextOps.swapArtifact — stats/docids folds; Partitioned.compact
+    // and ivfIndexMaintain share the shape) documented a single-writer
+    // + retry contract for concurrent readers but no spec interleaved
+    // one WITH the swap. Pin it: from each window a reader returns the
+    // complete OLD file set's answer, the complete NEW one's, or a
+    // loud path-not-found (the brief retire→publish gap) — and a
+    // post-swap retry then sees the new data. Half-swapped reads are
+    // unrepresentable because data moves by whole-directory rename.
+    val batch1 = Seq((0L, "alpha beta gamma", "en"), (1L, "alpha beta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val batch2 = Seq((2L, "alpha delta", "en"), (3L, "beta epsilon", "de"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_swap_spec").toFile
+    val idx = tmp.getAbsolutePath + "/idx"
+    TextOps.materializeBm25IndexOf(batch1, idx)
+    TextOps.bm25IndexAppend(spark, idx, batch2) // 2 stats partials → the fold fires
+    val statsPath = s"$idx/stats"
+    val oldRows = spark.read.parquet(statsPath).collect().map(_.toString).toSet
+    val seen = scala.collection.mutable.Map.empty[String, Either[String, Set[String]]]
+    TextOps.swapFaultHook = (phase, dir) => if (dir == statsPath) {
+      seen(phase) = (try Right(spark.read.parquet(statsPath)
+          .collect().map(_.toString).toSet)
+        catch { case e: Throwable => Left(e.getClass.getSimpleName) })
+      ()
+    }
+    try TextOps.bm25IndexCompact(spark, idx)
+    finally TextOps.swapFaultHook = (_, _) => ()
+    val newRows = spark.read.parquet(statsPath).collect().map(_.toString).toSet
+    assert(newRows !== oldRows, "the fold must actually change the file set")
+    // staged window: live dir still the complete OLD artifact
+    assert(seen("staged") === Right(oldRows))
+    // retired window: the live dir is absent — the reader must fail
+    // LOUDLY (retry contract), never observe a partial directory
+    assert(seen("retired").isLeft,
+      s"reader in the retire gap must fail loud, saw ${seen("retired")}")
+    // published window: the complete NEW artifact, before cleanup
+    assert(seen("published") === Right(newRows))
+    // the retired copy is gone after the swap (no leaked dirs)
+    val leaked = Option(new java.io.File(idx).getParentFile.listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.contains("__retired_") || n.contains("__compact_staging"))
+    assert(leaked.isEmpty, s"swap leaked dirs: ${leaked.mkString(",")}")
+  }
 }
