@@ -106,8 +106,9 @@ object StageProbe {
               new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
             override def onJobStart(
                 js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-              val site = Option(js.properties)
-                .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+              // the result stage's name IS the action call site
+              val site = js.stageInfos.sortBy(_.stageId).lastOption
+                .map(_.name).getOrElse("?")
               starts.put(js.jobId, (System.nanoTime(), site)); ()
             }
             override def onJobEnd(

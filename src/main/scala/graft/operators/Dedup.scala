@@ -1130,19 +1130,46 @@ object Dedup {
   /** Build a [[DigestIndex]] over a (digest) frame in ONE pass. Two
     * indexes MERGE only if built at the same (expectedItems, fpp) —
     * one sizing per index lineage (mergeIndexes checks expectedItems;
-    * Spark's sketch merge rejects mismatched bit widths). */
+    * Spark's sketch merge rejects mismatched bit widths).
+    *
+    * The fold is a per-partition sketch build + tree-reduce rather
+    * than the SQL `BloomFilterAggregate`: the SQL aggregate SILENTLY
+    * clamps its bit count at `spark.sql.optimizer.runtime.bloomFilter.
+    * maxNumBits` (64M bits = 8 MiB — it was built for runtime join
+    * filters, not persisted indexes), so past ~3M keys the sidecar
+    * degraded toward ~0.2% fpp and nearly EVERY 500-doc batch paid a
+    * landed ledger pass — measured as the st8/st9 growth term on the
+    * 1000× (5M-doc) ladder rung. The sketch API honors the requested
+    * sizing; the serialized form is identical (mergeIncrement and
+    * BloomFilterMightContain already read it interchangeably). The
+    * reduce ships one partition-sized bloom per task once per
+    * BUILD/REBUILD — at 10⁹ keys (~1.2 GB bloom) the build shards by
+    * key hash instead; per-batch cost is unchanged either way. */
   def digestIndexOf(digests: DataFrame,
       expectedItems: Long = IndexExpectedItems,
       fpp: Double = 0.01): DigestIndex = {
-    import org.apache.spark.sql.GraftShims.{toCol, toExpr}
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val bloomAgg = toCol(new BloomFilterAggregate(
-      toExpr(xxhash64(col("digest"))),
-      Literal(expectedItems), Literal(bloomBitsFor(expectedItems, fpp)))
-      .toAggregateExpression())
-    val row = digests.agg(count(lit(1)).as("n_landed"), bloomAgg.as("bloom")).head
-    DigestIndex(row.getLong(0), expectedItems, row.getAs[Array[Byte]](1))
+    val bits = bloomBitsFor(expectedItems, fpp)
+    val rdd = digests.select(xxhash64(col("digest")).as("h"))
+      .rdd.map(_.getLong(0))
+    // a zero-partition frame (empty local relation) has nothing to
+    // reduce; same contract as zero ROWS below — a null bloom
+    if (rdd.getNumPartitions == 0) return DigestIndex(0L, expectedItems, null)
+    val (n, bf) = rdd
+      .mapPartitions { it =>
+        val b = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, bits)
+        var c = 0L
+        while (it.hasNext) { b.putLong(it.next()); c += 1 }
+        Iterator.single((c, b))
+      }
+      .treeReduce({ case ((c1, b1), (c2, b2)) =>
+        b1.mergeInPlace(b2); (c1 + c2, b1)
+      }, depth = 2)
+    if (n == 0L) DigestIndex(0L, expectedItems, null) // the empty-corpus contract
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      DigestIndex(n, expectedItems, bos.toByteArray)
+    }
   }
 
   /** OR two same-sizing indexes together — driver-side and bounded

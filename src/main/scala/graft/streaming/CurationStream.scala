@@ -150,9 +150,13 @@ object CurationStream {
     // arrival authority — renamed last). The atomic publish is what
     // lets curated and buckets carry no ledgers of their own: no crash
     // leaves a partial subset.
+    // exact lands RANGE-partitioned by doc_id (the st9 docs rule): it is
+    // the verify's old-side text source, and tight per-file id ranges
+    // are what let the candidate-range filter prune its scan
     IngestCommit.stageAndPublishLazy(s, rootPath, Seq(
       "curated" -> (() => curatedRows()),
-      "buckets" -> (() => freshBuckets), "exact" -> (() => freshEx)),
+      "buckets" -> (() => freshBuckets),
+      "exact" -> (() => freshEx.repartitionByRange(col("doc_id")))),
       partitioned = Map("buckets" -> Seq("band", "bshard")),
       alongsideStaging = () => LedgerIndex.mergeIncrement(s, exactPath,
         freshEx.select(col("digest")), "digest", idx))

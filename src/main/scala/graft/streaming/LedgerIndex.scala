@@ -223,28 +223,62 @@ private[graft] object LedgerIndex {
   def filterFresh(batch: DataFrame, keyCol: String,
       index: Dedup.DigestIndex, landedKeys: => DataFrame): DataFrame = {
     if (index.bloom == null) return batch.localCheckpoint(true)
-    import org.apache.spark.sql.GraftShims.{toCol, toExpr}
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    val might: Column = toCol(BloomFilterMightContain(
-      toExpr(lit(index.bloom)), toExpr(xxhash64(col(keyCol)))))
-    // the bloom blob is a plan LITERAL, serialized into the task
-    // binary of every stage whose plan contains it (a 12 MB bloom ships
-    // as a 16 MB task binary — the ladder saw it shipped 3-4× per
-    // batch). Materializing the hit FLAG once bounds that to ONE ship
-    // per batch; every downstream consumer filters the stored flag.
-    val flagged = batch.withColumn("__might", might).localCheckpoint(true)
-    val hits = flagged.filter(col("__might"))
-    val out =
-      if (hits.isEmpty) flagged // no candidates: the ledger is never opened
+    val pinned = batch.localCheckpoint(true)
+    // DRIVER-side bloom probe for bounded batches (round-15, the 1000×
+    // rung): the bloom grows with the LEDGER (~6 MB/M keys at 1e-5 —
+    // a 5M-doc corpus carries ~30-50 MB), and shipping it as a plan
+    // literal re-serializes it into a task binary EVERY batch, a
+    // per-batch cost proportional to corpus size — the exact shape the
+    // sidecar exists to kill. The bloom is already in driver memory
+    // (the read memo), and a micro-batch is small, so collect the
+    // batch's ≤DriverPutMax key hashes off the pin (8 bytes each) and
+    // probe locally: zero bloom bytes ship, and the common all-fresh
+    // batch decides with ONE bounded collect. Hit rows (true
+    // re-arrivals + ~1e-5 FPs) verify exactly against the ledger as
+    // before, keyed through an InSet flag (hash-set per row, never an
+    // In-expression tree). Batches past the bound — the bulk
+    // bootstrap, where the whole corpus arrives as one "batch" — take
+    // the one-literal-ship distributed flag, once.
+    val hashes = pinned.select(xxhash64(col(keyCol)).as("h"))
+      .limit((DriverPutMax + 1).toInt)
+      .collect().map(_.getLong(0)) // BOUNDED by DriverPutMax + 1
+    if (hashes.length <= DriverPutMax) {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(index.bloom))
+      val hitHashes = hashes.filter(bf.mightContainLong)
+      if (hitHashes.isEmpty) pinned // no candidates: the ledger is never opened
       else {
+        val hitCol = xxhash64(col(keyCol)).isInCollection(hitHashes.toSeq)
+        val hits = pinned.filter(hitCol)
         val confirmed = landedKeys.select(col(keyCol))
           .join(broadcast(hits.select(col(keyCol)).distinct()),
             Seq(keyCol), "left_semi")
           .distinct() // candidate-bounded
-        flagged.filter(!col("__might"))
+        pinned.filter(!hitCol)
           .unionByName(hits.join(broadcast(confirmed), Seq(keyCol), "left_anti"))
           .localCheckpoint(true) // batch-sized
       }
-    out.drop("__might")
+    } else {
+      import org.apache.spark.sql.GraftShims.{toCol, toExpr}
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val might: Column = toCol(BloomFilterMightContain(
+        toExpr(lit(index.bloom)), toExpr(xxhash64(col(keyCol)))))
+      // ONE literal ship: the flag materializes once; every downstream
+      // consumer filters the stored flag
+      val flagged = pinned.withColumn("__might", might).localCheckpoint(true)
+      val hits = flagged.filter(col("__might"))
+      val out =
+        if (hits.isEmpty) flagged
+        else {
+          val confirmed = landedKeys.select(col(keyCol))
+            .join(broadcast(hits.select(col(keyCol)).distinct()),
+              Seq(keyCol), "left_semi")
+            .distinct()
+          flagged.filter(!col("__might"))
+            .unionByName(hits.join(broadcast(confirmed), Seq(keyCol), "left_anti"))
+            .localCheckpoint(true)
+        }
+      out.drop("__might")
+    }
   }
 }

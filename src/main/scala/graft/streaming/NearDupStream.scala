@@ -107,13 +107,25 @@ object NearDupStream {
     * set is semantics-preserving for the inner collision join. */
   private[graft] def prunedLandedBuckets(s: SparkSession, path: String,
       freshBuckets: DataFrame): Option[DataFrame] =
-    readIfExists(s, path).flatMap { lb =>
+    readIfExists(s, path).flatMap { lb0 =>
+      // a table landed by the pre-long-key code carries md5 STRING
+      // buckets: converting them (same 60-bit md5 prefix md5Long keeps)
+      // makes the legacy index join the new fresh side exactly — no
+      // rebuild needed. It must ALSO skip (band, bshard) pruning: the
+      // landed bshard dirs were hashed from the string key, so pruning
+      // them by the long key's hash would silently drop collisions.
+      val legacyKey =
+        lb0.schema("bucket").dataType == org.apache.spark.sql.types.StringType
+      val lb =
+        if (legacyKey) lb0.withColumn("bucket",
+          conv(substring(col("bucket"), 1, 15), 16, 10).cast("bigint"))
+        else lb0
       // a bucket table landed by the pre-partitioned (flat) layout has
       // no bshard column — pruning on it would throw AnalysisException
       // on a perfectly valid index. Fall back to the unpruned scan (the
       // pre-change behavior); the next compaction cycle rewrites the
       // table into the partitioned layout and pruning resumes.
-      if (!lb.columns.contains("bshard")) Some(lb)
+      if (legacyKey || !lb.columns.contains("bshard")) Some(lb)
       else {
         val keys = freshBuckets
           .select((col("band").cast("long") * BucketShards + col("bshard")).as("k"))
@@ -126,7 +138,17 @@ object NearDupStream {
 
   /** (doc_id, band, bucket) rows for a (doc_id, text, ...) frame — the
     * batch tier's exact signature and banding functions, map-side.
-    * Docs too short to signature (null sig) emit no rows. */
+    * Docs too short to signature (null sig) emit no rows.
+    *
+    * The bucket key is the 60-bit md5 PREFIX as a long (Dedup.md5Long —
+    * the d2 gram-hash discipline), not the 32-char hex string: the
+    * landed bucket table is re-scanned by every batch's collision
+    * probe, and the string key was most of its bytes (round-15 ladder:
+    * the probe scan was the st9 300× growth term). Truncation is
+    * firewalled by the exact verify — a key collision only ADDS a
+    * candidate, which the Jaccard check then scores exactly, so an
+    * output divergence needs a truly-qualifying pair that shares NO
+    * true band yet collides in 60 bits (~2⁻⁵⁶ per pair). */
   private[graft] def bucketRowsOf(docs: DataFrame): DataFrame = {
     val rowsPerBand = Dedup.MinHashK / Dedup.LshBands
     val seedsA = (0 until Dedup.MinHashK).map(Dedup.seedA)
@@ -136,7 +158,7 @@ object NearDupStream {
           seedsA, seedsB, Dedup.MinHashP).as("sig"))
       .filter(col("sig").isNotNull)
     val bandBucket = (0 until Dedup.LshBands).map { b =>
-      md5(concat_ws(",",
+      Dedup.md5Long(concat_ws(",",
         (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
     }
     sigs.select(col("doc_id"),
@@ -322,11 +344,20 @@ object NearDupStream {
     // inside) is itself ~1 s of eager work that the buckets/docs writes
     // hide when it runs on the pairs staging thread instead of ahead
     // of the whole barrier.
+    // docs land RANGE-partitioned by doc_id: the verify's old-side read
+    // prunes by a candidate id RANGE through parquet file statistics,
+    // which only bites when files carry tight disjoint ranges — per
+    // batch that is nearly free (a batch is one id run), and at the
+    // bulk-bootstrap landing it is the one shuffle that keeps every
+    // later batch's text read candidate-sized instead of corpus-sized
+    // (round-15 ladder: full-range bootstrap files made the landed text
+    // scan the st9/st10 growth term)
     IngestCommit.stageAndPublishLazy(s, indexPath, Seq(
       "pairs" -> (() =>
         if (cand.isEmpty) cand.withColumn("jaccard", lit(0.0d))
         else verifyOverTexts(cand, fresh, landedDocs, threshold)),
-      "buckets" -> (() => freshBuckets), "docs" -> (() => fresh)),
+      "buckets" -> (() => freshBuckets),
+      "docs" -> (() => fresh.repartitionByRange(col("doc_id")))),
       partitioned = Map("buckets" -> Seq("band", "bshard")),
       alongsideStaging = () => LedgerIndex.mergeIncrement(s, docsPath,
         fresh.select(col("doc_id")), "doc_id", idx))
