@@ -1410,18 +1410,28 @@ object SparkEntry {
     * centroids). `def`: the path is recorded when the d9b query lands
     * the index, and Verify dumps oracle SQL only after every query has
     * run. */
-  private def d9bSql: String = d9SqlOver(
-    operators.Dedup.semCentroidsPathForOracle match {
+  private def d9bSql: String = d9SqlOver {
+    // resolve the landing for the dir being DUMPED (round-15 ADVICE:
+    // the old single volatile slot was overwritten by whichever dir
+    // d9b touched last, so a scale ladder or multi-dir verify in the
+    // same session silently compared against the wrong corpus's
+    // centroids). Verify sets oracleDirHint to its sfDir; outside a
+    // dump, a session that only ever ran one dir is unambiguous.
+    val memo = operators.Dedup.semCentroidsPathForOracle
+    val resolved = oracleDirHint.flatMap(d => Option(memo.get(d)))
+      .orElse(if (memo.size == 1) Some(memo.values.iterator.next()) else None)
+    resolved match {
       case Some(p) =>
         s"""SELECT cent_id, cent_emb FROM read_parquet('$p/_centroids/*.parquet')"""
       case None =>
         // fail loudly at oracle time instead of interpolating a
         // sentinel path into read_parquet (the round-11 ADVICE class)
-        """SELECT error('d9b trained-centroid artifact was not landed in this
-           Verify run (d9b did not execute — query-filtered run?); this oracle
-           is only valid in a dump where it ran')::INTEGER AS cent_id,
+        """SELECT error('d9b trained-centroid artifact was not landed (or is
+           ambiguous across data dirs) in this Verify run; this oracle is only
+           valid in a dump where d9b ran against the dumped dir')::INTEGER AS cent_id,
            CAST(NULL AS DOUBLE[]) AS cent_emb"""
-    })
+    }
+  }
 
   /** The d9/d9b pipeline over a pluggable centroid relation: stub
     * embeddings, argmax-cosine assignment (ties to the smaller
@@ -1739,6 +1749,13 @@ object SparkEntry {
          COALESCE((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000, -1) AS gap_s
        FROM j WHERE rn = 1
        ORDER BY p_id"""
+
+  /** The data dir an oracle dump is being generated FOR — set by
+    * Verify before it renders [[oracleSql]], so artifact-as-input
+    * oracles (d9b) resolve the landing recorded for the dumped dir
+    * instead of whichever dir a multi-dir session touched last
+    * (round-15 ADVICE). */
+  @volatile private[graft] var oracleDirHint: Option[String] = None
 
   def oracleSql: Map[String, String] = Map(
     // Convention (see Relational.moneyOut): aggregates run in DECIMAL for

@@ -63,10 +63,16 @@ object StageProbe {
         }
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
-        val rows = operators.Dedup.prefixJaccardPairs(spark, dir).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500) // drain the async listener bus
-        spark.sparkContext.removeSparkListener(listener)
+        // try/finally mirrors the st9/st10 branch: a throwing probe must
+        // not leak per-task accounting into later in-session work
+        val (rows, wall) =
+          try {
+            val r = operators.Dedup.prefixJaccardPairs(spark, dir).count()
+            (r, (System.nanoTime() - t0) / 1e9)
+          } finally {
+            Thread.sleep(500) // drain the async listener bus
+            spark.sparkContext.removeSparkListener(listener)
+          }
         import scala.jdk.CollectionConverters._
         val report = stageTasks.asScala.toSeq.sortBy(_._1).map { case (sid, q) =>
           val ds = q.asScala.toSeq.sorted

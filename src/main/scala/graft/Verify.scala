@@ -43,6 +43,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
         .mkString("{", ",", "}"))
+    // dir-dependent oracles (d9b's landed-centroid input) must resolve
+    // for THIS run's data dir, not whichever dir the session saw last
+    SparkEntry.oracleDirHint = Some(sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Verify.jsonString(k)}: ${Verify.jsonString(v)}" }
       .mkString("{", ",", "}")

@@ -1356,8 +1356,14 @@ object Dedup {
     * v9c treatment: Lloyd's float iteration needn't be mirrored in
     * SQL — the oracle takes the landed centroids as input and
     * independently recomputes assignment, the within-cell pass, and
-    * the rollup from them). */
-  @volatile private[graft] var semCentroidsPathForOracle: Option[String] = None
+    * the rollup from them). KEYED BY DATA DIR (round-15 ADVICE): a
+    * single process-wide slot was silently overwritten when d9b ran
+    * against more than one data dir in a session (scale ladder,
+    * multi-dir verify), making the oracle compare against the wrong
+    * corpus's centroid table. The dump resolves the dir it is dumping
+    * for (see SparkEntry.d9bSql). */
+  private[graft] val semCentroidsPathForOracle =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Lloyd over a bounded hash-sample of the doc-embedding frame, all
     * assignment map-side through [[graft.functions.ArgMaxCosine]] (the
@@ -1476,7 +1482,7 @@ object Dedup {
     val path = Similarity.landOnce(spark, dir, "graft_semcells",
       semCellsLanded, source = "documents.parquet")(
       materializeSemCells(spark, dir, _))
-    semCentroidsPathForOracle = Some(path)
+    semCentroidsPathForOracle.put(dir, path)
     semanticDedupOverCells(spark, path, tau)
   }
 

@@ -1368,7 +1368,7 @@ object TextOps {
     Await.result(counts, scala.concurrent.duration.Duration(5, "min")).sum
   }
 
-  /** Retire-then-publish swap of one unpartitioned index artifact:
+  /** Retire-then-publish swap of one index artifact:
     * stage the replacement fully (reading the LIVE directory — the
     * write materializes the plan before any rename), rename the live
     * dir aside, rename the staged dir in, drop the retired copy. A
@@ -1377,15 +1377,23 @@ object TextOps {
     * dir that still holds the data (Hadoop rename signals failure by
     * returning false; swallowing it would strand the index with no
     * live artifact and no explanation). A failed staging write leaks
-    * nothing. */
+    * nothing. `partitionCols` (round-15 ADVICE: the stream bucket
+    * tables' legacy-layout migration) stages the replacement
+    * `partitionBy` those columns — one file per partition, the
+    * stageAndPublish fragmentation rule. */
   private[graft] def swapArtifact(spark: SparkSession, dir: String,
-      replacement: DataFrame): Unit = {
+      replacement: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"${dir}__compact_staging_$tag"
-    try replacement.write.mode("overwrite").parquet(staging)
-    catch { case e: Throwable =>
+    try {
+      if (partitionCols.isEmpty)
+        replacement.write.mode("overwrite").parquet(staging)
+      else
+        replacement.repartition(partitionCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging)
+    } catch { case e: Throwable =>
       fs.delete(new Path(staging), true)
       throw e
     }

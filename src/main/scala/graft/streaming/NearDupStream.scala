@@ -108,32 +108,47 @@ object NearDupStream {
   private[graft] def prunedLandedBuckets(s: SparkSession, path: String,
       freshBuckets: DataFrame): Option[DataFrame] =
     readIfExists(s, path).flatMap { lb0 =>
-      // a table landed by the pre-long-key code carries md5 STRING
-      // buckets: converting them (same 60-bit md5 prefix md5Long keeps)
-      // makes the legacy index join the new fresh side exactly — no
-      // rebuild needed. It must ALSO skip (band, bshard) pruning: the
-      // landed bshard dirs were hashed from the string key, so pruning
-      // them by the long key's hash would silently drop collisions.
+      // a table landed by pre-long-key or pre-partitioned code is
+      // MIGRATED in place (one staged rewrite, swapArtifact's
+      // retire-then-publish renames) BEFORE this batch publishes:
+      // read-side conversion alone wedged the index permanently
+      // (round-15 ADVICE, medium) — the same batch then published
+      // long-keyed (band, bshard) files into the same live dir, so the
+      // next batch's parquet read met mixed string/bigint `bucket`
+      // schemas and flat-vs-partitioned directory structures, and no
+      // stream-bucket compaction verb existed to do the promised
+      // rewrite. The migration is safe under the stream's single-writer
+      // contract and runs at most once per index lifetime.
       val legacyKey =
         lb0.schema("bucket").dataType == org.apache.spark.sql.types.StringType
       val lb =
-        if (legacyKey) lb0.withColumn("bucket",
-          conv(substring(col("bucket"), 1, 15), 16, 10).cast("bigint"))
-        else lb0
-      // a bucket table landed by the pre-partitioned (flat) layout has
-      // no bshard column — pruning on it would throw AnalysisException
-      // on a perfectly valid index. Fall back to the unpruned scan (the
-      // pre-change behavior); the next compaction cycle rewrites the
-      // table into the partitioned layout and pruning resumes.
-      if (legacyKey || !lb.columns.contains("bshard")) Some(lb)
-      else {
-        val keys = freshBuckets
-          .select((col("band").cast("long") * BucketShards + col("bshard")).as("k"))
-          .distinct().collect().map(_.getLong(0)) // BOUNDED: ≤ bands × shards
-        if (keys.isEmpty) None
-        else Some(lb.filter((col("band").cast("long") * BucketShards +
-          col("bshard").cast("long")).isin(keys: _*)))
-      }
+        if (legacyKey || !lb0.columns.contains("bshard")) {
+          val converted0 =
+            if (legacyKey)
+              // same 60-bit md5 prefix md5Long keeps — the long-keyed
+              // table joins the new fresh side exactly; no signature
+              // recompute needed
+              lb0.withColumn("bucket",
+                conv(substring(col("bucket"), 1, 15), 16, 10).cast("bigint"))
+            else lb0
+          val converted =
+            if (converted0.columns.contains("bshard"))
+              // bshard dirs hashed from the STRING key don't match the
+              // long key's hash — recompute so pruning stays lossless
+              withShard(converted0.drop("bshard"))
+            else withShard(converted0)
+          graft.operators.TextOps.swapArtifact(s, path,
+            converted.select(col("doc_id"), col("bucket"), col("band"),
+              col("bshard")),
+            partitionCols = Seq("band", "bshard"))
+          s.read.parquet(path)
+        } else lb0
+      val keys = freshBuckets
+        .select((col("band").cast("long") * BucketShards + col("bshard")).as("k"))
+        .distinct().collect().map(_.getLong(0)) // BOUNDED: ≤ bands × shards
+      if (keys.isEmpty) None
+      else Some(lb.filter((col("band").cast("long") * BucketShards +
+        col("bshard").cast("long")).isin(keys: _*)))
     }
 
   /** (doc_id, band, bucket) rows for a (doc_id, text, ...) frame — the

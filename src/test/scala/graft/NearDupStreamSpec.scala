@@ -361,4 +361,67 @@ class NearDupStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === want)
   }
+
+  test("legacy bucket table (flat, string md5 key) migrates once; later batches publish and read cleanly") {
+    // round-15 ADVICE (medium): read-side conversion left the live dir
+    // mixing string and bigint `bucket` files after the first
+    // post-upgrade publish, wedging every later batch's parquet read.
+    // The fix migrates the landed table to the long-key (band, bshard)
+    // layout BEFORE the batch publishes; this pins (a) the migration
+    // happens and is exact (the 60-bit prefix join loses no pair),
+    // (b) a SECOND post-upgrade batch — the previously-wedged read —
+    // still works, (c) the migrated table prunes like a native one.
+    import spark.implicits._
+    val b0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words about entirely other things"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (13L, "a third unrelated document with its own vocabulary"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "pack my box with five dozen liquor jugs tonight"),
+      (21L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_legacy_spec").toFile
+    val idx = tmp.getAbsolutePath + "/index"
+    NearDupStream.neardupAppend(spark, b0, idx, 0.8)
+    // DEGRADE the landed bucket table to the legacy shape the pre-
+    // long-key code published: flat directory (no band=/bshard= dirs),
+    // 32-char md5-hex STRING bucket whose first 15 hex digits carry
+    // the same 60 bits md5Long keeps
+    val bucketsDir = s"$idx/buckets"
+    val legacy = spark.read.parquet(bucketsDir)
+      .select(col("doc_id"), col("band"),
+        concat(lpad(lower(hex(col("bucket"))), 15, "0"),
+          lit("0" * 17)).as("bucket"))
+    val legacyTmp = s"$idx/buckets_legacy_tmp"
+    legacy.coalesce(1).write.parquet(legacyTmp)
+    rmTree(new java.io.File(bucketsDir))
+    assert(new java.io.File(legacyTmp).renameTo(new java.io.File(bucketsDir)))
+
+    NearDupStream.neardupAppend(spark, b1, idx, 0.8) // migrates, then publishes
+    NearDupStream.neardupAppend(spark, b2, idx, 0.8) // the previously-wedged read
+
+    // the pair table equals the batch tier over the union corpus
+    val want = batchPairs(b0.unionByName(b1).unionByName(b2),
+      tmp.getAbsolutePath + "/corpus")
+    assert(pairsOf(idx) === want,
+      "post-migration pair table diverged from the batch tier")
+    assert(pairsOf(idx).map(p => (p._1, p._2)) ===
+      Seq((0L, 10L), (0L, 21L), (10L, 21L)),
+      "legacy-landed, cross-upgrade, and post-upgrade pairs must all be found")
+    // the live table is now native: long keys, (band, bshard) layout,
+    // no retired/staging debris
+    val migrated = spark.read.parquet(bucketsDir)
+    assert(migrated.schema("bucket").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(migrated.columns.contains("bshard"))
+    val debris = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(n => n.contains("__compact_staging") ||
+        n.contains("__retired")).toSeq
+    assert(debris.isEmpty, s"migration debris survived: $debris")
+    rmTree(tmp)
+  }
 }
