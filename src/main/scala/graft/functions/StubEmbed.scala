@@ -43,27 +43,41 @@ case class StubEmbed(child: Expression, dim: Int)
   // whitespace-divergence fix RollingFingerprint carries
   @transient private lazy val ws = "[\\t\\n\\f\\r ]+".r
 
+  // Per-THREAD scratch state (round 16, guide §1.2 "per-task work"):
+  // the corpus passes that dominate the retrieval tiers (v4/v13/v15b/
+  // x7c/d9) spend their single hottest stage in this eval — 16 MD5
+  // digests per token occurrence, with a fresh MessageDigest and a
+  // formatted "$tok:$block" byte string allocated per digest. Two
+  // exact-arithmetic-preserving folds:
+  //  1. ONE MessageDigest reused across calls (digest() resets it);
+  //  2. a bounded LRU memo of each token's WINDOW-SUM contribution
+  //     (the Array[Long] this token adds to the accumulator). Token
+  //     contributions are summed in exact long arithmetic — order-free
+  //     by the expression's own design — so memoizing the pure
+  //     per-token function changes no output bit. Corpus token
+  //     frequencies are Zipfian, so the memo converts the per-
+  //     occurrence MD5 cost into a per-DISTINCT-token cost.
+  // ThreadLocal (not a bare field): expression instances are normally
+  // per-task after task deserialization, but interpreted projections
+  // can share one instance across threads — thread confinement makes
+  // the mutable digest/memo safe either way. Memory is bounded:
+  // MemoCap entries × dim longs ≈ 2 MB per thread at dim=64.
+  @transient private lazy val local =
+    new ThreadLocal[StubEmbed.TokenMemo] {
+      override def initialValue(): StubEmbed.TokenMemo =
+        new StubEmbed.TokenMemo(dim)
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.trim
       .toLowerCase(java.util.Locale.ROOT)
     val acc = new Array[Long](dim)
     if (text.nonEmpty) {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val memo = local.get()
       for (tok <- ws.split(text) if tok.nonEmpty) {
+        val contrib = memo.contribution(tok)
         var j = 0
-        var block = 0
-        while (j < dim) {
-          val d = md.digest(s"$tok:$block".getBytes("UTF-8"))
-          var w = 0
-          while (w < 4 && j < dim) {
-            val u = ((d(4 * w) & 0xffL) << 24) | ((d(4 * w + 1) & 0xffL) << 16) |
-              ((d(4 * w + 2) & 0xffL) << 8) | (d(4 * w + 3) & 0xffL)
-            acc(j) += u - 2147483648L
-            j += 1
-            w += 1
-          }
-          block += 1
-        }
+        while (j < dim) { acc(j) += contrib(j); j += 1 }
       }
     }
     val raw = new Array[Double](dim)
@@ -90,6 +104,46 @@ case class StubEmbed(child: Expression, dim: Int)
 
 object StubEmbed {
   val DefaultDim = 64
+
+  /** LRU capacity for the per-thread token memo — sized so the worst
+    * case (every thread at cap, dim=64) stays ~2 MB per thread. */
+  private val MemoCap = 4096
+
+  /** Per-thread scratch: one reusable MessageDigest + an LRU of token
+    * → window-sum contribution (the exact Array[Long] the original
+    * per-occurrence loop added to the accumulator for this token). */
+  private[functions] final class TokenMemo(dim: Int) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val lru =
+      new java.util.LinkedHashMap[String, Array[Long]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > MemoCap
+      }
+
+    def contribution(tok: String): Array[Long] = {
+      val hit = lru.get(tok)
+      if (hit != null) return hit
+      val out = new Array[Long](dim)
+      var j = 0
+      var block = 0
+      while (j < dim) {
+        val d = md.digest(s"$tok:$block".getBytes("UTF-8"))
+        var w = 0
+        while (w < 4 && j < dim) {
+          val u = ((d(4 * w) & 0xffL) << 24) | ((d(4 * w + 1) & 0xffL) << 16) |
+            ((d(4 * w + 2) & 0xffL) << 8) | (d(4 * w + 3) & 0xffL)
+          out(j) = u - 2147483648L
+          j += 1
+          w += 1
+        }
+        block += 1
+      }
+      lru.put(tok, out)
+      out
+    }
+  }
+
   def apply(text: Column, dim: Int = DefaultDim): Column =
     GraftShims.toCol(StubEmbed(GraftShims.toExpr(text), dim))
 }

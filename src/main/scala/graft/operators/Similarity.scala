@@ -176,63 +176,107 @@ object Similarity {
     e.filter(col("vec_id") < PqCodebook)
       .select(col("vec_id").cast("int").as("cb_k"), col("embedding").as("cb_emb"))
 
-  /** Subspace m's squared L2 between two 64-dim float arrays — a
-    * left-to-right fold of double arithmetic. */
-  private def subL2(a: Column, b: Column, m: Int): Column =
-    (0 until PqSubDim).foldLeft(lit(0.0)) { (acc, j) =>
-      val d = element_at(a, m * PqSubDim + j + 1).cast("double") -
-        element_at(b, m * PqSubDim + j + 1).cast("double")
-      acc + d * d
-    }
+  // (round 16: the per-subspace subL2/subDot COLUMN folds moved into
+  // graft.functions.PqEncode / adcLuts — same left-to-right double
+  // arithmetic, now map-side instead of join-shaped)
 
-  /** Subspace m's dot product — same fold discipline. */
-  private def subDot(a: Column, b: Column, m: Int): Column =
-    (0 until PqSubDim).foldLeft(lit(0.0)) { (acc, j) =>
-      acc + element_at(a, m * PqSubDim + j + 1).cast("double") *
-        element_at(b, m * PqSubDim + j + 1).cast("double")
-    }
-
-  /** Encode every vector: per subspace, the code of the nearest
-    * centroid (squared L2, ties to the lower code). The codebook
-    * broadcasts as K rows; the argmin folds K candidate rows through
-    * min(struct(dist, code)) per subspace — one partial-aggregated
-    * exchange on vec_id, no window, no posting lists. */
-  def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
-    val dists = e.crossJoin(broadcast(cb))
-      .select(Seq(col("vec_id"), col("label"), col("cb_k")) ++
-        (0 until PqSubspaces).map(m =>
-          subL2(col("embedding"), col("cb_emb"), m).as(s"d$m")): _*)
-    dists.groupBy(col("vec_id"), col("label"))
-      .agg(
-        min(struct(col("d0"), col("cb_k"))).as("s0"),
-        (1 until PqSubspaces).map(m =>
-          min(struct(col(s"d$m"), col("cb_k"))).as(s"s$m")): _*)
-      .select(Seq(col("vec_id"), col("label")) ++
-        (0 until PqSubspaces).map(m => col(s"s$m.cb_k").as(s"c$m")): _*)
+  /** Driver-collected codebook (BOUNDED: ≤ [[PqCodebook]] rows),
+    * sorted by cb_k, elements promoted to double exactly as the
+    * column form's cast("double") — float→double promotion is exact.
+    * Round 16 (guide §1.2/§2.4): the codebook is a K-row table every
+    * PQ verb previously re-read and re-broadcast once per subspace (8
+    * BroadcastExchanges, 16 extra parquet scans per query); collected
+    * once it rides the encode expression and the ADC lookup literals,
+    * and the whole tier becomes map-side. */
+  private def collectCodebook(cb: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val rows = cb.select(col("cb_k"), col("cb_emb")).collect() // BOUNDED: ≤ PqCodebook rows
+    val sorted = rows.map { r =>
+      (r.getInt(0), r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+      }.toArray)
+    }.sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
   }
 
-  /** V10 gate form: encode the corpus, rank by ADC against query 0. */
+  /** One embedding collected to doubles (BOUNDED: one row). */
+  private def collectVec(one: DataFrame): Array[Double] = {
+    val r = one.collect().head // BOUNDED: one query row
+    r.getSeq[Any](0).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case n: java.lang.Number => n.doubleValue
+    }.toArray
+  }
+
+  /** The ADC lookup tables for one query: luts(m)(cb_k) =
+    * subDot(q, cb_k, m) — the same left-to-right double fold as the
+    * column form, computed once on the driver (K×subspaces doubles). */
+  private def adcLuts(qv: Array[Double], ks: Array[Int],
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val luts = Array.fill(PqSubspaces)(new Array[Double](ks.max + 1))
+    var i = 0
+    while (i < ks.length) {
+      val c = cents(i)
+      var m = 0
+      while (m < PqSubspaces) {
+        var acc = 0.0
+        var j = 0
+        while (j < PqSubDim) {
+          val idx = m * PqSubDim + j
+          acc = acc + qv(idx) * c(idx)
+          j += 1
+        }
+        luts(m)(ks(i)) = acc
+        m += 1
+      }
+      i += 1
+    }
+    luts
+  }
+
+  /** ADC score over per-subspace code columns: the deterministic
+    * left-to-right add of 8 literal-LUT lookups (element_at is
+    * codegen'd; codes index the literal arrays 1-based). */
+  private def adcOverCodes(luts: Array[Array[Double]],
+      code: Int => Column): Column =
+    (1 until PqSubspaces).foldLeft(
+      element_at(typedlit(luts(0).toSeq), code(0) + lit(1)))((acc, m) =>
+      acc + element_at(typedlit(luts(m).toSeq), code(m) + lit(1)))
+
+  /** Encode every vector: per subspace, the code of the nearest
+    * centroid (squared L2, ties to the lower code). Round 16: the
+    * argmin is the map-side [[graft.functions.PqEncode]] expression
+    * over the driver-collected codebook — the old
+    * crossJoin(broadcast(cb)) + min(struct) form materialized
+    * |corpus|×K rows and paid TWO sort-based aggregates (min over
+    * struct has no hash buffer) plus their exchange for what is a
+    * pure per-row function; bit-identical codes, zero shuffles. */
+  def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    val (ks, cents) = collectCodebook(cb)
+    e.withColumn("codes",
+        graft.functions.PqEncode(col("embedding"), ks, cents, PqSubspaces, PqSubDim))
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until PqSubspaces).map(m =>
+          element_at(col("codes"), m + 1).as(s"c$m")): _*)
+  }
+
+  /** V10 gate form: encode the corpus, rank by ADC against query 0 —
+    * ONE corpus scan, encode and LUT lookups fused map-side, top-k as
+    * TakeOrderedAndProject (before: 18 parquet scans, 8 LUT broadcast
+    * joins, 2 sort-aggregates — a 112-operator plan). */
   def pqTopK(spark: SparkSession, dir: String,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = embeddings(spark, dir)
-    val cb = pqCodebook(e)
-    val codes = pqEncode(e, cb)
-    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
-    // the LUT: K rows × one dot column per subspace
-    val lut = cb.crossJoin(broadcast(q))
-      .select(Seq(col("cb_k")) ++
-        (0 until PqSubspaces).map(m =>
-          subDot(col("q_emb"), col("cb_emb"), m).as(s"lut$m")): _*)
-    // 8 broadcast joins (fanout exactly 1) pin each code's LUT entry
-    // as its own column; the ADC score is then a deterministic
-    // left-to-right add of 8 named columns
-    val joined = (0 until PqSubspaces).foldLeft(codes.filter(col("vec_id") =!= queryId)) {
-      (acc, m) => acc.join(
-        broadcast(lut.select(col("cb_k").as(s"c$m"), col(s"lut$m"))), Seq(s"c$m"))
-    }
-    val adc = (1 until PqSubspaces).foldLeft(col("lut0"))((acc, m) => acc + col(s"lut$m"))
-    joined
-      .withColumn("adc", adc)
+    val (ks, cents) = collectCodebook(pqCodebook(e))
+    val qv = collectVec(
+      e.filter(col("vec_id") === queryId).select(col("embedding")))
+    val luts = adcLuts(qv, ks, cents)
+    e.filter(col("vec_id") =!= queryId)
+      .withColumn("codes",
+        graft.functions.PqEncode(col("embedding"), ks, cents, PqSubspaces, PqSubDim))
+      .withColumn("adc", adcOverCodes(luts, m => element_at(col("codes"), m + 1)))
       .orderBy(desc("adc"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc_r"))
@@ -1266,7 +1310,6 @@ object Similarity {
       shortlist: Int = 50): DataFrame = {
     val idx = spark.read.parquet(path)
     val cents = spark.read.parquet(s"$path/_centroids")
-    val cb = spark.read.parquet(s"$path/_codebook")
     val q = idx.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     val qcells = q.crossJoin(broadcast(cents))
@@ -1274,19 +1317,20 @@ object Similarity {
       .orderBy(desc("csim"), col("cent_id"))
       .limit(nprobe)
       .select(col("cent_id"))
-    val lut = cb.crossJoin(broadcast(q))
-      .select(Seq(col("cb_k")) ++
-        (0 until PqSubspaces).map(m =>
-          subDot(col("q_emb"), col("cb_emb"), m).as(s"lut$m")): _*)
-    val probed = idx.filter(col("vec_id") =!= queryId)
+    // ADC from the stored codes with the per-query LUT as 8 literal
+    // arrays (round 16): the 8-broadcast-LUT-join form re-read the
+    // codebook and the query row once per subspace; the literal form
+    // reads each ONCE (bounded driver collects) and the probed scan
+    // scores map-side — same left-to-right double adds, zero extra
+    // exchanges
+    val (ks, cbMat) = collectCodebook(spark.read.parquet(s"$path/_codebook"))
+    val qv = collectVec(q) // BOUNDED: one row
+    val luts = adcLuts(qv, ks, cbMat)
+    val short = idx.filter(col("vec_id") =!= queryId)
       .select(Seq(col("vec_id"), col("cent_id")) ++
         (0 until PqSubspaces).map(m => col(s"c$m")): _*)
       .join(broadcast(qcells), Seq("cent_id"))
-    val withLut = (0 until PqSubspaces).foldLeft(probed) { (acc, m) =>
-      acc.join(broadcast(lut.select(col("cb_k").as(s"c$m"), col(s"lut$m"))), Seq(s"c$m"))
-    }
-    val adc = (1 until PqSubspaces).foldLeft(col("lut0"))((acc, m) => acc + col(s"lut$m"))
-    val short = withLut.withColumn("adc", adc)
+      .withColumn("adc", adcOverCodes(luts, m => col(s"c$m")))
       .orderBy(desc("adc"), col("vec_id"))
       .limit(shortlist)
       .select(col("vec_id"))
@@ -1700,25 +1744,37 @@ object Similarity {
       .withColumn("score", Vectors.dot(col("embedding"), col("q_emb")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id")))
-    // per-tier: read the landed codes, fan queries over them, pin each
-    // code's per-query LUT entry by broadcast join, rank the ADC sum
+    // per-tier: read the landed codes, fan queries over them, score the
+    // ADC sum map-side from per-(query, subspace) LUT literals (round
+    // 16: the old form pinned each code's LUT entry through 8
+    // broadcast joins PER TIER — 16 BroadcastExchanges in the query;
+    // the LUTs are |queries|×K doubles, a driver-side constant)
+    val qRows = qs.collect() // BOUNDED: nQueries rows
+    val qVecs = qRows.map { r =>
+      (r.getLong(0).toInt, r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+      }.toArray)
+    }.sortBy(_._1)
     def hitsOf(idxPath: String, outCol: String): DataFrame = {
-      val cb = spark.read.parquet(s"$idxPath/_codebook")
+      val (ks, cbMat) = collectCodebook(spark.read.parquet(s"$idxPath/_codebook"))
+      // lut2d(m)(query_id)(cb_k): subDot of query q with codebook row k
+      // in subspace m — the same fold the broadcast-join form computed
+      val lutByQ = qVecs.map { case (_, qv) => adcLuts(qv, ks, cbMat) }
+      val lut2d = (0 until PqSubspaces).map(m =>
+        lutByQ.map(l => l(m).toSeq).toSeq)
       val codes = spark.read.parquet(idxPath)
         .filter(col("vec_id") >= nQueries)
         .select(Seq(col("vec_id")) ++
           (0 until PqSubspaces).map(m => col(s"c$m")): _*)
-      val lut = qs.crossJoin(broadcast(cb))
-        .select(Seq(col("query_id"), col("cb_k")) ++
-          (0 until PqSubspaces).map(m =>
-            subDot(col("q_emb"), col("cb_emb"), m).as(s"lut$m")): _*)
       val fanned = codes.crossJoin(broadcast(qs.select(col("query_id"))))
-      val joined = (0 until PqSubspaces).foldLeft(fanned) { (acc, m) =>
-        acc.join(broadcast(lut.select(col("query_id"),
-          col("cb_k").as(s"c$m"), col(s"lut$m"))), Seq("query_id", s"c$m"))
-      }
-      val adc = (1 until PqSubspaces).foldLeft(col("lut0"))((acc, m) => acc + col(s"lut$m"))
-      joined.withColumn("score", adc)
+      val adc = (1 until PqSubspaces).foldLeft(
+        element_at(element_at(typedlit(lut2d(0)),
+          col("query_id").cast("int") + lit(1)), col("c0") + lit(1)))((acc, m) =>
+        acc + element_at(element_at(typedlit(lut2d(m)),
+          col("query_id").cast("int") + lit(1)), col(s"c$m") + lit(1)))
+      fanned.withColumn("score", adc)
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(col("query_id"), col("vec_id"))
         .join(exact, Seq("query_id", "vec_id"))
