@@ -200,14 +200,18 @@ object Similarity {
     (sorted.map(_._1), sorted.map(_._2))
   }
 
-  /** One embedding collected to doubles (BOUNDED: one row). */
-  private def collectVec(one: DataFrame): Array[Double] = {
-    val r = one.collect().head // BOUNDED: one query row
-    r.getSeq[Any](0).map {
-      case f: java.lang.Float => f.toDouble
-      case d: java.lang.Double => d.doubleValue
-      case n: java.lang.Number => n.doubleValue
-    }.toArray
+  /** One embedding collected to doubles (BOUNDED: one row). None when
+    * the query row does not exist (empty corpus / unknown id) — the
+    * crossJoin(broadcast(q)) forms this replaced produced an empty
+    * result there, so callers early-return an empty frame. */
+  private def collectVec(one: DataFrame): Option[Array[Double]] = {
+    one.collect().headOption.map { r => // BOUNDED: one query row
+      r.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+      }.toArray
+    }
   }
 
   /** The ADC lookup tables for one query: luts(m)(cb_k) =
@@ -270,9 +274,12 @@ object Similarity {
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = embeddings(spark, dir)
     val (ks, cents) = collectCodebook(pqCodebook(e))
-    val qv = collectVec(
+    val qvOpt = collectVec(
       e.filter(col("vec_id") === queryId).select(col("embedding")))
-    val luts = adcLuts(qv, ks, cents)
+    if (qvOpt.isEmpty) // no query row (empty corpus): empty page
+      return e.filter(lit(false))
+        .select(col("vec_id"), col("label"), round(lit(0.0), 6).as("adc_r"))
+    val luts = adcLuts(qvOpt.get, ks, cents)
     e.filter(col("vec_id") =!= queryId)
       .withColumn("codes",
         graft.functions.PqEncode(col("embedding"), ks, cents, PqSubspaces, PqSubDim))
@@ -1324,8 +1331,11 @@ object Similarity {
     // scores map-side — same left-to-right double adds, zero extra
     // exchanges
     val (ks, cbMat) = collectCodebook(spark.read.parquet(s"$path/_codebook"))
-    val qv = collectVec(q) // BOUNDED: one row
-    val luts = adcLuts(qv, ks, cbMat)
+    val qvOpt = collectVec(q) // BOUNDED: one row
+    if (qvOpt.isEmpty) // no query row (empty landing): empty page
+      return idx.filter(lit(false))
+        .select(col("vec_id"), col("label"), round(lit(0.0), 6).as("ip_r"))
+    val luts = adcLuts(qvOpt.get, ks, cbMat)
     val short = idx.filter(col("vec_id") =!= queryId)
       .select(Seq(col("vec_id"), col("cent_id")) ++
         (0 until PqSubspaces).map(m => col(s"c$m")): _*)
