@@ -117,6 +117,23 @@ object Bench {
     def dirty(ps: Vector[Map[String, (Double, Option[String])]]): Boolean =
       noisyFraction(ps) > 0.10 || noisyBurst(ps) >= 5
 
+    // Host-speed calibration scalar (round 16, VERDICT r15 #3): the
+    // host VM has multi-minute noisy-neighbor windows (~2.5× single-
+    // core slowdown), and round totals were not mechanically comparable
+    // across rounds without a same-run speed reference. One fixed
+    // single-threaded xorshift loop runs before the cold pass and
+    // again after the warm passes; both times go in the artifact as
+    // "calib" (calm reference ~0.25-0.35 s — scale a cross-round total
+    // by the calib ratio before calling it a regression).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = calibOnce()
     val coldPass = runPass()
     val warmReps = math.max(1, reps) - 1
     var warmPasses = Vector.fill(warmReps)(runPass())
@@ -133,6 +150,7 @@ object Bench {
       noiseRetries += 1
     }
     val noisy = dirty(warmPasses)
+    val calibAfter = calibOnce()
     val spreads = spreadRatios(warmPasses)
 
     val passes = coldPass +: warmPasses
@@ -188,7 +206,7 @@ object Bench {
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"cold":${jsonNum(_._3)},"reps":$perRep}""")
 
-    val meta = s""""unit":"sec","reps":$reps,"cold_total":${r3(coldTotal)},"cold_noisy":$coldNoisy,"noisy":$noisy,"noise_retries":$noiseRetries,"spread_max":${r3(spreadMax)},"noisy_queries":$noisyQ,"errors":$errJson,"sf":"$sfDir""""
+    val meta = s""""unit":"sec","reps":$reps,"cold_total":${r3(coldTotal)},"cold_noisy":$coldNoisy,"noisy":$noisy,"noise_retries":$noiseRetries,"spread_max":${r3(spreadMax)},"calib":[${r3(calibBefore)},${r3(calibAfter)}],"noisy_queries":$noisyQ,"errors":$errJson,"sf":"$sfDir""""
     // the complete artifact (full warm + cold maps), for the committed
     // per-round BENCH_r{N}_full.json
     val fullLine = s"""{"metric":"total","value":${r3(total)},$meta,"n_queries":${results.size},"queries":${jsonNum(_._2)},"cold":${jsonNum(_._3)}}"""

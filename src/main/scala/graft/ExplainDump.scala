@@ -23,8 +23,20 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // Queries whose public frame is eagerly materialized
+    // (materializeAndRelease) explain as a bare ExistingRDD scan; for
+    // those, "<name>__internal" dumps the un-materialized INTERNAL
+    // frame the query computes — the plan the optimization evidence is
+    // about (round 16).
+    val internal: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      // caches leak in the dump process (it exits right after) — the
+      // hook stays signature-agnostic across the change it evidences
+      "e4_dashboard__internal" -> ((s, d) =>
+        graft.operators.Profile.dashboardFrames(s, d, "BUILDING")._1)
+    )
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = internal.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)

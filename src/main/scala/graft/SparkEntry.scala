@@ -277,7 +277,13 @@ object SparkEntry {
     "c11_overlap_weights"     -> ((s, d) => Curation.overlapWeights(s, d)),
     // d9: SEMANTIC dedup (SemDeDup) — embed, cluster coarsely, drop
     // within-cell pairs over the cosine threshold; the paraphrase
-    // catcher the lexical tiers structurally miss
+    // catcher the lexical tiers structurally miss.
+    // NON-SCALING by construction (round-16 demotion note): the cell
+    // table is the FIRST 8 doc embeddings, so the within-cell pass is
+    // (n/8)² — it exists as the SQL-mirrored oracle crosscheck of the
+    // assignment/pair/rollup arithmetic at gate SFs only. The
+    // production verb is d9b_semantic_dedup_trained (corpus-scaled
+    // k = ⌈n/256⌉ Lloyd cells, ~linear ladder in SCALE.md §1).
     "d9_semantic_dedup"       -> ((s, d) => Dedup.semanticDedup(s, d)),
     // d9b: the PRODUCTION form — corpus-scaled trained centroids from
     // the landed cell index (cells stay ~SemCellTarget as the corpus

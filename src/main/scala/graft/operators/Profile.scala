@@ -138,31 +138,38 @@ object Profile {
     * fact table beyond its grouped aggregate, no repeated scope
     * resolution. */
   def dashboard(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
-    val (result, scope) = dashboardFrames(spark, dir, segment)
-    CacheOps.materializeAndRelease(result, scope)
+    val (result, cached) = dashboardFrames(spark, dir, segment)
+    CacheOps.materializeAndRelease(result, cached: _*)
   }
 
-  /** The un-materialized (result, cached scope) pair — PlanSpec
+  /** The un-materialized (result, cached frames) pair — PlanSpec
     * asserts the single-scope-scan shape before checkpointing erases
-    * it; callers must release `scope`. */
+    * it; callers must release every cached frame. */
   private[graft] def dashboardFrames(spark: SparkSession, dir: String,
-      segment: String): (DataFrame, DataFrame) = {
+      segment: String): (DataFrame, Seq[DataFrame]) = {
     val scope = CacheOps.shared(customer(spark, dir)
       .filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"), col("c_nationkey"),
         col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")))
     val keys = scope.select(col("c_custkey"))
 
-    val financial = orders(spark, dir)
+    // ONE scoped-orders frame for both order-keyed families (round 16,
+    // guide §2.4 shared work): the financial and activity legs each
+    // scanned orders and re-ran the same broadcast semi against the
+    // scope keys; the shared persisted frame scans and joins once. Both
+    // legs' groupBys are unchanged, so the emitted rows are identical.
+    val scopedOrders = CacheOps.shared(orders(spark, dir)
       .join(broadcast(keys), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice")))
+    val financial = scopedOrders
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("amt"))
       .select(lit("financial").as("family"), col("o_orderpriority").as("item"),
         col("n"), col("amt").cast("double").as("amount"))
 
-    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(keys), col("o_custkey") === col("c_custkey"))
+    val o = scopedOrders.select(col("o_orderkey"))
     val activity = lineitem(spark, dir)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
@@ -190,7 +197,7 @@ object Profile {
     val result = financial.unionByName(activity)
       .unionByName(voting).unionByName(membership)
       .orderBy(col("family"), col("item"))
-    (result, scope)
+    (result, Seq(scope, scopedOrders))
   }
 
   /** One referential audit row: child rows, orphans (child keys with

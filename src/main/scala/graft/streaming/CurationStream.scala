@@ -85,7 +85,7 @@ object CurationStream {
   private[graft] def curateAppend(s: SparkSession, batch: DataFrame,
       rootPath: String, threshold: Double): Unit = {
     import NearDupStream.{bucketRowsOf, collisionCandidatesWithRoles,
-      prunedLandedBuckets, readIfExists, verifyOverTexts, withShard}
+      readIfExists, verifyOverTexts, withShard}
     val exactPath = s"$rootPath/exact"
     val bucketsPath = s"$rootPath/buckets"
 
@@ -123,7 +123,8 @@ object CurationStream {
     // The landed side reads ONLY the arriving (band, shard) dirs of
     // the partitioned bucket table (the st9 layout).
     val freshBuckets = withShard(bucketRowsOf(freshEx)).localCheckpoint(true)
-    val landedBuckets = prunedLandedBuckets(s, bucketsPath, freshBuckets)
+    val (landedBuckets, gateHashes) =
+      NearDupStream.prunedLandedBucketsGated(s, bucketsPath, freshBuckets)
     val cand = collisionCandidatesWithRoles(freshBuckets, landedBuckets)
       .localCheckpoint(true)
     // the curated artifact's derivation (verify + drop anti-join) is a
@@ -158,7 +159,13 @@ object CurationStream {
       "buckets" -> (() => freshBuckets),
       "exact" -> (() => freshEx.repartitionByRange(col("doc_id")))),
       partitioned = Map("buckets" -> Seq("band", "bshard")),
-      alongsideStaging = () => LedgerIndex.mergeIncrement(s, exactPath,
-        freshEx.select(col("digest")), "digest", idx))
+      alongsideStaging = () => {
+        LedgerIndex.mergeIncrement(s, exactPath,
+          freshEx.select(col("digest")), "digest", idx)
+        // bucket-key sidecar, same bloom-AHEAD barrier (round 16 —
+        // the st9/st10 collision-probe gate); driver-only when the
+        // gate's collect already holds the batch's key hashes
+        NearDupStream.mergeBucketIncrement(s, bucketsPath, freshBuckets, gateHashes)
+      })
   }
 }

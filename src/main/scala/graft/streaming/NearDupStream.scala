@@ -100,14 +100,77 @@ object NearDupStream {
     buckets.withColumn("bshard",
       pmod(xxhash64(col("bucket")), lit(BucketShards.toLong)).cast("int"))
 
-  /** The landed bucket table PRUNED to the arriving rows' (band,
-    * bshard) keys — a partition filter built from one bounded collect
-    * (≤ bands × shards values), so the probe lists and reads only the
-    * dirs the batch can collide in. Pruning by the probe's own key
-    * set is semantics-preserving for the inner collision join. */
+  /** The bucket sidecar's key: one long per (band, bucket) row. The
+    * sidecar merge and the probe below MUST hash identically —
+    * both go through this column. */
+  private[graft] def bucketKey: org.apache.spark.sql.Column =
+    xxhash64(col("band"), col("bucket"))
+
+  /** Batch-key collect bound for the bloom gate (the LedgerIndex
+    * DriverPutMax discipline): a micro-batch's distinct (band, bucket)
+    * set is bands × batch docs; a bulk bootstrap past the bound skips
+    * the gate and takes the partition-pruned full probe once. */
+  private[graft] val BucketGateMax = 100000
+
+  /** Bloom-AHEAD merge of a batch's bucket keys into the bucket
+    * table's `_ledger_index` sidecar — called from the ingest verbs'
+    * `alongsideStaging` (the same barrier as the docs/exact sidecar
+    * merge, so a crash anywhere in the window leaves at most bloom
+    * keys for bucket rows that never landed: extra probe reads later,
+    * never a missed collision). When the gate already collected the
+    * batch's key hashes ([[prunedLandedBucketsGated]]), the merge is
+    * driver-only — ZERO extra Spark jobs per batch; otherwise (bulk
+    * bootstrap, no landed table yet) one batch-sized fold runs. */
+  private[graft] def mergeBucketIncrement(s: SparkSession, path: String,
+      freshBuckets: DataFrame, gateHashes: Option[Array[Long]]): Unit =
+    gateHashes match {
+      case Some(hs) =>
+        LedgerIndex.mergeHashes(s, path, hs, LedgerIndex.read(s, path))
+      case None =>
+        LedgerIndex.mergeIncrement(s, path,
+          freshBuckets.select(bucketKey.as("bkey")).distinct(), "bkey",
+          LedgerIndex.read(s, path))
+    }
+
+  /** The landed bucket table PRUNED for a batch's collision probe —
+    * two tiers (round 16, VERDICT r15 #2):
+    *
+    *  1. BLOOM GATE over (band, bucket) keys: the (band, bshard)
+    *     partition pruning alone stops biting once a batch's key set
+    *     covers every shard (a 500-doc batch at 16 bands hits all
+    *     16×16 dirs — the measured st9/st10 1000× term, an 80M-row
+    *     bucket-column scan per batch). Value ZONE MAPS cannot fix
+    *     this: bucket keys are uniform 60-bit hashes, so any fragment's
+    *     min/max spans the keyspace and ~8k uniform batch keys
+    *     intersect every range. A bloom over the LANDED keys can: a
+    *     batch key the bloom misses definitely has no landed partner
+    *     (no false negatives), so the common mostly-fresh batch
+    *     collides on FEW OR NO keys — `None` (the landed table never
+    *     opened) or a probe pruned to the HIT keys' partitions plus a
+    *     `bucket IN (hits)` row filter (parquet row-group stats prune
+    *     the fragment scan). Lossless by the no-false-negative
+    *     argument; FPs only add rows the (band, bucket) join then
+    *     discards.
+    *  2. the original (band, bshard) PARTITION filter, now built from
+    *     the hit keys (or from the full batch key set when the gate is
+    *     skipped: empty-bloom index, or a bulk batch past
+    *     [[BucketGateMax]]).
+    *
+    * The sidecar rebuilds from the landed table on first open
+    * (pre-sidecar vintages) and resizes by the LedgerIndex rules. */
   private[graft] def prunedLandedBuckets(s: SparkSession, path: String,
       freshBuckets: DataFrame): Option[DataFrame] =
-    readIfExists(s, path).flatMap { lb0 =>
+    prunedLandedBucketsGated(s, path, freshBuckets)._1
+
+  /** [[prunedLandedBuckets]] plus the gate's collected batch-key
+    * hashes (xxhash64 of [[bucketKey]]), so the verbs' sidecar merge
+    * reuses the ONE bounded collect instead of running its own job —
+    * `None` hashes when no landed table exists yet or the batch
+    * overflowed the gate bound (the bulk-bootstrap fold path). */
+  private[graft] def prunedLandedBucketsGated(s: SparkSession, path: String,
+      freshBuckets: DataFrame): (Option[DataFrame], Option[Array[Long]]) = {
+    var gateHashes: Option[Array[Long]] = None
+    val pruned = readIfExists(s, path).flatMap { lb0 =>
       // a table landed by pre-long-key or pre-partitioned code is
       // MIGRATED in place (one staged rewrite, swapArtifact's
       // retire-then-publish renames) BEFORE this batch publishes:
@@ -143,13 +206,44 @@ object NearDupStream {
             partitionCols = Seq("band", "bshard"))
           s.read.parquet(path)
         } else lb0
-      val keys = freshBuckets
-        .select((col("band").cast("long") * BucketShards + col("bshard")).as("k"))
-        .distinct().collect().map(_.getLong(0)) // BOUNDED: ≤ bands × shards
-      if (keys.isEmpty) None
-      else Some(lb.filter((col("band").cast("long") * BucketShards +
-        col("bshard").cast("long")).isin(keys: _*)))
+      val idx = LedgerIndex.readOrRebuild(s, path,
+        Some(lb.select(bucketKey.as("bkey"))), "bkey")
+      // ONE bounded collect carries everything the gate and the
+      // partition filter need: the batch's distinct keys with their
+      // partition coordinate and sidecar hash (xxhash64 of the bkey
+      // value — exactly what mergeIncrement put)
+      val keyRows = freshBuckets
+        .select(col("band"), col("bshard"), col("bucket"),
+          xxhash64(bucketKey).as("h"))
+        .distinct().limit(BucketGateMax + 1)
+        .collect() // BOUNDED by BucketGateMax + 1
+      if (keyRows.length <= BucketGateMax)
+        gateHashes = Some(keyRows.map(_.getLong(3)))
+      if (keyRows.isEmpty) None
+      else {
+        def partFilter(rows: Array[org.apache.spark.sql.Row]) = {
+          val ks = rows.map(r =>
+            r.getInt(0).toLong * BucketShards + r.getInt(1)).distinct.toSeq
+          (col("band").cast("long") * BucketShards +
+            col("bshard").cast("long")).isin(ks: _*)
+        }
+        val gated = idx.filter(_.bloom != null)
+          .filter(_ => keyRows.length <= BucketGateMax)
+          .map { i =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(i.bloom))
+            keyRows.filter(r => bf.mightContainLong(r.getLong(3)))
+          }
+        gated match {
+          case Some(hits) if hits.isEmpty => None // no key can collide
+          case Some(hits) => Some(lb.filter(partFilter(hits))
+            .filter(col("bucket").isin(hits.map(_.getLong(2)).distinct.toSeq: _*)))
+          case None => Some(lb.filter(partFilter(keyRows)))
+        }
+      }
     }
+    (pruned, gateHashes)
+  }
 
   /** (doc_id, band, bucket) rows for a (doc_id, text, ...) frame — the
     * batch tier's exact signature and banding functions, map-side.
@@ -344,7 +438,8 @@ object NearDupStream {
     // candidates: fresh×landed collisions + fresh×fresh, distinct
     // across bands; the landed side reads ONLY the arriving (band,
     // shard) dirs of the partitioned bucket table
-    val landedBuckets = prunedLandedBuckets(s, s"$indexPath/buckets", freshBuckets)
+    val (landedBuckets, gateHashes) =
+      prunedLandedBucketsGated(s, s"$indexPath/buckets", freshBuckets)
     val cand = collisionCandidates(freshBuckets, landedBuckets)
       .localCheckpoint(true)
 
@@ -374,7 +469,13 @@ object NearDupStream {
       "buckets" -> (() => freshBuckets),
       "docs" -> (() => fresh.repartitionByRange(col("doc_id")))),
       partitioned = Map("buckets" -> Seq("band", "bshard")),
-      alongsideStaging = () => LedgerIndex.mergeIncrement(s, docsPath,
-        fresh.select(col("doc_id")), "doc_id", idx))
+      alongsideStaging = () => {
+        LedgerIndex.mergeIncrement(s, docsPath,
+          fresh.select(col("doc_id")), "doc_id", idx)
+        // bucket-key sidecar, same bloom-AHEAD barrier (round 16 —
+        // the st9/st10 collision-probe gate); driver-only when the
+        // gate's collect already holds the batch's key hashes
+        mergeBucketIncrement(s, s"$indexPath/buckets", freshBuckets, gateHashes)
+      })
   }
 }

@@ -152,6 +152,66 @@ class DedupStreamSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("ledger sidecar journal: steady batches append deltas, cold open folds them, bulk compacts, memo is single-writer") {
+    import spark.implicits._
+    import graft.streaming.LedgerIndex
+    val root = java.nio.file.Files.createTempDirectory("ledger_journal_spec")
+      .toFile.getAbsolutePath
+    def keys(ids: Long*) = ids.toDF("k")
+    def sidecarFiles() = new java.io.File(root, LedgerIndex.Dir).listFiles()
+      .map(_.getName) // drop hadoop-local .crc shadows and tmp staging
+      .filterNot(n => n.endsWith(".tmp") || n.startsWith(".")).sorted.toSeq
+    def baseHeaderN(): Long = { // nLanded as WRITTEN in index.bin
+      val in = new java.io.DataInputStream(new java.io.FileInputStream(
+        new java.io.File(s"$root/${LedgerIndex.Dir}", "index.bin")))
+      try in.readLong() finally in.close()
+    }
+    // first landing: a full base, no journal
+    LedgerIndex.mergeIncrement(spark, root, keys(1L, 2L, 3L), "k", None)
+    assert(sidecarFiles() === Seq("index.bin"))
+    val idx0 = LedgerIndex.read(spark, root).get
+    assert(idx0.nLanded === 3L)
+    // steady increment: ONE delta file appends; the base is NOT
+    // rewritten (its header still carries the first landing's count)
+    // while the merged in-process view carries all five keys
+    LedgerIndex.mergeIncrement(spark, root, keys(4L, 5L), "k", Some(idx0))
+    assert(sidecarFiles() === Seq("delta_0000000000.bin", "index.bin"))
+    assert(baseHeaderN() === 3L)
+    val idx1 = LedgerIndex.read(spark, root).get
+    assert(idx1.nLanded === 5L)
+    // cold open (fresh process): the fold of base + journal must see
+    // the journaled keys — key 4 verifies as a re-arrival and only the
+    // genuinely-new key 6 passes the fresh filter
+    LedgerIndex.dropMemoForTest(root)
+    val cold = LedgerIndex.read(spark, root).get
+    assert(cold.nLanded === 5L)
+    val fresh = LedgerIndex.filterFresh(keys(4L, 6L), "k", cold,
+        keys(1L, 2L, 3L, 4L, 5L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fresh === Seq(6L), s"journaled key 4 must probe as landed, got $fresh")
+    // a bulk increment (past the driver-put bound) takes the
+    // distributed fold and COMPACTS: full base rewrite, journal cleared
+    LedgerIndex.mergeIncrement(spark, root,
+      spark.range(100L, 101000L).select(col("id").as("k")), "k", Some(cold))
+    assert(sidecarFiles() === Seq("index.bin"), "bulk landing must fold the journal away")
+    LedgerIndex.dropMemoForTest(root)
+    assert(LedgerIndex.read(spark, root).get.nLanded === 5L + 100900L)
+    // single-writer contract: with live in-process state, an external
+    // REPLACEMENT of the base is served from the memo (not detected)…
+    val served = LedgerIndex.read(spark, root).get
+    val f = new java.io.File(s"$root/${LedgerIndex.Dir}", "index.bin")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath,
+      java.util.Arrays.copyOf(bytes, 16)) // truncated foreign write
+    assert(LedgerIndex.read(spark, root).get eq served,
+      "a second writer's in-place replacement must not silently adopt")
+    // …while an external DROP is honored on the very next read
+    rmTree(new java.io.File(root, LedgerIndex.Dir))
+    assert(LedgerIndex.read(spark, root).isEmpty,
+      "a dropped sidecar must be detected by the presence check")
+    rmTree(new java.io.File(root))
+  }
+
   test("st8 out-of-order arrival: the first ARRIVAL wins, the digest set stays arrival-invariant") {
     import spark.implicits._
     // PERMUTED arrival: the LARGER id of an exact-dup group arrives

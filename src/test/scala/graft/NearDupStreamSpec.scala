@@ -295,7 +295,8 @@ class NearDupStreamSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     // the landed bucket table is (band, bshard) partitioned
     val bandDirs = new java.io.File(s"$idx/buckets").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSeq
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).toSeq // _ledger_index is the bucket-key sidecar
     assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")),
       s"bucket table not band-partitioned: $bandDirs")
     // a fresh batch's probe carries the (band, bshard) keys as a
@@ -318,6 +319,20 @@ class NearDupStreamSpec extends SparkSpec {
     assert(candsOf(pruned) ===
       candsOf(Some(spark.read.parquet(s"$idx/buckets"))))
     assert(candsOf(pruned) === Seq((0L, 10L)))
+    // bloom gate (round 16): a batch whose keys the bucket-key sidecar
+    // has never seen DEFINITELY collides with nothing — the landed
+    // table is not opened at all (None), and the candidate set is
+    // equal (empty) by the no-false-negative argument
+    val freshNone = Seq((20L, "utterly unrelated sentence with novel vocabulary"))
+      .toDF("doc_id", "text")
+    val fbNone = NearDupStream.withShard(NearDupStream.bucketRowsOf(freshNone))
+      .localCheckpoint(true)
+    val gate = NearDupStream.prunedLandedBuckets(spark, s"$idx/buckets", fbNone)
+    assert(gate.isEmpty,
+      "a no-possible-collision batch must skip the landed bucket read")
+    // lossless: the unpruned probe agrees there is nothing to find
+    assert(NearDupStream.collisionCandidates(fbNone,
+      Some(spark.read.parquet(s"$idx/buckets"))).count() === 0L)
     rmTree(tmp)
   }
 

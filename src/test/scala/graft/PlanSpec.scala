@@ -229,10 +229,10 @@ class PlanSpec extends SparkSpec {
     // family's subtree reads the cached scope (InMemoryTableScan), and
     // every customer.parquet mention in the plan is the cached
     // relation's self-description, never a direct re-scan
-    val (frame, scope) = graft.operators.Profile.dashboardFrames(
+    val (frame, cached) = graft.operators.Profile.dashboardFrames(
       spark, sfDir, "BUILDING")
     val p = plan(frame)
-    scope.unpersist(true)
+    cached.foreach(_.unpersist(true))
     val inMem = "InMemoryTableScan".r.findAllIn(p).size
     val custScans = "customer\\.parquet".r.findAllIn(p).size
     assert(inMem >= 4, s"expected every family on the cached scope:\n$p")
