@@ -112,6 +112,21 @@ object NearDupStream {
     * the gate and takes the partition-pruned full probe once. */
   private[graft] val BucketGateMax = 100000
 
+  /** Bound on the `bucket IN (hits)` ROW filter the gated probe pushes
+    * into the landed bucket read (round-17, VERDICT r16 #2): `hits` is
+    * bounded by [[BucketGateMax]], and a near-bound batch would build a
+    * ~100k-literal In expression — analyzer/codegen stress and a
+    * driver-side plan blowup — while still being "within bounds" (the
+    * verifyOverTexts probe already measured a ~1000-literal pushed isin
+    * LOSING to the scan it prunes). Past this many distinct hit
+    * buckets the probe keeps only the (band, bshard) PARTITION filter;
+    * correctness is unchanged either way (the row filter is a pruning
+    * hint — the (band, bucket) collision join discards non-hits
+    * regardless). 1024 literals is comfortably inside In-expression
+    * codegen limits while covering every steady-state batch (typical
+    * gated batches hit a handful of keys). */
+  private[graft] val BucketInFilterMax = 1024
+
   /** Bloom-AHEAD merge of a batch's bucket keys into the bucket
     * table's `_ledger_index` sidecar — called from the ingest verbs'
     * `alongsideStaging` (the same barrier as the docs/exact sidecar
@@ -236,8 +251,15 @@ object NearDupStream {
           }
         gated match {
           case Some(hits) if hits.isEmpty => None // no key can collide
-          case Some(hits) => Some(lb.filter(partFilter(hits))
-            .filter(col("bucket").isin(hits.map(_.getLong(2)).distinct.toSeq: _*)))
+          case Some(hits) =>
+            val parted = lb.filter(partFilter(hits))
+            val hitBuckets = hits.map(_.getLong(2)).distinct.toSeq
+            // row filter only while the literal list stays small (see
+            // BucketInFilterMax); above it the partition filter alone
+            // carries the pruning and the join discards the rest
+            Some(if (hitBuckets.size <= BucketInFilterMax)
+              parted.filter(col("bucket").isin(hitBuckets: _*))
+            else parted)
           case None => Some(lb.filter(partFilter(keyRows)))
         }
       }

@@ -439,4 +439,57 @@ class NearDupStreamSpec extends SparkSpec {
     assert(debris.isEmpty, s"migration debris survived: $debris")
     rmTree(tmp)
   }
+
+  test("st9 gated probe drops the bucket row filter past BucketInFilterMax and stays lossless") {
+    // round-17 (VERDICT r16 #2): a near-BucketGateMax batch used to
+    // build a ~100k-literal `bucket IN (...)` expression. Past
+    // BucketInFilterMax distinct hit buckets the probe must keep only
+    // the (band, bshard) PARTITION filter — the row filter is a pruning
+    // hint, so the candidate set is identical either way.
+    import spark.implicits._
+    // enough distinct landed docs that an all-duplicate fresh batch's
+    // distinct hit buckets exceed the cap (LshBands buckets per doc);
+    // per-doc word soup keeps the landed corpus itself dup-free
+    val n = NearDupStream.BucketInFilterMax / Dedup.LshBands + 40
+    def soup(i: Int): String =
+      (0 until 12).map(j => "w" + ((i * 1315423911L + j * 2654435761L) & 0xffffff)).mkString(" ")
+    val landed = (0 until n).map(i => (i.toLong, soup(i))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_infilter_spec").toFile
+    val idx = tmp.getAbsolutePath + "/index"
+    NearDupStream.neardupAppend(spark, landed, idx, 0.8)
+    val rowFilterRe = """bucket#\d+L? (IN|INSET)""".r
+    // small batch (one duplicate, LshBands hit buckets): the row filter
+    // is present and pushed at the scan
+    val one = Seq((100000L, soup(0))).toDF("doc_id", "text")
+    val fbOne = NearDupStream.withShard(NearDupStream.bucketRowsOf(one))
+      .localCheckpoint(true)
+    val prunedOne = NearDupStream.prunedLandedBuckets(spark, s"$idx/buckets", fbOne)
+    assert(prunedOne.isDefined)
+    val planOne = prunedOne.get.queryExecution.optimizedPlan.toString
+    assert(rowFilterRe.findFirstIn(planOne).isDefined,
+      s"small hit set must keep the bucket row filter:\n$planOne")
+    // bulk duplicate batch: hit buckets exceed the cap -> partition
+    // filter only (no giant In literal in the plan)
+    val bulk = (0 until n).map(i => (100000L + i, soup(i))).toDF("doc_id", "text")
+    val fbBulk = NearDupStream.withShard(NearDupStream.bucketRowsOf(bulk))
+      .localCheckpoint(true)
+    assert(fbBulk.select("bucket").distinct().count() > NearDupStream.BucketInFilterMax,
+      "fixture must overflow the row-filter cap")
+    val prunedBulk = NearDupStream.prunedLandedBuckets(spark, s"$idx/buckets", fbBulk)
+    assert(prunedBulk.isDefined)
+    val planBulk = prunedBulk.get.queryExecution.optimizedPlan.toString
+    assert(rowFilterRe.findFirstIn(planBulk).isEmpty,
+      s"past BucketInFilterMax the probe must not build a bucket IN literal:\n$planBulk")
+    // lossless: candidates equal the unpruned probe's at both sizes
+    def candsOf(fb: org.apache.spark.sql.DataFrame,
+        lb: Option[org.apache.spark.sql.DataFrame]) =
+      NearDupStream.collisionCandidates(fb, lb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val full = Some(spark.read.parquet(s"$idx/buckets"))
+    assert(candsOf(fbOne, prunedOne) === candsOf(fbOne, full))
+    val bulkGot = candsOf(fbBulk, prunedBulk)
+    assert(bulkGot === candsOf(fbBulk, full))
+    assert(bulkGot.size >= n, "every duplicated doc must surface a candidate")
+    rmTree(tmp)
+  }
 }
