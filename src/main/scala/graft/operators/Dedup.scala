@@ -662,23 +662,27 @@ object Dedup {
     val rows = MinHashK / LshBands
     val seedsA = (0 until MinHashK).map(seedA)
     val seedsB = (0 until MinHashK).map(seedB)
-    // shared + filter INSIDE the cached frame: the null-drop predicate
-    // must not be pushed below the projection (predicate pushdown
-    // substitutes the alias, re-evaluating the signature expression in
-    // the scan filter — the j7 lesson); behind the cache boundary the
-    // signature computes once per doc at fill time.
-    val sigs = shared(documents(spark, dir)
-      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
-      .select(col("doc_id"),
-        graft.functions.MinHashSig(shingles(col("text")), seedsA, seedsB, MinHashP).as("sig"))
-      .filter(col("sig").isNotNull))
+    // Null signatures (docs shorter than the shingle width) emit an
+    // EMPTY band array instead of being filtered (round 17, guide §4.4
+    // class): a `.filter(sig IS NOT NULL)` above the projection gets
+    // alias-substituted by predicate pushdown, re-evaluating MinHashSig
+    // in the filter — 2× the signature pass per doc (the j7 lesson; the
+    // old shape contained it behind an EXTRA persisted sig layer, one
+    // more corpus-sized cache fill + count job). `posexplode([])` emits
+    // no rows, so the output is row-identical; with no Filter to push
+    // there is no duplication, so ONE cached frame (the band rows)
+    // suffices and the signature runs exactly once per doc at fill.
     val bandBucket = (0 until LshBands).map { b =>
       md5(concat_ws(",",
         (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
     }
-    val buckets = shared(sigs.select(col("doc_id"),
-      posexplode(array(bandBucket: _*)).as(Seq("band", "bucket"))))
-    sigs.unpersist(true)
+    val buckets = shared(documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(shingles(col("text")), seedsA, seedsB, MinHashP).as("sig"))
+      .select(col("doc_id"),
+        posexplode(when(col("sig").isNotNull, array(bandBucket: _*))
+          .otherwise(lit(Array.empty[String]))).as(Seq("band", "bucket"))))
 
     val candidates = saltedBandSelfJoin(buckets, HotBandThreshold, HotBandSalts)
       .localCheckpoint(true)

@@ -368,13 +368,20 @@ object Graph {
     var prevN = -1L
     for (i <- 1 to iters) {
       if (satEdges != null) {
-        changed = satEdges
+        val next = satEdges
           .join(changed.select(col("id").as("src"), col("r")), Seq("src"))
           .select(col("dst"), expr("r div sdeg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
           .select(col("dst").as("id"),
             expr("150000L + ((850L * inr) div 1000L)").as("r"))
-          .localCheckpoint(true)
+        // saturated rounds have ONE consumer of `changed` (the next
+        // round's join; the final round feeds `out`, which is always
+        // checkpointed below), so the every-round pin the unsaturated
+        // loop needs (two consumers — frontier union + rank join) is
+        // dead weight here: checkpoint every 2nd round, lineage stays
+        // bounded at two rounds and half the saturated-path jobs go
+        // (round 17 — the pagerankOf cadence applied to the fast path)
+        changed = if (i % 2 == 0 || i == iters) next.localCheckpoint(true) else next
       } else {
         // no distinct on either set: both feed semi-join build sides,
         // which dedup internally — each distinct was a per-round shuffle.

@@ -287,13 +287,19 @@ object NearDupStream {
     val sigs = docs.select(col("doc_id"),
         graft.functions.MinHashSig(Dedup.shingles(col("text")),
           seedsA, seedsB, Dedup.MinHashP).as("sig"))
-      .filter(col("sig").isNotNull)
     val bandBucket = (0 until Dedup.LshBands).map { b =>
       Dedup.md5Long(concat_ws(",",
         (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
     }
+    // null sigs emit an empty band array (no rows after posexplode)
+    // instead of a `.filter(sig IS NOT NULL)`: predicate pushdown
+    // alias-substitutes such a filter below the projection and the
+    // batch pays the MinHash pass TWICE per doc (round 17 — the d3
+    // minhashLshPairs treatment; this path has no cache to contain it,
+    // so every micro-batch paid the duplication)
     sigs.select(col("doc_id"),
-      posexplode(array(bandBucket: _*)).as(Seq("band", "bucket")))
+      posexplode(when(col("sig").isNotNull, array(bandBucket: _*))
+        .otherwise(lit(Array.empty[Long]))).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs (a_id < b_id, distinct) for a batch's bucket rows:

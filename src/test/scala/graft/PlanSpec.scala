@@ -413,4 +413,43 @@ class PlanSpec extends SparkSpec {
       s"prefix filter not pushed to the vocab scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"page not take-ordered:\n$p")
   }
+
+  test("d3/st9 band projection evaluates MinHashSig once (empty-array form, no filter duplication)") {
+    // round 17: `.filter(sig IS NOT NULL)` above the signature
+    // projection gets alias-substituted by predicate pushdown, so the
+    // MinHash pass ran TWICE per doc (once in the pushed Filter, once
+    // in the Project). The empty-band-array form has no Filter to push;
+    // the signature must appear in the optimized plan exactly once.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parquet-backed input: ConvertToLocalRelation folds a Seq relation
+    // (pre-evaluating the projection at plan time), hiding the shape
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def sigCount(df: org.apache.spark.sql.DataFrame): Int =
+      "minhashsig".r.findAllIn(df.queryExecution.optimizedPlan.toString
+        .toLowerCase).size
+    val bands = graft.streaming.NearDupStream.bucketRowsOf(docs)
+    assert(sigCount(bands) === 1,
+      s"band projection must evaluate the signature once:\n${bands.queryExecution.optimizedPlan}")
+    // executable documentation of the duplication the form avoids: the
+    // filter shape evaluates the signature in BOTH the pushed filter
+    // and the projection
+    val seedsA = (0 until graft.operators.Dedup.MinHashK).map(graft.operators.Dedup.seedA)
+    val seedsB = (0 until graft.operators.Dedup.MinHashK).map(graft.operators.Dedup.seedB)
+    val filterForm = docs.select(col("doc_id"),
+        graft.functions.MinHashSig(graft.operators.Dedup.shingles(col("text")),
+          seedsA, seedsB, graft.operators.Dedup.MinHashP).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(sigCount(filterForm) === 2,
+      "pushdown no longer duplicates the aliased signature — the " +
+        "empty-array form may be reverted to the simpler filter")
+    // row identity: a short doc (null sig) emits no band rows; a real
+    // doc emits exactly LshBands rows
+    val planted = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "ab")).toDF("doc_id", "text")
+    val plantedBands = graft.streaming.NearDupStream.bucketRowsOf(planted)
+    assert(plantedBands.filter(col("doc_id") === 1L).count() === 0L)
+    assert(plantedBands.filter(col("doc_id") === 0L).count() ===
+      graft.operators.Dedup.LshBands.toLong)
+  }
 }
