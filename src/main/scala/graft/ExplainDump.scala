@@ -33,7 +33,40 @@ object ExplainDump {
       // caches leak in the dump process (it exits right after) — the
       // hook stays signature-agnostic across the change it evidences
       "e4_dashboard__internal" -> ((s, d) =>
-        graft.operators.Profile.dashboardFrames(s, d, "BUILDING")._1)
+        graft.operators.Profile.dashboardFrames(s, d, "BUILDING")._1),
+      // d3/st9 band projection (round 17): the frame minhashLshPairs
+      // caches / bucketRowsOf returns, un-materialized. The
+      // "__filterform" variants rebuild the PRE-round-17 shape (commit
+      // ccc26d2: `.filter(sig IS NOT NULL)` above the MinHashSig
+      // projection) verbatim, as the before-evidence — predicate
+      // pushdown alias-substitutes that filter and the dumped plan
+      // shows MinHashSig evaluated twice.
+      "d3_minhash_lsh__internal" -> ((s, d) =>
+        graft.operators.Dedup.lshBandRows(s, d)),
+      "d3_minhash_lsh__filterform" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Dedup
+        val rows = Dedup.MinHashK / Dedup.LshBands
+        val seedsA = (0 until Dedup.MinHashK).map(Dedup.seedA)
+        val seedsB = (0 until Dedup.MinHashK).map(Dedup.seedB)
+        val bandBucket = (0 until Dedup.LshBands).map { b =>
+          md5(concat_ws(",",
+            (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+        }
+        graft.Tables.documents(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            graft.functions.MinHashSig(Dedup.shingles(col("text")),
+              seedsA, seedsB, Dedup.MinHashP).as("sig"))
+          .filter(col("sig").isNotNull)
+          .select(col("doc_id"),
+            posexplode(array(bandBucket: _*)).as(Seq("band", "bucket")))
+      }),
+      "st9_bucket_rows__internal" -> ((s, d) =>
+        graft.streaming.NearDupStream.bucketRowsOf(
+          graft.Tables.documents(s, d).select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))))
     )
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val df = internal.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)

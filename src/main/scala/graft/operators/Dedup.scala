@@ -659,30 +659,7 @@ object Dedup {
     * verify.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val rows = MinHashK / LshBands
-    val seedsA = (0 until MinHashK).map(seedA)
-    val seedsB = (0 until MinHashK).map(seedB)
-    // Null signatures (docs shorter than the shingle width) emit an
-    // EMPTY band array instead of being filtered (round 17, guide §4.4
-    // class): a `.filter(sig IS NOT NULL)` above the projection gets
-    // alias-substituted by predicate pushdown, re-evaluating MinHashSig
-    // in the filter — 2× the signature pass per doc (the j7 lesson; the
-    // old shape contained it behind an EXTRA persisted sig layer, one
-    // more corpus-sized cache fill + count job). `posexplode([])` emits
-    // no rows, so the output is row-identical; with no Filter to push
-    // there is no duplication, so ONE cached frame (the band rows)
-    // suffices and the signature runs exactly once per doc at fill.
-    val bandBucket = (0 until LshBands).map { b =>
-      md5(concat_ws(",",
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
-    }
-    val buckets = shared(documents(spark, dir)
-      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
-      .select(col("doc_id"),
-        graft.functions.MinHashSig(shingles(col("text")), seedsA, seedsB, MinHashP).as("sig"))
-      .select(col("doc_id"),
-        posexplode(when(col("sig").isNotNull, array(bandBucket: _*))
-          .otherwise(lit(Array.empty[String]))).as(Seq("band", "bucket"))))
+    val buckets = shared(lshBandRows(spark, dir))
 
     val candidates = saltedBandSelfJoin(buckets, HotBandThreshold, HotBandSalts)
       .localCheckpoint(true)
@@ -698,6 +675,36 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gram_h"))
     materializeAndRelease(verifyCandidates(candidates, verGrams, threshold), buckets)
+  }
+
+  /** The (doc_id, band, bucket) projection minhashLshPairs caches —
+    * UNCACHED, so the plan is dumpable (ExplainDump's
+    * `d3_minhash_lsh__internal` hook). Null signatures (docs shorter
+    * than the shingle width) emit an EMPTY band array instead of being
+    * filtered (round 17, guide §4.4 class): a `.filter(sig IS NOT
+    * NULL)` above the projection gets alias-substituted by predicate
+    * pushdown, re-evaluating MinHashSig in the filter — 2× the
+    * signature pass per doc (the j7 lesson; the old shape contained it
+    * behind an EXTRA persisted sig layer, one more corpus-sized cache
+    * fill + count job). `posexplode([])` emits no rows, so the output
+    * is row-identical; with no Filter to push there is no duplication,
+    * so ONE cached frame (the band rows) suffices and the signature
+    * runs exactly once per doc at fill. */
+  private[graft] def lshBandRows(spark: SparkSession, dir: String): DataFrame = {
+    val rows = MinHashK / LshBands
+    val seedsA = (0 until MinHashK).map(seedA)
+    val seedsB = (0 until MinHashK).map(seedB)
+    val bandBucket = (0 until LshBands).map { b =>
+      md5(concat_ws(",",
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+    }
+    documents(spark, dir)
+      .repartition(col("doc_id")) // BEFORE hashing — see ngramJaccardPairs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(shingles(col("text")), seedsA, seedsB, MinHashP).as("sig"))
+      .select(col("doc_id"),
+        posexplode(when(col("sig").isNotNull, array(bandBucket: _*))
+          .otherwise(lit(Array.empty[String]))).as(Seq("band", "bucket")))
   }
 
   /** Band-bucket rows above this size are HOT: their self-join leg is
