@@ -40,8 +40,15 @@ object Scalars {
 
   /** F11+F13+P8: MMddyyyy date coercion with bad→null→drop semantics
     * (ingest_bulk_donations.py:141-147). Every 10th key gets a
-    * deterministically corrupted date; try_to_date nulls it; na.drop
-    * removes it — the reference's errors='coerce' + dropna pipeline. */
+    * deterministically corrupted date; try_to_date nulls it; the null
+    * GROUP is dropped after the rollup — row-identical to the
+    * reference's errors='coerce' + dropna (bad dates are the only null
+    * source, and they all land in the single yr IS NULL group), but
+    * the round-17 sweep caught `na.drop` being pushed below the
+    * projection, re-evaluating the whole format+parse chain in the
+    * filter — 2× the per-row date work (guide §4.4 class, the d3
+    * MinHashSig lesson on a builtin chain). Filtering the aggregated
+    * year costs one comparison per GROUP instead. */
   def dateCoerce(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir)
       .withColumn("date_str",
@@ -49,9 +56,14 @@ object Scalars {
           concat(lit("99"), substring(date_format(col("o_orderdate"), "MMddyyyy"), 3, 6)))
           .otherwise(date_format(col("o_orderdate"), "MMddyyyy")))
       .withColumn("parsed", try_to_date(col("date_str"), "MMddyyyy"))
-      .na.drop(Seq("parsed"))
       .groupBy(year(col("parsed")).as("yr"))
       .agg(count(lit(1)).as("n"))
+      // the `n < 0` disjunct is never true (count ≥ 0): it exists to
+      // reference the AGGREGATE output, which pins the filter above
+      // the Aggregate — a bare `yr IS NOT NULL` is a grouping-key
+      // predicate, which PushDownPredicates moves back below the
+      // projection and re-duplicates the parse chain per row
+      .filter(col("yr").isNotNull || col("n") < 0)
       .orderBy(col("yr"))
   }
 

@@ -115,7 +115,14 @@ object ZipSource {
         count(lit(1)).as("n_donations"),
         countDistinct(col("donor_uid")).as("n_donors"),
         sum(col("amount")).cast("double").as("total_amount"),
-        min(date_format(col("date"), "yyyy-MM-dd")).as("first_date"))
+        // format AFTER the min (round 17): min over the formatted STRING
+        // forces every phase of this aggregate to SortAggregate (a
+        // string min buffer is not hash-aggregable), dragging the
+        // count/countDistinct/sum beside it through two sorts;
+        // min(DATE) keeps the whole rollup a HashAggregate and
+        // yyyy-MM-dd is strictly monotone in the date, so the emitted
+        // value is identical
+        date_format(min(col("date")), "yyyy-MM-dd").as("first_date"))
       .orderBy(col("committee_id"))
   }
 
