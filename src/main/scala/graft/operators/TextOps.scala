@@ -308,7 +308,11 @@ object TextOps {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gram_h")))
     val counts = g.groupBy(col("gram_h")).agg(count(lit(1)).as("cnt"))
-    val tot = g.agg(count(lit(1)).as("n_total"))
+    // Σ cnt over the |distinct grams| counts frame ≡ count(*) over the
+    // corpus-sized g (round 17, guide §2.3): the total was g's THIRD
+    // full-cache pass; summing the aggregate it already pays for drops
+    // one corpus-sized scan per t7/t7b call
+    val tot = counts.agg(sum(col("cnt")).as("n_total"))
     val per = g.join(counts, Seq("gram_h"))
       .crossJoin(broadcast(tot))
       .withColumn("q", length(bin(col("n_total"))) - length(bin(col("cnt"))))
